@@ -1,0 +1,154 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (hash group-by), MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale posture: exact dedup is one shuffle on the content hash; MinHash
+  * LSH shuffles on (band, bucket) — candidate pairs only, never the O(n²)
+  * cross join; SimHash pairs likewise join on 16-bit band keys. This is the
+  * standard web-scale dedup shape (one wide scan + a few key-partitioned
+  * shuffles), so it survives a 1000-executor / 100 TB scale-up.
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by exact dedup variants. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Exact duplicate groups by raw text equality: one representative
+    * (min doc_id) per group plus the copy count. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** Exact dedup on the sha-256 of normalized text — the form that scales
+    * to 100 TB (hash is 32 bytes regardless of document size, so the
+    * shuffle carries hashes, not documents). */
+  def exactHashGroups(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sha2(normalize(col("text")), 256).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("content_hash", "keep_id", "n_copies")
+
+  /** Word-level w-shingles (distinct), falling back to the whole text for
+    * documents shorter than w tokens. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextStats.tokens(text)
+    val grams = transform(sequence(lit(0), size(toks) - w),
+      i => concat_ws(" ", (0 until w).map(j => element_at(toks, i + j + 1)): _*))
+    array_distinct(when(size(toks) >= w, grams).otherwise(array(text)))
+  }
+
+  /** MinHash parameters: k affine permutations (a·h + b mod p) over a
+    * base 64-bit hash folded into [0, p). Constants are fixed (seed 42)
+    * so signatures are reproducible across runs and cluster sizes. */
+  val MinhashP = 2147483647L // 2^31 - 1
+  val NumHashes = 32
+  val Bands = 8
+  val RowsPerBand = NumHashes / Bands
+  private val rng = new scala.util.Random(42)
+  val hashA: IndexedSeq[Long] = IndexedSeq.fill(NumHashes)(1 + rng.nextInt(Int.MaxValue - 1).toLong)
+  val hashB: IndexedSeq[Long] = IndexedSeq.fill(NumHashes)(rng.nextInt(Int.MaxValue).toLong)
+
+  /** MinHash signature (array of k minima) of a shingle array. */
+  def minhashSignature(shingleCol: Column): Column = {
+    val baseHashes = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashP)))
+    array((0 until NumHashes).map { i =>
+      array_min(transform(baseHashes, h => pmod(h * hashA(i) + hashB(i), lit(MinhashP))))
+    }: _*)
+  }
+
+  /** LSH banding: (band index, bucket hash) rows per document. Documents
+    * agreeing on any band land in the same bucket and become candidates. */
+  def lshBuckets(docsWithSig: DataFrame): DataFrame = {
+    val bands = array((0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        hash(slice(col("signature"), j * RowsPerBand + 1, RowsPerBand), lit(j)).as("bucket"))
+    }: _*)
+    docsWithSig.select(col("doc_id"), col("shingles"), explode(bands).as("b"))
+      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bucket"))
+  }
+
+  /** Exact Jaccard over distinct shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** MinHash-LSH near-duplicate pairs: shingle → sign → band → bucket-join
+    * → exact-Jaccard verification at `threshold`. */
+  def minhashPairs(docs: DataFrame, threshold: Double = 0.5, w: Int = 3): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), shingles(col("text"), w).as("shingles"))
+      .withColumn("signature", minhashSignature(col("shingles")))
+    val buckets = lshBuckets(sigs)
+    val left = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val right = buckets.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over token xxhash64 values: per-bit majority vote of
+    * ±1 weights. Built entirely from higher-order functions (codegen'd),
+    * no UDF. */
+  def simhash(text: Column): Column = {
+    val hs = transform(TextStats.tokens(text), t => xxhash64(t))
+    val bits: Seq[Column] = (0 until 32).map { i =>
+      val votes = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** SimHash near-duplicate pairs: band the 32-bit hash into 4 bytes —
+    * any pair within Hamming distance 3 must agree on at least one byte
+    * (pigeonhole) — then verify the true Hamming distance. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val withSim = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+    val bands = array((0 until 4).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("simhash"), j * 8).bitwiseAND(0xFF).as("bucket"))
+    }: _*)
+    val banded = withSim.select(col("doc_id"), col("simhash"), explode(bands).as("b"))
+      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bucket"))
+    val left = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+    val right = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** n-gram Jaccard similarity over a deterministic document sample:
+    * top-k most similar same-language pairs. Pure set algebra (no
+    * engine-specific hashing), so it is cross-engine oracle-checkable. */
+  def ngramJaccardTop(docs: DataFrame, sampleMod: Int = 50, k: Int = 20,
+      w: Int = 3): DataFrame = {
+    val sample = docs.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"), col("lang"), shingles(col("text"), w).as("sh"))
+    val left = sample.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val right = sample.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    left.join(right, Seq("lang"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+}

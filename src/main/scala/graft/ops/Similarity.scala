@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set,
+  * stream the corpus once, per-partition top-k via window rank. The corpus
+  * side never shuffles its vectors; only (query, neighbor, score) tuples
+  * move. Scale path: IVF-style bucketing — assign each vector to a
+  * centroid, search only the probed buckets; the assignment is one narrow
+  * map and the probe join is centroid-partitioned.
+  *
+  * All vector math is built from zip_with/aggregate folds in double
+  * precision — sequential left-folds, so results are deterministic and
+  * reproducible across partitionings (and cross-engine comparable).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * corpus vectors (self excluded), rank ties broken by neighbor id. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Trainless IVF: centroids are the per-label mean vectors (deterministic
+    * — no sampled k-means), each vector is assigned to its nearest
+    * centroid, and a query searches only `nprobe` nearest buckets. */
+  def centroids(corpus: DataFrame): DataFrame = {
+    val dim = 64
+    val summed = corpus
+      .groupBy(col("label"))
+      .agg(
+        array((0 until dim).map(i =>
+          sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sums"),
+        count(lit(1)).as("n"))
+    summed.select(col("label").as("centroid_id"),
+      transform(col("sums"), s => s / col("n")).as("centroid"))
+  }
+
+  /** ANN search via IVF buckets: assign corpus vectors to nearest
+    * centroid once, probe the query's `nprobe` closest centroids, then
+    * exact cosine inside the probed buckets only. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = centroids(corpus)
+    val assign = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("centroid")).as("c_score"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c_score").desc, col("centroid_id"))
+    val assigned = assign.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vec_id"), col("embedding"), col("centroid_id"))
+
+    val qprobe = queries.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"), cosine(col("embedding"), col("centroid")).as("c_score"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("c_score").desc, col("centroid_id"))
+    val probed = qprobe.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= nprobe).select(col("query_id"), col("q_emb"), col("centroid_id"))
+
+    val cands = assigned.join(probed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("q_emb"), col("embedding")), 6).as("score"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
+    cands.withColumn("rank", row_number().over(wr).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs over a deterministic sample:
+    * top-k most similar pairs (id_a < id_b). */
+  def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int): DataFrame = {
+    val sample = corpus.filter(col("vec_id") % sampleMod === 0)
+    val left = sample.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val right = sample.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    left.join(broadcast(right), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("score"))
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+}

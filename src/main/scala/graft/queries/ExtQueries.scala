@@ -1,9 +1,268 @@
 package graft.queries
 
-import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Extension surface (SURVEY.md §7.6): dedup, similarity search, text
-  * analysis, event-time windows. Populated operator-by-operator. */
+import graft.{QueryDef, Tables}
+import graft.ops.{Dedup, EventWindows, Similarity, TextStats}
+
+/** Extension surface (SURVEY.md §7.6 + the north-star mandate): dedup,
+  * similarity search, text analysis, event-time windows — the operators a
+  * large-scale training-data pipeline needs, expressed over `documents`,
+  * `embeddings`, and `events`.
+  *
+  * Oracle policy: everything built from engine-neutral math (set algebra,
+  * double folds, sha-256, regex) carries a DuckDB oracle; operators bound
+  * to Spark-specific hashes (xxhash64/murmur LSH buckets) are rows-only
+  * by the driver contract.
+  */
 object ExtQueries {
-  val defs: Seq[(String, QueryDef)] = Seq()
+
+  // ---------------------------------------------------------------- text
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextStats.tokenCounts(Tables.documents(s, dir))
+      .withColumn("len_chars", col("len_chars").cast("bigint"))
+      .orderBy("doc_id")
+
+  private val textTokensSql =
+    """SELECT doc_id, n_chars, length(text) AS len_chars,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextStats.quality(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val allStopSql = TextStats.langStopwords.flatMap(_._2)
+    .map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val textQualitySql =
+    s"""SELECT doc_id,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_token_len,
+       |  round((CAST(length(text) AS DOUBLE)
+       |         - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+       |        / length(text), 6) AS punct_ratio,
+       |  round(CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+       |                             x -> list_contains($allStopSql, x))) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')), 6) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    TextStats.langId(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textLangidSql = {
+    val hitExprs = TextStats.langStopwords.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($arr, x))) AS hits_$lang"
+    }.mkString(",\n    ")
+    val bestExpr = TextStats.langStopwords.map { case (l, _) => s"hits_$l" }
+      .mkString("greatest(", ", ", ")")
+    val caseArms = TextStats.langStopwords.map { case (l, _) =>
+      s"WHEN hits_$l = best AND best > 0 THEN '$l'"
+    }.mkString("\n      ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |hits AS (
+       |  SELECT doc_id, lang,
+       |    $hitExprs
+       |  FROM tok),
+       |best AS (SELECT *, $bestExpr AS best FROM hits)
+       |SELECT doc_id, lang AS declared_lang,
+       |  CASE $caseArms
+       |      ELSE 'und' END AS predicted_lang
+       |FROM best ORDER BY doc_id""".stripMargin
+  }
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextStats.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textFingerprintSql =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split_regex(trim(text), '\s+'),
+      |                     t -> CAST(ascii(t) AS BIGINT) * 31 + length(t))),
+      |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------- dedup
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir)).orderBy("keep_id")
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  private def dedupExactHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactHashGroups(Tables.documents(s, dir)).orderBy("keep_id")
+
+  private val dedupExactHashSql =
+    """SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Deterministic near-dup corpus: a sample of documents plus perturbed
+    * copies (last token dropped, id offset by 1,000,000) — guarantees the
+    * LSH queries return pairs on data with no natural near-dups. */
+  private def withPerturbedCopies(docs: DataFrame, sampleMod: Int): DataFrame = {
+    val sample = docs.filter(col("doc_id") % sampleMod === 0)
+      .select("doc_id", "text", "lang")
+    val perturbed = sample.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
+      col("lang"))
+    sample.unionByName(perturbed)
+  }
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(withPerturbedCopies(Tables.documents(s, dir), 50),
+        threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(withPerturbedCopies(Tables.documents(s, dir), 50),
+        maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardTop(Tables.documents(s, dir), sampleMod = 50, k = 20)
+
+  private val dedupNgramJaccardSql =
+    """WITH sample AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+      |         THEN list_distinct(list_transform(
+      |                range(len(string_split_regex(trim(text), '\s+')) - 2),
+      |                i -> string_split_regex(trim(text), '\s+')[i+1] || ' ' ||
+      |                     string_split_regex(trim(text), '\s+')[i+2] || ' ' ||
+      |                     string_split_regex(trim(text), '\s+')[i+3]))
+      |         ELSE [text] END AS sh
+      |  FROM documents WHERE doc_id % 50 = 0)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      |FROM sample a JOIN sample b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------- similarity
+
+  private def simTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5)
+  }
+
+  private val simTopkSql =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
+      |      FROM embeddings),
+      |scored AS (
+      |  SELECT query_id, neighbor_id,
+      |    round(list_dot_product(qe, ce)
+      |          / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS score
+      |  FROM q CROSS JOIN c WHERE query_id != neighbor_id)
+      |SELECT query_id, rank, neighbor_id, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5, nprobe = 2)
+  }
+
+  private def simNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupTop(Tables.embeddings(s, dir), sampleMod = 25, k = 20)
+
+  private val simNearDupSql =
+    """WITH sample AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |                FROM embeddings WHERE vec_id % 25 = 0)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_dot_product(a.e, b.e)
+      |        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
+      |FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+      |ORDER BY score DESC, id_a, id_b LIMIT 20""".stripMargin
+
+  // -------------------------------------------------------------- events
+
+  private def evTumbling(s: SparkSession, dir: String): DataFrame =
+    EventWindows.tumbling(Tables.events(s, dir))
+
+  private val evTumblingSql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def evSliding(s: SparkSession, dir: String): DataFrame =
+    EventWindows.sliding(Tables.events(s, dir))
+
+  private val evSlidingSql =
+    """WITH e2 AS (
+      |  SELECT event_type, value,
+      |    (CAST(floor(epoch(ts) / 1800) AS BIGINT) - off.i) * 1800 AS start_epoch
+      |  FROM events CROSS JOIN (VALUES (0), (1)) AS off(i))
+      |SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+      |                + start_epoch * INTERVAL 1 SECOND,
+      |                '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM e2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private def evSession(s: SparkSession, dir: String): DataFrame =
+    EventWindows.sessions(Tables.events(s, dir))
+
+  private val evSessionSql =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  private def evJsonKpi(s: SparkSession, dir: String): DataFrame =
+    EventWindows.jsonKpi(Tables.events(s, dir))
+
+  private val evJsonKpiSql =
+    """SELECT event_type, count(k) AS n_k,
+      |  CAST(SUM(CAST(k AS DECIMAL(18,6))) AS DOUBLE) AS sum_k,
+      |  max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
+    "text_quality" -> QueryDef(textQuality, Some(textQualitySql)),
+    "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
+    "text_fingerprint" -> QueryDef(textFingerprint, Some(textFingerprintSql)),
+    "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
+    "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
+    "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),
+    "dedup_simhash_pairs" -> QueryDef(dedupSimhash, None),
+    "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
+    "sim_ivf_topk" -> QueryDef(simIvf, None),
+    "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
+    "ev_tumbling" -> QueryDef(evTumbling, Some(evTumblingSql)),
+    "ev_sliding" -> QueryDef(evSliding, Some(evSlidingSql)),
+    "ev_session" -> QueryDef(evSession, Some(evSessionSql)),
+    "ev_json_kpi" -> QueryDef(evJsonKpi, Some(evJsonKpiSql)))
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", "en"), // near dup of 1
+    (4L, "der schnelle braune fuchs und der faule hund ist da", "de"),
+    (5L, "completely different words entirely unrelated content here now", "en"))
+    .toDF("doc_id", "text", "lang")
+    .withColumn("n_chars", length($"text").cast("long"))
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exactGroups(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups(1L) === 2L) // docs 1+2 collapse, representative is min id
+    assert(groups(3L) === 1L)
+  }
+
+  test("exact hash dedup normalizes whitespace/case") {
+    val messy = Seq((10L, "Hello  World"), (11L, "hello world "))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactHashGroups(messy).collect()
+    assert(groups.length === 1 && groups.head.getLong(2) === 2L)
+  }
+
+  test("minhash LSH finds planted near-duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup always found
+    assert(!pairs.exists { case (a, b) => a == 5L || b == 5L }) // unrelated never
+  }
+
+  test("simhash of identical docs is identical; hamming pairs found") {
+    val sims = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) === sims(2L))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard is 1 for identical shingle sets, 0 for disjoint") {
+    val df = Seq((Seq("a b c"), Seq("a b c"), Seq("x y z")))
+      .toDF("s1", "s2", "s3")
+    val r = df.select(
+      Dedup.jaccard($"s1", $"s2").as("same"),
+      Dedup.jaccard($"s1", $"s3").as("diff")).collect().head
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 0.0)
+  }
+
+  test("cosine similarity: identical vectors score 1, orthogonal 0") {
+    val df = Seq((Seq(1f, 0f), Seq(1f, 0f), Seq(0f, 1f))).toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine($"a", $"b").as("same"),
+      Similarity.cosine($"a", $"c").as("ortho")).collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks the nearest vector first") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f), 1),
+      (3L, Seq(0f, 0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val top = Similarity.bruteForceTopK(emb.filter($"vec_id" === 0), emb, k = 2)
+      .collect()
+    assert(top.head.getLong(2) === 1L) // rank 1 = the nearest neighbor
+    assert(top.length === 2)
+  }
+
+  test("langId predicts the language whose stopwords dominate") {
+    val out = TextStats.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) === "en")
+    assert(out(4L) === "de")
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "c b a")).toDF("doc_id", "text")
+    val fps = TextStats.fingerprint(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+
+  test("session windows split on gap and merge within gap") {
+    val ev = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 100L, "click", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 100L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sess = EventWindows.sessions(ev).collect()
+    assert(sess.length === 2)
+    assert(sess.head.getLong(3) === 2L) // first session has 2 events
+  }
+}
