@@ -1,0 +1,99 @@
+package graft.etl
+
+import java.nio.file.Files
+import java.time.{Instant, LocalDate}
+
+import graft.SparkSuite
+import graft.ingest.{FileSeriesSource, Fixtures, SeriesSource}
+
+/** End-to-end offline pipeline runs against canned payloads in temp dirs —
+  * the Spark analog of `/root/reference/tests/test_main.py` +
+  * `tests/test_load.py` integration behavior. */
+class PipelineSpec extends SparkSuite {
+
+  private val fredSeries = Seq("UNRATE" -> "UNRATE")
+  private val today = LocalDate.parse("2024-03-15")
+  private val now = Instant.parse("2024-03-15T12:00:00Z")
+
+  private def freshLayout(): (Pipeline.Layout, java.nio.file.Path) = {
+    val base = Files.createTempDirectory("graft-pipe")
+    val payloads = base.resolve("payloads")
+    Files.createDirectories(payloads)
+    Files.writeString(payloads.resolve("fred_UNRATE.json"), Fixtures.fredPayload)
+    Files.writeString(payloads.resolve("bls.json"), Fixtures.blsPayload)
+    (Pipeline.Layout(
+      s"$base/state", s"$base/raw", s"$base/warehouse"), payloads)
+  }
+
+  test("first run inserts everything; rerun is fully unchanged (idempotent)") {
+    val (layout, payloads) = freshLayout()
+    val src = new FileSeriesSource(payloads)
+    val r1 = Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
+    assert(r1.factStats("inserted") === 9) // 3 FRED + 6 BLS
+    assert(r1.factStats("updated") === 0)
+    assert(r1.dimStats("inserted") === 3) // 1 FRED + 2 BLS series
+    assert(r1.skippedSeries.isEmpty)
+
+    val r2 = Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
+    assert(r2.factStats("unchanged") === 9)
+    assert(r2.factStats("inserted") === 0 && r2.factStats("updated") === 0)
+    assert(r2.dimStats("inserted") === 0 && r2.dimStats("unchanged") === 3)
+  }
+
+  test("value revision becomes an update; null persists as null") {
+    val (layout, payloads) = freshLayout()
+    val src = new FileSeriesSource(payloads)
+    Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
+
+    Files.writeString(payloads.resolve("fred_UNRATE.json"),
+      Fixtures.fredPayload.replace("\"5.2\"", "\"5.9\""))
+    val r2 = Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
+    assert(r2.factStats("updated") === 1)
+    assert(r2.factStats("unchanged") === 8)
+
+    val fact = spark.read.parquet(layout.factPath)
+    val revised = fact.filter("series_id = 'UNRATE' AND date = DATE'2024-03-01'")
+      .collect().head
+    assert(revised.getDouble(3) === 5.9)
+    assert(fact.filter("series_id = 'UNRATE' AND value IS NULL").count() === 1)
+  }
+
+  test("raw snapshots land once per content hash; state advances watermark") {
+    val (layout, payloads) = freshLayout()
+    val src = new FileSeriesSource(payloads)
+    Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
+    val raws = Files.list(java.nio.file.Paths.get(layout.rawDir)).toArray.map(_.toString)
+    assert(raws.exists(_.endsWith("FRED_UNRATE_2024_03_15.json")))
+    assert(raws.exists(_.endsWith("BLS_batch_2024_03_15.json")))
+
+    val store = graft.ingest.State.Store(layout.stateDir)
+    assert(store.load("fred", "UNRATE").get.lastObservationDate === Some("2024-03-01"))
+
+    // unchanged rerun on a later day: no new snapshot (hash-skip)
+    val later = LocalDate.parse("2024-03-16")
+    Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, later, now)
+    val raws2 = Files.list(java.nio.file.Paths.get(layout.rawDir)).toArray.map(_.toString)
+    assert(!raws2.exists(_.contains("2024_03_16")))
+  }
+
+  test("a failing FRED series is skipped, not fatal; BLS failure aborts") {
+    val (layout, payloads) = freshLayout()
+    val src = new FileSeriesSource(payloads)
+    val r = Pipeline.run(spark, src,
+      layout, Seq("UNRATE" -> "UNRATE", "MISSING" -> "NOPE"),
+      Fixtures.blsSeriesMap, today, now)
+    assert(r.skippedSeries === Seq("NOPE"))
+    assert(r.factStats("inserted") === 9) // UNRATE + BLS still loaded
+
+    val badBls = new SeriesSource {
+      def fetchFred(id: String, start: Option[String]): String = Fixtures.fredPayload
+      def fetchBls(ids: Seq[String], sy: Int, ey: Int): String =
+        """{"status": "REQUEST_NOT_PROCESSED", "Results": {"series": []}}"""
+    }
+    val (layout2, _) = freshLayout()
+    val e = intercept[RuntimeException] {
+      Pipeline.run(spark, badBls, layout2, fredSeries, Fixtures.blsSeriesMap, today, now)
+    }
+    assert(e.getMessage.contains("extract"))
+  }
+}
