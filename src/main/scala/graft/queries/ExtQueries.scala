@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, EventWindows, Similarity, TextStats}
+import graft.ops.{Dedup, EventWindows, Multimodal, Similarity, TextStats}
 
 /** Extension surface (SURVEY.md §7.6 + the north-star mandate): dedup,
   * similarity search, text analysis, event-time windows — the operators a
@@ -188,6 +188,43 @@ object ExtQueries {
       |FROM sample a JOIN sample b ON a.vec_id < b.vec_id
       |ORDER BY score DESC, id_a, id_b LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------- multimodal
+
+  private def mmResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizePlan(
+        Multimodal.syntheticMediaFrom(Tables.documents(s, dir)), maxSide = 256)
+      .orderBy("media_id")
+
+  private val mmResizeSql =
+    """SELECT doc_id AS media_id,
+      |  CAST(doc_id % 640 + 64 AS INT) AS src_width,
+      |  CAST(doc_id % 480 + 48 AS INT) AS src_height,
+      |  CAST(floor((doc_id % 640 + 64) *
+      |       least(256.0 / (doc_id % 640 + 64), 256.0 / (doc_id % 480 + 48), 1.0)) AS INT) AS dst_width,
+      |  CAST(floor((doc_id % 480 + 48) *
+      |       least(256.0 / (doc_id % 640 + 64), 256.0 / (doc_id % 480 + 48), 1.0)) AS INT) AS dst_height
+      |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin
+
+  private def mmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.syntheticMediaFrom(Tables.documents(s, dir)), everyMs = 1000L)
+      .orderBy("media_id", "frame_ts_ms")
+
+  private val mmFramesSql =
+    """SELECT doc_id AS media_id, doc_id * 40 + 1000 AS duration_ms,
+      |  unnest(range(0, doc_id * 40 + 1000, 1000)) AS frame_ts_ms
+      |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts_ms""".stripMargin
+
+  /** Feature-extraction plumbing (stub decoder — engine-specific, so
+    * rows-only): per-media feature norms, deterministic. */
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(
+        Multimodal.syntheticMediaFrom(Tables.documents(s, dir)), dim = 16)
+      .toDF()
+      .select(col("media_id"), col("kind"),
+        round(Similarity.norm(col("features")), 4).as("feature_norm"))
+      .orderBy("media_id")
+
   // -------------------------------------------------------------- events
 
   private def evTumbling(s: SparkSession, dir: String): DataFrame =
@@ -261,6 +298,9 @@ object ExtQueries {
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
     "sim_ivf_topk" -> QueryDef(simIvf, None),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
+    "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
+    "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),
+    "mm_features" -> QueryDef(mmFeatures, None),
     "ev_tumbling" -> QueryDef(evTumbling, Some(evTumblingSql)),
     "ev_sliding" -> QueryDef(evSliding, Some(evSlidingSql)),
     "ev_session" -> QueryDef(evSession, Some(evSessionSql)),

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+import graft.functions.Stable._
+
+/** Structured Streaming forms of the event-time operators: the reference's
+  * closest analog is batch polling with a persisted offset
+  * (`/root/reference/src/extract.py:86-87` — SURVEY.md calls it out as a
+  * watermark/offset commit done in batch). Here the same semantics run as
+  * true streams: readStream → windowed aggregation with watermarks →
+  * writeStream, plus an arbitrary-stateful operator via
+  * flatMapGroupsWithState.
+  *
+  * At scale these are shuffle-partitioned by group key with incremental
+  * state in the state store — no reprocessing of history per trigger.
+  */
+object Streams {
+
+  /** The events schema for schema-required streaming file sources
+    * (ts already normalized to TimestampType). */
+  def eventsSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+    org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+
+  /** Streaming source over a parquet directory of events. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventsSchema).parquet(dir)
+
+  /** Tumbling 1-hour windows per event type with a 10-minute watermark —
+    * the streaming twin of EventWindows.tumbling (same output schema). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+
+  /** Session windows per user (30-minute gap) with watermarking — the
+    * streaming twin of EventWindows.sessions. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("total"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"), col("total"))
+
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Arbitrary stateful processing: per-user running totals maintained in
+    * the state store across triggers (KeyValueGroupedDataset +
+    * flatMapGroupsWithState) — the pattern for custom state the built-in
+    * windows can't express. */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var total = prev.total_value
+          batch.foreach { e => n += 1; total += e.value }
+          val next = UserRunning(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

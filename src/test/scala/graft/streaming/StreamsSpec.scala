@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSuite, Tables}
+import graft.ops.EventWindows
+
+/** Streaming results must agree with their batch twins: a parquet batch
+  * driven through readStream + processAllAvailable is the synchronous
+  * harness for the streaming operators. */
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** events normalized to µs timestamps in a temp dir (streaming file
+    * sources need a directory; raw testdata is nanos). */
+  private lazy val eventsDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    Tables.events(spark, sf0001).coalesce(1).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("streaming tumbling window equals the batch operator") {
+    val q = Streams.tumblingCounts(Streams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = EventWindows.tumbling(spark.read.parquet(eventsDir)).collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming session window equals the batch operator") {
+    val q = Streams.sessionCounts(Streams.readEvents(spark, eventsDir))
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("session_out")
+        .orderBy("user_id", "session_start").collect().toSeq
+      val batch = EventWindows.sessions(spark.read.parquet(eventsDir)).collect().toSeq
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("stateful running totals match the batch aggregate after one batch") {
+    val stream = Streams.readEvents(spark, eventsDir)
+      .select($"user_id", $"ts", $"value").as[Streams.UserEvent]
+    val q = Streams.runningTotals(stream)
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("running_out")
+        .groupBy("user_id").agg(max("n_events").as("n_events"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val batch = spark.read.parquet(eventsDir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
