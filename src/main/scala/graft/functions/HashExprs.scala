@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the hash-sketch operators.
+  *
+  * The composed-built-in forms (32 parallel transform/array_min trees for
+  * MinHash, 32 aggregate folds for SimHash) are semantically fine but
+  * bloat the analyzed plan and the generated code enough that
+  * plan-compile time dwarfs evaluation on small inputs — and at 100 TB
+  * the interpreted lambda evaluation per (shingle × hash) pair is pure
+  * overhead. These expressions do the same math in one tight JVM loop per
+  * row: O(shingles·k) long arithmetic with no per-step allocation.
+  *
+  * Per the engine's extension policy (SURVEY.md §7.3): compose built-ins
+  * first, drop to a custom Expression only when the built-in form is
+  * measurably inadequate. This is that case.
+  */
+object HashExprs {
+
+  /** MinHash signature: k affine permutations (a·h + b mod p) of the
+    * xxhash64 of each shingle, min per permutation. Input: array<string>.
+    * Output: array<bigint> of length k. */
+  case class MinHashSig(child: Expression, a: IndexedSeq[Long], b: IndexedSeq[Long], p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val k = a.length
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        val h0 = Math.floorMod(
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L), p)
+        var j = 0
+        while (j < k) {
+          val hj = Math.floorMod(a(j) * h0 + b(j), p)
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_minhash_sig"
+  }
+
+  /** 32-bit SimHash over the xxhash64 of each token: per-bit ±1 majority
+    * vote. Input: array<string>. Output: bigint. */
+  case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](32)
+      var i = 0
+      while (i < arr.numElements()) {
+        val s = arr.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var j = 0
+        while (j < 32) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < 32) {
+        if (votes(j) > 0) out |= (1L << j)
+        j += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_simhash32"
+  }
+
+  /** Register both as SQL temp functions on the session and return Column
+    * builders (the function-registry route is backend-stable in Spark 4). */
+  def register(spark: SparkSession, a: IndexedSeq[Long], b: IndexedSeq[Long], p: Long): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSig(exprs.head, a, b, p), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash32", exprs => SimHash32(exprs.head), "built-in")
+  }
+
+  def minhashSig(spark: SparkSession, shinglesCol: String): Column =
+    expr(s"graft_minhash_sig($shinglesCol)")
+
+  def simhash32(spark: SparkSession, tokensCol: String): Column =
+    expr(s"graft_simhash32($tokensCol)")
+}

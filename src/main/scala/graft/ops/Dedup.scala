@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HashExprs
+
 /** Deduplication operators for a training-data pipeline over `documents`:
   * exact (hash group-by), MinHash+LSH, SimHash, and n-gram Jaccard.
   *
@@ -54,12 +56,15 @@ object Dedup {
   val hashA: IndexedSeq[Long] = IndexedSeq.fill(NumHashes)(1 + rng.nextInt(Int.MaxValue - 1).toLong)
   val hashB: IndexedSeq[Long] = IndexedSeq.fill(NumHashes)(rng.nextInt(Int.MaxValue).toLong)
 
-  /** MinHash signature (array of k minima) of a shingle array. */
-  def minhashSignature(shingleCol: Column): Column = {
-    val baseHashes = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashP)))
-    array((0 until NumHashes).map { i =>
-      array_min(transform(baseHashes, h => pmod(h * hashA(i) + hashB(i), lit(MinhashP))))
-    }: _*)
+  /** MinHash signature (array of k minima) of a shingle array — a custom
+    * Catalyst expression (graft.functions.HashExprs.MinHashSig): the
+    * composed-built-in form (k parallel transform/array_min trees) bloats
+    * plan and codegen enough that compile time dominates, and evaluates
+    * lambdas interpretively; the expression is one tight loop per row. */
+  def withMinhashSignature(docsWithShingles: DataFrame): DataFrame = {
+    HashExprs.register(docsWithShingles.sparkSession, hashA, hashB, MinhashP)
+    docsWithShingles.withColumn("signature",
+      HashExprs.minhashSig(docsWithShingles.sparkSession, "shingles"))
   }
 
   /** LSH banding: (band index, bucket hash) rows per document. Documents
@@ -82,10 +87,14 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs: shingle → sign → band → bucket-join
     * → exact-Jaccard verification at `threshold`. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5, w: Int = 3): DataFrame = {
-    val sigs = docs
-      .select(col("doc_id"), shingles(col("text"), w).as("shingles"))
-      .withColumn("signature", minhashSignature(col("shingles")))
-    val buckets = lshBuckets(sigs)
+    val sigs = withMinhashSignature(
+      docs.select(col("doc_id"), shingles(col("text"), w).as("shingles")))
+    // Materialize the bucketed side once: the self-join would otherwise
+    // recompute the whole shingle→sign→band subtree for each side (the
+    // aliased projections defeat exchange reuse). At cluster scale this
+    // persist is a write of (id, band, bucket, shingles) — tiny next to
+    // the corpus — and is the standard LSH candidate-table pattern.
+    val buckets = lshBuckets(sigs).persist()
     val left = buckets.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val right = buckets.select(col("band"), col("bucket"),
@@ -99,30 +108,27 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** 32-bit SimHash over token xxhash64 values: per-bit majority vote of
-    * ±1 weights. Built entirely from higher-order functions (codegen'd),
-    * no UDF. */
-  def simhash(text: Column): Column = {
-    val hs = transform(TextStats.tokens(text), t => xxhash64(t))
-    val bits: Seq[Column] = (0 until 32).map { i =>
-      val votes = aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+  /** 32-bit SimHash per document (custom expression — see
+    * withMinhashSignature for the rationale). */
+  def simhashes(docs: DataFrame): DataFrame = {
+    HashExprs.register(docs.sparkSession, hashA, hashB, MinhashP)
+    docs.select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        HashExprs.simhash32(docs.sparkSession, "toks").as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: band the 32-bit hash into 4 bytes —
     * any pair within Hamming distance 3 must agree on at least one byte
     * (pigeonhole) — then verify the true Hamming distance. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withSim = docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+    val withSim = simhashes(docs)
     val bands = array((0 until 4).map { j =>
       struct(lit(j).as("band"),
         shiftright(col("simhash"), j * 8).bitwiseAND(0xFF).as("bucket"))
     }: _*)
     val banded = withSim.select(col("doc_id"), col("simhash"), explode(bands).as("b"))
       .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bucket"))
+      .persist() // one materialization for both self-join sides
     val left = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("simhash").as("sim_a"))
     val right = banded.select(col("band"), col("bucket"),
@@ -142,6 +148,7 @@ object Dedup {
       w: Int = 3): DataFrame = {
     val sample = docs.filter(col("doc_id") % sampleMod === 0)
       .select(col("doc_id"), col("lang"), shingles(col("text"), w).as("sh"))
+      .persist() // one materialization for both self-join sides
     val left = sample.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val right = sample.select(col("lang"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
     left.join(right, Seq("lang"))

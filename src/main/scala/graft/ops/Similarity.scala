@@ -63,7 +63,10 @@ object Similarity {
     * centroid once, probe the query's `nprobe` closest centroids, then
     * exact cosine inside the probed buckets only. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
-    val cents = centroids(corpus)
+    // centroids feed two broadcast cross-joins; persist so the 64-column
+    // aggregation runs once (at scale this is the "trained index" you
+    // would materialize anyway)
+    val cents = centroids(corpus).persist()
     val assign = corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         cosine(col("embedding"), col("centroid")).as("c_score"))

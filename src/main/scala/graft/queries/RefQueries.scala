@@ -287,11 +287,14 @@ object RefQueries {
   private def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    // Exact running sum via integer cents (quantities have 2 decimals):
+    // long addition stays in whole-stage codegen, an order of magnitude
+    // faster than a Decimal accumulator in the window frame, and remains
+    // bit-identical cross-engine.
     Tables.lineitem(s, dir)
       .withColumn("running_qty",
-        sum(col("l_quantity").cast("decimal(18,2)"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("double"))
+        sum(round(col("l_quantity") * 100).cast("bigint"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / 100.0)
       .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
       .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty", "prev_qty")
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
@@ -299,10 +302,10 @@ object RefQueries {
 
   private val windowRunningSql =
     """SELECT l_suppkey, l_orderkey, l_linenumber,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+      |  SUM(CAST(round(l_quantity * 100) AS BIGINT))
       |       OVER (PARTITION BY l_suppkey
       |             ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_qty,
       |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
       |                           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin

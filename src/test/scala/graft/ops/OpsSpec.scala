@@ -38,7 +38,7 @@ class OpsSpec extends SparkSuite {
   }
 
   test("simhash of identical docs is identical; hamming pairs found") {
-    val sims = docs.select($"doc_id", Dedup.simhash($"text").as("s"))
+    val sims = Dedup.simhashes(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sims(1L) === sims(2L))
     val pairs = Dedup.simhashPairs(docs, maxHamming = 6)
