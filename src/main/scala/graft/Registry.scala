@@ -16,5 +16,6 @@ object Registry {
     * their own defs; SparkEntry flattens this into the driver contract. */
   def all: Seq[(String, QueryDef)] =
     queries.RefQueries.defs ++
-      queries.ExtQueries.defs
+      queries.ExtQueries.defs ++
+      queries.MoreQueries.defs
 }

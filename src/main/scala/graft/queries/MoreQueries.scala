@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Stable._
+import graft.ops.AsOf
+
+/** Coverage beyond the reference's own operator set (SURVEY.md §2.6 lists
+  * what the reference lacks): as-of join, pivot/unpivot, rollup with
+  * grouping flags, distinct aggregates, and set operations — capabilities
+  * an analytics engine over this data model is expected to have.
+  */
+object MoreQueries {
+
+  /** As-of join: each purchase event picks up the value of the user's
+    * most recent prior click (union-merge + carry-forward — one shuffle
+    * on user_id, no range join blowup). */
+  private def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOf.joinPrior(purchases, clicks, "user_id", "ts", "ts",
+        payload = Seq("value" -> "prior_click_value"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"), col("prior_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Oracle mirrors the union-merge exactly (DuckDB also has a native
+    * ASOF JOIN; the portable form is used so semantics match bit-for-bit,
+    * including ties). */
+  private val asofJoinSql =
+    """WITH tagged AS (
+      |  SELECT user_id, ts, -1 AS side, NULL::BIGINT AS event_id,
+      |         NULL::DOUBLE AS pvalue, value AS cvalue
+      |  FROM events WHERE event_type = 'click'
+      |  UNION ALL
+      |  SELECT user_id, ts, 1 AS side, event_id, value AS pvalue, NULL AS cvalue
+      |  FROM events WHERE event_type = 'purchase'),
+      |carried AS (
+      |  SELECT *, last_value(cvalue IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY ts, side
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prior_click_value
+      |  FROM tagged)
+      |SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |       pvalue AS value, prior_click_value
+      |FROM carried WHERE side = 1 ORDER BY user_id, event_id""".stripMargin
+
+  /** Pivot: long events → wide per-user columns, one per event type. */
+  private def pivotWide(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(dsum(col("value"), 6))
+      .orderBy("user_id")
+
+  private val pivotWideSql = {
+    val arms = Seq("click", "view", "purchase", "signup", "error").map { t =>
+      s"""CAST(SUM(CAST(CASE WHEN event_type = '$t' THEN value END AS DECIMAL(18,6))) AS DOUBLE) AS "$t""""
+    }.mkString(",\n  ")
+    s"""SELECT user_id,
+       |  $arms
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
+  /** Unpivot: wide lineitem measures → long (measure, value) rows. */
+  private def unpivotLong(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "measure_value")
+      .orderBy("l_orderkey", "l_linenumber", "l_suppkey", "measure")
+
+  private val unpivotLongSql =
+    """SELECT l_orderkey, l_linenumber, l_suppkey, measure, measure_value FROM (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey,
+      |         'l_quantity' AS measure, l_quantity AS measure_value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_suppkey,
+      |         'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_suppkey,
+      |         'l_discount', l_discount FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber, l_suppkey, measure""".stripMargin
+
+  /** Rollup with grouping flags; group labels are coalesced so the output
+    * carries no nulls (null sort order differs across engines). */
+  private def rollupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"), col("total"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+
+  private val rollupStatsSql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       |  count(*) AS n, ${sqlDsum("o_totalprice", 2)} AS total
+       |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
+  /** Exact distinct aggregates per group. */
+  private def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  private val distinctAggSql =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_suppliers,
+      |  count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Set operations (both engines use distinct set semantics): customers
+    * with both finished and open orders, and those with only finished. */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val both = f.intersect(open).withColumn("cls", lit("both"))
+    val onlyF = f.except(open).withColumn("cls", lit("only_f"))
+    both.unionByName(onlyF)
+      .groupBy("cls").agg(count(lit(1)).as("n"))
+      .orderBy("cls")
+  }
+
+  private val setOpsSql =
+    """SELECT cls, count(*) AS n FROM (
+      |  SELECT o_custkey, 'both' AS cls FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT o_custkey, 'only_f' FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+      |GROUP BY cls ORDER BY cls""".stripMargin
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
+    "pivot_wide" -> QueryDef(pivotWide, Some(pivotWideSql)),
+    "unpivot_long" -> QueryDef(unpivotLong, Some(unpivotLongSql)),
+    "rollup_stats" -> QueryDef(rollupStats, Some(rollupStatsSql)),
+    "distinct_agg" -> QueryDef(distinctAgg, Some(distinctAggSql)),
+    "setops_customers" -> QueryDef(setOps, Some(setOpsSql)))
+}
