@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.HashExprs
+import graft.ops.Dedup
+
+/** Session-extension wiring: registers the engine's custom Catalyst
+  * expressions as SQL functions at session build time, so SQL users get
+  * them without touching the Scala API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  *   // or .withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * The DataFrame-side helpers in HashExprs/Dedup register the same
+  * functions lazily per session; this class is the declarative form for
+  * cluster deployments (extensions survive session cloning and appear in
+  * every thread's session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[HashExprs.MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        HashExprs.MinHashSig(exprs.head, Dedup.hashA, Dedup.hashB, Dedup.MinhashP)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash32"),
+      new ExpressionInfo(classOf[HashExprs.SimHash32].getName, "graft_simhash32"),
+      (exprs: Seq[Expression]) => HashExprs.SimHash32(exprs.head)))
+  }
+}

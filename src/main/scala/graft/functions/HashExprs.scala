@@ -89,6 +89,63 @@ object HashExprs {
     override def prettyName: String = "graft_simhash32"
   }
 
+  /** Random-hyperplane LSH band buckets for an embedding vector: the
+    * sign bits of `planes` dot products, grouped into bands of
+    * `bitsPerBand`, each band hashed to one bucket id. Input:
+    * array<float|double>. Output: array<int> (one bucket per band).
+    * Vectors with high cosine similarity agree on most sign bits, so they
+    * collide in at least one band with high probability — the candidate
+    * generation for ANN at corpus scale (bucket join, never O(n²)). */
+  case class RpLshBuckets(child: Expression, planes: Array[Array[Double]],
+      bitsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+    private val numBands = planes.length / bitsPerBand
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val dim = arr.numElements()
+      val vec = new Array[Double](dim)
+      var d = 0
+      while (d < dim) {
+        vec(d) = arr.get(d, childElementType) match {
+          case f: java.lang.Float => f.toDouble
+          case x: java.lang.Double => x
+          case other => other.toString.toDouble
+        }
+        d += 1
+      }
+      val buckets = new Array[Int](numBands)
+      var b = 0
+      while (b < numBands) {
+        var bucket = 0
+        var j = 0
+        while (j < bitsPerBand) {
+          val plane = planes(b * bitsPerBand + j)
+          var dot = 0.0
+          var i = 0
+          val n = math.min(dim, plane.length)
+          while (i < n) { dot += vec(i) * plane(i); i += 1 }
+          if (dot >= 0) bucket |= (1 << j)
+          j += 1
+        }
+        buckets(b) = bucket
+        b += 1
+      }
+      new GenericArrayData(buckets)
+    }
+
+    private lazy val childElementType: DataType = child.dataType match {
+      case ArrayType(et, _) => et
+      case _ => DoubleType
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_rplsh_buckets"
+  }
+
   /** Register both as SQL temp functions on the session and return Column
     * builders (the function-registry route is backend-stable in Spark 4). */
   def register(spark: SparkSession, a: IndexedSeq[Long], b: IndexedSeq[Long], p: Long): Unit = {
@@ -103,4 +160,13 @@ object HashExprs {
 
   def simhash32(spark: SparkSession, tokensCol: String): Column =
     expr(s"graft_simhash32($tokensCol)")
+
+  def registerRpLsh(spark: SparkSession, planes: Array[Array[Double]],
+      bitsPerBand: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rplsh_buckets", exprs => RpLshBuckets(exprs.head, planes, bitsPerBand),
+      "built-in")
+
+  def rpLshBuckets(spark: SparkSession, embCol: String): Column =
+    expr(s"graft_rplsh_buckets($embCol)")
 }

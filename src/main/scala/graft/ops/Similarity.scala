@@ -92,6 +92,44 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Random-hyperplane LSH parameters: 16 fixed seeded hyperplanes over
+    * the 64-dim embedding space, banded 2×8 bits. Deterministic across
+    * runs and cluster sizes. */
+  val RpDim = 64
+  val RpPlanes: Array[Array[Double]] = {
+    val rng = new scala.util.Random(7)
+    Array.fill(16)(Array.fill(RpDim)(rng.nextGaussian()))
+  }
+  val RpBitsPerBand = 8
+
+  /** ANN via random-hyperplane LSH: band-bucket join for candidates
+    * (high-cosine pairs agree on sign bits, so they collide in ≥1 band
+    * w.h.p.), exact cosine re-rank inside the candidate set only. The
+    * pair space is bucket-local — the shape that scales to a corpus that
+    * cannot be cross-joined. */
+  def rpLshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.HashExprs.registerRpLsh(spark, RpPlanes, RpBitsPerBand)
+    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          posexplode(graft.functions.HashExprs.rpLshBuckets(spark, "embedding")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val c = banded(corpus, "neighbor_id", "c_emb")
+    val q = banded(queries, "query_id", "q_emb")
+    val cands = c.join(broadcast(q), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_emb"), col("neighbor_id"), col("c_emb"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      round(cosine(col("q_emb"), col("c_emb")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a deterministic sample:
     * top-k most similar pairs (id_a < id_b). */
   def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int): DataFrame = {

@@ -176,6 +176,12 @@ object ExtQueries {
     Similarity.ivfTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5, nprobe = 2)
   }
 
+  /** ANN scale path (engine-specific hyperplane hashes → rows-only). */
+  private def simRpLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.rpLshTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5)
+  }
+
   private def simNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupTop(Tables.embeddings(s, dir), sampleMod = 25, k = 20)
 
@@ -297,6 +303,7 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
     "sim_ivf_topk" -> QueryDef(simIvf, None),
+    "sim_rplsh_topk" -> QueryDef(simRpLsh, None),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must expose the custom expressions to pure-SQL
+  * sessions (no Scala API involved). The default session is cleared (not
+  * stopped — the SparkContext is shared with other suites) so getOrCreate
+  * builds a fresh session that actually applies the extensions. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("custom functions are SQL-callable via withExtensions") {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val sig = spark.sql(
+        "SELECT graft_minhash_sig(array('a b c', 'b c d')) AS sig").collect().head
+      assert(sig.getSeq[Long](0).length === graft.ops.Dedup.NumHashes)
+      val sim = spark.sql(
+        "SELECT graft_simhash32(array('spark', 'scala')) AS s," +
+          " graft_simhash32(array('spark', 'scala')) AS s2").collect().head
+      assert(sim.getLong(0) === sim.getLong(1))
+      assert(sim.getLong(0) >= 0L && sim.getLong(0) <= 0xFFFFFFFFL)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prior.foreach(SparkSession.setDefaultSession)
+    }
+  }
+}

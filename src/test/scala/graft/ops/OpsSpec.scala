@@ -77,6 +77,23 @@ class OpsSpec extends SparkSuite {
     assert(top.length === 2)
   }
 
+  test("rp-lsh ANN retrieves a planted duplicate at rank 1") {
+    val rng = new scala.util.Random(11)
+    val base = (0 until 20).map { i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian().toFloat), 0)
+    }
+    // plant exact duplicates of vectors 0 and 1 at ids 100, 101
+    val corpus = (base ++ Seq(
+      (100L, base(0)._2, 0), (101L, base(1)._2, 0)))
+      .toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter($"vec_id" < 2)
+    val top = Similarity.rpLshTopK(queries, corpus, k = 3).collect()
+    val rank1 = top.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rank1(0L) === 100L) // identical vector collides in every band
+    assert(rank1(1L) === 101L)
+  }
+
   test("langId predicts the language whose stopwords dominate") {
     val out = TextStats.langId(docs).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
