@@ -153,7 +153,74 @@ object MoreQueries {
       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
       |GROUP BY cls ORDER BY cls""".stripMargin
 
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share continuous-interpolation semantics;
+    * rounded to absorb last-ulp interpolation differences). */
+  private def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(min(col("o_totalprice")), 4).as("lo"),
+        round(max(col("o_totalprice")), 4).as("hi"))
+      .orderBy("o_orderstatus")
+
+  private val percentilesSql =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      |  round(min(o_totalprice), 4) AS lo, round(max(o_totalprice), 4) AS hi
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** String-function family over customer names. */
+  private def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("upper_name"),
+      substring(col("c_name"), 1, 8).as("prefix"),
+      length(col("c_name")).cast("bigint").as("name_len"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+      translate(col("c_name"), "#", "_").as("clean"))
+      .orderBy("c_custkey")
+
+  private val stringFuncsSql =
+    """SELECT c_custkey, upper(c_name) AS upper_name,
+      |  substring(c_name, 1, 8) AS prefix,
+      |  length(c_name) AS name_len,
+      |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+      |  coalesce(regexp_extract(c_name, '([0-9]+)', 1), '') AS digits,
+      |  replace(c_name, '#', '_') AS clean
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Date-function family over order dates. */
+  private def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_orderdate").cast("date").as("order_date"),
+      trunc(col("o_orderdate"), "month").as("month_start"),
+      last_day(col("o_orderdate")).as("month_end"),
+      datediff(lit("1995-01-01").cast("date"), col("o_orderdate"))
+        .cast("bigint").as("days_to_1995"),
+      year(col("o_orderdate")).cast("bigint").as("yr"),
+      quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+      dayofweek(col("o_orderdate")).cast("bigint").as("dow"))
+      .orderBy("o_orderkey")
+
+  private val dateFuncsSql =
+    """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  datediff('day', CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_to_1995,
+      |  year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+      |  dayofweek(o_orderdate) + 1 AS dow
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "percentiles" -> QueryDef(percentiles, Some(percentilesSql)),
+    "string_funcs" -> QueryDef(stringFuncs, Some(stringFuncsSql)),
+    "date_funcs" -> QueryDef(dateFuncs, Some(dateFuncsSql)),
     "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
     "pivot_wide" -> QueryDef(pivotWide, Some(pivotWideSql)),
     "unpivot_long" -> QueryDef(unpivotLong, Some(unpivotLongSql)),
