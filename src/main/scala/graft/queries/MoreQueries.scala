@@ -217,7 +217,124 @@ object MoreQueries {
       |  dayofweek(o_orderdate) + 1 AS dow
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Semi-join (EXISTS): orders having at least one high-discount line. */
+  private def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).filter(col("l_discount") > 0.08)
+          .select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey"), "left_semi")
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  private val semiJoinSql =
+    """SELECT o_orderstatus, count(*) AS n FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** TPC-H Q6 shape: pure filter + sum (scan-dominated; the filters reach
+    * the parquet reader). */
+  private def q6FilterSum(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_discount").between(0.03, 0.07) && col("l_quantity") < 10)
+      .agg(dsum(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
+        count(lit(1)).as("n"))
+
+  private val q6FilterSumSql =
+    s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 6)} AS revenue,
+       |  count(*) AS n
+       |FROM lineitem
+       |WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 10""".stripMargin
+
+  /** TPC-H Q12 shape: conditional aggregation (CASE inside SUM). */
+  private def caseAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+
+  private val caseAggSql =
+    """SELECT l_linestatus,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Cube over two dims with grouping flags (the rollup query's sibling —
+    * all four grouping combinations). */
+  private def cubeStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+
+  private val cubeStatsSql =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+      |  count(*) AS n
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
+  /** Range-frame window: per-supplier sum over a value range (all rows
+    * whose totalprice is within ±1000 of the current row's). */
+  private def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+      .rangeBetween(-1000L, 1000L)
+    Tables.orders(s, dir)
+      .withColumn("n_near", count(lit(1)).over(w))
+      .select("o_custkey", "o_orderkey", "o_totalprice", "n_near")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val rangeFrameSql =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+      |                 RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_near
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Skew-safe salted two-phase aggregation — identical results to the
+    * direct group-by (exact decimal partials), skew-proof execution. */
+  private def saltedAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Salting
+    Salting.saltedSumCount(
+        Tables.lineitem(s, dir), Seq("l_returnflag"),
+        Seq(
+          col("l_quantity").cast("decimal(18,2)") -> "sum_qty_dec",
+          col("l_extendedprice").cast("decimal(18,2)") -> "sum_price_dec"),
+        salts = 16)
+      .select(col("l_returnflag"), col("n"),
+        col("sum_qty_dec").cast("double").as("sum_qty"),
+        col("sum_price_dec").cast("double").as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val saltedAggSql =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${sqlDsum("l_quantity", 2)} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice", 2)} AS sum_price
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),
+    "q6_filter_sum" -> QueryDef(q6FilterSum, Some(q6FilterSumSql)),
+    "q12_case_agg" -> QueryDef(caseAgg, Some(caseAggSql)),
+    "cube_stats" -> QueryDef(cubeStats, Some(cubeStatsSql)),
+    "w3_range_frame" -> QueryDef(rangeFrame, Some(rangeFrameSql)),
+    "salted_agg" -> QueryDef(saltedAgg, Some(saltedAggSql)),
     "percentiles" -> QueryDef(percentiles, Some(percentilesSql)),
     "string_funcs" -> QueryDef(stringFuncs, Some(stringFuncsSql)),
     "date_funcs" -> QueryDef(dateFuncs, Some(dateFuncsSql)),
