@@ -99,10 +99,17 @@ object Dedup {
       col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val right = buckets.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    // size-ratio prefilter: jaccard(a,b) >= t forces |a|/|b| in [t, 1/t],
+    // so the cheap size comparison prunes candidates before the O(|a|+|b|)
+    // intersection — at corpus scale this is the difference between
+    // verifying every bucket collision and only the plausible ones
+    val sizeOk = size(col("sh_a")) * threshold <= size(col("sh_b")) &&
+      size(col("sh_b")) * threshold <= size(col("sh_a"))
     left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .dropDuplicates("id_a", "id_b")
+      .filter(sizeOk)
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

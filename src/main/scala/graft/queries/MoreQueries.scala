@@ -328,7 +328,14 @@ object MoreQueries {
        |  ${sqlDsum("l_extendedprice", 2)} AS sum_price
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch aggregates (HLL++ cardinality, KLL-style quantiles) — outputs
+    * approximate by contract, hence rows-only; accuracy bounds are
+    * asserted in SketchesSpec against the exact answers. */
+  private def sketches(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sketches.orderSketches(Tables.orders(s, dir))
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "sketch_agg" -> QueryDef(sketches, None),
     "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),
     "q6_filter_sum" -> QueryDef(q6FilterSum, Some(q6FilterSumSql)),
     "q12_case_agg" -> QueryDef(caseAgg, Some(caseAggSql)),

@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-regression guards: the physical-plan properties the engine's
+  * scale story depends on, asserted so refactors can't silently lose
+  * them. (The human-readable audit is graft.tools.ExplainAudit.) */
+class PlanAuditSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan.toString
+
+  test("q1_agg: aggregation is partial-then-final with a pruned scan") {
+    val p = plan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "needs map-side partial agg")
+    assert(p.contains("l_returnflag") && !p.contains("l_shipdate"),
+      "scan must prune unused columns")
+  }
+
+  test("q5_region_revenue: every dimension joins via broadcast") {
+    val p = plan("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 3)
+    assert(!p.contains("SortMergeJoin"), "fact side must not shuffle for dims")
+  }
+
+  test("l4_anti_join: status predicate reaches the parquet scan") {
+    val p = plan("l4_anti_join")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderstatus,F)"),
+      s"expected pushed filter in:\n$p")
+  }
+
+  test("t2_cast_json: events scan reads only referenced columns") {
+    val p = plan("t2_cast_json")
+    assert(!p.contains("user_id") && !p.contains("value"),
+      "unreferenced events columns must be pruned")
+  }
+
+  test("topk_orders: global top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
+  }
+
+  test("dedup_exact_hash: shuffle carries hashes, not documents") {
+    // formatted mode lists nodes bottom-up: the sha2 projection and the
+    // partial aggregate must precede the exchange
+    val p = SparkEntry.queries("dedup_exact_hash")(spark, sf0001)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val sha2Idx = p.indexOf("sha2")
+    val partialIdx = p.indexOf("partial_min")
+    val exchangeIdx = p.indexOf("hashpartitioning(content_hash")
+    assert(sha2Idx >= 0 && partialIdx >= 0 && exchangeIdx >= 0, s"plan:\n$p")
+    assert(sha2Idx < exchangeIdx && partialIdx < exchangeIdx,
+      "content hash and partial agg must be computed pre-shuffle")
+  }
+}
