@@ -96,7 +96,10 @@ object Pipeline {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val newState = Merge.upsert(existing, deduped, keys)
     val tmp = s"$factPath.tmp"
-    newState.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // warehouse layout: partition by source — queries filtered to one
+    // source prune whole directories, and at 100 TB each source's
+    // partitions compact independently
+    newState.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmp)
     val target = Paths.get(factPath)
     if (exists) deleteRecursively(target)
     Files.move(Paths.get(tmp), target)

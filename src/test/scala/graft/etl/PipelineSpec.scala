@@ -76,6 +76,22 @@ class PipelineSpec extends SparkSuite {
     assert(!raws2.exists(_.contains("2024_03_16")))
   }
 
+  test("fact warehouse is source-partitioned and prunes on source filters") {
+    val (layout, payloads) = freshLayout()
+    Pipeline.run(spark, new FileSeriesSource(payloads), layout,
+      fredSeries, Fixtures.blsSeriesMap, today, now)
+    val dirs = Files.list(java.nio.file.Paths.get(layout.factPath))
+      .toArray.map(_.toString.split('/').last).filter(_.startsWith("source="))
+    assert(dirs.toSet === Set("source=FRED", "source=BLS"))
+    val scan = spark.read.parquet(layout.factPath).filter("source = 'FRED'")
+    val plan = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      "source#\\d+ = FRED".r.findFirstIn(plan).isDefined,
+      s"expected partition pruning in:\n$plan")
+    assert(scan.count() === 3)
+  }
+
   test("a failing FRED series is skipped, not fatal; BLS failure aborts") {
     val (layout, payloads) = freshLayout()
     val src = new FileSeriesSource(payloads)
