@@ -79,30 +79,43 @@ object Pipeline {
     else Option(arr.get(arr.size() - 1).get("date")).map(_.asText)
   }
 
-  /** Load phase: join-based MERGE into the parquet warehouse. Existing
-    * state is read, classified against incoming, and the new state is
-    * written via an atomic directory swap (write-new → rename) — the
-    * Spark analog of the reference's transactional upsert
-    * (`src/load.py:42-105`). On Delta/Iceberg this is a native MERGE. */
+  /** Load phase: join-based MERGE into the parquet warehouse, rewriting
+    * ONLY the source partitions that actually changed — the R1 hash-skip
+    * idea applied at the storage layer: a one-series revision must not
+    * rewrite the other sources' terabytes. Changed-partition rows are
+    * materialized (localCheckpoint) before the dynamic partition
+    * overwrite so the write never reads the directory it replaces. On
+    * Delta/Iceberg this whole method is a native transactional MERGE. */
   def mergeFact(spark: SparkSession, incoming: DataFrame, factPath: String): Map[String, Long] = {
     val exists = Files.exists(Paths.get(factPath))
     val existing =
       if (exists) spark.read.parquet(factPath)
+        .select(Schemas.fact.fieldNames.map(col): _*) // partition col back in place
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         Schemas.fact)
     val keys = Seq("series_id", "date")
     val deduped = Merge.lastWinsByKey(incoming, keys, col("value").desc_nulls_last)
-    val stats = Merge.stats(Merge.classify(deduped, existing, keys, "value"))
+    val classified = Merge.classify(deduped, existing, keys, "value")
+    val stats = Merge.stats(classified)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val newState = Merge.upsert(existing, deduped, keys)
-    val tmp = s"$factPath.tmp"
-    // warehouse layout: partition by source — queries filtered to one
-    // source prune whole directories, and at 100 TB each source's
-    // partitions compact independently
-    newState.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(tmp)
-    val target = Paths.get(factPath)
-    if (exists) deleteRecursively(target)
-    Files.move(Paths.get(tmp), target)
+
+    // sources with at least one insert/update; unchanged partitions are
+    // neither read again nor rewritten
+    val changedSources = classified.filter(col("action") =!= "unchanged")
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    if (changedSources.nonEmpty) {
+      val newRows = Merge.upsert(
+          existing.filter(col("source").isInCollection(changedSources)),
+          deduped.filter(col("source").isInCollection(changedSources)), keys)
+        .localCheckpoint(true) // cut lineage: never read the target dir mid-write
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try newRows.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(factPath)
+      finally prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
     Map("inserted" -> 0L, "updated" -> 0L, "unchanged" -> 0L) ++
       stats.map { case (k, v) =>
         (k match { case "insert" => "inserted"; case "update" => "updated"; case o => o }) -> v

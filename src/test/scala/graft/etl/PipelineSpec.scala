@@ -92,6 +92,27 @@ class PipelineSpec extends SparkSuite {
     assert(scan.count() === 3)
   }
 
+  test("a FRED-only revision rewrites only the FRED partition") {
+    val (layout, payloads) = freshLayout()
+    val src = new FileSeriesSource(payloads)
+    Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
+    def partFiles(source: String): Map[String, Long] = {
+      val dir = java.nio.file.Paths.get(layout.factPath, s"source=$source")
+      Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val blsBefore = partFiles("BLS")
+    Files.writeString(payloads.resolve("fred_UNRATE.json"),
+      Fixtures.fredPayload.replace("\"5.2\"", "\"6.1\""))
+    val r = Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
+    assert(r.factStats("updated") === 1)
+    assert(partFiles("BLS") === blsBefore, "BLS partition must be untouched")
+    val fred = spark.read.parquet(layout.factPath)
+      .filter("source = 'FRED' AND date = DATE'2024-03-01'").collect()
+    assert(fred.head.getDouble(fred.head.fieldIndex("value")) === 6.1)
+  }
+
   test("a failing FRED series is skipped, not fatal; BLS failure aborts") {
     val (layout, payloads) = freshLayout()
     val src = new FileSeriesSource(payloads)

@@ -5,15 +5,21 @@ import graft.{SparkSuite, Tables}
 class SketchesSpec extends SparkSuite {
 
   test("HLL cardinality within 5% of exact; approx median within 2% of exact") {
-    val rows = Sketches.orderSketches(Tables.orders(spark, sf0001)).collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val (approxC, exactC) = (r.getLong(1), r.getLong(2))
+    import org.apache.spark.sql.functions._
+    val orders = Tables.orders(spark, sf0001)
+    val approx = Sketches.orderSketches(orders).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = orders.groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("c"),
+        expr("percentile(o_totalprice, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.nonEmpty && approx.keySet === exact.keySet)
+    approx.foreach { case (k, (approxC, approxP)) =>
+      val (exactC, exactP) = exact(k)
       assert(math.abs(approxC - exactC).toDouble / exactC <= 0.05,
-        s"HLL error too high: $approxC vs $exactC")
-      val (approxP, exactP) = (r.getDouble(3), r.getDouble(4))
+        s"HLL error too high for $k: $approxC vs $exactC")
       assert(math.abs(approxP - exactP) / exactP <= 0.02,
-        s"quantile sketch error too high: $approxP vs $exactP")
+        s"quantile sketch error too high for $k: $approxP vs $exactP")
     }
   }
 }
