@@ -68,9 +68,12 @@ object MoreQueries {
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
-  /** Unpivot: wide lineitem measures → long (measure, value) rows. */
+  /** Unpivot: wide lineitem measures → long (measure, value) rows
+    * (deterministic 1-in-10 sample — the operator is the point, not the
+    * 3x row explosion of the full table). */
   private def unpivotLong(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 10 === 0)
       .unpivot(
         Array(col("l_orderkey"), col("l_linenumber"), col("l_suppkey")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
@@ -80,13 +83,16 @@ object MoreQueries {
   private val unpivotLongSql =
     """SELECT l_orderkey, l_linenumber, l_suppkey, measure, measure_value FROM (
       |  SELECT l_orderkey, l_linenumber, l_suppkey,
-      |         'l_quantity' AS measure, l_quantity AS measure_value FROM lineitem
+      |         'l_quantity' AS measure, l_quantity AS measure_value
+      |  FROM lineitem WHERE l_orderkey % 10 = 0
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, l_suppkey,
-      |         'l_extendedprice', l_extendedprice FROM lineitem
+      |         'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey % 10 = 0
       |  UNION ALL
       |  SELECT l_orderkey, l_linenumber, l_suppkey,
-      |         'l_discount', l_discount FROM lineitem)
+      |         'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey % 10 = 0)
       |ORDER BY l_orderkey, l_linenumber, l_suppkey, measure""".stripMargin
 
   /** Rollup with grouping flags; group labels are coalesced so the output
@@ -334,7 +340,55 @@ object MoreQueries {
   private def sketches(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.orderSketches(Tables.orders(s, dir))
 
+  /** Ranking-window family: ntile buckets, percent_rank, cume_dist,
+    * dense_rank — deterministic under a total per-partition order. */
+  private def rankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        dense_rank().over(w).cast("bigint").as("drank"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
+  private val rankFamilySql =
+    """SELECT o_orderstatus, o_orderkey,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume,
+      |  dense_rank() OVER w AS drank
+      |FROM orders WHERE o_orderkey % 10 = 0
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_orderkey""".stripMargin
+
+  /** Array-function family over the embedding vectors (per-element double
+    * ops — deterministic cross-engine). */
+  private def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("bigint").as("dim"),
+      round(element_at(col("embedding"), 1).cast("double"), 6).as("first_elem"),
+      round(aggregate(slice(col("embedding"), 1, 8),
+        lit(0.0), (acc, x) => acc + x.cast("double")), 6).as("head_sum"),
+      round(array_max(transform(col("embedding"), x => x.cast("double"))), 6).as("max_elem"))
+      .orderBy("vec_id")
+
+  private val arrayFuncsSql =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+      |  round(list_reduce(list_prepend(0.0, CAST(embedding[1:8] AS DOUBLE[])),
+      |                    (a, b) -> a + b), 6) AS head_sum,
+      |  round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_elem
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "rank_family" -> QueryDef(rankFamily, Some(rankFamilySql)),
+    "array_funcs" -> QueryDef(arrayFuncs, Some(arrayFuncsSql)),
     "sketch_agg" -> QueryDef(sketches, None),
     "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),
     "q6_filter_sum" -> QueryDef(q6FilterSum, Some(q6FilterSumSql)),
