@@ -28,6 +28,22 @@ object TextStats {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedlit(words), t)))
 
+  /** BPE-style pre-tokenization pattern (GPT-2-shaped, simplified to the
+    * character classes present in the corpus): contractions, space-glued
+    * word pieces, number runs, punctuation runs. Subword merges happen
+    * downstream in a real BPE; this is the deterministic pre-tokenizer
+    * whose match count approximates token counts for budgeting. */
+  val bpeIshPattern = "'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  /** Token counting both ways: whitespace tokens and BPE-ish regex
+    * pieces. */
+  def bpeTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpeIshPattern), lit(0)))
+        .cast("bigint").as("bpe_tokens"))
+
   /** doc_id + token/char counts. */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(

@@ -30,6 +30,15 @@ object ExtQueries {
       |  len(string_split_regex(trim(text), '\s+')) AS n_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private def textBpeTokens(s: SparkSession, dir: String): DataFrame =
+    TextStats.bpeTokenCounts(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textBpeTokensSql =
+    s"""SELECT doc_id,
+       |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       |  len(regexp_extract_all(text, '${TextStats.bpeIshPattern.replace("'", "''")}')) AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     TextStats.quality(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -293,6 +302,7 @@ object ExtQueries {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
+    "text_bpe_tokens" -> QueryDef(textBpeTokens, Some(textBpeTokensSql)),
     "text_quality" -> QueryDef(textQuality, Some(textQualitySql)),
     "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
     "text_fingerprint" -> QueryDef(textFingerprint, Some(textFingerprintSql)),
