@@ -386,7 +386,27 @@ object MoreQueries {
       |  round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_elem
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
+  /** SQL-text frontend: the engine's tables served to spark.sql with a
+    * correlated scalar subquery (decorrelated by Catalyst into a join —
+    * no per-row execution). */
+  private def sqlFrontend(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT count(*) FROM v_orders WHERE o_custkey = c_custkey) AS n_orders,
+        |  (SELECT max(o_totalprice) FROM v_orders WHERE o_custkey = c_custkey) AS max_order
+        |FROM v_customer ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val sqlFrontendSql =
+    """SELECT c_custkey, c_mktsegment,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "sql_scalar_subquery" -> QueryDef(sqlFrontend, Some(sqlFrontendSql)),
     "rank_family" -> QueryDef(rankFamily, Some(rankFamilySql)),
     "array_funcs" -> QueryDef(arrayFuncs, Some(arrayFuncsSql)),
     "sketch_agg" -> QueryDef(sketches, None),
