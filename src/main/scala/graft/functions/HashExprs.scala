@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types._
@@ -17,6 +17,12 @@ import org.apache.spark.sql.types._
   * overhead. These expressions do the same math in one tight JVM loop per
   * row: O(shingles·k) long arithmetic with no per-step allocation.
   *
+  * Codegen: each expression implements `doGenCode` by referencing itself
+  * (`ctx.addReferenceObj`) and calling its `compute` loop on the already
+  * codegen'd child value. This keeps the surrounding stage in whole-stage
+  * codegen (no CodegenFallback row materialization + interpreted eval per
+  * row); the loop itself is ordinary JIT-compiled JVM code either way.
+  *
   * Per the engine's extension policy (SURVEY.md §7.3): compose built-ins
   * first, drop to a custom Expression only when the built-in form is
   * measurably inadequate. This is that case.
@@ -27,12 +33,11 @@ object HashExprs {
     * xxhash64 of each shingle, min per permutation. Input: array<string>.
     * Output: array<bigint> of length k. */
   case class MinHashSig(child: Expression, a: IndexedSeq[Long], b: IndexedSeq[Long], p: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): ArrayData = {
       val k = a.length
       val mins = Array.fill(k)(Long.MaxValue)
       var i = 0
@@ -51,6 +56,15 @@ object HashExprs {
       new GenericArrayData(mins)
     }
 
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSig].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $self.compute($c);")
+    }
+
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
     override def prettyName: String = "graft_minhash_sig"
   }
@@ -58,12 +72,11 @@ object HashExprs {
   /** 32-bit SimHash over the xxhash64 of each token: per-bit ±1 majority
     * vote. Input: array<string>. Output: bigint. */
   case class SimHash32(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
     override def dataType: DataType = LongType
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): Long = {
       val votes = new Array[Int](32)
       var i = 0
       while (i < arr.numElements()) {
@@ -82,7 +95,16 @@ object HashExprs {
         if (votes(j) > 0) out |= (1L << j)
         j += 1
       }
-      java.lang.Long.valueOf(out)
+      out
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(compute(input.asInstanceOf[ArrayData]))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("simhash32", this, classOf[SimHash32].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $self.compute($c);")
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -98,23 +120,19 @@ object HashExprs {
     * generation for ANN at corpus scale (bucket join, never O(n²)). */
   case class RpLshBuckets(child: Expression, planes: Array[Array[Double]],
       bitsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
     private val numBands = planes.length / bitsPerBand
 
     override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
+    def compute(arr: ArrayData): ArrayData = {
       val dim = arr.numElements()
       val vec = new Array[Double](dim)
+      val isFloat = childElementType == FloatType
       var d = 0
       while (d < dim) {
-        vec(d) = arr.get(d, childElementType) match {
-          case f: java.lang.Float => f.toDouble
-          case x: java.lang.Double => x
-          case other => other.toString.toDouble
-        }
+        vec(d) = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
         d += 1
       }
       val buckets = new Array[Int](numBands)
@@ -135,6 +153,15 @@ object HashExprs {
         b += 1
       }
       new GenericArrayData(buckets)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("rplsh", this, classOf[RpLshBuckets].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = $self.compute($c);")
     }
 
     private lazy val childElementType: DataType = child.dataType match {

@@ -68,14 +68,17 @@ object Dedup {
   }
 
   /** LSH banding: (band index, bucket hash) rows per document. Documents
-    * agreeing on any band land in the same bucket and become candidates. */
+    * agreeing on any band land in the same bucket and become candidates.
+    * Carries the shingle COUNT, not the array — the 8×-exploded band
+    * shuffle moves four scalars per row regardless of document size; the
+    * arrays are re-fetched by id for the (much smaller) verify stage. */
   def lshBuckets(docsWithSig: DataFrame): DataFrame = {
     val bands = array((0 until Bands).map { j =>
       struct(lit(j).as("band"),
         hash(slice(col("signature"), j * RowsPerBand + 1, RowsPerBand), lit(j)).as("bucket"))
     }: _*)
-    docsWithSig.select(col("doc_id"), col("shingles"), explode(bands).as("b"))
-      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bucket"))
+    docsWithSig.select(col("doc_id"), size(col("shingles")).as("n_sh"), explode(bands).as("b"))
+      .select(col("doc_id"), col("n_sh"), col("b.band"), col("b.bucket"))
   }
 
   /** Exact Jaccard over distinct shingle arrays. */
@@ -87,29 +90,36 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs: shingle → sign → band → bucket-join
     * → exact-Jaccard verification at `threshold`. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5, w: Int = 3): DataFrame = {
-    val sigs = withMinhashSignature(
-      docs.select(col("doc_id"), shingles(col("text"), w).as("shingles")))
+    val sh = docs.select(col("doc_id"), shingles(col("text"), w).as("shingles"))
+    val sigs = withMinhashSignature(sh)
     // Materialize the bucketed side once: the self-join would otherwise
     // recompute the whole shingle→sign→band subtree for each side (the
     // aliased projections defeat exchange reuse). At cluster scale this
-    // persist is a write of (id, band, bucket, shingles) — tiny next to
-    // the corpus — and is the standard LSH candidate-table pattern.
+    // persist is a write of (id, n_sh, band, bucket) — four scalars per
+    // row, tiny next to the corpus — the standard LSH candidate-table
+    // pattern.
     val buckets = lshBuckets(sigs).persist()
     val left = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      col("doc_id").as("id_a"), col("n_sh").as("n_a"))
     val right = buckets.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+      col("doc_id").as("id_b"), col("n_sh").as("n_b"))
     // size-ratio prefilter: jaccard(a,b) >= t forces |a|/|b| in [t, 1/t],
-    // so the cheap size comparison prunes candidates before the O(|a|+|b|)
-    // intersection — at corpus scale this is the difference between
-    // verifying every bucket collision and only the plausible ones
-    val sizeOk = size(col("sh_a")) * threshold <= size(col("sh_b")) &&
-      size(col("sh_b")) * threshold <= size(col("sh_a"))
-    left.join(right, Seq("band", "bucket"))
+    // so the cheap count comparison prunes bucket collisions before they
+    // enter the pair-dedup shuffle — and the pruned pairs never fetch
+    // their shingle arrays at all
+    val sizeOk = col("n_a") * threshold <= col("n_b") &&
+      col("n_b") * threshold <= col("n_a")
+    val candidates = left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
       .filter(sizeOk)
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    // verify stage: re-fetch shingle arrays by id for the surviving
+    // candidates only — one extra corpus scan instead of carrying every
+    // array through the 8×-exploded band shuffle
+    val shA = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -140,11 +150,13 @@ object Dedup {
       col("doc_id").as("id_a"), col("simhash").as("sim_a"))
     val right = banded.select(col("band"), col("bucket"),
       col("doc_id").as("id_b"), col("simhash").as("sim_b"))
+    // the Hamming verify is two longs of arithmetic — run it BEFORE the
+    // pair-dedup shuffle so only true near-dups enter the exchange
     left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 

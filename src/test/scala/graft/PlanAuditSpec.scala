@@ -38,6 +38,32 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$p")
   }
 
+  test("hash expressions stay in whole-stage codegen (no CodegenFallback)") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import graft.functions.HashExprs._
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[MinHashSig]),
+      "MinHashSig must implement doGenCode, not fall back")
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[SimHash32]),
+      "SimHash32 must implement doGenCode, not fall back")
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[RpLshBuckets]),
+      "RpLshBuckets must implement doGenCode, not fall back")
+  }
+
+  test("minhash LSH: the band-bucket candidate table carries scalars only") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.ArrayType
+    val docs = Tables.documents(spark, sf0001)
+    val buckets = graft.ops.Dedup.lshBuckets(
+      graft.ops.Dedup.withMinhashSignature(
+        docs.select(col("doc_id"),
+          graft.ops.Dedup.shingles(col("text")).as("shingles"))))
+    // the 8x-exploded exchange input must not contain any array column —
+    // shingle arrays are re-fetched by id at the verify stage only
+    assert(buckets.schema.fields.forall(!_.dataType.isInstanceOf[ArrayType]),
+      s"bucket table must carry no arrays: ${buckets.schema.treeString}")
+    assert(buckets.columns.toSet === Set("doc_id", "n_sh", "band", "bucket"))
+  }
+
   test("dedup_exact_hash: shuffle carries hashes, not documents") {
     // formatted mode lists nodes bottom-up: the sha2 projection and the
     // partial aggregate must precede the exchange
