@@ -79,20 +79,17 @@ object Pipeline {
     else Option(arr.get(arr.size() - 1).get("date")).map(_.asText)
   }
 
-  /** Load phase: join-based MERGE into the parquet warehouse, rewriting
-    * ONLY the source partitions that actually changed — the R1 hash-skip
-    * idea applied at the storage layer: a one-series revision must not
-    * rewrite the other sources' terabytes. Changed-partition rows are
-    * materialized (localCheckpoint) before the dynamic partition
-    * overwrite so the write never reads the directory it replaces. On
-    * Delta/Iceberg this whole method is a native transactional MERGE. */
+  /** Load phase: join-based MERGE into the transactional parquet warehouse
+    * (AtomicTable), rewriting ONLY the source partitions that actually
+    * changed — the R1 hash-skip idea applied at the storage layer: a
+    * one-series revision must not rewrite the other sources' terabytes.
+    * The commit is AtomicTable's single version-pointer rename, matching
+    * the reference's one-transaction MERGE (`src/load.py:86-103`): a crash
+    * mid-write leaves the table readable at the previous version (no
+    * localCheckpoint needed — staged txn dirs never overwrite the files
+    * the plan is reading). */
   def mergeFact(spark: SparkSession, incoming: DataFrame, factPath: String): Map[String, Long] = {
-    val exists = Files.exists(Paths.get(factPath))
-    val existing =
-      if (exists) spark.read.parquet(factPath)
-        .select(Schemas.fact.fieldNames.map(col): _*) // partition col back in place
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        Schemas.fact)
+    val existing = AtomicTable.read(spark, factPath, Schemas.fact)
     val keys = Seq("series_id", "date")
     val deduped = Merge.lastWinsByKey(incoming, keys, col("value").desc_nulls_last)
     val classified = Merge.classify(deduped, existing, keys, "value")
@@ -105,16 +102,9 @@ object Pipeline {
       .select("source").distinct().collect().map(_.getString(0)).toSet
     if (changedSources.nonEmpty) {
       val newRows = Merge.upsert(
-          existing.filter(col("source").isInCollection(changedSources)),
-          deduped.filter(col("source").isInCollection(changedSources)), keys)
-        .localCheckpoint(true) // cut lineage: never read the target dir mid-write
-      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try newRows.write.mode(SaveMode.Overwrite).partitionBy("source").parquet(factPath)
-      finally prevMode match {
-        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
+        existing.filter(col("source").isInCollection(changedSources)),
+        deduped.filter(col("source").isInCollection(changedSources)), keys)
+      AtomicTable.replacePartitions(spark, factPath, newRows, "source")
     }
     Map("inserted" -> 0L, "updated" -> 0L, "unchanged" -> 0L) ++
       stats.map { case (k, v) =>

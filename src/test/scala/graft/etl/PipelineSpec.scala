@@ -51,7 +51,7 @@ class PipelineSpec extends SparkSuite {
     assert(r2.factStats("updated") === 1)
     assert(r2.factStats("unchanged") === 8)
 
-    val fact = spark.read.parquet(layout.factPath)
+    val fact = AtomicTable.read(spark, layout.factPath, graft.model.Schemas.fact)
     val revised = fact.filter("series_id = 'UNRATE' AND date = DATE'2024-03-01'")
       .collect().head
     assert(revised.getDouble(3) === 5.9)
@@ -80,10 +80,10 @@ class PipelineSpec extends SparkSuite {
     val (layout, payloads) = freshLayout()
     Pipeline.run(spark, new FileSeriesSource(payloads), layout,
       fredSeries, Fixtures.blsSeriesMap, today, now)
-    val dirs = Files.list(java.nio.file.Paths.get(layout.factPath))
-      .toArray.map(_.toString.split('/').last).filter(_.startsWith("source="))
-    assert(dirs.toSet === Set("source=FRED", "source=BLS"))
-    val scan = spark.read.parquet(layout.factPath).filter("source = 'FRED'")
+    val m = AtomicTable.manifest(java.nio.file.Paths.get(layout.factPath)).get
+    assert(m.partitions.keySet === Set("FRED", "BLS"))
+    val scan = AtomicTable.read(spark, layout.factPath, graft.model.Schemas.fact)
+      .filter("source = 'FRED'")
     val plan = scan.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("PartitionFilters") &&
@@ -97,7 +97,8 @@ class PipelineSpec extends SparkSuite {
     val src = new FileSeriesSource(payloads)
     Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
     def partFiles(source: String): Map[String, Long] = {
-      val dir = java.nio.file.Paths.get(layout.factPath, s"source=$source")
+      val root = java.nio.file.Paths.get(layout.factPath)
+      val dir = root.resolve(AtomicTable.manifest(root).get.partitions(source))
       Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
         .filter(_.toString.endsWith(".parquet"))
         .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
@@ -107,10 +108,49 @@ class PipelineSpec extends SparkSuite {
       Fixtures.fredPayload.replace("\"5.2\"", "\"6.1\""))
     val r = Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
     assert(r.factStats("updated") === 1)
-    assert(partFiles("BLS") === blsBefore, "BLS partition must be untouched")
-    val fred = spark.read.parquet(layout.factPath)
+    assert(partFiles("BLS") === blsBefore,
+      "BLS partition files must be byte-identical (carried by reference)")
+    val fred = AtomicTable.read(spark, layout.factPath, graft.model.Schemas.fact)
       .filter("source = 'FRED' AND date = DATE'2024-03-01'").collect()
     assert(fred.head.getDouble(fred.head.fieldIndex("value")) === 6.1)
+  }
+
+  test("a crash before the version swap leaves the table at the old version") {
+    val (layout, payloads) = freshLayout()
+    val src = new FileSeriesSource(payloads)
+    Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
+    def snapshot(): Seq[String] =
+      AtomicTable.read(spark, layout.factPath, graft.model.Schemas.fact)
+        .collect().map(_.toString).sorted.toSeq
+    val before = snapshot()
+    val v1 = AtomicTable.currentVersion(java.nio.file.Paths.get(layout.factPath))
+
+    // stage a revision but die at the worst moment: data durable, manifest
+    // written, version pointer NOT yet swapped
+    val revised = AtomicTable.read(spark, layout.factPath, graft.model.Schemas.fact)
+      .filter("source = 'FRED'")
+      .withColumn("value", org.apache.spark.sql.functions.lit(99.9))
+    val boom = intercept[RuntimeException] {
+      AtomicTable.replacePartitions(spark, layout.factPath, revised, "source",
+        beforeCommit = () => throw new RuntimeException("boom: killed mid-commit"))
+    }
+    assert(boom.getMessage.contains("killed mid-commit"))
+    assert(AtomicTable.currentVersion(java.nio.file.Paths.get(layout.factPath)) === v1)
+    assert(snapshot() === before, "reader must still see the pre-crash version")
+
+    // the retry commits cleanly and GCs the orphaned staging dir
+    AtomicTable.replacePartitions(spark, layout.factPath, revised, "source")
+    val after = AtomicTable.read(spark, layout.factPath, graft.model.Schemas.fact)
+    assert(after.filter("source = 'FRED' AND value = 99.9").count() === 3)
+    assert(after.filter("source = 'BLS'").count() === 6, "BLS partition untouched")
+    val root = java.nio.file.Paths.get(layout.factPath)
+    val referenced = AtomicTable.manifest(root).get.partitions.values.toSet
+    val onDisk = Files.list(root.resolve("data")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .flatMap(t => Files.list(t).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(Files.isDirectory(_))
+        .map(p => s"data/${t.getFileName}/${p.getFileName}"))
+    assert(onDisk.toSet === referenced, "GC must leave only referenced partition dirs")
   }
 
   test("a failing FRED series is skipped, not fatal; BLS failure aborts") {
