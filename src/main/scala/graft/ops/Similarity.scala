@@ -130,6 +130,24 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@k of an ANN result against the exact top-k: per query,
+    * |ANN ∩ exact| / |exact|, emitted as a boolean against `minRecall`.
+    * Used by the driver-facing recall queries so the oracle asserts
+    * retrieval QUALITY (every query must clear the bar), not just row
+    * counts. Both inputs are (query_id, neighbor_id, ...) top-k frames. */
+  def recallAtK(ann: DataFrame, exact: DataFrame, minRecall: Double): DataFrame = {
+    val hits = exact.select("query_id", "neighbor_id")
+      .join(ann.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .withColumn("recall",
+        coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"))
+      .select(col("query_id"), round(col("recall"), 6).as("recall"),
+        (col("recall") >= minRecall).as("recall_ok"))
+  }
+
   /** Embedding-cosine near-duplicate pairs over a deterministic sample:
     * top-k most similar pairs (id_a < id_b). */
   def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int): DataFrame = {

@@ -191,6 +191,51 @@ object ExtQueries {
     Similarity.rpLshTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5)
   }
 
+  /** Quality oracles for the ANN paths. The synthetic embeddings are
+    * isotropic noise (measured: same-label and cross-label mean cosine are
+    * both ≈0), so recall@k against the brute-force top-k of NOISE
+    * neighbors is not a meaningful bar — no bucketed index can beat it
+    * without scanning everything. What ANN actually promises is retrieval
+    * of true high-similarity neighbors, so the oracle plants one: a ~1%
+    * deterministic perturbation of each query vector (cosine ≈ 0.9999) at
+    * id+1,000,000, and the query asserts the ANN path surfaces it in its
+    * top-k. The DuckDB side states that contract as a constant-truth
+    * table over the same query ids; any query whose planted near-dup is
+    * missed hash-mismatches the driver row. */
+  private def withPlantedNearDups(emb: DataFrame, sampleMod: Int): DataFrame = {
+    val planted = emb.filter(col("vec_id") % sampleMod === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)).cast("double")))
+            .cast("float")).as("embedding"),
+        col("label"))
+    emb.unionByName(planted)
+  }
+
+  private def foundPlanted(ann: DataFrame): DataFrame =
+    ann.groupBy("query_id")
+      .agg(max(col("neighbor_id") === col("query_id") + 1000000L).as("found_planted"))
+
+  private def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = withPlantedNearDups(emb, 100)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    foundPlanted(Similarity.ivfTopK(queries, corpus, k = 5, nprobe = 2))
+      .orderBy("query_id")
+  }
+
+  private val simRecallSql =
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_planted
+      |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id""".stripMargin
+
+  private def simRpLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = withPlantedNearDups(emb, 100)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    foundPlanted(Similarity.rpLshTopK(queries, corpus, k = 5))
+      .orderBy("query_id")
+  }
+
   private def simNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupTop(Tables.embeddings(s, dir), sampleMod = 25, k = 20)
 
@@ -313,7 +358,9 @@ object ExtQueries {
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
     "sim_ivf_topk" -> QueryDef(simIvf, None),
+    "sim_ivf_recall" -> QueryDef(simIvfRecall, Some(simRecallSql)),
     "sim_rplsh_topk" -> QueryDef(simRpLsh, None),
+    "sim_rplsh_recall" -> QueryDef(simRpLshRecall, Some(simRecallSql)),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),

@@ -1,0 +1,82 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** JDBC warehouse edge round-trips against embedded Derby — the Spark
+  * analog of the reference's SQLite-backed load tests
+  * (`/root/reference/tests/test_load.py` over `tests/conftest.py:121-137`). */
+class JdbcSpec extends SparkSuite {
+  import spark.implicits._
+
+  System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+
+  private def freshUrl(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-derby")
+    s"jdbc:derby:$dir/db;create=true"
+  }
+
+  private def factDf = Seq(
+    ("UNRATE", "Unemployment Rate", "2024-01-01", Some(3.7), "FRED"),
+    ("UNRATE", "Unemployment Rate", "2024-02-01", None, "FRED"),
+    ("CPIAUCSL", "Consumer Price Index", "2024-01-01", Some(308.4), "BLS"))
+    .toDF("series_id", "series_name", "date", "value", "source")
+    .withColumn("date", to_date($"date"))
+
+  test("fact merge round-trips: insert, idempotent rerun, revision update") {
+    val url = freshUrl()
+    val r1 = Jdbc.mergeFact(spark, factDf, url)
+    assert(r1 === Map("inserted" -> 3L, "updated" -> 0L, "unchanged" -> 0L))
+
+    // scan returns engine types: real DateType, null preserved
+    val back = Jdbc.scanFact(spark, url)
+    assert(back.schema("date").dataType === org.apache.spark.sql.types.DateType)
+    assert(back.count() === 3)
+    assert(back.filter("series_id = 'UNRATE' AND value IS NULL").count() === 1)
+
+    // rerun of the same batch: fully unchanged (ε-equality, null==null)
+    val r2 = Jdbc.mergeFact(spark, factDf, url)
+    assert(r2 === Map("inserted" -> 0L, "updated" -> 0L, "unchanged" -> 3L))
+
+    // one revised value: exactly one UPDATE, other rows untouched
+    val revised = factDf.withColumn("value",
+      when($"series_id" === "UNRATE" && $"date" === to_date(lit("2024-01-01")), 3.9)
+        .otherwise($"value"))
+    val r3 = Jdbc.mergeFact(spark, revised, url)
+    assert(r3 === Map("inserted" -> 0L, "updated" -> 1L, "unchanged" -> 2L))
+    val row = Jdbc.scanFact(spark, url)
+      .filter("series_id = 'UNRATE' AND date = DATE'2024-01-01'").collect().head
+    assert(row.getDouble(row.fieldIndex("value")) === 3.9)
+  }
+
+  test("date crosses the JDBC edge as ISO-8601 text (L2)") {
+    val url = freshUrl()
+    Jdbc.mergeFact(spark, factDf, url)
+    // read WITHOUT the engine's date conversion: the stored column is text
+    val raw = spark.read.jdbc(url, Jdbc.FactTable, Jdbc.props())
+    assert(raw.schema("date").dataType === org.apache.spark.sql.types.StringType)
+    assert(raw.select("date").as[String].collect().toSet ===
+      Set("2024-01-01", "2024-02-01"))
+  }
+
+  test("dim merge is insert-if-absent; existing rows never overwritten") {
+    val url = freshUrl()
+    val dim = Seq(("UNRATE", "Unemployment Rate", "FRED"),
+      ("CPIAUCSL", "Consumer Price Index", "BLS"))
+      .toDF("series_id", "series_name", "source")
+    assert(Jdbc.mergeDim(spark, dim, url) ===
+      Map("inserted" -> 2L, "unchanged" -> 0L))
+
+    // renamed series must NOT overwrite (reference: metadata is stable)
+    val renamed = dim.withColumn("series_name", lit("RENAMED"))
+      .unionByName(Seq(("NEW1", "Brand New", "FRED"))
+        .toDF("series_id", "series_name", "source"))
+    assert(Jdbc.mergeDim(spark, renamed, url) ===
+      Map("inserted" -> 1L, "unchanged" -> 2L))
+    val back = Jdbc.scanDim(spark, url).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(back("UNRATE") === "Unemployment Rate")
+    assert(back("NEW1") === "Brand New")
+  }
+}

@@ -94,6 +94,25 @@ class OpsSpec extends SparkSuite {
     assert(rank1(1L) === 101L)
   }
 
+  test("recallAtK: exact-vs-exact is 1.0; disjoint ANN is 0.0") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val queries = emb.filter($"vec_id" % 100 === 0)
+    val bf = Similarity.bruteForceTopK(queries, emb, k = 5)
+    val self = Similarity.recallAtK(bf, bf, minRecall = 0.99).collect()
+    assert(self.nonEmpty && self.forall(r => r.getDouble(1) === 1.0 && r.getBoolean(2)))
+    val shifted = bf.withColumn("neighbor_id", $"neighbor_id" + 7777777L)
+    val none = Similarity.recallAtK(shifted, bf, minRecall = 0.1).collect()
+    assert(none.forall(r => r.getDouble(1) === 0.0 && !r.getBoolean(2)))
+  }
+
+  test("driver recall queries find every planted near-dup (oracle is constant-true)") {
+    for (name <- Seq("sim_ivf_recall", "sim_rplsh_recall")) {
+      val rows = graft.SparkEntry.queries(name)(spark, sf0001).collect()
+      assert(rows.nonEmpty, name)
+      assert(rows.forall(_.getBoolean(1)), s"$name missed a planted near-dup")
+    }
+  }
+
   test("langId predicts the language whose stopwords dominate") {
     val out = TextStats.langId(docs).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
