@@ -19,6 +19,28 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Skew-safe inner equi-join: the big (skewed) side gets a deterministic
+    * row-level salt, the small side is replicated across all `salts`
+    * sub-keys, and the join runs on (keys :+ salt) — a hot key's rows land
+    * on `salts` reducers instead of one. Output is identical to
+    * `big.join(small, keys)` (same using-column layout, salt dropped).
+    *
+    * This is the aggregation-independent skew lever: partial aggregation
+    * already absorbs hot keys for decomposable group-bys, but a shuffle
+    * JOIN must co-locate every row of a hot key on one task — at 100 TB
+    * that task is the stage. AQE's skew-join split handles the common
+    * case at runtime; explicit salting remains the tool when AQE can't
+    * see it (stateful streaming joins, deliberate layouts, or skew below
+    * its 256 MB partition threshold but above the straggler budget). */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int = 16): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val replicated = small.withColumn("_salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedBig.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+
   /** Salted sum/count aggregation: groupBy(keys) with sums of `sumCols`
     * and a row count, computed skew-safely. */
   def saltedSumCount(df: DataFrame, keys: Seq[String], sumCols: Seq[(Column, String)],

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.ops.{Dedup, EventWindows, Multimodal, Similarity, TextStats}
+import graft.functions.Stable.{dsum, sqlDsum}
+import graft.ops.{Dedup, EventWindows, Multimodal, Salting, Similarity, TextStats}
+import graft.streaming.Streams
 
 /** Extension surface (SURVEY.md §7.6 + the north-star mandate): dedup,
   * similarity search, text analysis, event-time windows — the operators a
@@ -285,6 +287,32 @@ object ExtQueries {
         round(Similarity.norm(col("features")), 4).as("feature_norm"))
       .orderBy("media_id")
 
+  // ---------------------------------------------------------------- skew
+
+  /** Salted join on a deliberately skewed key (~90% of lineitem lands on
+    * nation 1): the salt spreads the hot key across reducers, and the
+    * oracle is the PLAIN SQL join — salting must be invisible in the
+    * result. SaltingSpec additionally proves the straggler spread with
+    * per-task shuffle-read metrics. */
+  private def skewJoinSalted(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).withColumn("skew_key",
+      when(col("l_orderkey") % 10 < 9, lit(1L))
+        .otherwise(pmod(col("l_orderkey"), lit(25)).cast("long")))
+    val nat = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("skew_key"), col("n_name"))
+    Salting.saltedJoin(li, nat, Seq("skew_key"), salts = 16)
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy("n_name")
+  }
+
+  private val skewJoinSaltedSql =
+    s"""SELECT n_name, count(*) AS n, ${sqlDsum("l_quantity", 2)} AS sum_qty
+       |FROM lineitem JOIN nation
+       |  ON n_nationkey = CASE WHEN l_orderkey % 10 < 9 THEN 1
+       |                        ELSE l_orderkey % 25 END
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // -------------------------------------------------------------- events
 
   private def evTumbling(s: SparkSession, dir: String): DataFrame =
@@ -295,6 +323,18 @@ object ExtQueries {
       |  event_type, count(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Streaming twin of `ev_tumbling`, run end-to-end through Structured
+    * Streaming (file source → watermarked stateful aggregation →
+    * AvailableNow termination) and checked against the SAME batch oracle:
+    * the driver row proves the streaming path computes the batch answer.
+    * The nanos→µs staging copy exists because streaming file sources need
+    * a schema-stable directory (raw testdata is TIMESTAMP(NANOS)). */
+  private def evTumblingStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-ev-stream").toString
+    Tables.events(s, dir).write.mode("overwrite").parquet(staged)
+    Streams.tumblingAvailableNow(s, staged)
+  }
 
   private def evSliding(s: SparkSession, dir: String): DataFrame =
     EventWindows.sliding(Tables.events(s, dir))
@@ -365,7 +405,9 @@ object ExtQueries {
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),
     "mm_features" -> QueryDef(mmFeatures, None),
+    "skewjoin_salted" -> QueryDef(skewJoinSalted, Some(skewJoinSaltedSql)),
     "ev_tumbling" -> QueryDef(evTumbling, Some(evTumblingSql)),
+    "ev_tumbling_stream" -> QueryDef(evTumblingStream, Some(evTumblingSql)),
     "ev_sliding" -> QueryDef(evSliding, Some(evSlidingSql)),
     "ev_session" -> QueryDef(evSession, Some(evSessionSql)),
     "ev_json_kpi" -> QueryDef(evJsonKpi, Some(evJsonKpiSql)))

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.functions.Stable._
@@ -55,6 +55,24 @@ object Streams {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n"), col("total"))
+
+  /** Run the tumbling-window stream over `dir` to completion with an
+    * `AvailableNow` trigger (process everything currently in the source,
+    * then stop — the batch-parity execution mode) and return the final
+    * complete-mode result. The memory sink is only a harness edge: the
+    * aggregation itself runs through the streaming state store exactly as
+    * an always-on deployment would, so a driver row over this proves the
+    * streaming path end-to-end against the batch oracle. */
+  def tumblingAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "ev_tumbling_stream_out"): DataFrame = {
+    val q = tumblingCounts(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(queryName).orderBy("window_start", "event_type")
+  }
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
