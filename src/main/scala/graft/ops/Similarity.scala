@@ -148,6 +148,34 @@ object Similarity {
         (col("recall") >= minRecall).as("recall_ok"))
   }
 
+  /** Embedding-cosine near-duplicate PAIR MINING at corpus scale: RP-LSH
+    * band-bucket join for candidates, exact cosine verify at `threshold`.
+    * Unlike [[cosineNearDupTop]] (sample-bound all-pairs, kept as the
+    * oracle-checkable demo), this is the 100 TB shape: the pair space is
+    * bucket-local, the band shuffle carries (band, bucket, id) only, and
+    * embeddings are re-fetched by id for the surviving candidates — the
+    * same candidate-table diet as Dedup.minhashPairs. */
+  def cosineNearDupLsh(corpus: DataFrame, threshold: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.HashExprs.registerRpLsh(spark, RpPlanes, RpBitsPerBand)
+    val banded = corpus.select(col("vec_id"),
+        posexplode(graft.functions.HashExprs.rpLshBuckets(spark, "embedding")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .persist() // candidate table: one materialization for both join sides
+    val left = banded.select(col("band"), col("bucket"), col("vec_id").as("id_a"))
+    val right = banded.select(col("band"), col("bucket"), col("vec_id").as("id_b"))
+    val cands = left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    cands.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("score", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a deterministic sample:
     * top-k most similar pairs (id_a < id_b). */
   def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int): DataFrame = {

@@ -139,6 +139,51 @@ object ExtQueries {
         maxHamming = 6)
       .orderBy("id_a", "id_b")
 
+  /** Planted-recall oracles for the text LSH paths, mirroring the sim_*
+    * recall queries: every sampled document (≥20 tokens, so a one-token
+    * perturbation keeps Jaccard ≈ 0.9) gets a perturbed copy planted into
+    * the FULL 500-doc corpus at id+1,000,000, and the query asserts the
+    * banded pair miner surfaces each (original, planted) pair — candidates
+    * must emerge from real bucket collisions, not a pre-trimmed sample.
+    * The DuckDB side states the contract as a constant-truth table. */
+  private def plantedDocSample(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 20 === 0 &&
+      size(TextStats.tokens(col("text"))) >= 20)
+
+  private def withPlantedTextDups(docs: DataFrame): DataFrame = {
+    val planted = plantedDocSample(docs)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
+    docs.unionByName(planted)
+  }
+
+  private def foundPlantedPairs(sample: DataFrame, pairs: DataFrame): DataFrame = {
+    val found = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a").as("doc_id"), lit(true).as("found_planted"))
+    sample.select("doc_id").join(found, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("found_planted"), lit(false)).as("found_planted"))
+      .orderBy("doc_id")
+  }
+
+  private def dedupMinhashPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    foundPlantedPairs(plantedDocSample(docs),
+      Dedup.minhashPairs(withPlantedTextDups(docs), threshold = 0.5))
+  }
+
+  private def dedupSimhashPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    foundPlantedPairs(plantedDocSample(docs),
+      Dedup.simhashPairs(withPlantedTextDups(docs), maxHamming = 6))
+  }
+
+  private val dedupPlantedSql =
+    """SELECT doc_id, CAST(1 AS BOOLEAN) AS found_planted
+      |FROM documents
+      |WHERE doc_id % 20 = 0 AND len(string_split_regex(trim(text), '\s+')) >= 20
+      |ORDER BY doc_id""".stripMargin
+
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardTop(Tables.documents(s, dir), sampleMod = 50, k = 20)
 
@@ -235,6 +280,23 @@ object ExtQueries {
     val corpus = withPlantedNearDups(emb, 100)
     val queries = emb.filter(col("vec_id") % 100 === 0)
     foundPlanted(Similarity.rpLshTopK(queries, corpus, k = 5))
+      .orderBy("query_id")
+  }
+
+  /** Scale-path near-dup mining over the FULL embedding corpus via RP-LSH
+    * buckets (no sample cap — the all-pairs `sim_neardup_cosine` stays as
+    * the oracle-checkable demo). Planted near-dups are the only pairs
+    * above the 0.9 threshold in noise embeddings, so the constant-truth
+    * recall oracle applies. */
+  private def simNearDupLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pairs = Similarity.cosineNearDupLsh(withPlantedNearDups(emb, 100), threshold = 0.9)
+    val found = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+      .select(col("id_a").as("query_id"), lit(true).as("found_planted"))
+    emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("query_id"))
+      .join(found, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("found_planted"), lit(false)).as("found_planted"))
       .orderBy("query_id")
   }
 
@@ -394,7 +456,9 @@ object ExtQueries {
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),
+    "dedup_minhash_planted" -> QueryDef(dedupMinhashPlanted, Some(dedupPlantedSql)),
     "dedup_simhash_pairs" -> QueryDef(dedupSimhash, None),
+    "dedup_simhash_planted" -> QueryDef(dedupSimhashPlanted, Some(dedupPlantedSql)),
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
     "sim_ivf_topk" -> QueryDef(simIvf, None),
@@ -402,6 +466,7 @@ object ExtQueries {
     "sim_rplsh_topk" -> QueryDef(simRpLsh, None),
     "sim_rplsh_recall" -> QueryDef(simRpLshRecall, Some(simRecallSql)),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
+    "sim_neardup_lsh" -> QueryDef(simNearDupLsh, Some(simRecallSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),
     "mm_features" -> QueryDef(mmFeatures, None),

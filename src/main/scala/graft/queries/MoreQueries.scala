@@ -340,6 +340,34 @@ object MoreQueries {
   private def sketches(s: SparkSession, dir: String): DataFrame =
     graft.ops.Sketches.orderSketches(Tables.orders(s, dir))
 
+  /** Oracle-checkable form of the sketches: the approximate values are
+    * engine-specific, but their ERROR BOUNDS are not — HLL++ at rsd=0.02
+    * must land within 5% of the exact distinct count, and the quantile
+    * sketch's median must fall between the exact p40 and p60. The exact
+    * sides run as SEPARATE aggregates (mixing exact percentile with
+    * approx_percentile in one aggregate is the measured 100-500x
+    * serialization trap) joined on the group key. */
+  private def sketchBounds(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val approx = graft.ops.Sketches.orderSketches(orders)
+    val exact = orders.groupBy("o_orderstatus").agg(
+      countDistinct(col("o_custkey")).as("exact_customers"),
+      expr("percentile(o_totalprice, 0.4)").as("exact_p40"),
+      expr("percentile(o_totalprice, 0.6)").as("exact_p60"))
+    approx.join(exact, "o_orderstatus")
+      .select(col("o_orderstatus"),
+        (abs(col("approx_customers") - col("exact_customers"))
+          <= col("exact_customers") * 0.05).as("card_ok"),
+        (col("approx_p50") >= col("exact_p40") &&
+          col("approx_p50") <= col("exact_p60")).as("p50_ok"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val sketchBoundsSql =
+    """SELECT o_orderstatus, CAST(1 AS BOOLEAN) AS card_ok,
+      |  CAST(1 AS BOOLEAN) AS p50_ok
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Ranking-window family: ntile buckets, percent_rank, cume_dist,
     * dense_rank — deterministic under a total per-partition order. */
   private def rankFamily(s: SparkSession, dir: String): DataFrame = {
@@ -410,6 +438,7 @@ object MoreQueries {
     "rank_family" -> QueryDef(rankFamily, Some(rankFamilySql)),
     "array_funcs" -> QueryDef(arrayFuncs, Some(arrayFuncsSql)),
     "sketch_agg" -> QueryDef(sketches, None),
+    "sketch_bounds" -> QueryDef(sketchBounds, Some(sketchBoundsSql)),
     "semi_join" -> QueryDef(semiJoin, Some(semiJoinSql)),
     "q6_filter_sum" -> QueryDef(q6FilterSum, Some(q6FilterSumSql)),
     "q12_case_agg" -> QueryDef(caseAgg, Some(caseAggSql)),

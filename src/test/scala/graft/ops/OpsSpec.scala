@@ -106,7 +106,8 @@ class OpsSpec extends SparkSuite {
   }
 
   test("driver recall queries find every planted near-dup (oracle is constant-true)") {
-    for (name <- Seq("sim_ivf_recall", "sim_rplsh_recall")) {
+    for (name <- Seq("sim_ivf_recall", "sim_rplsh_recall", "sim_neardup_lsh",
+        "dedup_minhash_planted", "dedup_simhash_planted")) {
       val rows = graft.SparkEntry.queries(name)(spark, sf0001).collect()
       assert(rows.nonEmpty, name)
       assert(rows.forall(_.getBoolean(1)), s"$name missed a planted near-dup")

@@ -22,4 +22,11 @@ class SketchesSpec extends SparkSuite {
         s"quantile sketch error too high for $k: $approxP vs $exactP")
     }
   }
+
+  test("sketch_bounds driver query is all-true (its oracle is constant-true)") {
+    val rows = graft.SparkEntry.queries("sketch_bounds")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getBoolean(1) && r.getBoolean(2)),
+      rows.map(_.toString).mkString(", "))
+  }
 }
