@@ -33,5 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash32"),
       new ExpressionInfo(classOf[HashExprs.SimHash32].getName, "graft_simhash32"),
       (exprs: Seq[Expression]) => HashExprs.SimHash32(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_doc"),
+      new ExpressionInfo(classOf[HashExprs.MinHashDoc].getName, "graft_minhash_doc"),
+      (exprs: Seq[Expression]) =>
+        HashExprs.MinHashDoc(exprs.head, 3, Dedup.hashA, Dedup.hashB, Dedup.MinhashP)))
+    // whole-operator extension: plans graft.plans.AsOfJoinNode into the
+    // streaming-merge AsOfJoinExec (AsOf.joinPriorExec installs the same
+    // strategy lazily via spark.experimental for extension-less sessions)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -69,6 +69,91 @@ object HashExprs {
     override def prettyName: String = "graft_minhash_sig"
   }
 
+  /** MinHash signature + distinct-shingle count computed straight from the
+    * document TEXT: tokenize, slide the w-gram window, hash each gram, and
+    * fold the k permutation minima — all in one loop, with no materialized
+    * gram array. Semantically identical to
+    * `MinHashSig(array_distinct(shingles(text, w)))` plus
+    * `size(array_distinct(...))`: gram strings are built with single-space
+    * joins exactly like `concat_ws(" ", ...)`, tokenization replicates
+    * `split(trim(text), "\s+")`, short docs fall back to the whole raw
+    * text, and the min-fold is idempotent so distinctness cannot change
+    * the signature (n_sh counts distinct 64-bit gram hashes).
+    *
+    * Why it exists: materializing the gram array for every corpus document
+    * runs through interpreted higher-order lambdas (transform/concat_ws)
+    * and was measured as the dominant cost of the LSH path at sf0.1 —
+    * ~10-100x the hashing itself. With this expression the corpus pass is
+    * scan → one codegen'd expression → band explode; gram ARRAYS are only
+    * materialized for verify-stage candidates.
+    * Input: string. Output: struct<n_sh: int, sig: array<bigint>>. */
+  case class MinHashDoc(child: Expression, w: Int,
+      a: IndexedSeq[Long], b: IndexedSeq[Long], p: Long)
+    extends UnaryExpression {
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_sh", IntegerType, nullable = false),
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
+
+    private val ws = java.util.regex.Pattern.compile("\\s+")
+
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): Any = {
+      val k = a.length
+      val mins = Array.fill(k)(Long.MaxValue)
+      val seen = new java.util.HashSet[java.lang.Long]()
+      val s = text.toString
+      // replicate Spark's trim(): strip 0x20 only
+      var st = 0
+      var en = s.length
+      while (st < en && s.charAt(st) == ' ') st += 1
+      while (en > st && s.charAt(en - 1) == ' ') en -= 1
+      val toks = ws.split(s.substring(st, en), -1)
+
+      def fold(gramBytes: Array[Byte]): Unit = {
+        val h0 = Math.floorMod(XXH64.hashUnsafeBytes(gramBytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, gramBytes.length, 42L), p)
+        seen.add(h0)
+        var j = 0
+        while (j < k) {
+          val hj = Math.floorMod(a(j) * h0 + b(j), p)
+          if (hj < mins(j)) mins(j) = hj
+          j += 1
+        }
+      }
+
+      if (toks.length >= w) {
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= toks.length - w) {
+          sb.setLength(0)
+          var j = 0
+          while (j < w) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          fold(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          i += 1
+        }
+      } else fold(text.getBytes) // short doc: whole raw text, like array(text)
+
+      org.apache.spark.sql.catalyst.InternalRow(seen.size,
+        new GenericArrayData(mins))
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("minhashDoc", this, classOf[MinHashDoc].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (InternalRow) $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_minhash_doc"
+  }
+
   /** 32-bit SimHash over the xxhash64 of each token: per-bit ±1 majority
     * vote. Input: array<string>. Output: bigint. */
   case class SimHash32(child: Expression)
@@ -184,6 +269,14 @@ object HashExprs {
 
   def minhashSig(spark: SparkSession, shinglesCol: String): Column =
     expr(s"graft_minhash_sig($shinglesCol)")
+
+  def registerMinHashDoc(spark: SparkSession, w: Int, a: IndexedSeq[Long],
+      b: IndexedSeq[Long], p: Long): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_doc", exprs => MinHashDoc(exprs.head, w, a, b, p), "built-in")
+
+  def minhashDoc(spark: SparkSession, textCol: String): Column =
+    expr(s"graft_minhash_doc($textCol)")
 
   def simhash32(spark: SparkSession, tokensCol: String): Column =
     expr(s"graft_simhash32($tokensCol)")

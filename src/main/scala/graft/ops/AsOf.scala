@@ -1,8 +1,13 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shims
+
+import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
 
 /** As-of join: for each left row, the most recent right row at or before
   * the left row's time, per key — the canonical time-series lookup (e.g.
@@ -12,9 +17,16 @@ import org.apache.spark.sql.functions._
   * both sides, union, and carry the right side's payload forward with
   * last_value(ignoreNulls) over (key ORDER BY time, side). One shuffle on
   * the key, O(n log n) in the partition sort, no quadratic candidate set —
-  * the shape that survives 100 TB (a custom SparkPlan could fuse the sort,
-  * but the exchange+sort here is already the optimal physical skeleton,
-  * so a custom operator would only save the tag column).
+  * the shape that survives 100 TB.
+  *
+  * Two implementations with identical semantics:
+  *  - [[joinPrior]]: union-merge over the built-in window operator —
+  *    optimal exchange+sort skeleton, but `WindowExec` buffers each key's
+  *    rows (spills on hot keys).
+  *  - [[joinPriorExec]]: custom Catalyst operator
+  *    ([[graft.plans.AsOfJoinExec]]) — same exchanges/sorts injected by
+  *    `EnsureRequirements`, then a streaming two-iterator merge with O(1)
+  *    carried state per key. The hot-key-safe form.
   */
 object AsOf {
 
@@ -52,5 +64,37 @@ object AsOf {
       .select(Seq(col(key)) ++
         left.columns.filterNot(_ == key).map(c => col(s"_l_$c").as(c)) ++
         payload.map { case (_, to) => col(to) }: _*)
+  }
+
+  /** [[joinPrior]] semantics through the custom physical operator: output
+    * is all left columns followed by the renamed payload columns. */
+  def joinPriorExec(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      payload: Seq[(String, String)], strict: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    // self-join safety: re-alias every right column so the node's children
+    // never share expression ids (the analyzer's DeduplicateRelations
+    // re-aliases unknown nodes' children without rewriting their key/time/
+    // payload expressions, silently pointing them at the left side)
+    val rPlan = right.select(right.columns.map(c => right(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String, side: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"$side column $n not found"))
+    val (lk, rk) = (attr(lPlan, key, "left"), attr(rPlan, key, "right"))
+    val (lt, rt) = (attr(lPlan, leftTime, "left"), attr(rPlan, rightTime, "right"))
+    require(lk.dataType == rk.dataType, s"key types differ: ${lk.dataType} vs ${rk.dataType}")
+    require(lt.dataType == rt.dataType, s"time types differ: ${lt.dataType} vs ${rt.dataType}")
+    val payloadIn = payload.map { case (from, _) => attr(rPlan, from, "right") }
+    val payloadOut = payload.map { case (from, to) =>
+      val src = attr(rPlan, from, "right")
+      AttributeReference(to, src.dataType, nullable = true)()
+    }
+    Shims.ofRows(spark,
+      AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt, payloadIn, payloadOut, strict))
   }
 }

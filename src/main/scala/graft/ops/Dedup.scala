@@ -63,21 +63,24 @@ object Dedup {
     * lambdas interpretively; the expression is one tight loop per row. */
   def withMinhashSignature(docsWithShingles: DataFrame): DataFrame = {
     HashExprs.register(docsWithShingles.sparkSession, hashA, hashB, MinhashP)
-    docsWithShingles.withColumn("signature",
-      HashExprs.minhashSig(docsWithShingles.sparkSession, "shingles"))
+    docsWithShingles
+      .withColumn("n_sh", size(col("shingles")))
+      .withColumn("signature",
+        HashExprs.minhashSig(docsWithShingles.sparkSession, "shingles"))
   }
 
   /** LSH banding: (band index, bucket hash) rows per document. Documents
     * agreeing on any band land in the same bucket and become candidates.
-    * Carries the shingle COUNT, not the array — the 8×-exploded band
-    * shuffle moves four scalars per row regardless of document size; the
-    * arrays are re-fetched by id for the (much smaller) verify stage. */
+    * Input carries the shingle COUNT (`n_sh`), not the array — the
+    * 8×-exploded band shuffle moves four scalars per row regardless of
+    * document size; the arrays are materialized by id for the (much
+    * smaller) verify stage only. */
   def lshBuckets(docsWithSig: DataFrame): DataFrame = {
     val bands = array((0 until Bands).map { j =>
       struct(lit(j).as("band"),
         hash(slice(col("signature"), j * RowsPerBand + 1, RowsPerBand), lit(j)).as("bucket"))
     }: _*)
-    docsWithSig.select(col("doc_id"), size(col("shingles")).as("n_sh"), explode(bands).as("b"))
+    docsWithSig.select(col("doc_id"), col("n_sh"), explode(bands).as("b"))
       .select(col("doc_id"), col("n_sh"), col("b.band"), col("b.bucket"))
   }
 
@@ -87,17 +90,26 @@ object Dedup {
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }
 
-  /** MinHash-LSH near-duplicate pairs: shingle → sign → band → bucket-join
-    * → exact-Jaccard verification at `threshold`. */
+  /** MinHash-LSH near-duplicate pairs: sign → band → bucket-join →
+    * exact-Jaccard verification at `threshold`.
+    *
+    * The corpus pass computes signatures straight from the text (one
+    * fused expression, HashExprs.MinHashDoc) — materializing the gram
+    * ARRAY for every document ran through interpreted lambda evaluation
+    * and was measured as ~10x the entire rest of the LSH path at sf0.1.
+    * Gram arrays are only built for the candidate ids the verify stage
+    * actually compares. */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.5, w: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text"), w).as("shingles"))
-    val sigs = withMinhashSignature(sh)
+    val spark = docs.sparkSession
+    graft.functions.HashExprs.registerMinHashDoc(spark, w, hashA, hashB, MinhashP)
+    val sigs = docs
+      .select(col("doc_id"), graft.functions.HashExprs.minhashDoc(spark, "text").as("ms"))
+      .select(col("doc_id"), col("ms.n_sh").as("n_sh"), col("ms.sig").as("signature"))
     // Materialize the bucketed side once: the self-join would otherwise
-    // recompute the whole shingle→sign→band subtree for each side (the
-    // aliased projections defeat exchange reuse). At cluster scale this
-    // persist is a write of (id, n_sh, band, bucket) — four scalars per
-    // row, tiny next to the corpus — the standard LSH candidate-table
-    // pattern.
+    // recompute the whole sign→band subtree for each side (the aliased
+    // projections defeat exchange reuse). At cluster scale this persist
+    // is a write of (id, n_sh, band, bucket) — four scalars per row, tiny
+    // next to the corpus — the standard LSH candidate-table pattern.
     val buckets = lshBuckets(sigs).persist()
     val left = buckets.select(col("band"), col("bucket"),
       col("doc_id").as("id_a"), col("n_sh").as("n_a"))
@@ -114,11 +126,17 @@ object Dedup {
       .filter(sizeOk)
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    // verify stage: re-fetch shingle arrays by id for the surviving
-    // candidates only — one extra corpus scan instead of carrying every
-    // array through the 8×-exploded band shuffle
-    val shA = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+      .persist() // reused: once for the id set, once for the verify join
+    // verify stage: materialize gram arrays ONLY for documents that appear
+    // in some candidate pair (candidate-id join first, gram projection
+    // above it) — one extra filtered corpus scan instead of building every
+    // document's gram array
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    val candSh = docs.join(candIds, "doc_id")
+      .select(col("doc_id"), shingles(col("text"), w).as("shingles"))
+    val shA = candSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = candSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jaccard") >= threshold)

@@ -51,6 +51,24 @@ object MoreQueries {
       |       pvalue AS value, prior_click_value
       |FROM carried WHERE side = 1 ORDER BY user_id, event_id""".stripMargin
 
+  /** The same as-of join through the custom Catalyst operator
+    * (graft.plans.AsOfJoinExec — streaming merge, O(1) state per key
+    * instead of WindowExec's per-key buffer). Shares asofJoinSql: the
+    * custom exec must be result-identical to the union-merge form. */
+  private def asofJoinExec(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOf.joinPriorExec(purchases, clicks, "user_id", "ts", "ts",
+        payload = Seq("value" -> "prior_click_value"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"), col("prior_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Pivot: long events → wide per-user columns, one per event type. */
   private def pivotWide(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -449,6 +467,7 @@ object MoreQueries {
     "string_funcs" -> QueryDef(stringFuncs, Some(stringFuncsSql)),
     "date_funcs" -> QueryDef(dateFuncs, Some(dateFuncsSql)),
     "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
+    "asof_join_exec" -> QueryDef(asofJoinExec, Some(asofJoinSql)),
     "pivot_wide" -> QueryDef(pivotWide, Some(pivotWideSql)),
     "unpivot_long" -> QueryDef(unpivotLong, Some(unpivotLongSql)),
     "rollup_stats" -> QueryDef(rollupStats, Some(rollupStatsSql)),

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** The one sanctioned crossing into `private[sql]` territory: turning a
+  * custom logical plan into a DataFrame requires `Dataset.ofRows`, which
+  * Spark exposes only inside its own package tree — the standard pattern
+  * for third-party plan extensions (a sub-package of org.apache.spark.sql
+  * holding exactly the bridge call, nothing else). */
+object Shims {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

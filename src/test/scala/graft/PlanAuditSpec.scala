@@ -47,16 +47,20 @@ class PlanAuditSpec extends SparkSuite {
       "SimHash32 must implement doGenCode, not fall back")
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[RpLshBuckets]),
       "RpLshBuckets must implement doGenCode, not fall back")
+    assert(!classOf[CodegenFallback].isAssignableFrom(classOf[MinHashDoc]),
+      "MinHashDoc must implement doGenCode, not fall back")
   }
 
   test("minhash LSH: the band-bucket candidate table carries scalars only") {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.ArrayType
     val docs = Tables.documents(spark, sf0001)
+    graft.functions.HashExprs.registerMinHashDoc(spark, 3,
+      graft.ops.Dedup.hashA, graft.ops.Dedup.hashB, graft.ops.Dedup.MinhashP)
     val buckets = graft.ops.Dedup.lshBuckets(
-      graft.ops.Dedup.withMinhashSignature(
-        docs.select(col("doc_id"),
-          graft.ops.Dedup.shingles(col("text")).as("shingles"))))
+      docs.select(col("doc_id"),
+          graft.functions.HashExprs.minhashDoc(spark, "text").as("ms"))
+        .select(col("doc_id"), col("ms.n_sh").as("n_sh"), col("ms.sig").as("signature")))
     // the 8x-exploded exchange input must not contain any array column —
     // shingle arrays are re-fetched by id at the verify stage only
     assert(buckets.schema.fields.forall(!_.dataType.isInstanceOf[ArrayType]),

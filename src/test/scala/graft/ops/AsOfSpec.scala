@@ -45,4 +45,40 @@ class AsOfSpec extends SparkSuite {
       Seq("value" -> "prior"))
     assert(out.count() === left.count())
   }
+
+  test("custom AsOfJoinExec matches the fixture expectations and the plan is the merge exec") {
+    val df = AsOf.joinPriorExec(left, right, "user_id", "ts", "ts",
+      Seq("value" -> "prior"))
+    // SparkPlan.nodeName strips the "Exec" suffix: the custom operator
+    // renders as "AsOfJoin" with the Exchange+Sort the requirements induce
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val out = df.collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(out(100L) === Some(5.0))
+    assert(out(101L) === Some(7.0))
+    assert(out(200L) === None)
+
+    val strictOut = AsOf.joinPriorExec(
+      Seq((1L, ts("2024-01-01 09:30:00"), 100L)).toDF("user_id", "ts", "event_id"),
+      right, "user_id", "ts", "ts", Seq("value" -> "prior"), strict = true)
+      .collect().head
+    assert(Option(strictOut.get(3)) === None)
+  }
+
+  test("custom exec agrees with the union-merge form on the full events table") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", $"ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    val viaWindow = AsOf.joinPrior(purchases, clicks, "user_id", "ts", "ts",
+        Seq("value" -> "prior_click"))
+      .select("user_id", "event_id", "prior_click")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    val viaExec = AsOf.joinPriorExec(purchases, clicks, "user_id", "ts", "ts",
+        Seq("value" -> "prior_click"))
+      .select("user_id", "event_id", "prior_click")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)))).toSet
+    assert(viaExec === viaWindow)
+    assert(viaExec.nonEmpty)
+  }
 }
