@@ -59,14 +59,56 @@ object Similarity {
       transform(col("sums"), s => s / col("n")).as("centroid"))
   }
 
+  /** Lloyd-refined centroids: start from the deterministic per-label
+    * means and run `iters` k-means steps — assign every vector to its
+    * nearest centroid (broadcast map, no shuffle of embeddings), then
+    * recompute the element-wise means (one partial-aggregated shuffle of
+    * 64 doubles per vector). No random init, so results are reproducible
+    * across runs and cluster sizes; at scale each iteration is a single
+    * map+reduce over the corpus, the canonical distributed Lloyd's. */
+  def kmeansCentroids(corpus: DataFrame, iters: Int): DataFrame = {
+    val dim = 64
+    var cents = centroids(corpus)
+    for (_ <- 0 until iters) {
+      // persist each round: the next assignment must not re-derive the
+      // previous one through recursive lineage
+      cents = cents.persist()
+      val scored = corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          cosine(col("embedding"), col("centroid")).as("c_score"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_score").desc, col("centroid_id"))
+      val best = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      cents = best.groupBy(col("centroid_id"))
+        .agg(
+          array((0 until dim).map(i =>
+            sum(element_at(col("embedding"), i + 1).cast("double"))): _*).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("centroid_id"),
+          transform(col("sums"), s => s / col("n")).as("centroid"))
+    }
+    cents
+  }
+
   /** ANN search via IVF buckets: assign corpus vectors to nearest
     * centroid once, probe the query's `nprobe` closest centroids, then
     * exact cosine inside the probed buckets only. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int = 2): DataFrame =
+    ivfSearch(queries, corpus, centroids(corpus), k, nprobe)
+
+  /** IVF over Lloyd-refined centroids — tighter buckets than the
+    * trainless label-mean index, same search shape. */
+  def ivfKMeansTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int = 2, iters: Int = 2): DataFrame =
+    ivfSearch(queries, corpus, kmeansCentroids(corpus, iters), k, nprobe)
+
+  private def ivfSearch(queries: DataFrame, corpus: DataFrame,
+      rawCents: DataFrame, k: Int, nprobe: Int): DataFrame = {
     // centroids feed two broadcast cross-joins; persist so the 64-column
     // aggregation runs once (at scale this is the "trained index" you
     // would materialize anyway)
-    val cents = centroids(corpus).persist()
+    val cents = rawCents.persist()
     val assign = corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         cosine(col("embedding"), col("centroid")).as("c_score"))

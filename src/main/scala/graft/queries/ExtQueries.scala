@@ -271,6 +271,17 @@ object ExtQueries {
       .orderBy("query_id")
   }
 
+  /** Same planted-recall contract through the Lloyd-refined IVF index:
+    * two k-means iterations on top of the label-mean init, then the same
+    * probe/search. */
+  private def simIvfKMeansRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = withPlantedNearDups(emb, 100)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    foundPlanted(Similarity.ivfKMeansTopK(queries, corpus, k = 5, nprobe = 2, iters = 2))
+      .orderBy("query_id")
+  }
+
   private val simRecallSql =
     """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_planted
       |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id""".stripMargin
@@ -392,11 +403,19 @@ object ExtQueries {
     * the driver row proves the streaming path computes the batch answer.
     * The nanos→µs staging copy exists because streaming file sources need
     * a schema-stable directory (raw testdata is TIMESTAMP(NANOS)). */
-  private def evTumblingStream(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-ev-stream").toString
-    Tables.events(s, dir).write.mode("overwrite").parquet(staged)
-    Streams.tumblingAvailableNow(s, staged)
-  }
+  private val stagedEvents = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  // stage once per (JVM, sf dir): the nanos→µs copy is harness plumbing,
+  // not part of the streaming operator under test/benchmark
+  private def stagedEventsDir(s: SparkSession, dir: String): String =
+    stagedEvents.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ev-stream").toString
+      Tables.events(s, d).write.mode("overwrite").parquet(tmp)
+      tmp
+    })
+
+  private def evTumblingStream(s: SparkSession, dir: String): DataFrame =
+    Streams.tumblingAvailableNow(s, stagedEventsDir(s, dir))
 
   private def evSliding(s: SparkSession, dir: String): DataFrame =
     EventWindows.sliding(Tables.events(s, dir))
@@ -412,6 +431,31 @@ object ExtQueries {
       |  event_type, count(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
       |FROM e2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Streaming twin of `ev_session` (same pattern as ev_tumbling_stream):
+    * session windows through the state store's session-merge path. */
+  private def evSessionStream(s: SparkSession, dir: String): DataFrame =
+    Streams.sessionsAvailableNow(s, stagedEventsDir(s, dir))
+
+  /** Arbitrary-stateful streaming driver entry: per-user totals through
+    * flatMapGroupsWithState (exact micros arithmetic), oracled by the
+    * batch GROUP BY. */
+  private def evRunningStream(s: SparkSession, dir: String): DataFrame =
+    Streams.totalsAvailableNow(s, stagedEventsDir(s, dir))
+
+  /** Streaming dedup driver entry: first-seen pairs through the state
+    * store, oracled by batch DISTINCT. */
+  private def evDedupStream(s: SparkSession, dir: String): DataFrame =
+    Streams.dedupAvailableNow(s, stagedEventsDir(s, dir))
+
+  private val evDedupStreamSql =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  private val evRunningStreamSql =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   private def evSession(s: SparkSession, dir: String): DataFrame =
     EventWindows.sessions(Tables.events(s, dir))
@@ -463,6 +507,7 @@ object ExtQueries {
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
     "sim_ivf_topk" -> QueryDef(simIvf, None),
     "sim_ivf_recall" -> QueryDef(simIvfRecall, Some(simRecallSql)),
+    "sim_ivf_kmeans_recall" -> QueryDef(simIvfKMeansRecall, Some(simRecallSql)),
     "sim_rplsh_topk" -> QueryDef(simRpLsh, None),
     "sim_rplsh_recall" -> QueryDef(simRpLshRecall, Some(simRecallSql)),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
@@ -475,5 +520,8 @@ object ExtQueries {
     "ev_tumbling_stream" -> QueryDef(evTumblingStream, Some(evTumblingSql)),
     "ev_sliding" -> QueryDef(evSliding, Some(evSlidingSql)),
     "ev_session" -> QueryDef(evSession, Some(evSessionSql)),
+    "ev_session_stream" -> QueryDef(evSessionStream, Some(evSessionSql)),
+    "ev_running_stream" -> QueryDef(evRunningStream, Some(evRunningStreamSql)),
+    "ev_dedup_stream" -> QueryDef(evDedupStream, Some(evDedupStreamSql)),
     "ev_json_kpi" -> QueryDef(evJsonKpi, Some(evJsonKpiSql)))
 }

@@ -69,6 +69,33 @@ object MoreQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Bucketized range join (ops.RangeJoin): every distinct ship date
+    * counted against the order "fulfillment windows"
+    * [o_orderdate, o_orderdate + o_orderkey%30 days] containing it. The
+    * oracle states the same join as a plain BETWEEN — bucketization must
+    * be invisible in the result (like salting); the plan audit asserts it
+    * is an equi-join, not a nested loop. */
+  private def rangeJoinBuckets(s: SparkSession, dir: String): DataFrame = {
+    val points = Tables.lineitem(s, dir)
+      .select(col("l_shipdate").cast("date").as("d")).distinct()
+    val intervals = Tables.orders(s, dir).select(
+      col("o_orderdate").cast("date").as("s"),
+      date_add(col("o_orderdate").cast("date"),
+        pmod(col("o_orderkey"), lit(30)).cast("int")).as("e"))
+    graft.ops.RangeJoin.pointInInterval(points, "d", intervals, "s", "e")
+      .groupBy("d").agg(count(lit(1)).as("n_orders"))
+      .orderBy("d")
+  }
+
+  private val rangeJoinBucketsSql =
+    """WITH pts AS (SELECT DISTINCT CAST(l_shipdate AS DATE) AS d FROM lineitem),
+      |     iv AS (SELECT CAST(o_orderdate AS DATE) AS s,
+      |                   CAST(o_orderdate AS DATE)
+      |                     + CAST(o_orderkey % 30 AS INTEGER) AS e
+      |            FROM orders)
+      |SELECT d, count(*) AS n_orders FROM pts JOIN iv ON d BETWEEN s AND e
+      |GROUP BY d ORDER BY d""".stripMargin
+
   /** Pivot: long events → wide per-user columns, one per event type. */
   private def pivotWide(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -134,6 +161,33 @@ object MoreQueries {
        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
        |  count(*) AS n, ${sqlDsum("o_totalprice", 2)} AS total
        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+       |ORDER BY g_status, g_priority, status, priority""".stripMargin
+
+  /** Arbitrary GROUPING SETS — an asymmetric set list ((status),
+    * (priority), ()) that neither rollup nor cube can express; same
+    * null-free label convention as the rollup query. */
+  private def groupingSetsStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice"), 2).as("total"),
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("g_status"), col("g_priority"), col("n"), col("total"))
+      .orderBy("g_status", "g_priority", "status", "priority")
+
+  private val groupingSetsStatsSql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       |  CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       |  count(*) AS n, ${sqlDsum("o_totalprice", 2)} AS total
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
        |ORDER BY g_status, g_priority, status, priority""".stripMargin
 
   /** Exact distinct aggregates per group. */
@@ -451,8 +505,79 @@ object MoreQueries {
       |  (SELECT max(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** SQL-text frontend, correlated EXISTS / NOT EXISTS — Catalyst
+    * decorrelates both into semi/anti joins (no per-row subquery
+    * execution). */
+  private def sqlExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c_custkey, c_mktsegment
+        |FROM v_customer c
+        |WHERE EXISTS (SELECT 1 FROM v_orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        |  AND NOT EXISTS (SELECT 1 FROM v_orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val sqlExistsSql =
+    """SELECT c_custkey, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** SQL-text frontend, correlated LATERAL subquery with LIMIT — top-3
+    * orders per customer; Catalyst plans the correlation as a domain
+    * join + window, not a per-customer re-execution. */
+  private def sqlLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM v_customer c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM v_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  private val sqlLateralSql =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) o
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** SQL-text frontend, recursive CTE — a generated month spine LEFT
+    * JOINed to the fact keeps empty months visible (the usual calendar
+    * dimension without a stored table). */
+  private def sqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+    s.sql(
+      """WITH RECURSIVE m(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+        |SELECT n AS month_idx, count(o_orderkey) AS n_orders
+        |FROM m LEFT JOIN v_orders ON month(o_orderdate) = n
+        |GROUP BY n ORDER BY month_idx""".stripMargin)
+  }
+
+  private val sqlRecursiveSql =
+    """WITH RECURSIVE m(n) AS (
+      |  SELECT 1 UNION ALL SELECT n + 1 FROM m WHERE n < 12)
+      |SELECT n AS month_idx, count(o_orderkey) AS n_orders
+      |FROM m LEFT JOIN orders ON month(o_orderdate) = n
+      |GROUP BY n ORDER BY month_idx""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "sql_scalar_subquery" -> QueryDef(sqlFrontend, Some(sqlFrontendSql)),
+    "sql_exists" -> QueryDef(sqlExists, Some(sqlExistsSql)),
+    "sql_lateral" -> QueryDef(sqlLateral, Some(sqlLateralSql)),
+    "sql_recursive_cte" -> QueryDef(sqlRecursive, Some(sqlRecursiveSql)),
     "rank_family" -> QueryDef(rankFamily, Some(rankFamilySql)),
     "array_funcs" -> QueryDef(arrayFuncs, Some(arrayFuncsSql)),
     "sketch_agg" -> QueryDef(sketches, None),
@@ -468,9 +593,11 @@ object MoreQueries {
     "date_funcs" -> QueryDef(dateFuncs, Some(dateFuncsSql)),
     "asof_join" -> QueryDef(asofJoin, Some(asofJoinSql)),
     "asof_join_exec" -> QueryDef(asofJoinExec, Some(asofJoinSql)),
+    "range_join_buckets" -> QueryDef(rangeJoinBuckets, Some(rangeJoinBucketsSql)),
     "pivot_wide" -> QueryDef(pivotWide, Some(pivotWideSql)),
     "unpivot_long" -> QueryDef(unpivotLong, Some(unpivotLongSql)),
     "rollup_stats" -> QueryDef(rollupStats, Some(rollupStatsSql)),
+    "grouping_sets_stats" -> QueryDef(groupingSetsStats, Some(groupingSetsStatsSql)),
     "distinct_agg" -> QueryDef(distinctAgg, Some(distinctAggSql)),
     "setops_customers" -> QueryDef(setOps, Some(setOpsSql)))
 }

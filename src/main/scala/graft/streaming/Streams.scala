@@ -74,8 +74,95 @@ object Streams {
     spark.table(queryName).orderBy("window_start", "event_type")
   }
 
+  /** Session-window twin of [[tumblingAvailableNow]]: the session
+    * aggregation runs through the streaming state store's session-merge
+    * path, proving the stateful session operator end-to-end. */
+  def sessionsAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "ev_session_stream_out"): DataFrame = {
+    val q = sessionCounts(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(queryName).orderBy("user_id", "session_start")
+  }
+
+  /** Streaming exact dedup: first-seen (user_id, event_type) pairs via
+    * the state store's dropDuplicates operator — the streaming twin of
+    * batch DISTINCT/`Dedup.exact`. Run to completion the result IS the
+    * batch DISTINCT, which is the oracle. No watermark here so the
+    * equivalence is exact at any arrival order; an always-on deployment
+    * bounding its state would use `dropDuplicatesWithinWatermark` and
+    * accept re-emits past the watermark horizon. */
+  def dedupAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "ev_dedup_stream_out"): DataFrame = {
+    val q = readEvents(spark, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(queryName).orderBy("user_id", "event_type")
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Micros-typed event for the exact stateful totals: the double value is
+    * converted to integer micros at the stream edge so state accumulation
+    * is a Long add — exact, order-independent, and therefore comparable
+    * against a single-threaded decimal oracle (same rationale as
+    * [[graft.functions.Stable]]). */
+  final case class UserEventM(user_id: Long, micros: Long)
+  final case class UserTotal(user_id: Long, n_events: Long, total_micros: Long)
+
+  /** Exact-arithmetic twin of [[runningTotals]] used by the driver entry. */
+  def runningTotalsExact(events: Dataset[UserEventM]): Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[UserEventM], state: GroupState[UserTotal]) =>
+          val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0L))
+          var n = prev.n_events
+          var total = prev.total_micros
+          batch.foreach { e => n += 1; total += e.micros }
+          val next = UserTotal(userId, n, total)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
+  /** Driver entry for arbitrary stateful processing: per-user totals via
+    * flatMapGroupsWithState run to completion with `AvailableNow`. Update
+    * mode emits one row per (trigger, user); the final state per user is
+    * the row with the largest n_events (totals only grow), so the result
+    * equals the batch GROUP BY — which is the oracle. */
+  def totalsAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "ev_running_stream_out"): DataFrame = {
+    import spark.implicits._
+    val ev = readEvents(spark, dir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long").as("micros"))
+      .as[UserEventM]
+    val q = runningTotalsExact(ev).toDF()
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(queryName)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        (col("total_micros").cast("decimal(38,6)") / lit(1000000))
+          .cast("double").as("total_value"))
+      .orderBy("user_id")
+  }
 
   /** Arbitrary stateful processing: per-user running totals maintained in
     * the state store across triggers (KeyValueGroupedDataset +

@@ -66,6 +66,52 @@ class PlanAuditSpec extends SparkSuite {
     assert(buckets.schema.fields.forall(!_.dataType.isInstanceOf[ArrayType]),
       s"bucket table must carry no arrays: ${buckets.schema.treeString}")
     assert(buckets.columns.toSet === Set("doc_id", "n_sh", "band", "bucket"))
+    // the corpus pass must run the fused text→signature expression; gram
+    // arrays (interpreted lambda transform) are for verify candidates only
+    val p = buckets.queryExecution.sparkPlan.toString
+    assert(p.contains("graft_minhash_doc"), s"expected fused signature expr in:\n$p")
+    assert(!p.contains("transform("), s"no lambda gram materialization in the corpus pass:\n$p")
+  }
+
+  test("runtime bloom-filter join pruning engages on a selective dim join") {
+    // At 100 TB the lever that keeps a selective dim join from scanning
+    // the whole fact side is AQE's runtime row-level bloom filter: the
+    // filtered dim's join keys are sketched and the sketch is pushed
+    // into the fact scan. The size thresholds that gate it are tuned for
+    // clusters, so drop them to zero here and assert the rewrite fires —
+    // proving the engine's plans are shaped so Spark CAN inject it.
+    // ... and since Spark declines to inject for broadcast joins (the
+    // broadcast build already prunes), force the shuffle-join shape this
+    // fact/dim pair would have at scale.
+    val conf = spark.conf
+    val en = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val th = "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+    val sc = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val bc = "spark.sql.autoBroadcastJoinThreshold"
+    val prevEn = conf.get(en)
+    val prevTh = conf.get(th)
+    val prevSc = conf.get(sc)
+    val prevBc = conf.get(bc)
+    conf.set(en, "true")
+    conf.set(th, "1GB") // max size the sketched (dim) side may have
+    conf.set(sc, "0")   // min size the pruned (fact) side must have
+    conf.set(bc, "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, sf0001)
+      val joined = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"expected a runtime bloom filter in the optimized plan:\n$p")
+    } finally {
+      conf.set(en, prevEn)
+      conf.set(th, prevTh)
+      conf.set(sc, prevSc)
+      conf.set(bc, prevBc)
+    }
   }
 
   test("dedup_exact_hash: shuffle carries hashes, not documents") {
