@@ -36,6 +36,57 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("content_hash", "keep_id", "n_copies")
 
+  /** Per-document canonicalization: every document mapped to the keeper
+    * of its exact-dup group (min doc_id over equal normalized content)
+    * plus an `is_dup` drop flag — the projection a training pipeline
+    * applies after dedup to filter the corpus in place. One shuffle on
+    * the 32-byte content hash (window min, no join-back). */
+  def canonicalize(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
+    docs.select(col("doc_id"), sha2(normalize(col("text")), 256).as("content_hash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /** Connected components over a near-dup pair list by min-label
+    * propagation: each node's label converges to the smallest doc_id
+    * reachable from it, giving every near-dup CLUSTER one canonical
+    * representative (pairs alone can chain: a~b, b~c without a~c).
+    * Each iteration is one join + partial-aggregated groupBy on node id;
+    * iterations needed = cluster diameter, which for near-dup graphs is
+    * small. The standard big-graph CC loop (Hash-to-Min style); at 100 TB
+    * the edge list is the (tiny) output of the LSH miner, not the corpus. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("nid")).agg(min(col("label")).as("nlabel"))
+      val next = labels.alias("l")
+        .join(neighborMin, col("l.id") === col("nid"), "left_outer")
+        .select(col("l.id").as("id"),
+          least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
+        .persist()
+      // convergence probe: one count over the changed-label set — the
+      // driver sees a single long per iteration, nothing is collected
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count() == 0L
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Word-level w-shingles (distinct), falling back to the whole text for
     * documents shorter than w tokens. */
   def shingles(text: Column, w: Int = 3): Column = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Stable.{dsum, sqlDsum}
-import graft.ops.{Dedup, EventWindows, Multimodal, Salting, Similarity, TextStats}
+import graft.ops.{Dedup, EventWindows, Multimodal, Salting, Sampling, Similarity, TextStats}
 import graft.streaming.Streams
 
 /** Extension surface (SURVEY.md §7.6 + the north-star mandate): dedup,
@@ -183,6 +183,73 @@ object ExtQueries {
       |FROM documents
       |WHERE doc_id % 20 = 0 AND len(string_split_regex(trim(text), '\s+')) >= 20
       |ORDER BY doc_id""".stripMargin
+
+  /** Post-dedup canonicalization: every document mapped to its group
+    * keeper with a drop flag — oracled row-by-row (the oracle groups on
+    * the normalized text itself; same partition, no hash needed). */
+  private def dedupCanonical(s: SparkSession, dir: String): DataFrame =
+    Dedup.canonicalize(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val dedupCanonicalSql =
+    """WITH c AS (SELECT doc_id,
+      |  min(doc_id) OVER (PARTITION BY
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS canonical_id
+      |  FROM documents)
+      |SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Near-dup clustering: connected components (min-label propagation)
+    * over the LSH miner's pairs. The planted copy and its original must
+    * land in the same cluster for every sampled document — the grouping
+    * contract pair mining alone can't state (pairs chain transitively). */
+  private def dedupClusterPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val comps = Dedup.connectedComponents(
+      Dedup.minhashPairs(withPlantedTextDups(docs), threshold = 0.5))
+    val orig = comps.select(col("id").as("doc_id"), col("label").as("l_orig"))
+    val copy = comps.select((col("id") - 1000000L).as("doc_id"),
+      col("label").as("l_copy"))
+    plantedDocSample(docs).select("doc_id")
+      .join(orig, Seq("doc_id"), "left_outer")
+      .join(copy, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        (col("l_orig").isNotNull &&
+          col("l_orig") === col("l_copy")).as("same_cluster"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupClusterPlantedSql =
+    """SELECT doc_id, CAST(1 AS BOOLEAN) AS same_cluster
+      |FROM documents
+      |WHERE doc_id % 20 = 0 AND len(string_split_regex(trim(text), '\s+')) >= 20
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified sampling: downsample dominant languages by
+    * a pure-arithmetic percentile bucket of doc_id — membership is
+    * oracled row-by-row because the oracle can compute the identical
+    * bucket. A narrow map-only filter at any scale. */
+  private def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(Tables.documents(s, dir), "lang",
+      Map("en" -> 30, "zh" -> 50))
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  private val sampleStratifiedSql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE (doc_id * 2654435761) % 100 <
+      |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 50 ELSE 100 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Balanced training-shard plan: hash-ordered round-robin dealing, so
+    * per-shard row counts differ by ≤1 whatever the id distribution. */
+  private def shardPlan(s: SparkSession, dir: String): DataFrame =
+    Sampling.shardPlan(Tables.documents(s, dir), 8)
+
+  private val shardPlanSql =
+    """WITH a AS (SELECT doc_id, n_chars,
+      |  (row_number() OVER (ORDER BY (doc_id * 2654435761) % 100, doc_id) - 1) % 8 AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardTop(Tables.documents(s, dir), sampleMod = 50, k = 20)
@@ -452,6 +519,22 @@ object ExtQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-stream join driver entry: purchases matched to same-user
+    * clicks within the hour before, oracled by the equivalent batch
+    * join. */
+  private def evJoinStream(s: SparkSession, dir: String): DataFrame =
+    Streams.clickToPurchaseAvailableNow(s, stagedEventsDir(s, dir))
+
+  private val evJoinStreamSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_at,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
+
   private val evRunningStreamSql =
     """SELECT user_id, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -504,6 +587,10 @@ object ExtQueries {
     "dedup_simhash_pairs" -> QueryDef(dedupSimhash, None),
     "dedup_simhash_planted" -> QueryDef(dedupSimhashPlanted, Some(dedupPlantedSql)),
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql)),
+    "dedup_canonical" -> QueryDef(dedupCanonical, Some(dedupCanonicalSql)),
+    "dedup_cluster_planted" -> QueryDef(dedupClusterPlanted, Some(dedupClusterPlantedSql)),
+    "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
+    "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
     "sim_ivf_topk" -> QueryDef(simIvf, None),
     "sim_ivf_recall" -> QueryDef(simIvfRecall, Some(simRecallSql)),
@@ -523,5 +610,9 @@ object ExtQueries {
     "ev_session_stream" -> QueryDef(evSessionStream, Some(evSessionSql)),
     "ev_running_stream" -> QueryDef(evRunningStream, Some(evRunningStreamSql)),
     "ev_dedup_stream" -> QueryDef(evDedupStream, Some(evDedupStreamSql)),
-    "ev_json_kpi" -> QueryDef(evJsonKpi, Some(evJsonKpiSql)))
+    "ev_join_stream" -> QueryDef(evJoinStream, Some(evJoinStreamSql)),
+    "ev_json_kpi" -> QueryDef(evJsonKpi, Some(evJsonKpiSql)),
+    "ev_variant_kpi" -> QueryDef(
+      (s, dir) => EventWindows.variantKpi(Tables.events(s, dir)),
+      Some(evJsonKpiSql)))
 }

@@ -108,6 +108,41 @@ object Streams {
     spark.table(queryName).orderBy("user_id", "event_type")
   }
 
+  /** Stream-stream inner join: each purchase matched to the same user's
+    * clicks in the preceding hour. Both sides are watermarked and the
+    * join condition bounds event time on both sides, so the state store
+    * can evict rows once the watermark passes the interval — the only
+    * join shape that runs unbounded at scale. Run to completion over a
+    * static directory the match set equals the batch join, which is the
+    * oracle. */
+  def clickToPurchaseAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "ev_join_stream_out"): DataFrame = {
+    val clicks = readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+    val q = joined
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_at"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"))
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(queryName).orderBy("user_id", "click_id", "purchase_id")
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

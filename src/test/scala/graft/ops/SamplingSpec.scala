@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SamplingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 1000L)
+    .map(i => (i, if (i % 3 == 0) "en" else "de", i * 7 % 100))
+    .toDF("doc_id", "lang", "n_chars")
+
+  test("stratified sample is deterministic and respects per-stratum rates") {
+    val once = Sampling.stratifiedSample(docs, "lang", Map("en" -> 30))
+    val twice = Sampling.stratifiedSample(docs, "lang", Map("en" -> 30))
+    assert(once.select("doc_id").collect().toSet ===
+      twice.select("doc_id").collect().toSet)
+    val kept = once.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // multiplicative-hash buckets are near-uniform: en keeps ~30%, de all
+    assert(kept("de") === 667L)
+    assert(kept("en") > 60L && kept("en") < 140L,
+      s"en kept ${kept("en")} of 333 at rate 30%")
+  }
+
+  test("shard assignment is balanced to one row and covers every doc") {
+    val sharded = Sampling.assignShards(docs, 7)
+    assert(sharded.count() === 1000L)
+    val sizes = sharded.groupBy("shard").count()
+      .select("count").as[Long].collect()
+    assert(sizes.length === 7)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced shards: ${sizes.toList}")
+  }
+
+  test("connected components merge chained pairs into one cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // 1~2~3 chain collapses to min id 1 even though (1,3) was never a pair
+    assert(comps(1L) === 1L && comps(2L) === 1L && comps(3L) === 1L)
+    assert(comps(10L) === 10L && comps(11L) === 10L)
+  }
+
+  test("canonicalize flags every non-keeper copy and only those") {
+    val d = Seq(
+      (1L, "same text"), (2L, "Same   TEXT"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.canonicalize(d)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out === Array((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+}
