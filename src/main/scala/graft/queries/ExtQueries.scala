@@ -251,6 +251,26 @@ object ExtQueries {
       |SELECT shard, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Corpus-wide heavy hitters through the custom Space-Saving UDAF
+    * (graft.functions.SpaceSavingTopK): top-20 tokens with exact counts —
+    * capacity 64 exceeds the synthetic vocabulary, so the bounded-memory
+    * sketch is exact here and the DuckDB GROUP BY oracle applies. */
+  private def textHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val hh = udaf(new graft.functions.SpaceSavingTopK(capacity = 64, k = 20))
+    Tables.documents(s, dir)
+      .select(explode(TextStats.tokens(col("text"))).as("token"))
+      .agg(hh(col("token")).as("topk"))
+      .select(explode(col("topk")).as("tc"))
+      .select(col("tc.token").as("token"), col("tc.cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
+  private val textHeavyHittersSql =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      |      FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardTop(Tables.documents(s, dir), sampleMod = 50, k = 20)
 
@@ -580,6 +600,7 @@ object ExtQueries {
     "text_quality" -> QueryDef(textQuality, Some(textQualitySql)),
     "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
     "text_fingerprint" -> QueryDef(textFingerprint, Some(textFingerprintSql)),
+    "text_heavy_hitters" -> QueryDef(textHeavyHitters, Some(textHeavyHittersSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),
