@@ -89,6 +89,124 @@ object TextStats {
       pred.as("predicted_lang"))
   }
 
+  /** Gopher-style quality filter bundle (Rae et al. 2021, §A1.1 adapted to
+    * this corpus: no newlines, latin+zh tokens): per-document boolean
+    * signals a filtering pipeline thresholds on, plus the combined `keep`.
+    * All signals are narrow per-row array math — no shuffle, linear scale.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTokens = size(toks)
+    // mean characters per token (non-space chars / tokens)
+    val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+      nTokens.cast("double")
+    // fraction of tokens containing at least one alphabetic character
+    val alphaToks = size(filter(toks, t => t.rlike("[a-zA-Z一-鿿]")))
+    val alphaFrac = alphaToks.cast("double") / nTokens.cast("double")
+    // distinct stopwords present (any language) — Gopher requires >= 2.
+    // Counted by filtering the (distinct) stopword registry against the
+    // token set, so the count is distinct-by-construction in any engine.
+    val stopSet = typedlit(langStopwords.flatMap(_._2))
+    val distinctStops = size(filter(stopSet, w => array_contains(toks, w)))
+    docs.select(
+      col("doc_id"),
+      nTokens.cast("bigint").as("n_tokens"),
+      round(meanLen, 6).as("mean_token_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      distinctStops.cast("bigint").as("distinct_stopwords"),
+      (nTokens.between(10, 100000) &&
+        meanLen.between(2.0, 12.0) &&
+        alphaFrac >= 0.8 &&
+        distinctStops >= 2).as("keep"))
+  }
+
+  /** Repetition signals (the Gopher duplicate-content family): duplicate
+    * token fraction and duplicate 2-gram fraction from per-row array
+    * distinct counts (narrow, codegen), plus the most-frequent-token share
+    * (one shuffle on doc_id over exploded tokens — at corpus scale the
+    * partial count aggregate absorbs the fan-in before the exchange). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val grams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val narrow = docs.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+      (n - 1).cast("bigint").as("n_2grams"),
+      size(array_distinct(grams)).cast("bigint").as("n_distinct_2grams"))
+    val topTok = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(max(col("cnt")).as("top_tok_cnt"))
+    narrow.join(topTok, "doc_id").select(
+      col("doc_id"),
+      round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"), 6)
+        .as("dup_token_ratio"),
+      round(col("top_tok_cnt").cast("double") / col("n_tokens"), 6)
+        .as("top_token_ratio"),
+      when(col("n_2grams") > 0,
+        round(lit(1.0) - col("n_distinct_2grams").cast("double") / col("n_2grams"), 6))
+        .otherwise(lit(0.0)).as("dup_2gram_ratio"))
+  }
+
+  /** PII patterns shared by the scrubber and its oracle — kept inside the
+    * RE2/Java-regex common subset (no lookaround, no backreferences) so
+    * the identical pattern strings run in both engines. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrub: replace emails and IPv4 addresses with typed redaction
+    * tokens and count the hits. The corpus is synthetic and PII-free, so
+    * the pipeline first stamps deterministic PII derived from doc_id into
+    * the text (both engines build the same string), then proves the
+    * scrubber removes everything it stamped. Narrow per-row regex —
+    * no shuffle. */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val stamped = concat(
+      col("text"), lit(" contact user"), id, lit("@example.com"),
+      lit(" or admin"), id, lit("@mail.test.org"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".17"))
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(stamped, lit(emailPattern), lit(0)))
+        .cast("bigint").as("n_emails"),
+      size(regexp_extract_all(stamped, lit(ipv4Pattern), lit(0)))
+        .cast("bigint").as("n_ips"),
+      sha2(regexp_replace(regexp_replace(stamped, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"), 256).as("scrubbed_sha"))
+  }
+
+  /** TF-IDF top terms: the corpus-statistics aggregate a curation pipeline
+    * uses for topic/keyword profiling. Two shuffles — term counts by
+    * (doc, term), document frequency by term — then a per-doc top-3 by
+    * (tf desc, rarer-first, term) via row_number. The rank key is
+    * integer-only (counts, not the float score) so ordering is identical
+    * across engines; the float tfidf rides along rounded. */
+  def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col("doc_id"),
+      explode(filter(tokens(lower(col("text"))), t => t.rlike("^[a-z]+$")))
+        .as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
+    val docTokens = tf.groupBy("doc_id").agg(sum("cnt").as("doc_tokens"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = broadcast(docs.select(
+      countDistinct("doc_id").cast("double").as("n_docs")))
+    val scored = tf.join(df, "term").join(docTokens, "doc_id").crossJoin(nDocs)
+      .withColumn("tfidf",
+        round((col("cnt").cast("double") / col("doc_tokens")) *
+          log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cnt").desc, col("df").asc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("bigint").as("rank"),
+        col("term"), col("tfidf"))
+  }
+
   /** Document fingerprint: polynomial rolling hash over per-token codes,
     * mod 2^31-1. Token code and fold are expressible identically in any
     * SQL engine with list folds (cross-engine verifiable, unlike

@@ -99,6 +99,108 @@ object ExtQueries {
       |    (a, b) -> (a * 1000003 + b) % 2147483647) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  private def textGopher(s: SparkSession, dir: String): DataFrame =
+    TextStats.gopherQuality(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textGopherSql = {
+    val stops = TextStats.langStopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |    string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(toks) AS mean_len,
+       |    CAST(len(list_filter(toks,
+       |           x -> regexp_matches(x, '[a-zA-Z一-鿿]'))) AS DOUBLE)
+       |      / len(toks) AS alpha_frac,
+       |    len(list_filter($stops, w -> list_contains(toks, w))) AS distinct_stops
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |  round(mean_len, 6) AS mean_token_len,
+       |  round(alpha_frac, 6) AS alpha_frac,
+       |  distinct_stops AS distinct_stopwords,
+       |  (n_tokens BETWEEN 10 AND 100000 AND mean_len BETWEEN 2.0 AND 12.0
+       |   AND alpha_frac >= 0.8 AND distinct_stops >= 2) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextStats.repetition(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textRepetitionSql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |    len(list_distinct(toks)) AS n_distinct,
+      |    len(toks) - 1 AS n_2grams,
+      |    len(list_distinct(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1]))) AS n_distinct_2grams
+      |  FROM t),
+      |top AS (
+      |  SELECT doc_id, max(cnt) AS top_tok_cnt FROM (
+      |    SELECT doc_id, tok, count(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      |    GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT n.doc_id,
+      |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS dup_token_ratio,
+      |  round(CAST(top_tok_cnt AS DOUBLE) / n_tokens, 6) AS top_token_ratio,
+      |  CASE WHEN n_2grams > 0
+      |    THEN round(1.0 - CAST(n_distinct_2grams AS DOUBLE) / n_2grams, 6)
+      |    ELSE 0.0 END AS dup_2gram_ratio
+      |FROM n JOIN top ON n.doc_id = top.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
+  private def textPiiScrub(s: SparkSession, dir: String): DataFrame =
+    TextStats.piiScrub(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textPiiScrubSql = {
+    val email = TextStats.emailPattern.replace("'", "''")
+    val ip = TextStats.ipv4Pattern.replace("'", "''")
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      || ' or admin' || CAST(doc_id AS VARCHAR) || '@mail.test.org'
+       |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' AS stamped
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(stamped, '$email')) AS n_emails,
+       |  len(regexp_extract_all(stamped, '$ip')) AS n_ips,
+       |  sha256(regexp_replace(regexp_replace(stamped, '$email', '<EMAIL>', 'g'),
+       |         '$ip', '<IP>', 'g')) AS scrubbed_sha
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def textTfidf(s: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTop(Tables.documents(s, dir), k = 3)
+      .orderBy("doc_id", "rank")
+
+  private val textTfidfSql =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                       x -> regexp_matches(x, '^[a-z]+$'))) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS cnt FROM words GROUP BY 1, 2),
+      |dt AS (SELECT doc_id, sum(cnt) AS doc_tokens FROM tf GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+      |       FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round((CAST(tf.cnt AS DOUBLE) / dt.doc_tokens)
+      |          * ln((nd.n_docs + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)), 6) AS tfidf,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.cnt DESC, df.df ASC, tf.term ASC) AS rank
+      |  FROM tf JOIN df USING (term) JOIN dt USING (doc_id) CROSS JOIN nd)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
+      |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // --------------------------------------------------------------- dedup
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -601,6 +703,10 @@ object ExtQueries {
     "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
     "text_fingerprint" -> QueryDef(textFingerprint, Some(textFingerprintSql)),
     "text_heavy_hitters" -> QueryDef(textHeavyHitters, Some(textHeavyHittersSql)),
+    "text_gopher" -> QueryDef(textGopher, Some(textGopherSql)),
+    "text_repetition" -> QueryDef(textRepetition, Some(textRepetitionSql)),
+    "text_pii_scrub" -> QueryDef(textPiiScrub, Some(textPiiScrubSql)),
+    "text_tfidf" -> QueryDef(textTfidf, Some(textTfidfSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),

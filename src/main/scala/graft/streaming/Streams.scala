@@ -56,6 +56,19 @@ object Streams {
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
         col("n"), col("total"))
 
+  /** Stateful-stream shuffle sizing: the state store opens one partition
+    * per shuffle partition PER QUERY, so a stream whose key space is
+    * small (event types, user ids) pays pure per-partition overhead
+    * beyond a handful of partitions. Scope the stream to `n` partitions
+    * and restore the session setting after — at cluster scale the same
+    * dial is sized to key cardinality, not to the batch default. */
+  private def withStreamPartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run the tumbling-window stream over `dir` to completion with an
     * `AvailableNow` trigger (process everything currently in the source,
     * then stop — the batch-parity execution mode) and return the final
@@ -65,12 +78,14 @@ object Streams {
     * streaming path end-to-end against the batch oracle. */
   def tumblingAvailableNow(spark: SparkSession, dir: String,
       queryName: String = "ev_tumbling_stream_out"): DataFrame = {
-    val q = tumblingCounts(readEvents(spark, dir))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = tumblingCounts(readEvents(spark, dir))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.table(queryName).orderBy("window_start", "event_type")
   }
 
@@ -79,12 +94,14 @@ object Streams {
     * path, proving the stateful session operator end-to-end. */
   def sessionsAvailableNow(spark: SparkSession, dir: String,
       queryName: String = "ev_session_stream_out"): DataFrame = {
-    val q = sessionCounts(readEvents(spark, dir))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Complete)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = sessionCounts(readEvents(spark, dir))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Complete)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.table(queryName).orderBy("user_id", "session_start")
   }
 
@@ -97,14 +114,16 @@ object Streams {
     * accept re-emits past the watermark horizon. */
   def dedupAvailableNow(spark: SparkSession, dir: String,
       queryName: String = "ev_dedup_stream_out"): DataFrame = {
-    val q = readEvents(spark, dir)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = readEvents(spark, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.table(queryName).orderBy("user_id", "event_type")
   }
 
@@ -131,15 +150,17 @@ object Streams {
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
-    val q = joined
-      .select(col("user_id"), col("click_id"), col("purchase_id"),
-        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_at"),
-        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"))
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Append)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = joined
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_at"),
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_at"))
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     spark.table(queryName).orderBy("user_id", "click_id", "purchase_id")
   }
 
@@ -183,12 +204,14 @@ object Streams {
       .select(col("user_id"),
         (col("value").cast("decimal(18,6)") * lit(1000000L)).cast("long").as("micros"))
       .as[UserEventM]
-    val q = runningTotalsExact(ev).toDF()
-      .writeStream.format("memory").queryName(queryName)
-      .outputMode(OutputMode.Update)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    withStreamPartitions(spark, 8) {
+      val q = runningTotalsExact(ev).toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
     spark.table(queryName)

@@ -128,6 +128,55 @@ class OpsSpec extends SparkSuite {
     assert(fps(1L) !== fps(3L))
   }
 
+  test("gopher quality keeps normal prose, drops short and non-alpha docs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then the fox sleeps"),
+      (2L, "too short"),
+      (3L, "the 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16 17 18 and more of it"))
+      .toDF("doc_id", "text")
+    val out = TextStats.gopherQuality(df).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out(1L))     // prose: enough tokens, alpha, stopwords
+    assert(!out(2L))    // < 10 tokens
+    assert(!out(3L))    // alpha fraction below 0.8
+  }
+
+  test("repetition signals separate repetitive from diverse text") {
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam ham"),
+      (2L, "each word here appears exactly once overall"))
+      .toDF("doc_id", "text")
+    val out = TextStats.repetition(df).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val (dupTok1, topTok1, dup2g1) = out(1L)
+    assert(dupTok1 > 0.5 && topTok1 > 0.8 && dup2g1 > 0.5)
+    val (dupTok2, topTok2, _) = out(2L)
+    assert(dupTok2 === 0.0 && topTok2 < 0.2)
+  }
+
+  test("pii scrub counts and removes every stamped email and ip") {
+    val out = TextStats.piiScrub(docs).collect()
+    assert(out.forall(_.getLong(1) === 2L)) // two stamped emails per doc
+    assert(out.forall(_.getLong(2) === 1L)) // one stamped ip per doc
+  }
+
+  test("tfidf ranks a doc-specific rare term above common terms") {
+    val df = Seq(
+      (1L, "common common common zebra"),
+      (2L, "common common words here"),
+      (3L, "common more words there"))
+      .toDF("doc_id", "text")
+    val top = TextStats.tfidfTop(df, k = 2).collect()
+      .filter(_.getLong(0) == 1L).map(_.getString(2)).toSeq
+    // rank 1 is "common" by raw tf, but the rare "zebra" must appear in
+    // the top-2 with a strictly higher tfidf score than "common"
+    val scores = TextStats.tfidfTop(df, k = 2).collect()
+      .filter(_.getLong(0) == 1L).map(r => r.getString(2) -> r.getDouble(3)).toMap
+    assert(top.contains("zebra"))
+    assert(scores("zebra") > scores("common"))
+  }
+
   test("session windows split on gap and merge within gap") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L, "click", 1.0, "{}"),
