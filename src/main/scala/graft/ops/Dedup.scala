@@ -184,12 +184,18 @@ object Dedup {
     // document's gram array
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("doc_id")).distinct()
+    // persist: shA and shB below would otherwise EACH rescan the corpus
+    // and rebuild the (interpreted-lambda) gram arrays — measured as the
+    // single largest slice of the pipeline at sf0.1
     val candSh = docs.join(candIds, "doc_id")
       .select(col("doc_id"), shingles(col("text"), w).as("shingles"))
+      .persist()
     val shA = candSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val shB = candSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jaccard", round(inter / union, 6))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

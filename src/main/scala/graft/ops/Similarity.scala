@@ -218,6 +218,51 @@ object Similarity {
       .select("id_a", "id_b", "score")
   }
 
+  /** Symmetric per-vector int8 quantization. A 64-dim float32 vector is
+    * 256 bytes; int8 codes plus one double scale are 72 — the 3.5×
+    * shrink that keeps an ANN candidate store in executor memory at
+    * corpus scale. scale = max|x|/127, code = round(x/scale), so
+    * |code| ≤ 127 by construction (no clamp branch). Narrow per-row
+    * math, no shuffle; every step (float→double cast, division, round
+    * half-away-from-zero) is IEEE-exact and engine-independent, so the
+    * output has an exact oracle. */
+  def quantizeInt8(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("vec_id"), col("embedding"),
+        (aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0).as("scale"))
+      .select(col("vec_id"), col("scale"),
+        when(col("scale") === 0.0,
+          transform(col("embedding"), _ => lit(0)))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") / col("scale"), 0).cast("int")))
+        .as("qvec"))
+
+  /** Brute-force cosine top-k over the DEQUANTIZED int8 corpus — the
+    * fidelity check for [[quantizeInt8]]: max relative error per
+    * coordinate is 1/254, so a planted ~0.9999-cosine neighbor still
+    * separates cleanly from noise neighbors (≈0) after quantization. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val deq = quantizeInt8(corpus).select(col("vec_id"),
+      transform(col("qvec"), x => (x.cast("double") * col("scale")).cast("float"))
+        .as("embedding"))
+    bruteForceTopK(queries, deq, k)
+  }
+
+  /** L2-normalized unit vectors (cosine becomes a plain dot product
+    * downstream — normalize once, score many). Zero vectors stay zero. */
+  def l2Normalize(corpus: DataFrame): DataFrame =
+    corpus
+      // distinct name for the unrounded norm: an output alias `l2` in the
+      // same select would capture the lambda's col("l2") reference (the
+      // sibling-alias resolution gotcha) and divide by the ROUNDED norm
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("l2_raw"))
+      .select(col("vec_id"), round(col("l2_raw"), 6).as("l2"),
+        when(col("l2_raw") === 0.0, transform(col("embedding"), _ => lit(0.0)))
+        .otherwise(transform(col("embedding"),
+          x => round(x.cast("double") / col("l2_raw"), 9)))
+        .as("unit"))
+
   /** Embedding-cosine near-duplicate pairs over a deterministic sample:
     * top-k most similar pairs (id_a < id_b). */
   def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int): DataFrame = {

@@ -207,6 +207,88 @@ object TextStats {
         col("term"), col("tfidf"))
   }
 
+  /** End-to-end curation funnel — the composition a training-data pipeline
+    * actually runs, with the per-stage survivor counts an operator report
+    * shows: total → Gopher quality keep → language identified → exact
+    * dedup canonical-only → deterministic 10% sample. Each stage filters
+    * the previous stage's survivors, so the counts are a true funnel.
+    *
+    * Scale notes: the quality and lang-ID stages are narrow per-row math
+    * joined back on doc_id (co-partitioned, no extra exchange after the
+    * first); the dedup stage is one shuffle on the 32-byte content hash;
+    * the counts are partial-aggregated scalars. A production run would
+    * materialize each stage's survivors instead of counting — the plan
+    * shape is identical. */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    val base = docs.select("doc_id", "text")
+    val kept = base.join(
+      gopherQuality(docs).select(col("doc_id"), col("keep")), "doc_id")
+      .where(col("keep")).select("doc_id", "text")
+    val langed = kept.join(
+      langId(docs).select(col("doc_id"), col("predicted_lang")), "doc_id")
+      .where(col("predicted_lang") =!= "und").select("doc_id", "text")
+    val deduped = langed.join(
+      Dedup.canonicalize(langed).select("doc_id", "is_dup"), "doc_id")
+      .where(!col("is_dup")).select("doc_id", "text")
+    val sampled = deduped.where(pmod(col("doc_id"), lit(10)) === 0)
+    def stage(df: DataFrame, id: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"))
+    stage(base, 1, "total")
+      .unionByName(stage(kept, 2, "quality_keep"))
+      .unionByName(stage(langed, 3, "lang_identified"))
+      .unionByName(stage(deduped, 4, "exact_dedup"))
+      .unionByName(stage(sampled, 5, "sample_10pct"))
+  }
+
+  /** Corpus bigram language-model scoring — the perplexity-style quality
+    * signal a training-data pipeline uses to rank documents (fluent text
+    * scores low, gibberish high). Two passes over the corpus:
+    *
+    *  1. Model: bigram counts c12 aggregated corpus-wide (shuffle keyed on
+    *     the gram string; partial aggregation absorbs the per-doc fan-in
+    *     before the exchange), prefix counts c1 derived from the model,
+    *     vocabulary size V as a broadcast scalar.
+    *  2. Score: per-doc bigram counts join the model on the gram key (the
+    *     same shuffle key, so the exchange is reused), Laplace-smoothed
+    *     probability p = (c12+1)/(c1+V), and the per-doc average negative
+    *     log-likelihood.
+    *
+    * Cross-engine determinism: each bigram's -ln(p) is rounded to integer
+    * MICRO-nats first and summed as a BIGINT — integer summation is
+    * order-independent, so the result doesn't depend on either engine's
+    * aggregation order; only the final average is float math (one division,
+    * rounded). Docs with fewer than two alphabetic tokens are excluded
+    * (they have no bigrams). */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = filter(tokens(lower(col("text"))), t => t.rlike("^[a-z]+$"))
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+    val n = size(col("toks"))
+    val grams = base.where(n >= 2).select(col("doc_id"),
+      explode(zip_with(slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).as("gram"))
+    val docBg = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+    val model = docBg.groupBy("gram").agg(sum("cnt").as("c12"))
+    val prefix = model
+      .groupBy(substring_index(col("gram"), " ", 1).as("w1"))
+      .agg(sum("c12").as("c1"))
+    val vocab = broadcast(base.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct("tok").cast("double").as("v")))
+    val nllMicro = round(-log((col("c12") + lit(1.0)) / (col("c1") + col("v")))
+      * lit(1000000.0), 0).cast("long")
+    docBg.join(model, "gram")
+      .join(prefix, substring_index(col("gram"), " ", 1) === col("w1"))
+      .crossJoin(vocab)
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_bigrams"),
+        sum(col("cnt") * nllMicro).as("nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("nll_micro").cast("double") /
+          (col("n_bigrams").cast("double") * 1000000.0), 6).as("avg_nll"))
+  }
+
   /** Document fingerprint: polynomial rolling hash over per-token codes,
     * mod 2^31-1. Token code and fold are expressible identically in any
     * SQL engine with list folds (cross-engine verifiable, unlike

@@ -201,6 +201,86 @@ object ExtQueries {
       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
       |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  private def textFunnel(s: SparkSession, dir: String): DataFrame =
+    TextStats.curationFunnel(Tables.documents(s, dir)).orderBy("stage_id")
+
+  private val textFunnelSql = {
+    val stops = TextStats.langStopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    val hitExprs = TextStats.langStopwords.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(toks, x -> list_contains($arr, x)))"
+    }.mkString("greatest(", ", ", ")")
+    s"""WITH t AS (
+       |  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |kept AS (
+       |  SELECT doc_id, text, toks FROM (
+       |    SELECT *, len(toks) AS n_tokens,
+       |      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |        / len(toks) AS mean_len,
+       |      CAST(len(list_filter(toks,
+       |             x -> regexp_matches(x, '[a-zA-Z一-鿿]'))) AS DOUBLE)
+       |        / len(toks) AS alpha_frac,
+       |      len(list_filter($stops, w -> list_contains(toks, w))) AS n_stops
+       |    FROM t)
+       |  WHERE n_tokens BETWEEN 10 AND 100000 AND mean_len BETWEEN 2.0 AND 12.0
+       |    AND alpha_frac >= 0.8 AND n_stops >= 2),
+       |langed AS (
+       |  SELECT doc_id, text FROM kept WHERE $hitExprs > 0),
+       |deduped AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY
+       |      sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))) AS canon
+       |    FROM langed)
+       |  WHERE doc_id = canon),
+       |sampled AS (SELECT doc_id FROM deduped WHERE doc_id % 10 = 0)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_id, 'total' AS stage,
+       |         count(*) AS n_docs FROM t
+       |  UNION ALL SELECT 2, 'quality_keep', count(*) FROM kept
+       |  UNION ALL SELECT 3, 'lang_identified', count(*) FROM langed
+       |  UNION ALL SELECT 4, 'exact_dedup', count(*) FROM deduped
+       |  UNION ALL SELECT 5, 'sample_10pct', count(*) FROM sampled)
+       |ORDER BY stage_id""".stripMargin
+  }
+
+  private def textLmScore(s: SparkSession, dir: String): DataFrame =
+    TextStats.bigramLmScore(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textLmScoreSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                x -> regexp_matches(x, '^[a-z]+$')) AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)),
+      |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+      |  FROM t WHERE len(toks) >= 2),
+      |docbg AS (SELECT doc_id, gram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+      |model AS (SELECT gram, sum(cnt) AS c12 FROM docbg GROUP BY 1),
+      |prefix AS (
+      |  SELECT split_part(gram, ' ', 1) AS w1, sum(c12) AS c1
+      |  FROM model GROUP BY 1),
+      |vocab AS (
+      |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+      |  FROM (SELECT unnest(toks) AS tok FROM t)),
+      |scored AS (
+      |  SELECT d.doc_id, sum(d.cnt) AS n_bigrams,
+      |    sum(d.cnt * CAST(round(-ln((m.c12 + 1.0) / (p.c1 + vocab.v))
+      |      * 1000000, 0) AS BIGINT)) AS nll_micro
+      |  FROM docbg d
+      |  JOIN model m USING (gram)
+      |  JOIN prefix p ON split_part(d.gram, ' ', 1) = p.w1
+      |  CROSS JOIN vocab
+      |  GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |  round(CAST(nll_micro AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0),
+      |        6) AS avg_nll
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------- dedup
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -475,6 +555,54 @@ object ExtQueries {
     """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_planted
       |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id""".stripMargin
 
+  /** Exact-oracle int8 quantization of the full embedding table: every
+    * arithmetic step is IEEE-exact in both engines, so scale and the
+    * integer code vector hash-match bit-for-bit. */
+  private def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .orderBy("vec_id")
+
+  private val embQuantizeSql =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      |  FROM embeddings)
+      |SELECT vec_id, scale,
+      |  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+      |       ELSE list_transform(embedding,
+      |              x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INTEGER))
+      |  END AS qvec
+      |FROM s ORDER BY vec_id""".stripMargin
+
+  private def embL2Normalize(s: SparkSession, dir: String): DataFrame =
+    Similarity.l2Normalize(Tables.embeddings(s, dir))
+      .orderBy("vec_id")
+
+  private val embL2NormalizeSql =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+      |  FROM embeddings)
+      |SELECT vec_id, round(l2, 6) AS l2,
+      |  CASE WHEN l2 = 0 THEN list_transform(embedding, x -> 0.0)
+      |       ELSE list_transform(embedding,
+      |              x -> round(CAST(x AS DOUBLE) / l2, 9))
+      |  END AS unit
+      |FROM s ORDER BY vec_id""".stripMargin
+
+  /** Planted-recall contract through the quantized corpus: the ~0.04%
+    * max quantization error cannot drop a 0.9999-cosine planted neighbor
+    * below the noise floor, so the constant-truth oracle applies. */
+  private def simQuantizedRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = withPlantedNearDups(emb, 100)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    foundPlanted(Similarity.quantizedTopK(queries, corpus, k = 5))
+      .orderBy("query_id")
+  }
+
   private def simRpLshRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
@@ -707,6 +835,8 @@ object ExtQueries {
     "text_repetition" -> QueryDef(textRepetition, Some(textRepetitionSql)),
     "text_pii_scrub" -> QueryDef(textPiiScrub, Some(textPiiScrubSql)),
     "text_tfidf" -> QueryDef(textTfidf, Some(textTfidfSql)),
+    "text_lm_score" -> QueryDef(textLmScore, Some(textLmScoreSql)),
+    "text_funnel" -> QueryDef(textFunnel, Some(textFunnelSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),
@@ -724,6 +854,9 @@ object ExtQueries {
     "sim_ivf_kmeans_recall" -> QueryDef(simIvfKMeansRecall, Some(simRecallSql)),
     "sim_rplsh_topk" -> QueryDef(simRpLsh, None),
     "sim_rplsh_recall" -> QueryDef(simRpLshRecall, Some(simRecallSql)),
+    "sim_quantized_recall" -> QueryDef(simQuantizedRecall, Some(simRecallSql)),
+    "emb_quantize_int8" -> QueryDef(embQuantize, Some(embQuantizeSql)),
+    "emb_l2_normalize" -> QueryDef(embL2Normalize, Some(embL2NormalizeSql)),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
     "sim_neardup_lsh" -> QueryDef(simNearDupLsh, Some(simRecallSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),

@@ -94,6 +94,31 @@ class OpsSpec extends SparkSuite {
     assert(rank1(1L) === 101L)
   }
 
+  test("int8 quantization: codes bounded, roundtrip error within one step") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val q = Similarity.quantizeInt8(emb)
+    val joined = q.join(emb, "vec_id").select(
+      expr("aggregate(qvec, 0, (m, c) -> greatest(m, abs(c)))").as("max_code"),
+      expr("""aggregate(zip_with(qvec, embedding,
+        (c, x) -> abs(c * scale - cast(x as double))), cast(0.0 as double),
+        (m, e) -> greatest(m, e))""").as("max_err"),
+      col("scale"))
+    val rows = joined.collect()
+    assert(rows.forall(_.getInt(0) <= 127))
+    assert(rows.exists(_.getInt(0) === 127)) // scale anchored to max|x|
+    // dequantization error is at most half a quantization step
+    assert(rows.forall(r => r.getDouble(1) <= r.getDouble(2) * 0.5 + 1e-12))
+  }
+
+  test("l2 normalize produces unit vectors") {
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val norms = Similarity.l2Normalize(emb)
+      .select(expr(
+        "aggregate(unit, cast(0.0 as double), (a, x) -> a + x * x)").as("ss"))
+      .collect()
+    assert(norms.forall(r => math.abs(r.getDouble(0) - 1.0) < 1e-6))
+  }
+
   test("recallAtK: exact-vs-exact is 1.0; disjoint ANN is 0.0") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val queries = emb.filter($"vec_id" % 100 === 0)
@@ -159,6 +184,17 @@ class OpsSpec extends SparkSuite {
     val out = TextStats.piiScrub(docs).collect()
     assert(out.forall(_.getLong(1) === 2L)) // two stamped emails per doc
     assert(out.forall(_.getLong(2) === 1L)) // one stamped ip per doc
+  }
+
+  test("bigram LM scores formulaic text as more likely than rare text") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and the cat sat on the mat again"),
+      (2L, "qzv blorp xku wem fandle grith sopl")) // all-unique bigrams
+      .toDF("doc_id", "text")
+    val out = TextStats.bigramLmScore(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) < out(2L)) // repeated bigrams -> higher p -> lower NLL
+    assert(out.values.forall(_ > 0.0))
   }
 
   test("tfidf ranks a doc-specific rare term above common terms") {
