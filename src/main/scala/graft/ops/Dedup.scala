@@ -63,24 +63,29 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    // the cached DF to release each round (labels may be a projection
+    // over it, so labels.unpersist() alone would leak the cache)
+    var cached = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val neighborMin = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("nid")).agg(min(col("label")).as("nlabel"))
+      // carry the old label through the update so the convergence probe
+      // is a filter over this same result — not a second join against
+      // the previous labels (halves the per-iteration join count)
       val next = labels.alias("l")
         .join(neighborMin, col("l.id") === col("nid"), "left_outer")
-        .select(col("l.id").as("id"),
+        .select(col("l.id").as("id"), col("l.label").as("old_label"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
         .persist()
       // convergence probe: one count over the changed-label set — the
       // driver sees a single long per iteration, nothing is collected
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
+      converged = next.filter(col("label") =!= col("old_label"))
         .limit(1).count() == 0L
-      labels.unpersist()
-      labels = next
+      cached.unpersist()
+      cached = next
+      labels = next.select("id", "label")
       iter += 1
     }
     edges.unpersist()
