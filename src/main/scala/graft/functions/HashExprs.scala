@@ -270,6 +270,75 @@ object HashExprs {
   def minhashSig(spark: SparkSession, shinglesCol: String): Column =
     expr(s"graft_minhash_sig($shinglesCol)")
 
+  /** Distinct word w-grams of a document in first-occurrence order, with
+    * the same tokenization as [[MinHashDoc]] (trim 0x20, split on \s+)
+    * and the same short-doc fallback as `Dedup.shingles` (fewer than w
+    * tokens → the single raw text). The built-in form
+    * (`array_distinct(transform(sequence(...), concat_ws(...)))`) runs
+    * every lambda step interpreted — measured at ~10× the rest of an LSH
+    * pass when materialized corpus-wide; this is one loop per row and the
+    * gram strings are engine-portable (exact DuckDB oracle), unlike the
+    * hash-valued expressions above. Input: string. Output: array<string>. */
+  case class WordNgrams(child: Expression, w: Int)
+    extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    private val ws = java.util.regex.Pattern.compile("\\s+")
+
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = text.toString
+      var st = 0
+      var en = s.length
+      while (st < en && s.charAt(st) == ' ') st += 1
+      while (en > st && s.charAt(en - 1) == ' ') en -= 1
+      val toks = ws.split(s.substring(st, en), -1)
+      val out = new java.util.LinkedHashSet[String]()
+      if (toks.length >= w) {
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i <= toks.length - w) {
+          sb.setLength(0)
+          var j = 0
+          while (j < w) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          out.add(sb.toString)
+          i += 1
+        }
+      } else out.add(s)
+      val arr = new Array[Any](out.size)
+      val it = out.iterator
+      var i = 0
+      while (it.hasNext) {
+        arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(it.next())
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("wordNgrams", this, classOf[WordNgrams].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_word_ngrams"
+  }
+
+  def registerWordNgrams(spark: SparkSession, w: Int): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_word_ngrams", exprs => WordNgrams(exprs.head, w), "built-in")
+
+  def wordNgrams(spark: SparkSession, textCol: String): Column =
+    expr(s"graft_word_ngrams($textCol)")
+
   def registerMinHashDoc(spark: SparkSession, w: Int, a: IndexedSeq[Long],
       b: IndexedSeq[Long], p: Long): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

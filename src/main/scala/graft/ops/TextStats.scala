@@ -207,6 +207,45 @@ object TextStats {
         col("term"), col("tfidf"))
   }
 
+  /** Benchmark decontamination — flag training documents that share any
+    * word `w`-gram with the held-out evaluation set (the standard
+    * n-gram-overlap contamination check run before training). The eval
+    * set here is the deterministic `doc_id % evalMod == 0` slice; a fixed
+    * marker phrase is stamped into every eval doc AND into training docs
+    * with `doc_id % plantMod == 0`, so the check provably fires (the
+    * corpus is synthetic — natural overlap may be empty) while still
+    * counting any natural n-gram collisions.
+    *
+    * Scale shape: the eval-side gram set is tiny relative to the corpus
+    * (benchmarks are megabytes against terabytes) and is BROADCAST, so
+    * the training corpus is never shuffled by gram — one narrow pass
+    * builds grams (custom expression, see HashExprs.WordNgrams), the
+    * broadcast hash join filters them, and the per-doc hit count is a
+    * partial-aggregated groupBy on doc_id. At extreme eval sizes the
+    * broadcast becomes a bloom-filter prefilter + shuffle join on the
+    * survivors; the operator shape is otherwise identical. */
+  def contamination(docs: DataFrame, evalMod: Int = 97, plantMod: Int = 31,
+      w: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.HashExprs.registerWordNgrams(spark, w)
+    val marker = " alpha bravo charlie delta echo foxtrot golf hotel"
+    val stamped = docs.select(col("doc_id"),
+      when(col("doc_id") % evalMod === 0 || col("doc_id") % plantMod === 0,
+        concat(col("text"), lit(marker))).otherwise(col("text")).as("text"))
+    def gramsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(graft.functions.HashExprs.wordNgrams(spark, "text")).as("gram"))
+    val evalGrams = gramsOf(stamped.where(col("doc_id") % evalMod === 0))
+      .select("gram").distinct()
+    val trainGrams = gramsOf(stamped.where(col("doc_id") % evalMod =!= 0))
+    val hits = trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(countDistinct("gram").as("n_hits"))
+    docs.where(col("doc_id") % evalMod =!= 0).select("doc_id")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** End-to-end curation funnel — the composition a training-data pipeline
     * actually runs, with the per-stage survivor counts an operator report
     * shows: total → Gopher quality keep → language identified → exact

@@ -201,6 +201,36 @@ object ExtQueries {
       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
       |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  private def textDecontaminate(s: SparkSession, dir: String): DataFrame =
+    TextStats.contamination(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textDecontaminateSql = {
+    val gram8 = (0 until 8).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+      |         THEN text || ' alpha bravo charlie delta echo foxtrot golf hotel'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(CASE WHEN len(toks) >= 8
+      |    THEN list_distinct(list_transform(range(1, len(toks) - 6),
+      |           i -> GRAM8))
+      |    ELSE [text] END) AS gram
+      |  FROM (SELECT doc_id, text,
+      |          string_split_regex(trim(text), '\s+') AS toks FROM d)),
+      |e AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+      |t AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0),
+      |hits AS (
+      |  SELECT t.doc_id, count(DISTINCT t.gram) AS n_hits
+      |  FROM t JOIN e USING (gram) GROUP BY 1)
+      |SELECT base.doc_id, coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+      |  coalesce(h.n_hits, CAST(0 AS BIGINT)) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) base
+      |LEFT JOIN hits h ON base.doc_id = h.doc_id
+      |ORDER BY base.doc_id""".stripMargin.replace("GRAM8", gram8)
+  }
+
   private def textFunnel(s: SparkSession, dir: String): DataFrame =
     TextStats.curationFunnel(Tables.documents(s, dir)).orderBy("stage_id")
 
@@ -837,6 +867,7 @@ object ExtQueries {
     "text_tfidf" -> QueryDef(textTfidf, Some(textTfidfSql)),
     "text_lm_score" -> QueryDef(textLmScore, Some(textLmScoreSql)),
     "text_funnel" -> QueryDef(textFunnel, Some(textFunnelSql)),
+    "text_decontaminate" -> QueryDef(textDecontaminate, Some(textDecontaminateSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),

@@ -186,6 +186,30 @@ class OpsSpec extends SparkSuite {
     assert(out.forall(_.getLong(2) === 1L)) // one stamped ip per doc
   }
 
+  test("word ngrams expression: distinct grams, short-doc fallback") {
+    graft.functions.HashExprs.registerWordNgrams(spark, 3)
+    val df = Seq(
+      (1L, "a b c d a b c d"), // grams: "a b c","b c d","c d a","d a b" (distinct)
+      (2L, "x y"))             // shorter than w -> whole text
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        graft.functions.HashExprs.wordNgrams(spark, "text").as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("a b c", "b c d", "c d a", "d a b"))
+    assert(out(2L) === Seq("x y"))
+  }
+
+  test("contamination flags planted eval-overlap docs and only those") {
+    val docs = (1L to 200L).map(i =>
+      (i, s"unique$i words for document number $i with enough tokens here"))
+      .toDF("doc_id", "text")
+    val out = TextStats.contamination(docs, evalMod = 97, plantMod = 31, w = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.forall { case (id, _, c) => c === (id % 31 == 0) })
+    assert(out.count(_._3) === 6) // 31, 62, ..., 186
+    assert(!out.exists(_._1 % 97 == 0)) // eval docs excluded from output
+  }
+
   test("bigram LM scores formulaic text as more likely than rare text") {
     val df = Seq(
       (1L, "the cat sat on the mat and the cat sat on the mat again"),
