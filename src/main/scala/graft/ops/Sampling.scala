@@ -51,4 +51,38 @@ object Sampling {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("shard")
+
+  /** Sequence packing for pretraining: concatenate the corpus in doc_id
+    * order and cut it into fixed `budget`-token sequences; each document
+    * is assigned the sequence where its first token lands (documents may
+    * straddle boundaries — the GPT-style document-stream model). Output:
+    * per-doc token count, global token offset, and sequence id.
+    *
+    * The global offset is a distributed two-phase prefix sum — NOT a
+    * single-partition global window (which would serialize the corpus
+    * through one task at scale): contiguous id-range buckets keep within-
+    * bucket windows parallel, per-bucket totals are a `buckets`-row
+    * aggregate whose running sum is the only single-partition step, and
+    * those offsets broadcast back. All arithmetic is 64-bit integer, so
+    * the result is engine-exact. */
+  def packSequences(docs: DataFrame, budget: Long, buckets: Int = 32): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      size(TextStats.tokens(col("text"))).cast("bigint").as("n_tokens"))
+    val maxId = docs.agg(max("doc_id").as("max_id"))
+    val bucketed = toks.crossJoin(broadcast(maxId))
+      .withColumn("bucket", expr(s"(doc_id * $buckets) div (max_id + 1)"))
+    val bucketTotals = bucketed.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketOffsets = bucketTotals.select(col("bucket"),
+      coalesce(sum("bucket_tokens").over(wB), lit(0L)).as("bucket_offset"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(bucketOffsets), "bucket")
+      .withColumn("offset",
+        col("bucket_offset") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("offset"),
+        expr(s"offset div ${budget}L").as("seq_id"))
+  }
 }

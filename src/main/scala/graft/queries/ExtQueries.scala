@@ -463,6 +463,34 @@ object ExtQueries {
       |SELECT shard, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(Tables.documents(s, dir), budget = 512L)
+      .orderBy("doc_id")
+
+  private val packSequencesSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |m AS (SELECT max(doc_id) AS max_id FROM documents),
+      |b AS (SELECT doc_id, n_tokens, (doc_id * 32) // (max_id + 1) AS bucket
+      |      FROM toks, m),
+      |bt AS (SELECT bucket, CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+      |       FROM b GROUP BY 1),
+      |bo AS (SELECT bucket,
+      |         coalesce(CAST(sum(bucket_tokens) OVER (ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |           0) AS bucket_offset
+      |       FROM bt),
+      |o AS (SELECT b.doc_id, b.n_tokens,
+      |        bo.bucket_offset + coalesce(CAST(sum(b.n_tokens) OVER (
+      |          PARTITION BY b.bucket ORDER BY b.doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |          0) AS "offset"
+      |      FROM b JOIN bo USING (bucket))
+      |SELECT doc_id, n_tokens, "offset", "offset" // 512 AS seq_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   /** Corpus-wide heavy hitters through the custom Space-Saving UDAF
     * (graft.functions.SpaceSavingTopK): top-20 tokens with exact counts —
     * capacity 64 exceeds the synthetic vocabulary, so the bounded-memory
@@ -879,6 +907,7 @@ object ExtQueries {
     "dedup_cluster_planted" -> QueryDef(dedupClusterPlanted, Some(dedupClusterPlantedSql)),
     "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
+    "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
     "sim_ivf_topk" -> QueryDef(simIvf, None),
     "sim_ivf_recall" -> QueryDef(simIvfRecall, Some(simRecallSql)),

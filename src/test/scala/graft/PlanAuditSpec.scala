@@ -27,6 +27,13 @@ class PlanAuditSpec extends SparkSuite {
       s"expected pushed filter in:\n$p")
   }
 
+  test("text_decontaminate: eval grams broadcast, corpus never shuffles by gram") {
+    val p = plan("text_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "gram match must be a broadcast join")
+    assert(!p.contains("SortMergeJoin"),
+      "the training-side gram stream must not shuffle-sort by gram")
+  }
+
   test("t2_cast_json: events scan reads only referenced columns") {
     val p = plan("t2_cast_json")
     assert(!p.contains("user_id") && !p.contains("value"),

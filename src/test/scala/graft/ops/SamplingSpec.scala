@@ -32,6 +32,22 @@ class SamplingSpec extends SparkSuite {
     assert(sizes.max - sizes.min <= 1, s"unbalanced shards: ${sizes.toList}")
   }
 
+  test("pack sequences: offsets are an exact global prefix sum in id order") {
+    val textDocs = (1L to 500L)
+      .map(i => (i, ("tok " * ((i % 37).toInt + 1)).trim)) // 1..37 tokens per doc
+      .toDF("doc_id", "text")
+    val packed = Sampling.packSequences(textDocs, budget = 64L, buckets = 8)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    // continuity: every doc starts exactly where the previous one ended,
+    // regardless of the bucket boundaries of the two-phase prefix sum
+    packed.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 === a._3 + a._2, s"gap between doc ${a._1} and ${b._1}")
+    }
+    assert(packed.head._3 === 0L)
+    assert(packed.forall(r => r._4 === r._3 / 64L))
+  }
+
   test("connected components merge chained pairs into one cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("id_a", "id_b")
