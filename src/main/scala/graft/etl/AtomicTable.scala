@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** A minimal transactional-table protocol over parquet — the engine's
@@ -41,8 +41,12 @@ import org.apache.spark.sql.types.StructType
   */
 object AtomicTable {
 
-  /** partitions: partition value -> data dir relative to the table root. */
-  final case class Manifest(version: Long, partitions: Map[String, String])
+  /** partitions: partition value -> data dir relative to the table root.
+    * properties: small KV payload committed ATOMICALLY with the data — the
+    * streaming sink stores its last batch epoch here, which is what makes
+    * foreachBatch replay idempotent (see graft.streaming.Streams). */
+  final case class Manifest(version: Long, partitions: Map[String, String],
+      properties: Map[String, String] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -56,10 +60,19 @@ object AtomicTable {
     else None
 
   def manifest(root: Path): Option[Manifest] = currentVersion(root).map { v =>
+    manifestAt(root, v)
+  }
+
+  /** A specific version's manifest (the file must still exist — see
+    * `retainVersions`). */
+  def manifestAt(root: Path, v: Long): Manifest = {
     val n = mapper.readTree(Files.readString(manifestFile(root, v)))
+    val props = Option(n.get("properties")).map(_.fields().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
     Manifest(n.get("version").asLong,
       n.get("partitions").fields().asScala
-        .map(e => e.getKey -> e.getValue.asText).toMap)
+        .map(e => e.getKey -> e.getValue.asText).toMap,
+      props)
   }
 
   private def writeManifest(root: Path, m: Manifest): Unit = {
@@ -67,6 +80,8 @@ object AtomicTable {
     node.put("version", m.version)
     val parts = node.putObject("partitions")
     m.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => parts.put(k, v) }
+    val props = node.putObject("properties")
+    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     Files.createDirectories(root.resolve("_manifests"))
     Files.writeString(manifestFile(root, m.version),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
@@ -79,25 +94,47 @@ object AtomicTable {
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(m) =>
-        // one scan per txn dir (its basePath restores the partition column
-        // from the dir names), unioned; a filter on the partition column
-        // pushes through the union into each scan's PartitionFilters
-        val byTxn = m.partitions.values.toSeq.sorted
-          .groupBy(d => d.substring(0, d.lastIndexOf('/')))
-        byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
-          spark.read.option("basePath", s"$table/$txnDir")
-            .parquet(dirs.map(d => s"$table/$d"): _*)
-        }.reduce(_.unionByName(_)).select(schema.fieldNames.map(col): _*)
+      case Some(m) => readManifest(spark, table, schema, m)
     }
+
+  /** Time travel: read the table AS OF `version`. Valid while the version
+    * is inside the table's retention window (`retainVersions` at write
+    * time) — the manifest and every data dir it references are kept on
+    * disk until they age out, so a reader pinned to an old snapshot keeps
+    * a consistent view no matter how many commits land after it. */
+  def readAt(spark: SparkSession, table: String, schema: StructType,
+      version: Long): DataFrame = {
+    val root = Paths.get(table)
+    require(currentVersion(root).exists(_ >= version),
+      s"version $version was never committed to $table")
+    require(Files.exists(manifestFile(root, version)),
+      s"version $version is outside the retention window of $table")
+    readManifest(spark, table, schema, manifestAt(root, version))
+  }
+
+  private def readManifest(spark: SparkSession, table: String,
+      schema: StructType, m: Manifest): DataFrame = {
+    // one scan per txn dir (its basePath restores the partition column
+    // from the dir names), unioned; a filter on the partition column
+    // pushes through the union into each scan's PartitionFilters
+    val byTxn = m.partitions.values.toSeq.sorted
+      .groupBy(d => d.substring(0, d.lastIndexOf('/')))
+    byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
+      spark.read.option("basePath", s"$table/$txnDir")
+        .parquet(dirs.map(d => s"$table/$d"): _*)
+    }.reduce(_.unionByName(_)).select(schema.fieldNames.map(col): _*)
+  }
 
   /** Atomically replace the partitions present in `rows` (values of
     * `partitionCol`), leaving all other partitions at their current data
     * dirs. `beforeCommit` is a test hook invoked after the staged data is
     * durable but before the version swap — throwing there simulates a
     * crash at the worst moment and must leave the table unchanged. */
+  /** `retain` = how many trailing versions stay readable (via `readAt`)
+    * after this commit; 1 keeps only the new version (no time travel). */
   def replacePartitions(spark: SparkSession, table: String, rows: DataFrame,
-      partitionCol: String, beforeCommit: () => Unit = () => ()): Manifest = {
+      partitionCol: String, beforeCommit: () => Unit = () => (),
+      properties: Map[String, String] = Map.empty, retain: Int = 1): Manifest = {
     val root = Paths.get(table)
     val txn = s"txn-${UUID.randomUUID().toString.take(12)}"
     rows.write.partitionBy(partitionCol).parquet(root.resolve("data").resolve(txn).toString)
@@ -111,7 +148,8 @@ object AtomicTable {
       }.toMap
     val prev = manifest(root)
     val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
-      prev.map(_.partitions).getOrElse(Map.empty) ++ written)
+      prev.map(_.partitions).getOrElse(Map.empty) ++ written,
+      prev.map(_.properties).getOrElse(Map.empty) ++ properties)
     writeManifest(root, next)
 
     beforeCommit()
@@ -122,18 +160,72 @@ object AtomicTable {
     Files.move(tmp, versionFile(root),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
-    gc(root, next)
+    gc(root, next, retain)
     next
   }
 
-  /** Best-effort post-commit GC: delete data dirs no manifest references…
-    * conservatively, only dirs unreferenced by the CURRENT manifest that
-    * also belong to no newer manifest file. Crash here leaves orphans,
-    * never corruption. */
-  private def gc(root: Path, current: Manifest): Unit = {
+  /** Bin-pack the table's files: rewrite every partition with one task per
+    * partition value, committed through the same atomic protocol. Many
+    * incremental commits leave each partition with one small file per
+    * writer task; at 100 TB the small-file tax (NameNode/listing pressure,
+    * per-file open cost, tiny row groups that defeat min/max skipping)
+    * makes periodic compaction a first-class maintenance operator — this
+    * is `OPTIMIZE` without the Delta dependency. Readers racing the
+    * compaction keep their snapshot: the rewrite lands as a new version.
+    *
+    * The hash repartition on the partition column sends each partition
+    * value to exactly one task, so each partition dir ends up with one
+    * file (pass `filesPerPartition > 1` to spread very large partitions —
+    * repartitions on (partitionCol, random-ish split) instead). */
+  def compact(spark: SparkSession, table: String, schema: StructType,
+      partitionCol: String, filesPerPartition: Int = 1): Manifest = {
+    val current = read(spark, table, schema)
+    val packed =
+      if (filesPerPartition <= 1) current.repartition(col(partitionCol))
+      else current.repartition(col(partitionCol),
+        pmod(xxhash64(schema.fieldNames.map(col): _*), lit(filesPerPartition.toLong)))
+    replacePartitions(spark, table, packed, partitionCol)
+  }
+
+  /** Number of data files the current manifest references — the metric a
+    * compaction job watches. */
+  def dataFileCount(root: Path): Long = manifest(root) match {
+    case None => 0L
+    case Some(m) =>
+      m.partitions.values.toSeq.map { d =>
+        val dir = root.resolve(d)
+        if (!Files.isDirectory(dir)) 0L
+        else {
+          val s = Files.list(dir)
+          try s.iterator.asScala.count(p =>
+            p.getFileName.toString.endsWith(".parquet")).toLong
+          finally s.close()
+        }
+      }.sum
+  }
+
+  /** Best-effort post-commit GC: delete data dirs referenced by no
+    * RETAINED manifest (the trailing `retain` versions survive, enabling
+    * `readAt` time travel inside that window; manifests older than the
+    * window are pruned). Crash here leaves orphans, never corruption. */
+  private def gc(root: Path, current: Manifest, retain: Int): Unit = {
     val dataDir = root.resolve("data")
     if (!Files.isDirectory(dataDir)) return
-    val referenced = current.partitions.values.toSet
+    val minKeep = current.version - (retain.max(1) - 1)
+    val mDir = root.resolve("_manifests")
+    if (Files.isDirectory(mDir)) {
+      val ms = Files.list(mDir)
+      try ms.iterator.asScala.toList.foreach { f =>
+        f.getFileName.toString.stripPrefix("v").stripSuffix(".json")
+          .toLongOption.filter(_ < minKeep)
+          .foreach(_ => Files.deleteIfExists(f))
+      } finally ms.close()
+    }
+    val referenced = (minKeep.max(1L) to current.version).flatMap { v =>
+      if (Files.exists(manifestFile(root, v)))
+        manifestAt(root, v).partitions.values
+      else Nil
+    }.toSet
     val txns = Files.list(dataDir).iterator.asScala.toList
     for (txn <- txns if Files.isDirectory(txn)) {
       val parts = Files.list(txn).iterator.asScala.toList

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.etl.AtomicTable
+import graft.functions.HashExprs
+
+/** Incremental MinHash-LSH dedup index: near-dup detection of a NEW batch
+  * against an already-ingested corpus without recomputing the corpus.
+  *
+  * `Dedup.minhashPairs` is the one-shot form (whole corpus self-joined per
+  * run). A continuously-ingesting 100 TB pipeline can't re-sign petabytes
+  * per batch; it keeps a persistent index and pays per-batch cost
+  * proportional to the BATCH:
+  *
+  *  - `buckets`: (doc_id, n_sh, band, bucket) — four scalars per (doc,
+  *    band); the only table the candidate join touches.
+  *  - `sigs`: (doc_id, n_sh, signature[32]) — consulted only for the
+  *    candidate ids the verify stage actually compares.
+  *
+  * Both live in [[AtomicTable]]s partitioned by ingest tag, so appends are
+  * partition-granular (a batch commit touches one partition) and replays
+  * of a failed batch REPLACE their own partition — the same exactly-once
+  * idempotency as the streaming sink. Verification is signature agreement
+  * (the unbiased MinHash estimate of Jaccard), so the corpus TEXT is never
+  * needed again after signing — the index is self-contained and ~100
+  * bytes/doc regardless of document size.
+  */
+object DedupIndex {
+
+  private def bucketsPath(root: String) = s"$root/buckets"
+  private def sigsPath(root: String) = s"$root/sigs"
+
+  val bucketSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_sh", IntegerType),
+    StructField("band", IntegerType),
+    StructField("bucket", IntegerType),
+    StructField("ingest", StringType)))
+
+  val sigSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_sh", IntegerType),
+    StructField("signature", ArrayType(LongType, containsNull = false)),
+    StructField("ingest", StringType)))
+
+  /** Fused text→signature pass (one codegen'd expression per row). */
+  def signatures(docs: DataFrame, w: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    HashExprs.registerMinHashDoc(spark, w, Dedup.hashA, Dedup.hashB, Dedup.MinhashP)
+    docs.select(col("doc_id"), HashExprs.minhashDoc(spark, "text").as("ms"))
+      .select(col("doc_id"), col("ms.n_sh").as("n_sh"),
+        col("ms.sig").as("signature"))
+  }
+
+  /** Commit a batch into the index. Idempotent per `ingest` tag. */
+  def append(root: String, docs: DataFrame, ingest: String, w: Int = 3): Unit = {
+    val spark = docs.sparkSession
+    val sigs = signatures(docs, w).persist()
+    try {
+      AtomicTable.replacePartitions(spark, sigsPath(root),
+        sigs.withColumn("ingest", lit(ingest)), "ingest")
+      AtomicTable.replacePartitions(spark, bucketsPath(root),
+        Dedup.lshBuckets(sigs).withColumn("ingest", lit(ingest)), "ingest")
+      ()
+    } finally { sigs.unpersist(); () }
+  }
+
+  /** Estimated Jaccard: fraction of agreeing signature positions. */
+  private def sigSim(a: String, b: String) =
+    expr(s"""aggregate(zip_with($a, $b, (x, y) -> IF(x = y, 1, 0)),
+         | 0, (acc, v) -> acc + v)""".stripMargin).cast("double") /
+      lit(Dedup.NumHashes.toDouble)
+
+  /** Near-dup matches of `newDocs` against the CURRENT index: one row per
+    * (new doc, indexed doc) pair whose bucket collision survives the
+    * size-ratio prefilter and signature verification. The corpus side
+    * never rescans its text — the candidate join runs on the scalar
+    * bucket table, and only candidate ids fetch signatures. */
+  def matches(spark: SparkSession, root: String, newDocs: DataFrame,
+      threshold: Double = 0.5, w: Int = 3): DataFrame = {
+    val newSigs = signatures(newDocs, w).persist()
+    val newBuckets = Dedup.lshBuckets(newSigs)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("new_id"), col("n_sh").as("n_new"))
+    val indexed = AtomicTable.read(spark, bucketsPath(root), bucketSchema)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("idx_id"), col("n_sh").as("n_idx"))
+    val sizeOk = col("n_new") * threshold <= col("n_idx") &&
+      col("n_idx") * threshold <= col("n_new")
+    val candidates = newBuckets.join(indexed, Seq("band", "bucket"))
+      .filter(sizeOk)
+      .select("new_id", "idx_id")
+      .dropDuplicates("new_id", "idx_id")
+    val idxSigs = AtomicTable.read(spark, sigsPath(root), sigSchema)
+      .select(col("doc_id").as("idx_id"), col("signature").as("sig_idx"))
+    val newSide = newSigs
+      .select(col("doc_id").as("new_id"), col("signature").as("sig_new"))
+    candidates
+      .join(newSide, "new_id")
+      .join(idxSigs, "idx_id")
+      .withColumn("sig_sim", sigSim("sig_new", "sig_idx"))
+      .filter(col("sig_sim") >= threshold)
+      .select("new_id", "idx_id", "sig_sim")
+  }
+}

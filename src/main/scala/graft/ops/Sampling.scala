@@ -52,6 +52,24 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("shard")
 
+  /** Weighted sampling without replacement via sequential Poisson sampling
+    * (Ohlsson 1998): rank every row by `u / w` where `u` is a deterministic
+    * pseudo-uniform of the id and `w` the weight, keep the k smallest —
+    * inclusion probability ≈ proportional to weight. Cross-engine exact:
+    * `u` is pure 64-bit integer arithmetic and the priority is a SINGLE
+    * double division (correctly rounded IEEE in any engine), so even the
+    * tie-ordering matches an oracle. Scale shape: the rank-and-keep is
+    * `orderBy(...).limit(k)` — Spark plans TakeOrderedAndProject (per-
+    * partition top-k then a k-row driver merge), never a global sort. */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = pmod(col(idCol) * lit(2654435761L), lit(1000003L)) + lit(1L)
+    docs
+      .withColumn("priority", u.cast("double") / col(weightCol).cast("double"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
+
   /** Sequence packing for pretraining: concatenate the corpus in doc_id
     * order and cut it into fixed `budget`-token sequences; each document
     * is assigned the sequence where its first token lands (documents may

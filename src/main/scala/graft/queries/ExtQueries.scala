@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Stable.{dsum, sqlDsum}
-import graft.ops.{Dedup, EventWindows, Multimodal, Salting, Sampling, Similarity, TextStats}
+import graft.ops.{Chunking, Dedup, DedupIndex, EventWindows, Multimodal, Salting, Sampling, Similarity, TextStats}
 import graft.streaming.Streams
 
 /** Extension surface (SURVEY.md §7.6 + the north-star mandate): dedup,
@@ -382,6 +382,22 @@ object ExtQueries {
     val docs = Tables.documents(s, dir)
     foundPlantedPairs(plantedDocSample(docs),
       Dedup.minhashPairs(withPlantedTextDups(docs), threshold = 0.5))
+  }
+
+  /** Incremental-index twin of dedup_minhash_planted: the corpus is signed
+    * ONCE into a persistent LSH index (ops.DedupIndex), then the planted
+    * batch dedups against the index without touching corpus text — the
+    * continuous-ingestion shape. Same planted-recall oracle. */
+  private def dedupIndexPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    DedupIndex.append(root, docs, ingest = "base")
+    val batch = plantedDocSample(docs)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
+    val pairs = DedupIndex.matches(s, root, batch, threshold = 0.5)
+      .select(col("idx_id").as("id_a"), col("new_id").as("id_b"))
+    foundPlantedPairs(plantedDocSample(docs), pairs)
   }
 
   private def dedupSimhashPlanted(s: SparkSession, dir: String): DataFrame = {
@@ -882,8 +898,42 @@ object ExtQueries {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Context-window chunking (ops.Chunking): overlapping 200-char windows
+    * at stride 150 — a map-only generator pass, zero shuffle. */
+  private def textChunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.charChunks(Tables.documents(s, dir), size = 200, stride = 150)
+      .orderBy("doc_id", "chunk_id")
+
+  private val textChunksSql =
+    """WITH c AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, greatest((length(text) - 1) // 150, 0) + 1))
+      |      AS chunk_id
+      |  FROM documents)
+      |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |  substring(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS chunk,
+      |  CAST(length(substring(text, CAST(chunk_id * 150 + 1 AS INT), 200))
+      |    AS BIGINT) AS chunk_chars
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Weighted sampling without replacement (ops.Sampling.weightedSample):
+    * sequential Poisson sampling by deterministic priority — inclusion
+    * probability ∝ n_chars, top-k planned as TakeOrderedAndProject. */
+  private def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(Tables.documents(s, dir), k = 100)
+      .select(col("doc_id"), col("n_chars"), col("priority"))
+      .orderBy("priority", "doc_id")
+
+  private val sampleWeightedSql =
+    """SELECT doc_id, n_chars,
+      |  CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+      |    / CAST(n_chars AS DOUBLE) AS priority
+      |FROM documents ORDER BY priority, doc_id LIMIT 100""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
+    "text_chunks" -> QueryDef(textChunks, Some(textChunksSql)),
+    "sample_weighted" -> QueryDef(sampleWeighted, Some(sampleWeightedSql)),
     "text_bpe_tokens" -> QueryDef(textBpeTokens, Some(textBpeTokensSql)),
     "text_quality" -> QueryDef(textQuality, Some(textQualitySql)),
     "text_langid" -> QueryDef(textLangid, Some(textLangidSql)),
@@ -900,6 +950,7 @@ object ExtQueries {
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),
     "dedup_minhash_planted" -> QueryDef(dedupMinhashPlanted, Some(dedupPlantedSql)),
+    "dedup_index_planted" -> QueryDef(dedupIndexPlanted, Some(dedupPlantedSql)),
     "dedup_simhash_pairs" -> QueryDef(dedupSimhash, None),
     "dedup_simhash_planted" -> QueryDef(dedupSimhashPlanted, Some(dedupPlantedSql)),
     "dedup_ngram_jaccard" -> QueryDef(dedupNgramJaccard, Some(dedupNgramJaccardSql)),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Stable._
-import graft.ops.AsOf
+import graft.ops.{AsOf, BloomPrune, IncrAgg, Layout, Scd2}
 
 /** Coverage beyond the reference's own operator set (SURVEY.md §2.6 lists
   * what the reference lacks): as-of join, pivot/unpivot, rollup with
@@ -573,7 +573,121 @@ object MoreQueries {
       |FROM m LEFT JOIN orders ON month(o_orderdate) = n
       |GROUP BY n ORDER BY month_idx""".stripMargin
 
+  /** Bloom-pruned semi join (ops.BloomPrune): a broadcast bitmap of the
+    * selective key set drops non-matching fact rows before the join
+    * exchange; the exact semi join removes false positives, so the oracle
+    * is the plain IN-subquery aggregate. */
+  private def bloomPruneJoin(s: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select("o_orderkey")
+    BloomPrune.semiJoinPruned(Tables.lineitem(s, dir), keys,
+        "l_orderkey", "o_orderkey")
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_extendedprice"), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
+  private val bloomPruneJoinSql =
+    s"""SELECT l_returnflag,
+       |  ${sqlDsum("l_extendedprice", 2)} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_orderkey IN (
+       |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** SCD Type 2 history (ops.Scd2): per-customer order-status runs
+    * collapsed to validity intervals — gaps-and-islands over one shuffle. */
+  private def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderstatus"),
+      col("o_orderdate").cast("date").as("o_date"), col("o_orderkey"))
+    Scd2.intervals(ev, "o_custkey", "o_orderstatus", "o_date", "o_orderkey")
+      .orderBy(col("o_custkey"), col("valid_from"), col("valid_to"),
+        col("o_orderstatus"))
+  }
+
+  private val scd2HistorySql =
+    """WITH e AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |    CAST(o_orderdate AS DATE) AS o_date, o_orderkey
+      |  FROM orders),
+      |i AS (
+      |  SELECT o_custkey, o_orderstatus, o_date,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_date, o_orderkey)
+      |    - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+      |      ORDER BY o_date, o_orderkey) AS island
+      |  FROM e),
+      |r AS (
+      |  SELECT o_custkey, o_orderstatus,
+      |    min(o_date) AS valid_from, max(o_date) AS valid_to,
+      |    count(*) AS n_events
+      |  FROM i GROUP BY o_custkey, o_orderstatus, island)
+      |SELECT o_custkey, o_orderstatus, valid_from, valid_to, n_events,
+      |  valid_to = max(valid_to) OVER (PARTITION BY o_custkey) AS is_current
+      |FROM r
+      |ORDER BY o_custkey, valid_from, valid_to, o_orderstatus""".stripMargin
+
+  /** Incremental aggregate maintenance (ops.IncrAgg): a persisted moment
+    * state plus a delta batch merge to the same result as a full recompute
+    * — the oracle IS the full recompute. */
+  private def incrAggMerge(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val cutoff = lit("1999-01-01")
+    val stored = IncrAgg.state(
+      li.filter(col("l_shipdate") < cutoff), keys, "l_quantity", scale = 2)
+    val delta = IncrAgg.state(
+      li.filter(col("l_shipdate") >= cutoff), keys, "l_quantity", scale = 2)
+    IncrAgg.merge(stored.unionByName(delta), keys)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val incrAggMergeSql =
+    """WITH m AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    count(l_quantity) AS n_total,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(19,2))
+      |      * CAST(l_quantity AS DECIMAL(19,2))) AS DOUBLE) AS ss
+      |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, n_total,
+      |  s AS sum_v,
+      |  s / CAST(n_total AS DOUBLE) AS avg_v,
+      |  CASE WHEN n_total > 1 THEN
+      |    (ss - s * s / CAST(n_total AS DOUBLE))
+      |      / (CAST(n_total AS DOUBLE) - 1.0)
+      |  ELSE NULL END AS var_v
+      |FROM m ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Z-order (Morton) clustering value (ops.Layout): the bit-interleave is
+    * engine-neutral integer arithmetic, so the layout key itself is
+    * oracle-checked; the clustering effect is asserted in ScaleOpsSpec. */
+  private def zorderValue(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(1024L)).as("px"),
+        pmod(col("l_suppkey"), lit(1024L)).as("sx"))
+      .withColumn("z", Layout.zValue("px", "sx", bits = 10))
+      .orderBy("z", "l_orderkey", "l_linenumber")
+  }
+
+  private val zorderValueSql =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  l_partkey % 1024 AS px, l_suppkey % 1024 AS sx,
+       |  ${Layout.zValueSql("l_partkey % 1024", "l_suppkey % 1024", 10)} AS z
+       |FROM lineitem
+       |ORDER BY z, l_orderkey, l_linenumber""".stripMargin
+
   val defs: Seq[(String, QueryDef)] = Seq(
+    "bloom_prune_join" -> QueryDef(bloomPruneJoin, Some(bloomPruneJoinSql)),
+    "zorder_value" -> QueryDef(zorderValue, Some(zorderValueSql)),
+    "scd2_history" -> QueryDef(scd2History, Some(scd2HistorySql)),
+    "incr_agg_merge" -> QueryDef(incrAggMerge, Some(incrAggMergeSql)),
     "sql_scalar_subquery" -> QueryDef(sqlFrontend, Some(sqlFrontendSql)),
     "sql_exists" -> QueryDef(sqlExists, Some(sqlExistsSql)),
     "sql_lateral" -> QueryDef(sqlLateral, Some(sqlLateralSql)),

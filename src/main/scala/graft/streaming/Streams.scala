@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
+import graft.etl.AtomicTable
 import graft.functions.Stable._
 
 /** Structured Streaming forms of the event-time operators: the reference's
@@ -162,6 +163,51 @@ object Streams {
       try q.awaitTermination() finally q.stop()
     }
     spark.table(queryName).orderBy("user_id", "click_id", "purchase_id")
+  }
+
+  /** Exactly-once foreachBatch sink into an [[AtomicTable]].
+    *
+    * Structured Streaming's foreachBatch contract is at-least-once: after a
+    * crash between the sink write and the checkpoint commit, the same
+    * `batchId` is re-delivered. Two defenses compose here, both riding the
+    * table's single atomic version swap:
+    *
+    *  1. each batch lands in its own `batch_id=<N>` partition, so a replay
+    *     REPLACES the exact partition it wrote before (self-idempotent);
+    *  2. the sink records `last_batch_id` in the manifest properties — the
+    *     SAME commit that publishes the data — and skips any batch at or
+    *     below it, so replays don't even re-write bytes.
+    *
+    * This is the standard transactional-sink upgrade (epoch committed
+    * atomically with data); at scale the same shape works on any store
+    * with a conditional swap (HDFS rename, S3 conditional PUT). */
+  def exactlyOnceBatchCommit(table: String)(df: DataFrame, batchId: Long): Unit = {
+    val root = java.nio.file.Paths.get(table)
+    val last = AtomicTable.manifest(root)
+      .flatMap(_.properties.get("last_batch_id")).map(_.toLong).getOrElse(-1L)
+    if (batchId > last) {
+      AtomicTable.replacePartitions(df.sparkSession, table,
+        df.withColumn("batch_id", lit(batchId)), "batch_id",
+        properties = Map("last_batch_id" -> batchId.toString))
+      ()
+    }
+  }
+
+  /** Run the events stream into an AtomicTable warehouse with the
+    * exactly-once sink, AvailableNow trigger, and a real checkpoint dir —
+    * the deployment shape of a streaming ingest job. */
+  def ingestToWarehouse(spark: SparkSession, dir: String, table: String,
+      checkpoint: String): Unit = {
+    withStreamPartitions(spark, 8) {
+      val q = readEvents(spark, dir)
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) =>
+          exactlyOnceBatchCommit(table)(df, id))
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
   }
 
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

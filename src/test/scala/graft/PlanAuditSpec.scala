@@ -121,6 +121,49 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("bloom_prune_join: the bloom probe filters BELOW the semi join") {
+    // the point of the operator: the xxhash64 probe must sit on the fact
+    // side UNDER the exact semi join (rows are dropped map-side, before
+    // any exchange moves them). A join-shaped probe gets reordered ABOVE
+    // the semi join by Catalyst's semi-join pushdown — the literal-probe
+    // form must not.
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val plan = SparkEntry.queries("bloom_prune_join")(spark, sf0001)
+      .queryExecution.sparkPlan
+    val semis = plan.collect {
+      case j: BaseJoinExec if j.joinType.toString == "LeftSemi" => j
+    }
+    assert(semis.nonEmpty, s"expected a semi join:\n$plan")
+    assert(semis.exists(_.left.collect {
+      case f: FilterExec if f.condition.toString.contains("xxhash64") => f
+    }.nonEmpty), s"bloom probe must filter below the semi join:\n$plan")
+  }
+
+  test("sample_weighted: weighted top-k plans TakeOrderedAndProject") {
+    val p = plan("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k, not a global sort:\n$p")
+  }
+
+  test("text_chunks: chunk generation is map-only (no exchange)") {
+    import org.apache.spark.sql.functions.col
+    val p = graft.ops.Chunking
+      .charChunks(Tables.documents(spark, sf0001), 200, 150)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("Generate"), s"expected a generator:\n$p")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("clusterByZ: layout is a single range exchange on the z value") {
+    val grid = spark.range(0, 4096).selectExpr("id % 64 AS x", "id div 64 AS y")
+    val p = graft.ops.Layout.clusterByZ(grid, "x", "y", 8, bits = 6)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("rangepartitioning(_z"), s"expected range exchange:\n$p")
+    assert("Exchange".r.findAllIn(p).length === 1,
+      s"exactly one exchange for the layout pass:\n$p")
+  }
+
   test("dedup_exact_hash: shuffle carries hashes, not documents") {
     // formatted mode lists nodes bottom-up: the sha2 projection and the
     // partial aggregate must precede the exchange

@@ -1,0 +1,117 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+import graft.SparkSuite
+import graft.streaming.Streams
+
+/** Warehouse maintenance + streaming-sink specs: file compaction and the
+  * exactly-once foreachBatch commit, both over AtomicTable's atomic
+  * version-swap protocol. */
+class WarehouseOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-wh").resolve("t").toString
+
+  test("compact bin-packs files per partition without changing data") {
+    val table = freshTable()
+    // 4 shuffle partitions x 3 partition values -> several files each
+    val rows = (1 to 1200)
+      .map(i => (i.toLong, s"v$i", s"src${i % 3}"))
+      .toDF("id", "payload", "source")
+      .repartition(4)
+    AtomicTable.replacePartitions(spark, table, rows, "source")
+    val root = Paths.get(table)
+    val before = AtomicTable.dataFileCount(root)
+    assert(before > 3, s"expected multiple files per partition, got $before")
+
+    val schema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("payload", org.apache.spark.sql.types.StringType),
+      StructField("source", org.apache.spark.sql.types.StringType)))
+    val v = AtomicTable.currentVersion(root).get
+    AtomicTable.compact(spark, table, schema, "source")
+
+    assert(AtomicTable.dataFileCount(root) === 3L) // one file per partition
+    assert(AtomicTable.currentVersion(root).get === v + 1)
+    val after = AtomicTable.read(spark, table, schema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after === (1 to 1200).map(i => (i.toLong, s"v$i", s"src${i % 3}")).toSet)
+  }
+
+  test("exactlyOnceBatchCommit: replayed batch is a no-op, epochs append") {
+    val table = freshTable()
+    val root = Paths.get(table)
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b1 = Seq((3L, "c")).toDF("id", "v")
+
+    Streams.exactlyOnceBatchCommit(table)(b0, 0L)
+    val v1 = AtomicTable.currentVersion(root).get
+    // at-least-once replay of the same epoch: must not write or bump
+    Streams.exactlyOnceBatchCommit(table)(b0, 0L)
+    assert(AtomicTable.currentVersion(root).get === v1)
+    assert(AtomicTable.manifest(root).get.properties("last_batch_id") === "0")
+
+    Streams.exactlyOnceBatchCommit(table)(b1, 1L)
+    assert(AtomicTable.manifest(root).get.properties("last_batch_id") === "1")
+    val schema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("v", org.apache.spark.sql.types.StringType),
+      StructField("batch_id", IntegerType)))
+    val all = AtomicTable.read(spark, table, schema)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(all === Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("readAt time travel works inside the retention window, refuses outside") {
+    val table = freshTable()
+    val root = Paths.get(table)
+    val schema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("v", org.apache.spark.sql.types.StringType),
+      StructField("part", org.apache.spark.sql.types.StringType)))
+    def commit(v: String, retain: Int) =
+      AtomicTable.replacePartitions(spark, table,
+        Seq((1L, v, "p1")).toDF("id", "v", "part"), "part", retain = retain)
+
+    commit("a", retain = 3) // v1
+    commit("b", retain = 3) // v2
+    assert(AtomicTable.readAt(spark, table, schema, 1L)
+      .select("v").as[String].head() === "a")
+    assert(AtomicTable.read(spark, table, schema)
+      .select("v").as[String].head() === "b")
+
+    commit("c", retain = 2) // v3: window is {2, 3} — v1 ages out
+    assert(AtomicTable.readAt(spark, table, schema, 2L)
+      .select("v").as[String].head() === "b")
+    intercept[IllegalArgumentException] {
+      AtomicTable.readAt(spark, table, schema, 1L)
+    }
+  }
+
+  test("ingestToWarehouse lands the events stream exactly once") {
+    val table = freshTable()
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // stage nanos->µs (streaming file sources need a schema-stable dir)
+    val src = Files.createTempDirectory("graft-ev-src").toString
+    graft.Tables.events(spark, sf0001).write.mode("overwrite").parquet(src)
+    Streams.ingestToWarehouse(spark, src, table, ckpt)
+
+    val schema = StructType(Streams.eventsSchema.fields :+
+      StructField("batch_id", IntegerType))
+    val landed = AtomicTable.read(spark, table, schema)
+    val expected = spark.read.parquet(src).count()
+    assert(landed.count() === expected)
+
+    // a second AvailableNow run over the same checkpoint finds no new
+    // files: no new batches, no new versions, count unchanged
+    val v = AtomicTable.currentVersion(Paths.get(table)).get
+    Streams.ingestToWarehouse(spark, src, table, ckpt)
+    assert(AtomicTable.currentVersion(Paths.get(table)).get === v)
+    assert(AtomicTable.read(spark, table, schema).count() === expected)
+  }
+}
