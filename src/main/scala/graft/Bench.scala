@@ -41,6 +41,9 @@ object Bench {
       // drop caches a query persisted (LSH candidate tables) so heap
       // pressure never accumulates across the suite
       spark.catalog.clearCache()
+      // progress to stderr (stdout stays the single JSON line): long runs
+      // on this stall-prone host are otherwise indistinguishable from hangs
+      System.err.println(f"[bench] $name%-28s $sec%8.2fs")
       sec
     }
 

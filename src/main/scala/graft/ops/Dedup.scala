@@ -58,14 +58,22 @@ object Dedup {
     * small. The standard big-graph CC loop (Hash-to-Min style); at 100 TB
     * the edge list is the (tiny) output of the LSH miner, not the corpus. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // localCheckpoint (eager), not persist: a persisted frame still CARRIES
+    // its logical plan, so iteration N's plan embeds every previous
+    // iteration plus the whole upstream (LSH) subtree — analysis, AQE
+    // re-planning, and plan-description costs grow superlinearly and were
+    // measured at ~190 s for a loop whose data fits in one partition. The
+    // checkpoint truncates lineage to a LogicalRDD each round, making every
+    // iteration's plan constant-size. (Same iterative-algorithm idiom as
+    // GraphX/ALS; on a cluster localCheckpoint stays executor-local —
+    // cheaper than a reliable checkpoint and exactly as effective for
+    // lineage truncation.)
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
-    // the cached DF to release each round (labels may be a projection
-    // over it, so labels.unpersist() alone would leak the cache)
-    var cached = labels
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var prev = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -78,13 +86,13 @@ object Dedup {
         .join(neighborMin, col("l.id") === col("nid"), "left_outer")
         .select(col("l.id").as("id"), col("l.label").as("old_label"),
           least(col("l.label"), coalesce(col("nlabel"), col("l.label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       // convergence probe: one count over the changed-label set — the
       // driver sees a single long per iteration, nothing is collected
       converged = next.filter(col("label") =!= col("old_label"))
         .limit(1).count() == 0L
-      cached.unpersist()
-      cached = next
+      prev.unpersist()
+      prev = next
       labels = next.select("id", "label")
       iter += 1
     }

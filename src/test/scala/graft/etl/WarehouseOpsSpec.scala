@@ -67,6 +67,32 @@ class WarehouseOpsSpec extends SparkSuite {
     assert(all === Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("incrementalAggCommit: streaming view maintenance equals full recompute; replay is a no-op") {
+    import graft.ops.IncrAgg
+    val table = freshTable()
+    val b0 = Seq(("a", 1.5), ("a", 2.25), ("b", 3.0)).toDF("k", "v")
+    val b1 = Seq(("a", 4.0), ("c", 5.5)).toDF("k", "v")
+    val sink = Streams.incrementalAggCommit(table, Seq("k"), "v") _
+    sink(b0, 0L)
+    sink(b0, 0L) // at-least-once replay: must not double-count
+    sink(b1, 1L)
+
+    val stateSchema = StructType(Seq(
+      StructField("k", org.apache.spark.sql.types.StringType),
+      StructField("n", org.apache.spark.sql.types.LongType),
+      StructField("s", org.apache.spark.sql.types.DecimalType(38, 4)),
+      StructField("ss", org.apache.spark.sql.types.DecimalType(38, 8)),
+      StructField("part", org.apache.spark.sql.types.StringType)))
+    val maintained = IncrAgg.merge(
+      AtomicTable.read(spark, table, stateSchema).drop("part"), Seq("k"))
+      .orderBy("k").collect().toSeq
+    val recomputed = IncrAgg.merge(
+      IncrAgg.state(b0.unionByName(b1), Seq("k"), "v"), Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(maintained === recomputed)
+    assert(maintained.map(_.getAs[Long]("n_total")).sum === 5L)
+  }
+
   test("readAt time travel works inside the retention window, refuses outside") {
     val table = freshTable()
     val root = Paths.get(table)

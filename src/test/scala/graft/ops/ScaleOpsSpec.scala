@@ -17,7 +17,7 @@ class ScaleOpsSpec extends SparkSuite {
     val probe = (0L until 10000L).toDF("x")
     val words = BloomPrune.collectBloom(keys, "k", mBits = 1 << 16, k = 3)
     val kept = probe
-      .filter(BloomPrune.mightContain(typedlit(words), col("x"), 1 << 16, 3))
+      .filter(BloomPrune.mightContain(typedlit(words.toSeq), col("x"), 1 << 16, 3))
       .select("x").as[Long].collect().toSet
     // every true key < 10000 must pass (no false negatives)
     val trueKeys = (0L until 500L).map(_ * 7L).filter(_ < 10000L).toSet
