@@ -69,10 +69,18 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, iters: Int): DataFrame = {
     val dim = 64
     var cents = centroids(corpus)
+    var prevSnap: DataFrame = null
     for (_ <- 0 until iters) {
-      // persist each round: the next assignment must not re-derive the
-      // previous one through recursive lineage
-      cents = cents.persist()
+      // localCheckpoint each round (not a lazy persist): a persisted frame
+      // still carries its logical plan, so iteration N would re-analyze
+      // every previous round's plan — the same superlinear planning blowup
+      // fixed in Dedup.connectedComponents. The checkpoint truncates the
+      // round's input to a constant-size LogicalRDD; the previous round's
+      // snapshot is released once the new one is materialized.
+      val snap = cents.localCheckpoint(true)
+      if (prevSnap != null) prevSnap.unpersist()
+      prevSnap = snap
+      cents = snap
       val scored = corpus.crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("centroid_id"),
           cosine(col("embedding"), col("centroid")).as("c_score"))
