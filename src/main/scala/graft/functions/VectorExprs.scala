@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native vector arithmetic for the similarity operators.
+  *
+  * The composed-built-in forms (`aggregate(zip_with(a, b, ...))` folds) are
+  * higher-order functions: Catalyst evaluates every lambda step interpreted
+  * (HOFs are CodegenFallback with no common-subexpression elimination), and
+  * a cosine built from them references each embedding argument three times
+  * — measured at ~300 µs per candidate pair at sf0.1, which made the ANN
+  * recall queries cost 60-80 s on a 2,020-row corpus (round-2 verdict).
+  * These expressions do the same math in one tight JIT-compiled loop per
+  * pair and keep the surrounding stage in whole-stage codegen.
+  *
+  * Numerical contract: [[DotProduct]] is the same SEQUENTIAL left fold in
+  * double precision as `aggregate(zip_with(a, b, (x, y) => x.cast(double) *
+  * y.cast(double)), 0.0, _ + _)` — element products added in index order —
+  * so results are bit-identical to the HOF form (and to the DuckDB oracle's
+  * `list_dot_product`, which folds the same way), deterministic, and
+  * independent of partitioning. [[VecMaxAbs]] matches
+  * `aggregate(v, 0.0, (acc, x) => greatest(acc, abs(x.cast(double))))`
+  * exactly (max is order-insensitive and rounding-free).
+  *
+  * Per the engine's extension policy (SURVEY.md §7.3): compose built-ins
+  * first, drop to a custom Expression only when the built-in form is
+  * measurably inadequate. This is that case.
+  */
+object VectorExprs {
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Sequential-fold dot product in double precision over two numeric
+    * arrays (float or double elements; both inputs must be non-null
+    * element arrays of equal length — the embedding-table contract). */
+  case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    private lazy val leftFloat = isFloatArray(left.dataType)
+    private lazy val rightFloat = isFloatArray(right.dataType)
+
+    def compute(a: ArrayData, b: ArrayData): Double = {
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        acc += x * y
+        i += 1
+      }
+      acc
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("graftDot", this, classOf[DotProduct].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $self.compute($a, $b);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_dot"
+  }
+
+  /** max(|x|) over a numeric array — the symmetric-quantization scale
+    * numerator. Exact and order-insensitive. */
+  case class VecMaxAbs(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = DoubleType
+
+    private lazy val childFloat = isFloatArray(child.dataType)
+
+    def compute(a: ArrayData): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.numElements()) {
+        val v = math.abs(if (childFloat) a.getFloat(i).toDouble else a.getDouble(i))
+        if (v > acc) acc = v
+        i += 1
+      }
+      acc
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("graftMaxAbs", this, classOf[VecMaxAbs].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_vec_maxabs"
+  }
+
+  /** Idempotent per-session registration (a map put — cheap to repeat). */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_maxabs", exprs => VecMaxAbs(exprs.head), "built-in")
+  }
+
+  /** Column builders: registered on the thread's active session at plan
+    * construction (always the session the frame came from in this
+    * single-session engine), resolved by name at analysis. */
+  def dot(a: Column, b: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_dot", a, b)
+  }
+
+  def maxAbs(a: Column): Column = {
+    register(SparkSession.active)
+    call_function("graft_vec_maxabs", a)
+  }
+}

@@ -73,7 +73,11 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-    var prev = labels
+    // checkpointed datasets are not in the CacheManager, so
+    // Dataset.unpersist on them is a no-op — release each round's snapshot
+    // blocks through the underlying RDD handle instead (Shims)
+    import org.apache.spark.sql.graftshim.Shims.checkpointedRdd
+    var prevRdd = checkpointedRdd(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -91,12 +95,12 @@ object Dedup {
       // driver sees a single long per iteration, nothing is collected
       converged = next.filter(col("label") =!= col("old_label"))
         .limit(1).count() == 0L
-      prev.unpersist()
-      prev = next
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = checkpointedRdd(next)
       labels = next.select("id", "label")
       iter += 1
     }
-    edges.unpersist()
+    checkpointedRdd(edges).foreach(_.unpersist(false))
     labels
   }
 

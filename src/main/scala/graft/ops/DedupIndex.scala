@@ -81,7 +81,13 @@ object DedupIndex {
     * bucket table, and only candidate ids fetch signatures. */
   def matches(spark: SparkSession, root: String, newDocs: DataFrame,
       threshold: Double = 0.5, w: Int = 3): DataFrame = {
-    val newSigs = signatures(newDocs, w).persist()
+    // eager localCheckpoint, not persist: the returned frame references the
+    // new batch's signatures twice (bucket side + verify side), and a
+    // persist here could never be released — the caller's result would
+    // still depend on the cached plan. The checkpoint computes signatures
+    // once and its blocks are freed by the ContextCleaner when the result
+    // frame is dropped (no spark.catalog.clearCache needed).
+    val newSigs = signatures(newDocs, w).localCheckpoint(true)
     val newBuckets = Dedup.lshBuckets(newSigs)
       .select(col("band"), col("bucket"),
         col("doc_id").as("new_id"), col("n_sh").as("n_new"))

@@ -16,10 +16,14 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Deterministic percentile bucket in [0, 100) from an id column.
-    * doc_id * 2654435761 stays far below 2^63 for any realistic id, so
-    * the arithmetic is exact in both Spark and any oracle engine. */
-  def pctBucket(id: Column): Column = pmod(id * lit(2654435761L), lit(100L))
+  /** Deterministic percentile bucket in [0, 100) from an id column. The
+    * id is reduced mod a prime BEFORE the Knuth multiply: the residue is
+    * < 2^20 and the product < 2^52, so the arithmetic is exact (never
+    * wraps) for ANY 64-bit id in Spark (non-ANSI and ANSI) and in any
+    * oracle engine — a raw `id * 2654435761` overflows at id ≈ 3.4e9,
+    * where Spark wraps silently but DuckDB raises. */
+  def pctBucket(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(100L))
 
   /** Stratified sampling: per-stratum retention rates (e.g. downsample
     * dominant languages, keep the tail). Rows whose stratum is absent
@@ -36,12 +40,26 @@ object Sampling {
   /** Balanced shard assignment: order by a deterministic id hash (so the
     * order has nothing to do with ingest order or partition layout) and
     * deal rows round-robin into `n` shards. Shard sizes differ by at most
-    * one row. The global row_number is a single total-order sort — the
-    * one-time cost of a training-data export; per-partition dealing would
-    * avoid the sort at the price of ragged shard sizes. */
+    * one row.
+    *
+    * The global rank is a distributed two-phase prefix sum (the same
+    * shape as [[packSequences]]), NOT a partition-less `Window.orderBy`
+    * — that plan moves every row through ONE task ("WindowExec: No
+    * Partition Defined" — round-2's scale-killer finding). Here the hash
+    * bucket is the leading sort key itself, so per-bucket `row_number`s
+    * (parallel, one per bucket) plus broadcast per-bucket count offsets
+    * compose the identical global rank; the only single-partition step is
+    * the 100-row running sum over bucket counts. */
   def assignShards(docs: DataFrame, n: Int, idCol: String = "doc_id"): DataFrame = {
-    val w = Window.orderBy(pctBucket(col(idCol)), col(idCol))
-    docs.withColumn("shard", ((row_number().over(w) - 1) % n).cast("bigint"))
+    val bucketed = docs.withColumn("_pct", pctBucket(col(idCol)))
+    val wB = Window.orderBy("_pct").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("_pct").agg(count(lit(1)).as("_n"))
+      .select(col("_pct"), coalesce(sum("_n").over(wB), lit(0L)).as("_off"))
+    val wIn = Window.partitionBy("_pct").orderBy(col(idCol))
+    bucketed.join(broadcast(offsets), Seq("_pct"))
+      .withColumn("shard",
+        ((col("_off") + row_number().over(wIn) - 1) % n).cast("bigint"))
+      .drop("_pct", "_off")
   }
 
   /** Shard-plan summary: per-shard row count and payload size — the
@@ -63,7 +81,9 @@ object Sampling {
     * partition top-k then a k-row driver merge), never a global sort. */
   def weightedSample(docs: DataFrame, k: Int, weightCol: String = "n_chars",
       idCol: String = "doc_id"): DataFrame = {
-    val u = pmod(col(idCol) * lit(2654435761L), lit(1000003L)) + lit(1L)
+    // id reduced mod the prime before the multiply: product < 2^52, so no
+    // 64-bit wrap for any id (see pctBucket)
+    val u = pmod(pmod(col(idCol), lit(1000003L)) * lit(2654435761L), lit(1000003L)) + lit(1L)
     docs
       .withColumn("priority", u.cast("double") / col(weightCol).cast("double"))
       .orderBy(col("priority"), col(idCol))

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.VectorExprs
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Baseline: brute-force cosine top-k — broadcast the (small) query set,
@@ -13,29 +15,45 @@ import org.apache.spark.sql.functions._
   * centroid, search only the probed buckets; the assignment is one narrow
   * map and the probe join is centroid-partitioned.
   *
-  * All vector math is built from zip_with/aggregate folds in double
-  * precision — sequential left-folds, so results are deterministic and
-  * reproducible across partitionings (and cross-engine comparable).
+  * Vector math runs through [[graft.functions.VectorExprs]] — a native
+  * codegen'd sequential-fold dot product in double precision, bit-identical
+  * to the `aggregate(zip_with(...))` HOF form it replaced (round-2 verdict:
+  * the interpreted HOF chain cost ~300 µs/pair and dominated every ANN
+  * query) — so results are deterministic, reproducible across
+  * partitionings, and cross-engine comparable.
+  *
+  * Every pair-scoring path precomputes per-side norms ONCE per row (never
+  * per pair): cosine(a, b) = dot(a, b) / (norm_a * norm_b), evaluating each
+  * embedding exactly once per candidate pair. Computed (non-scan) corpus
+  * columns are materialized with `localCheckpoint` before any pair join so
+  * the computing projection cannot be duplicated into each pair evaluation
+  * by `CollapseProject`.
   */
 object Similarity {
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product in double precision (native codegen). */
+  def dot(a: Column, b: Column): Column = VectorExprs.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** cosine from a precomputed-norm pair — same double ops in the same
+    * order as [[cosine]], each embedding referenced once. */
+  private def cosinePre(a: Column, na: Column, b: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * corpus vectors (self excluded), rank ties broken by neighbor id. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+      norm(col("embedding")).as("c_norm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("score"))
+        round(cosinePre(col("q_emb"), col("q_norm"), col("c_emb"), col("c_norm")), 6)
+          .as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -68,22 +86,28 @@ object Similarity {
     * map+reduce over the corpus, the canonical distributed Lloyd's. */
   def kmeansCentroids(corpus: DataFrame, iters: Int): DataFrame = {
     val dim = 64
+    val corpusN = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("v_norm"))
     var cents = centroids(corpus)
-    var prevSnap: DataFrame = null
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
     for (_ <- 0 until iters) {
       // localCheckpoint each round (not a lazy persist): a persisted frame
       // still carries its logical plan, so iteration N would re-analyze
       // every previous round's plan — the same superlinear planning blowup
       // fixed in Dedup.connectedComponents. The checkpoint truncates the
       // round's input to a constant-size LogicalRDD; the previous round's
-      // snapshot is released once the new one is materialized.
+      // snapshot blocks are released explicitly (checkpointed datasets are
+      // not in the CacheManager, so Dataset.unpersist would be a no-op —
+      // the underlying RDD handle is the release point).
       val snap = cents.localCheckpoint(true)
-      if (prevSnap != null) prevSnap.unpersist()
-      prevSnap = snap
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = org.apache.spark.sql.graftshim.Shims.checkpointedRdd(snap)
       cents = snap
-      val scored = corpus.crossJoin(broadcast(cents))
+      val centsN = cents.withColumn("cent_norm", norm(col("centroid")))
+      val scored = corpusN.crossJoin(broadcast(centsN))
         .select(col("vec_id"), col("embedding"), col("centroid_id"),
-          cosine(col("embedding"), col("centroid")).as("c_score"))
+          cosinePre(col("embedding"), col("v_norm"), col("centroid"), col("cent_norm"))
+            .as("c_score"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_score").desc, col("centroid_id"))
       val best = scored.withColumn("rn", row_number().over(w))
@@ -113,28 +137,40 @@ object Similarity {
 
   private def ivfSearch(queries: DataFrame, corpus: DataFrame,
       rawCents: DataFrame, k: Int, nprobe: Int): DataFrame = {
-    // centroids feed two broadcast cross-joins; persist so the 64-column
-    // aggregation runs once (at scale this is the "trained index" you
-    // would materialize anyway)
-    val cents = rawCents.persist()
-    val assign = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("centroid")).as("c_score"))
+    // centroids feed two broadcast cross-joins; localCheckpoint (eager) so
+    // the 64-column aggregation runs once and the computed centroid arrays
+    // are concrete rows — at scale this is the "trained index" you would
+    // materialize anyway
+    val cents = rawCents.localCheckpoint(true)
+      .withColumn("cent_norm", norm(col("centroid")))
+    val corpusN = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("v_norm"))
+    val assign = corpusN.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("v_norm"), col("centroid_id"),
+        cosinePre(col("embedding"), col("v_norm"), col("centroid"), col("cent_norm"))
+          .as("c_score"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("c_score").desc, col("centroid_id"))
     val assigned = assign.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("v_norm"), col("centroid_id"))
 
-    val qprobe = queries.crossJoin(broadcast(cents))
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("centroid_id"), cosine(col("embedding"), col("centroid")).as("c_score"))
+    val qprobe = queries.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("q_norm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("q_norm"),
+        col("centroid_id"),
+        cosinePre(col("embedding"), col("q_norm"), col("centroid"), col("cent_norm"))
+          .as("c_score"))
     val wq = Window.partitionBy(col("query_id")).orderBy(col("c_score").desc, col("centroid_id"))
     val probed = qprobe.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= nprobe).select(col("query_id"), col("q_emb"), col("centroid_id"))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid_id"))
 
     val cands = assigned.join(probed, Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosine(col("q_emb"), col("embedding")), 6).as("score"))
+        round(cosinePre(col("q_emb"), col("q_norm"), col("embedding"), col("v_norm")), 6)
+          .as("score"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("neighbor_id"))
     cands.withColumn("rank", row_number().over(wr).cast("bigint"))
       .filter(col("rank") <= k)
@@ -160,18 +196,21 @@ object Similarity {
   def rpLshTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val spark = corpus.sparkSession
     graft.functions.HashExprs.registerRpLsh(spark, RpPlanes, RpBitsPerBand)
-    def banded(df: DataFrame, idAs: String, embAs: String): DataFrame =
+    def banded(df: DataFrame, idAs: String, embAs: String, normAs: String): DataFrame =
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          norm(col("embedding")).as(normAs),
           posexplode(graft.functions.HashExprs.rpLshBuckets(spark, "embedding")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val c = banded(corpus, "neighbor_id", "c_emb")
-    val q = banded(queries, "query_id", "q_emb")
+    val c = banded(corpus, "neighbor_id", "c_emb", "c_norm")
+    val q = banded(queries, "query_id", "q_emb", "q_norm")
     val cands = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("q_emb"), col("neighbor_id"), col("c_emb"))
+      .select(col("query_id"), col("q_emb"), col("q_norm"),
+        col("neighbor_id"), col("c_emb"), col("c_norm"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.select(col("query_id"), col("neighbor_id"),
-      round(cosine(col("q_emb"), col("c_emb")), 6).as("score"))
+      round(cosinePre(col("q_emb"), col("q_norm"), col("c_emb"), col("c_norm")), 6)
+        .as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -218,10 +257,13 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      norm(col("embedding")).as("norm_a"))
+    val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
     cands.join(ea, "id_a").join(eb, "id_b")
-      .withColumn("score", round(cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("score",
+        round(cosinePre(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b")), 6))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }
@@ -233,12 +275,13 @@ object Similarity {
     * |code| ≤ 127 by construction (no clamp branch). Narrow per-row
     * math, no shuffle; every step (float→double cast, division, round
     * half-away-from-zero) is IEEE-exact and engine-independent, so the
-    * output has an exact oracle. */
+    * output has an exact oracle. The scale reduction is a native
+    * codegen'd max-abs (VectorExprs) — cheap even where CollapseProject
+    * substitutes it into each downstream reference. */
   def quantizeInt8(corpus: DataFrame): DataFrame =
     corpus
       .select(col("vec_id"), col("embedding"),
-        (aggregate(col("embedding"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x.cast("double")))) / 127.0).as("scale"))
+        (VectorExprs.maxAbs(col("embedding")) / 127.0).as("scale"))
       .select(col("vec_id"), col("scale"),
         when(col("scale") === 0.0,
           transform(col("embedding"), _ => lit(0)))
@@ -249,11 +292,16 @@ object Similarity {
   /** Brute-force cosine top-k over the DEQUANTIZED int8 corpus — the
     * fidelity check for [[quantizeInt8]]: max relative error per
     * coordinate is 1/254, so a planted ~0.9999-cosine neighbor still
-    * separates cleanly from noise neighbors (≈0) after quantization. */
+    * separates cleanly from noise neighbors (≈0) after quantization.
+    * The dequantized corpus is MATERIALIZED (localCheckpoint) before the
+    * pair join: without the barrier, CollapseProject merges the
+    * quantize→dequantize HOF chain into every per-pair evaluation —
+    * the measured 78 s blowup of round 2. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val deq = quantizeInt8(corpus).select(col("vec_id"),
       transform(col("qvec"), x => (x.cast("double") * col("scale")).cast("float"))
         .as("embedding"))
+      .localCheckpoint(true)
     bruteForceTopK(queries, deq, k)
   }
 
@@ -275,11 +323,14 @@ object Similarity {
     * top-k most similar pairs (id_a < id_b). */
   def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int): DataFrame = {
     val sample = corpus.filter(col("vec_id") % sampleMod === 0)
-    val left = sample.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"))
-    val right = sample.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"))
+    val left = sample.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
+      norm(col("embedding")).as("norm_a"))
+    val right = sample.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),
+      norm(col("embedding")).as("norm_b"))
     left.join(broadcast(right), col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("score"))
+        round(cosinePre(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b")), 6)
+          .as("score"))
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
       .limit(k)
   }

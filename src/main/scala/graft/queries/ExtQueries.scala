@@ -463,7 +463,7 @@ object ExtQueries {
 
   private val sampleStratifiedSql =
     """SELECT doc_id, lang FROM documents
-      |WHERE (doc_id * 2654435761) % 100 <
+      |WHERE ((doc_id % 1000003) * 2654435761) % 100 <
       |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 50 ELSE 100 END
       |ORDER BY doc_id""".stripMargin
 
@@ -474,7 +474,7 @@ object ExtQueries {
 
   private val shardPlanSql =
     """WITH a AS (SELECT doc_id, n_chars,
-      |  (row_number() OVER (ORDER BY (doc_id * 2654435761) % 100, doc_id) - 1) % 8 AS shard
+      |  (row_number() OVER (ORDER BY ((doc_id % 1000003) * 2654435761) % 100, doc_id) - 1) % 8 AS shard
       |  FROM documents)
       |SELECT shard, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
@@ -599,7 +599,11 @@ object ExtQueries {
           (x.cast("double") * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)).cast("double")))
             .cast("float")).as("embedding"),
         col("label"))
-    emb.unionByName(planted)
+    // materialize: the perturbation transform is a computed projection —
+    // without the barrier CollapseProject duplicates it into every
+    // downstream per-pair cosine evaluation (round-2's 28-312 s
+    // sim_rplsh_recall was exactly this)
+    emb.unionByName(planted).localCheckpoint(true)
   }
 
   private def foundPlanted(ann: DataFrame): DataFrame =
@@ -926,7 +930,7 @@ object ExtQueries {
 
   private val sampleWeightedSql =
     """SELECT doc_id, n_chars,
-      |  CAST((doc_id * 2654435761) % 1000003 + 1 AS DOUBLE)
+      |  CAST(((doc_id % 1000003) * 2654435761) % 1000003 + 1 AS DOUBLE)
       |    / CAST(n_chars AS DOUBLE) AS priority
       |FROM documents ORDER BY priority, doc_id LIMIT 100""".stripMargin
 

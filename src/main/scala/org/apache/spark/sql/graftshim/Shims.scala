@@ -12,4 +12,14 @@ object Shims {
       plan: LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** The RDD behind a `localCheckpoint`ed frame. Checkpointed datasets are
+    * NOT registered in the CacheManager, so `Dataset.unpersist` on them is
+    * a no-op — iterative loops that want deterministic per-round release
+    * of the previous snapshot's blocks must unpersist the underlying RDD
+    * directly, and `LogicalRDD` is `private[sql]`. */
+  def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 }
