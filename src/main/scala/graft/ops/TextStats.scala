@@ -294,12 +294,18 @@ object TextStats {
     *     probability p = (c12+1)/(c1+V), and the per-doc average negative
     *     log-likelihood.
     *
-    * Cross-engine determinism: each bigram's -ln(p) is rounded to integer
-    * MICRO-nats first and summed as a BIGINT — integer summation is
-    * order-independent, so the result doesn't depend on either engine's
-    * aggregation order; only the final average is float math (one division,
-    * rounded). Docs with fewer than two alphabetic tokens are excluded
-    * (they have no bigrams). */
+    * Cross-engine determinism: each bigram is scored on the smoothed
+    * PROBABILITY itself, quantized to integer micro-units
+    * (round(p*1e6)) and summed as a BIGINT — integer summation is
+    * order-independent, and p = (c12+1)/(c1+V) is a single IEEE division
+    * of exact integer-valued operands, bit-identical in any engine. (A
+    * previous -ln(p) variant hash-failed the DuckDB oracle: ln differs by
+    * an ulp between engines, which flips the micro-unit rounding when
+    * -ln(p)*1e6 straddles a boundary — near-certain over 1e5 bigram
+    * evaluations. Probability space has no transcendental call, so no
+    * straddle. Fluent/formulaic text now scores HIGH, gibberish LOW.)
+    * Docs with fewer than two alphabetic tokens are excluded (they have
+    * no bigrams). */
   def bigramLmScore(docs: DataFrame): DataFrame = {
     val toks = filter(tokens(lower(col("text"))), t => t.rlike("^[a-z]+$"))
     val base = docs.select(col("doc_id"), toks.as("toks"))
@@ -315,17 +321,17 @@ object TextStats {
       .agg(sum("c12").as("c1"))
     val vocab = broadcast(base.select(explode(col("toks")).as("tok"))
       .agg(countDistinct("tok").cast("double").as("v")))
-    val nllMicro = round(-log((col("c12") + lit(1.0)) / (col("c1") + col("v")))
+    val pMicro = round((col("c12") + lit(1.0)) / (col("c1") + col("v"))
       * lit(1000000.0), 0).cast("long")
     docBg.join(model, "gram")
       .join(prefix, substring_index(col("gram"), " ", 1) === col("w1"))
       .crossJoin(vocab)
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
-        sum(col("cnt") * nllMicro).as("nll_micro"))
+        sum(col("cnt") * pMicro).as("p_micro"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("nll_micro").cast("double") /
-          (col("n_bigrams").cast("double") * 1000000.0), 6).as("avg_nll"))
+        round(col("p_micro").cast("double") /
+          (col("n_bigrams").cast("double") * 1000000.0), 6).as("avg_p"))
   }
 
   /** Document fingerprint: polynomial rolling hash over per-token codes,

@@ -299,16 +299,16 @@ object ExtQueries {
       |  FROM (SELECT unnest(toks) AS tok FROM t)),
       |scored AS (
       |  SELECT d.doc_id, sum(d.cnt) AS n_bigrams,
-      |    sum(d.cnt * CAST(round(-ln((m.c12 + 1.0) / (p.c1 + vocab.v))
-      |      * 1000000, 0) AS BIGINT)) AS nll_micro
+      |    sum(d.cnt * CAST(round((m.c12 + 1.0) / (p.c1 + vocab.v)
+      |      * 1000000, 0) AS BIGINT)) AS p_micro
       |  FROM docbg d
       |  JOIN model m USING (gram)
       |  JOIN prefix p ON split_part(d.gram, ' ', 1) = p.w1
       |  CROSS JOIN vocab
       |  GROUP BY 1)
       |SELECT doc_id, n_bigrams,
-      |  round(CAST(nll_micro AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0),
-      |        6) AS avg_nll
+      |  round(CAST(p_micro AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0),
+      |        6) AS avg_p
       |FROM scored ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- dedup
@@ -636,8 +636,15 @@ object ExtQueries {
   /** Exact-oracle int8 quantization of the full embedding table: every
     * arithmetic step is IEEE-exact in both engines, so scale and the
     * integer code vector hash-match bit-for-bit. */
+  /** Array outputs are projected through to_json so the driver's
+    * pandas-side canonicalization (sort_values) sees a sortable string —
+    * a raw array column crashes it with "unhashable type: ndarray"
+    * (round-3 verdict #3). Elements are INTEGERS before to_json: integer
+    * JSON (`[1,-2,3]`) is format-identical across engines, while double
+    * JSON is not (Java writes 1.0E-4 where DuckDB writes 0.0001). */
   private def embQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("scale"), to_json(col("qvec")).as("qvec"))
       .orderBy("vec_id")
 
   private val embQuantizeSql =
@@ -647,14 +654,21 @@ object ExtQueries {
       |      x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
       |  FROM embeddings)
       |SELECT vec_id, scale,
-      |  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+      |  CAST(to_json(CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
       |       ELSE list_transform(embedding,
       |              x -> CAST(round(CAST(x AS DOUBLE) / scale, 0) AS INTEGER))
-      |  END AS qvec
+      |  END) AS VARCHAR) AS qvec
       |FROM s ORDER BY vec_id""".stripMargin
 
+  /** Unit vector compared as integer NANO-units (round(u*1e9) per
+    * element): one extra rounding step applied identically on both
+    * engines turns the double array into an integer array with an exact
+    * cross-engine JSON rendering (see [[embQuantize]]). */
   private def embL2Normalize(s: SparkSession, dir: String): DataFrame =
     Similarity.l2Normalize(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("l2"),
+        to_json(transform(col("unit"),
+          x => round(x * 1e9, 0).cast("bigint"))).as("unit_nanos"))
       .orderBy("vec_id")
 
   private val embL2NormalizeSql =
@@ -662,13 +676,18 @@ object ExtQueries {
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding,
       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
-      |  FROM embeddings)
-      |SELECT vec_id, round(l2, 6) AS l2,
-      |  CASE WHEN l2 = 0 THEN list_transform(embedding, x -> 0.0)
-      |       ELSE list_transform(embedding,
-      |              x -> round(CAST(x AS DOUBLE) / l2, 9))
-      |  END AS unit
-      |FROM s ORDER BY vec_id""".stripMargin
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, round(l2, 6) AS l2,
+      |    CASE WHEN l2 = 0 THEN list_transform(embedding, x -> 0.0)
+      |         ELSE list_transform(embedding,
+      |                x -> round(CAST(x AS DOUBLE) / l2, 9))
+      |    END AS unit
+      |  FROM s)
+      |SELECT vec_id, l2,
+      |  CAST(to_json(list_transform(unit,
+      |    x -> CAST(round(x * 1000000000.0, 0) AS BIGINT))) AS VARCHAR) AS unit_nanos
+      |FROM u ORDER BY vec_id""".stripMargin
 
   /** Planted-recall contract through the quantized corpus: the ~0.04%
     * max quantization error cannot drop a 0.9999-cosine planted neighbor

@@ -217,7 +217,7 @@ class OpsSpec extends SparkSuite {
       .toDF("doc_id", "text")
     val out = TextStats.bigramLmScore(df).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    assert(out(1L) < out(2L)) // repeated bigrams -> higher p -> lower NLL
+    assert(out(1L) > out(2L)) // repeated bigrams -> higher avg probability
     assert(out.values.forall(_ > 0.0))
   }
 
