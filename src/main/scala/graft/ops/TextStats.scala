@@ -291,8 +291,8 @@ object TextStats {
     *     vocabulary size V as a broadcast scalar.
     *  2. Score: per-doc bigram counts join the model on the gram key (the
     *     same shuffle key, so the exchange is reused), Laplace-smoothed
-    *     probability p = (c12+1)/(c1+V), and the per-doc average negative
-    *     log-likelihood.
+    *     probability p = (c12+1)/(c1+V), and the per-doc average
+    *     probability in integer micro-units.
     *
     * Cross-engine determinism: each bigram is scored on the smoothed
     * PROBABILITY itself, quantized to integer micro-units
@@ -329,9 +329,10 @@ object TextStats {
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
         sum(col("cnt") * pMicro).as("p_micro"))
+      // integer micro-units end to end: a trailing float division would
+      // reintroduce engine-specific double rounding at the output edge
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("p_micro").cast("double") /
-          (col("n_bigrams").cast("double") * 1000000.0), 6).as("avg_p"))
+        expr("p_micro div n_bigrams").as("avg_p_micro"))
   }
 
   /** Document fingerprint: polynomial rolling hash over per-token codes,

@@ -307,8 +307,7 @@ object ExtQueries {
       |  CROSS JOIN vocab
       |  GROUP BY 1)
       |SELECT doc_id, n_bigrams,
-      |  round(CAST(p_micro AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0),
-      |        6) AS avg_p
+      |  p_micro // n_bigrams AS avg_p_micro
       |FROM scored ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- dedup

@@ -216,9 +216,9 @@ class OpsSpec extends SparkSuite {
       (2L, "qzv blorp xku wem fandle grith sopl")) // all-unique bigrams
       .toDF("doc_id", "text")
     val out = TextStats.bigramLmScore(df).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(out(1L) > out(2L)) // repeated bigrams -> higher avg probability
-    assert(out.values.forall(_ > 0.0))
+    assert(out.values.forall(_ > 0L))
   }
 
   test("tfidf ranks a doc-specific rare term above common terms") {
