@@ -52,7 +52,12 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    // Local-iteration filter (same contract as Verify's SPARK_GRAFT_ONLY):
+    // the driver never sets it, so headline runs cover the full surface.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val byQuery = scala.collection.mutable.Map(
       names.map(n => n -> Vector.empty[Double]): _*)
     for (_ <- 1 to passes; n <- names)
