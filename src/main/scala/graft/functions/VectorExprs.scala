@@ -1,6 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -38,6 +40,16 @@ object VectorExprs {
     case _ => false
   }
 
+  /** Only array<float>/array<double> are legal inputs: `ArrayData.getDouble`
+    * on, say, array<int> would silently reinterpret the element buffer as
+    * garbage doubles, so anything else must be an ANALYSIS error. */
+  private def requireFloatingArray(fn: String, pos: String, dt: DataType): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires the $pos argument to be array<float> or array<double>, got ${other.sql}")
+    }
+
   /** Sequential-fold dot product in double precision over two numeric
     * arrays (float or double elements; both inputs must be non-null
     * element arrays of equal length — the embedding-table contract). */
@@ -45,6 +57,13 @@ object VectorExprs {
     extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatingArray(prettyName, "first", left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          requireFloatingArray(prettyName, "second", right.dataType)
+        case fail => fail
+      }
 
     private lazy val leftFloat = isFloatArray(left.dataType)
     private lazy val rightFloat = isFloatArray(right.dataType)
@@ -76,10 +95,16 @@ object VectorExprs {
   }
 
   /** max(|x|) over a numeric array — the symmetric-quantization scale
-    * numerator. Exact and order-insensitive. */
+    * numerator. Exact, order-insensitive, and NaN-propagating (math.max
+    * returns NaN when either side is NaN, matching Spark's `greatest`
+    * NaN-is-largest ordering — a poisoned embedding must surface as a NaN
+    * scale, not be silently dropped). */
   case class VecMaxAbs(child: Expression) extends UnaryExpression {
 
     override def dataType: DataType = DoubleType
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatingArray(prettyName, "only", child.dataType)
 
     private lazy val childFloat = isFloatArray(child.dataType)
 
@@ -88,7 +113,7 @@ object VectorExprs {
       var i = 0
       while (i < a.numElements()) {
         val v = math.abs(if (childFloat) a.getFloat(i).toDouble else a.getDouble(i))
-        if (v > acc) acc = v
+        acc = math.max(acc, v)
         i += 1
       }
       acc
@@ -106,12 +131,18 @@ object VectorExprs {
     override def prettyName: String = "graft_vec_maxabs"
   }
 
-  /** Idempotent per-session registration (a map put — cheap to repeat). */
+  /** Idempotent per-session registration. Registers each function at most
+    * once per session: blind createOrReplaceTempFunction on every Column
+    * construction logged a "replaced a previously registered function"
+    * WARN per call — thousands of lines across a bench run. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_vec_maxabs", exprs => VecMaxAbs(exprs.head), "built-in")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_vec_maxabs")))
+      reg.createOrReplaceTempFunction(
+        "graft_vec_maxabs", exprs => VecMaxAbs(exprs.head), "built-in")
   }
 
   /** Column builders: registered on the thread's active session at plan
