@@ -11,9 +11,10 @@ import graft.model.Schemas
 /** JDBC warehouse edge (S5/S6): the reference's actual sink is a SQL
   * database via SQLAlchemy (`/root/reference/src/load.py:79-84` append,
   * `:55-58` scan, engine from `/root/reference/src/config.py:16-19`); this
-  * is the same surface over `spark.read/write.jdbc`, tested against
-  * embedded Derby the way the reference tests run in-memory SQLite
-  * (`/root/reference/tests/conftest.py:121-137`).
+  * is the same surface over `spark.read/write.jdbc`, dialect-parameterized
+  * the way the reference resolves sqlite-vs-Postgres from `DATABASE_URL`,
+  * and tested against embedded Derby the way the reference tests run
+  * in-memory SQLite (`/root/reference/tests/conftest.py:121-137`).
   *
   * The date column crosses the edge as ISO-8601 TEXT (L2 — the reference
   * stores `_to_date_str(date)`, `src/load.py:38,117`): `date_format` on
@@ -34,36 +35,93 @@ object Jdbc {
   val FactTable = "fact_economic_observations"
   val DimTable = "dim_series"
 
-  def props(driver: String = DerbyDriver): Properties = {
+  /** Warehouse SQL dialect, resolved from the JDBC URL the way the
+    * reference resolves its engine from `DATABASE_URL`
+    * (`/root/reference/src/config.py:16-19`: sqlite default, Postgres when
+    * the URL says so). A dialect owns exactly the three things that differ
+    * across the engines this edge targets: the driver class, the DDL type
+    * vocabulary, and how idempotent CREATE is expressed. */
+  sealed trait Dialect {
+    def name: String
+    def driverClass: String
+    /** DOUBLE spelling ("DOUBLE PRECISION" is the portable/PG form; Derby
+      * accepts only via its own alias list, so each dialect pins its own). */
+    def doubleType: String
+    /** true → `CREATE TABLE IF NOT EXISTS`; false → bare CREATE with the
+      * already-exists SQLState swallowed (Derby has no IF NOT EXISTS). */
+    def supportsIfNotExists: Boolean
+    /** SQLState meaning "object already exists", for the bare-CREATE path. */
+    def existsSqlState: String
+
+    def createTable(table: String, body: String): String =
+      if (supportsIfNotExists) s"CREATE TABLE IF NOT EXISTS $table ($body)"
+      else s"CREATE TABLE $table ($body)"
+  }
+
+  case object Derby extends Dialect {
+    val name = "derby"
+    val driverClass = DerbyDriver
+    val doubleType = "DOUBLE"
+    val supportsIfNotExists = false
+    val existsSqlState = "X0Y32"
+  }
+
+  /** PostgreSQL (`jdbc:postgresql:`). Execution requires the pg driver jar
+    * on the classpath of a real deployment; the DDL/quoting surface is
+    * covered by JdbcSpec's dialect tests (no embedded PG in this
+    * environment — Derby carries the execution tests). */
+  case object Postgres extends Dialect {
+    val name = "postgresql"
+    val driverClass = "org.postgresql.Driver"
+    val doubleType = "DOUBLE PRECISION"
+    val supportsIfNotExists = true
+    val existsSqlState = "42P07" // duplicate_table, unused on the INE path
+  }
+
+  def dialectOf(url: String): Dialect =
+    if (url.startsWith("jdbc:postgresql:")) Postgres
+    else if (url.startsWith("jdbc:derby:")) Derby
+    else throw new IllegalArgumentException(
+      s"unsupported JDBC url (expected jdbc:derby: or jdbc:postgresql:): $url")
+
+  def props(url: String): Properties = {
     val p = new Properties()
-    p.setProperty("driver", driver)
+    p.setProperty("driver", dialectOf(url).driverClass)
     p
   }
 
+  /** The two warehouse table bodies, parameterized only where dialects
+    * differ. Column names are quoted lowercase ("date" and "value" are SQL
+    * reserved words; Spark's JDBC writer quotes identifiers the same way —
+    * and both Derby and Postgres treat "quoted" identifiers as
+    * case-sensitive SQL-standard identifiers). */
+  def factDdl(d: Dialect): String = d.createTable(FactTable,
+    s""""series_id" VARCHAR(64) NOT NULL,
+       |  "series_name" VARCHAR(256) NOT NULL,
+       |  "date" VARCHAR(10) NOT NULL,
+       |  "value" ${d.doubleType},
+       |  "source" VARCHAR(16) NOT NULL,
+       |  PRIMARY KEY ("series_id", "date")""".stripMargin)
+
+  def dimDdl(d: Dialect): String = d.createTable(DimTable,
+    s""""series_id" VARCHAR(64) NOT NULL PRIMARY KEY,
+       |  "series_name" VARCHAR(256) NOT NULL,
+       |  "source" VARCHAR(16) NOT NULL""".stripMargin)
+
   /** DDL (S7, `src/load.py:5-24`): create the two warehouse tables if
-    * absent. Column names are quoted lowercase ("date" and "value" are SQL
-    * reserved words; Spark's JDBC writer quotes identifiers the same way). */
+    * absent, in the url's dialect. */
   def ensureTables(url: String): Unit = {
-    Class.forName(DerbyDriver)
+    val d = dialectOf(url)
+    Class.forName(d.driverClass)
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
       try {
-        for (ddl <- Seq(
-          s"""CREATE TABLE $FactTable (
-             |  "series_id" VARCHAR(64) NOT NULL,
-             |  "series_name" VARCHAR(256) NOT NULL,
-             |  "date" VARCHAR(10) NOT NULL,
-             |  "value" DOUBLE,
-             |  "source" VARCHAR(16) NOT NULL,
-             |  PRIMARY KEY ("series_id", "date"))""".stripMargin,
-          s"""CREATE TABLE $DimTable (
-             |  "series_id" VARCHAR(64) NOT NULL PRIMARY KEY,
-             |  "series_name" VARCHAR(256) NOT NULL,
-             |  "source" VARCHAR(16) NOT NULL)""".stripMargin)) {
+        for (ddl <- Seq(factDdl(d), dimDdl(d))) {
           try st.executeUpdate(ddl)
-          catch { // X0Y32: object already exists — idempotent DDL
-            case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+          catch { // already exists — idempotent DDL on the bare-CREATE path
+            case e: java.sql.SQLException
+              if !d.supportsIfNotExists && e.getSQLState == d.existsSqlState => ()
           }
         }
       } finally st.close()
@@ -72,13 +130,13 @@ object Jdbc {
 
   /** S6: scan the fact table back into engine types (text date → DateType). */
   def scanFact(spark: SparkSession, url: String): DataFrame =
-    spark.read.jdbc(url, FactTable, props())
+    spark.read.jdbc(url, FactTable, props(url))
       .select(col("series_id"), col("series_name"),
         to_date(col("date")).as("date"), col("value"), col("source"))
 
   /** S6: scan the dim table. */
   def scanDim(spark: SparkSession, url: String): DataFrame =
-    spark.read.jdbc(url, DimTable, props())
+    spark.read.jdbc(url, DimTable, props(url))
       .select(Schemas.dim.fieldNames.map(col): _*)
 
   /** Date → ISO text at the edge (L2), preserving column order. */
@@ -91,7 +149,7 @@ object Jdbc {
   /** S5: plain append (`src/load.py:79-84` `to_sql(if_exists="append")`). */
   def appendFact(df: DataFrame, url: String): Unit =
     atTextEdge(df.select(Schemas.fact.fieldNames.map(col): _*))
-      .write.mode(SaveMode.Append).jdbc(url, FactTable, props())
+      .write.mode(SaveMode.Append).jdbc(url, FactTable, props(url))
 
   /** Fact upsert against the SQL warehouse, same classification as the
     * parquet path (`Merge.classify`): absent keys append via Spark's JDBC
@@ -112,9 +170,10 @@ object Jdbc {
     val updates = atTextEdge(
       classified.filter(col("action") === "update").drop("action")
         .select(Schemas.fact.fieldNames.map(col): _*))
+    val driverClass = dialectOf(url).driverClass // resolve on the driver,
     updates.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       if (rows.hasNext) {
-        Class.forName("org.apache.derby.jdbc.EmbeddedDriver")
+        Class.forName(driverClass) // load inside each executor JVM
         val conn = DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false) // one transaction per partition
@@ -153,7 +212,7 @@ object Jdbc {
     val inserted = newRows.count()
     if (inserted > 0)
       newRows.select(Schemas.dim.fieldNames.map(col): _*)
-        .write.mode(SaveMode.Append).jdbc(url, DimTable, props())
+        .write.mode(SaveMode.Append).jdbc(url, DimTable, props(url))
     Map("inserted" -> inserted, "unchanged" -> (incoming.count() - inserted))
   }
 }

@@ -54,7 +54,7 @@ class JdbcSpec extends SparkSuite {
     val url = freshUrl()
     Jdbc.mergeFact(spark, factDf, url)
     // read WITHOUT the engine's date conversion: the stored column is text
-    val raw = spark.read.jdbc(url, Jdbc.FactTable, Jdbc.props())
+    val raw = spark.read.jdbc(url, Jdbc.FactTable, Jdbc.props(url))
     assert(raw.schema("date").dataType === org.apache.spark.sql.types.StringType)
     assert(raw.select("date").as[String].collect().toSet ===
       Set("2024-01-01", "2024-02-01"))
@@ -78,5 +78,36 @@ class JdbcSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(back("UNRATE") === "Unemployment Rate")
     assert(back("NEW1") === "Brand New")
+  }
+
+  // ---- dialect resolution (the DATABASE_URL analog,
+  //      /root/reference/src/config.py:16-19) ----
+
+  test("dialect resolves from the JDBC url") {
+    assert(Jdbc.dialectOf("jdbc:derby:/tmp/x;create=true") === Jdbc.Derby)
+    assert(Jdbc.dialectOf("jdbc:postgresql://host:5432/warehouse") === Jdbc.Postgres)
+    intercept[IllegalArgumentException](Jdbc.dialectOf("jdbc:mysql://x/y"))
+  }
+
+  test("postgres DDL uses IF NOT EXISTS and DOUBLE PRECISION") {
+    val fact = Jdbc.factDdl(Jdbc.Postgres)
+    assert(fact.startsWith(s"CREATE TABLE IF NOT EXISTS ${Jdbc.FactTable}"))
+    assert(fact.contains("\"value\" DOUBLE PRECISION"))
+    assert(fact.contains("PRIMARY KEY (\"series_id\", \"date\")"))
+    assert(Jdbc.dimDdl(Jdbc.Postgres)
+      .startsWith(s"CREATE TABLE IF NOT EXISTS ${Jdbc.DimTable}"))
+    assert(Jdbc.props("jdbc:postgresql://h/w")
+      .getProperty("driver") === "org.postgresql.Driver")
+  }
+
+  test("derby DDL is a bare CREATE (idempotence via SQLState)") {
+    val fact = Jdbc.factDdl(Jdbc.Derby)
+    assert(fact.startsWith(s"CREATE TABLE ${Jdbc.FactTable}"))
+    assert(!fact.contains("IF NOT EXISTS"))
+    assert(fact.contains("\"value\" DOUBLE,"))
+    // and the execution path is idempotent end-to-end:
+    val url = freshUrl()
+    Jdbc.ensureTables(url)
+    Jdbc.ensureTables(url) // second create must be swallowed, not thrown
   }
 }
