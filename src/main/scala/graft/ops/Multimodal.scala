@@ -13,11 +13,12 @@ import org.apache.spark.sql.types._
   * The Spark-side architecture is real — schema, kind-based partitioning
   * (so one partition holds one codec's work), per-partition batch
   * processing via mapPartitions over a typed Dataset, and a stable
-  * feature-vector contract. The DECODE ITSELF IS A STUB: this container
-  * ships no image/audio codecs, so `decodeStub` derives a deterministic
-  * pseudo-feature vector from the payload bytes. A production build
-  * swaps `decodeStub` for a real codec call (JNI/FFmpeg/ImageIO); nothing
-  * else changes — the contract is bytes → Array[Float](dim).
+  * feature-vector contract (bytes → Array[Float](dim)).
+  *
+  * The IMAGE decode is real: `javax.imageio` (JDK-native PNG/BMP/GIF/JPEG)
+  * → normalized luminance histogram. Audio/video stay on `decodeStub`
+  * (this container ships no sound/video codecs); a production build swaps
+  * the stub for an FFmpeg/JNI call and nothing else changes.
   *
   * At 100 TB: binaries stay columnar in parquet (never exploded), the
   * decode stage is a narrow per-partition map (no shuffle), and
@@ -39,15 +40,35 @@ object Multimodal {
       width: Int, height: Int, format: String, duration_ms: Long)
   final case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
 
+  /** Render a tiny real PNG — a 16×16 solid color derived from the seed —
+    * so the synthetic table's image rows exercise the REAL ImageIO decode
+    * path end to end. In-process PNG encoding is deterministic. */
+  def renderPng(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((seed * 2654435761L) & 0xffffffL).toInt
+    var y = 0
+    while (y < 16) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media table derived from `documents` — stands
-    * in for a real binary ingest so the plumbing is testable offline. */
+    * in for a real binary ingest so the plumbing is testable offline.
+    * Image rows carry a real PNG payload (rendered by a UDF so the column
+    * stays an expression Catalyst can PRUNE — the metadata-only queries
+    * mm_resize/mm_frames must not pay for PNG encoding); audio/video rows
+    * carry opaque text bytes for the stub path. */
   def syntheticMediaFrom(docs: DataFrame): DataFrame = {
     val kind = element_at(typedlit(Seq("image", "audio", "video")),
       (col("doc_id") % 3 + 1).cast("int"))
+    val png = udf(renderPng _)
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
+      when(kind === "image", png(col("doc_id")))
+        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
       struct(
         (col("doc_id") % 640 + 64).cast("int").as("width"),
         (col("doc_id") % 480 + 48).cast("int").as("height"),
@@ -56,9 +77,49 @@ object Multimodal {
         (col("doc_id") * 40 + 1000).as("duration_ms")).as("meta"))
   }
 
+  /** Real image decode: JDK ImageIO (PNG/BMP/GIF/JPEG). None when the
+    * bytes aren't a decodable image. */
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  /** Image features: dim-bin luminance histogram (BT.709 integer weights),
+    * normalized to a distribution — size-invariant and codec-independent
+    * (the same pixels give the same features from PNG or BMP bytes). */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff) +
+          722 * (rgb & 0xff)) / 10000 // 0..255
+        out(lum * dim / 256) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    var i = 0
+    while (i < dim) { out(i) /= n; i += 1 }
+    out
+  }
+
+  /** Kind-dispatched decode: images through the real ImageIO path
+    * (falling back to the stub on undecodable bytes rather than failing
+    * the batch — corrupt payloads are data, not errors, at corpus scale);
+    * audio/video through the stub until a real codec is linked. */
+  def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] =
+    if (kind == "image")
+      decodeImage(payload).map(imageFeatures(_, dim))
+        .getOrElse(decodeStub(payload, dim))
+    else decodeStub(payload, dim)
+
   /** STUB decoder: bytes → dim-length pseudo-features via a rolling hash.
-    * Replace with a real codec in production; signature and batch shape
-    * are the real contract. */
+    * The fallback for codec-less kinds; signature and batch shape are the
+    * real contract. */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -84,7 +145,7 @@ object Multimodal {
     typed
       .repartition(col("kind"))
       .mapPartitions { batch: Iterator[Media] =>
-        batch.map(m => MediaFeatures(m.media_id, m.kind, decodeStub(m.payload, dim)))
+        batch.map(m => MediaFeatures(m.media_id, m.kind, decode(m.kind, m.payload, dim)))
       }
   }
 

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.functions._
+import org.scalactic.Tolerance._
 
 import graft.{SparkSuite, Tables}
 
@@ -33,6 +34,52 @@ class MultimodalSpec extends SparkSuite {
     Seq("image", "audio", "video").foreach { kind =>
       assert(perPartitionKinds.count(_.contains(kind)) === 1)
     }
+  }
+
+  test("real ImageIO decode: solid PNG gives a one-bin histogram") {
+    // solid color -> every pixel lands in the same luminance bin
+    val bytes = Multimodal.renderPng(seed = 7L)
+    val img = Multimodal.decodeImage(bytes)
+    assert(img.isDefined && img.get.getWidth === 16 && img.get.getHeight === 16)
+    val f = Multimodal.imageFeatures(img.get, dim = 16)
+    assert(f.sum === 1.0f +- 1e-6f)
+    assert(f.count(_ > 0f) === 1)
+    assert(f.max === 1.0f +- 1e-6f)
+  }
+
+  test("features are codec-independent: BMP and PNG of same pixels agree") {
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, (x * 64) << 16 | (y * 64) << 8 | 0x20)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val viaPng = Multimodal.decode("image", enc("png"), dim = 8)
+    val viaBmp = Multimodal.decode("image", enc("bmp"), dim = 8)
+    assert(viaPng.toSeq === viaBmp.toSeq)
+    assert(viaPng.sum === 1.0f +- 1e-6f)
+  }
+
+  test("undecodable image bytes fall back to the stub, not an error") {
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(Multimodal.decode("image", junk, 8).toSeq ===
+      Multimodal.decodeStub(junk, 8).toSeq)
+  }
+
+  test("extractFeatures routes image rows through the real decoder") {
+    val feats = Multimodal.extractFeatures(media, dim = 16).collect()
+    val images = feats.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    // synthetic image payloads are solid PNGs: normalized one-bin histograms
+    images.foreach { m =>
+      assert(math.abs(m.features.sum - 1.0f) < 1e-5)
+      assert(m.features.count(_ > 0f) === 1)
+    }
+    // stub path (audio/video) is not a distribution — distinct signature
+    assert(feats.filter(_.kind != "image").exists(_.features.sum > 2f))
   }
 
   test("frame sampling emits ceil(duration/step) frames per video") {
