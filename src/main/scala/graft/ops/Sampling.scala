@@ -49,7 +49,13 @@ object Sampling {
     * bucket is the leading sort key itself, so per-bucket `row_number`s
     * (parallel, one per bucket) plus broadcast per-bucket count offsets
     * compose the identical global rank; the only single-partition step is
-    * the 100-row running sum over bucket counts. */
+    * the 100-row running sum over bucket counts.
+    *
+    * Scale alternative: when ±1-row balance isn't required, pure
+    * hash-range sharding — `shard = pctBucket(id) * n / 100` (or a wider
+    * hash modulus for n > 100) — needs NO rank at all: a map-only pass
+    * with shard sizes balanced only as well as the hash (±O(√(rows/n))).
+    * This rank-based form is for exports that contractually need ±1. */
   def assignShards(docs: DataFrame, n: Int, idCol: String = "doc_id"): DataFrame = {
     val bucketed = docs.withColumn("_pct", pctBucket(col(idCol)))
     val wB = Window.orderBy("_pct").rowsBetween(Window.unboundedPreceding, -1)

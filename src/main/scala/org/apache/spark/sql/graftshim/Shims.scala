@@ -17,9 +17,16 @@ object Shims {
     * NOT registered in the CacheManager, so `Dataset.unpersist` on them is
     * a no-op — iterative loops that want deterministic per-round release
     * of the previous snapshot's blocks must unpersist the underlying RDD
-    * directly, and `LogicalRDD` is `private[sql]`. */
+    * directly, and `LogicalRDD` is `private[sql]`.
+    *
+    * Contract: `df` must be the DIRECT result of `localCheckpoint()` —
+    * the match is deliberately root-only. A plan DERIVED from a
+    * checkpoint (filter/join over it) also contains a LogicalRDD leaf,
+    * and a tree search would find and unpersist blocks other operators
+    * still need; on a derived plan this returns None instead. */
   def checkpointedRdd(df: org.apache.spark.sql.DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-    df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+      case _ => None
     }
 }
