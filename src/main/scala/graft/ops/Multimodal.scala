@@ -16,9 +16,11 @@ import org.apache.spark.sql.types._
   * feature-vector contract (bytes → Array[Float](dim)).
   *
   * The IMAGE decode is real: `javax.imageio` (JDK-native PNG/BMP/GIF/JPEG)
-  * → normalized luminance histogram. Audio/video stay on `decodeStub`
-  * (this container ships no sound/video codecs); a production build swaps
-  * the stub for an FFmpeg/JNI call and nothing else changes.
+  * → normalized luminance histogram. The AUDIO decode is real:
+  * `javax.sound.sampled` (JDK-native WAV/PCM) → per-window RMS energy
+  * envelope. Video stays on `decodeStub` (no JDK video codec); a
+  * production build swaps the stub for an FFmpeg/JNI call and nothing
+  * else changes.
   *
   * At 100 TB: binaries stay columnar in parquet (never exploded), the
   * decode stage is a narrow per-partition map (no shuffle), and
@@ -54,20 +56,45 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Render a small real WAV — 16-bit mono PCM, 8 kHz, 400 samples of a
+    * fixed-amplitude sine whose frequency derives from the seed — so the
+    * synthetic table's audio rows exercise the REAL javax.sound path. */
+  def renderWav(seed: Long): Array[Byte] = {
+    val n = 400
+    val freq = 200.0 + math.floorMod(seed, 17L) * 50.0
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freq * i / 8000.0) * 12000).toInt
+      pcm(2 * i) = (s & 0xff).toByte // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media table derived from `documents` — stands
     * in for a real binary ingest so the plumbing is testable offline.
-    * Image rows carry a real PNG payload (rendered by a UDF so the column
-    * stays an expression Catalyst can PRUNE — the metadata-only queries
-    * mm_resize/mm_frames must not pay for PNG encoding); audio/video rows
-    * carry opaque text bytes for the stub path. */
+    * Image rows carry a real PNG and audio rows a real WAV (rendered by a
+    * UDF so the column stays an expression Catalyst can PRUNE — the
+    * metadata-only queries mm_resize/mm_frames must not pay for codec
+    * work); video rows carry opaque text bytes for the stub path. */
   def syntheticMediaFrom(docs: DataFrame): DataFrame = {
     val kind = element_at(typedlit(Seq("image", "audio", "video")),
       (col("doc_id") % 3 + 1).cast("int"))
     val png = udf(renderPng _)
+    val wav = udf(renderWav _)
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", png(col("doc_id")))
+        .when(kind === "audio", wav(col("doc_id")))
         .otherwise(encode(col("text"), "UTF-8")).as("payload"),
       struct(
         (col("doc_id") % 640 + 64).cast("int").as("width"),
@@ -107,15 +134,59 @@ object Multimodal {
     out
   }
 
-  /** Kind-dispatched decode: images through the real ImageIO path
-    * (falling back to the stub on undecodable bytes rather than failing
-    * the batch — corrupt payloads are data, not errors, at corpus scale);
-    * audio/video through the stub until a real codec is linked. */
+  /** Real audio decode: JDK javax.sound (WAV/PCM, any sample size the JDK
+    * converts to 16-bit). None when the bytes aren't a decodable stream. */
+  def decodeAudio(payload: Array[Byte]): Option[Array[Short]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt16 = new javax.sound.sampled.AudioFormat(
+        in.getFormat.getSampleRate, 16, in.getFormat.getChannels, true, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt16, in)
+      val bytes = pcm.readAllBytes()
+      val out = new Array[Short](bytes.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some(out)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Audio features: dim-window RMS energy envelope, normalized to full
+    * scale (each value in [0, 1]) — the standard cheap audio signature. */
+  def audioFeatures(samples: Array[Short], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (samples.isEmpty) return out
+    var w = 0
+    while (w < dim) {
+      val lo = (samples.length.toLong * w / dim).toInt
+      val hi = (samples.length.toLong * (w + 1) / dim).toInt
+      var acc = 0.0
+      var i = lo
+      while (i < hi) { acc += samples(i).toDouble * samples(i); i += 1 }
+      if (hi > lo) out(w) = (math.sqrt(acc / (hi - lo)) / 32768.0).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** Kind-dispatched decode: images through the real ImageIO path, audio
+    * through the real javax.sound path — both falling back to the stub on
+    * undecodable bytes rather than failing the batch (corrupt payloads
+    * are data, not errors, at corpus scale); video through the stub until
+    * a real codec is linked. */
   def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] =
-    if (kind == "image")
-      decodeImage(payload).map(imageFeatures(_, dim))
+    kind match {
+      case "image" => decodeImage(payload).map(imageFeatures(_, dim))
         .getOrElse(decodeStub(payload, dim))
-    else decodeStub(payload, dim)
+      case "audio" => decodeAudio(payload).map(audioFeatures(_, dim))
+        .getOrElse(decodeStub(payload, dim))
+      case _ => decodeStub(payload, dim)
+    }
 
   /** STUB decoder: bytes → dim-length pseudo-features via a rolling hash.
     * The fallback for codec-less kinds; signature and batch shape are the

@@ -259,26 +259,53 @@ object TextStats {
     * materialize each stage's survivors instead of counting — the plan
     * shape is identical. */
   def curationFunnel(docs: DataFrame): DataFrame = {
-    val base = docs.select("doc_id", "text")
-    val kept = base.join(
-      gopherQuality(docs).select(col("doc_id"), col("keep")), "doc_id")
-      .where(col("keep")).select("doc_id", "text")
-    val langed = kept.join(
-      langId(docs).select(col("doc_id"), col("predicted_lang")), "doc_id")
-      .where(col("predicted_lang") =!= "und").select("doc_id", "text")
-    val deduped = langed.join(
-      Dedup.canonicalize(langed).select("doc_id", "is_dup"), "doc_id")
-      .where(!col("is_dup")).select("doc_id", "text")
-    val sampled = deduped.where(pmod(col("doc_id"), lit(10)) === 0)
-    def stage(df: DataFrame, id: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"))
-        .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
-          col("n_docs"))
-    stage(base, 1, "total")
-      .unionByName(stage(kept, 2, "quality_keep"))
-      .unionByName(stage(langed, 3, "lang_identified"))
-      .unionByName(stage(deduped, 4, "exact_dedup"))
-      .unionByName(stage(sampled, 5, "sample_10pct"))
+    // All per-row signals inline over ONE tokenized projection: the
+    // previous form computed each stage as a separate count over
+    // chained doc_id joins, re-running the quality/lang-ID projections
+    // up to 4x and paying 3 join exchanges. Here stages 1-3 are
+    // conditional counts in a single narrow aggregate (one corpus scan,
+    // zero joins) and stages 4-5 are a second aggregate over the dedup
+    // window (the one unavoidable shuffle — on the survivors only).
+    val toksed = docs.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("_toks"))
+    val nTokens = size(col("_toks"))
+    val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+      nTokens.cast("double")
+    val alphaFrac = size(filter(col("_toks"), t => t.rlike("[a-zA-Z一-鿿]")))
+      .cast("double") / nTokens.cast("double")
+    val stopSet = typedlit(langStopwords.flatMap(_._2))
+    val distinctStops = size(filter(stopSet, w => array_contains(col("_toks"), w)))
+    val keep = nTokens.between(10, 100000) && meanLen.between(2.0, 12.0) &&
+      alphaFrac >= 0.8 && distinctStops >= 2
+    val hitCols = langStopwords.map { case (_, words) =>
+      stopwordHits(col("_toks"), words)
+    }
+    val flagged = toksed.select(col("doc_id"), col("text"),
+      keep.as("_keep"), (keep && greatest(hitCols: _*) > 0).as("_lang"))
+
+    val firstCounts = flagged.agg(
+      count(lit(1)).as("total"),
+      count(when(col("_keep"), 1)).as("quality_keep"),
+      count(when(col("_lang"), 1)).as("lang_identified"))
+    val survivors = Dedup.canonicalize(
+      flagged.where(col("_lang")).select("doc_id", "text"))
+      .where(!col("is_dup"))
+    val lastCounts = survivors.agg(
+      count(lit(1)).as("exact_dedup"),
+      count(when(pmod(col("doc_id"), lit(10)) === 0, 1)).as("sample_10pct"))
+
+    firstCounts.crossJoin(lastCounts).select(explode(array(
+      struct(lit(1L).as("stage_id"), lit("total").as("stage"),
+        col("total").as("n_docs")),
+      struct(lit(2L).as("stage_id"), lit("quality_keep").as("stage"),
+        col("quality_keep").as("n_docs")),
+      struct(lit(3L).as("stage_id"), lit("lang_identified").as("stage"),
+        col("lang_identified").as("n_docs")),
+      struct(lit(4L).as("stage_id"), lit("exact_dedup").as("stage"),
+        col("exact_dedup").as("n_docs")),
+      struct(lit(5L).as("stage_id"), lit("sample_10pct").as("stage"),
+        col("sample_10pct").as("n_docs")))).as("s"))
+      .select(col("s.stage_id"), col("s.stage"), col("s.n_docs"))
   }
 
   /** Corpus bigram language-model scoring — the perplexity-style quality

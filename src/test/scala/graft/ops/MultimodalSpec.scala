@@ -63,6 +63,21 @@ class MultimodalSpec extends SparkSuite {
     assert(viaPng.sum === 1.0f +- 1e-6f)
   }
 
+  test("real WAV decode: constant sine gives a flat RMS envelope") {
+    val bytes = Multimodal.renderWav(seed = 3L)
+    val samples = Multimodal.decodeAudio(bytes)
+    assert(samples.isDefined && samples.get.length === 400)
+    val f = Multimodal.audioFeatures(samples.get, dim = 8)
+    // fixed-amplitude sine: every window has the same RMS (~12000/32768/sqrt2)
+    val expected = 12000.0 / 32768.0 / math.sqrt(2)
+    f.foreach(v => assert(math.abs(v - expected) < 0.02))
+  }
+
+  test("silence decodes to an all-zero envelope") {
+    val pcm = new Array[Short](256)
+    assert(Multimodal.audioFeatures(pcm, dim = 4).forall(_ === 0f))
+  }
+
   test("undecodable image bytes fall back to the stub, not an error") {
     val junk = "definitely not an image".getBytes("UTF-8")
     assert(Multimodal.decode("image", junk, 8).toSeq ===
@@ -78,8 +93,12 @@ class MultimodalSpec extends SparkSuite {
       assert(math.abs(m.features.sum - 1.0f) < 1e-5)
       assert(m.features.count(_ > 0f) === 1)
     }
-    // stub path (audio/video) is not a distribution — distinct signature
-    assert(feats.filter(_.kind != "image").exists(_.features.sum > 2f))
+    // audio rows through the real WAV path: RMS envelope values in [0,1]
+    val audio = feats.filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    audio.foreach(m => assert(m.features.forall(v => v >= 0f && v <= 1f)))
+    // stub path (video) is not a distribution — distinct signature
+    assert(feats.filter(_.kind == "video").exists(_.features.sum > 2f))
   }
 
   test("frame sampling emits ceil(duration/step) frames per video") {
