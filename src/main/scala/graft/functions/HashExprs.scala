@@ -258,13 +258,26 @@ object HashExprs {
     override def prettyName: String = "graft_rplsh_buckets"
   }
 
+  /** Re-register only when the parameters actually changed: these
+    * builders close over hash coefficients / planes, so a blind replace
+    * is needed on parameter change but logs a "replaced a previously
+    * registered function" WARN on every no-op repeat. Keyed per
+    * (session, function) so a fresh session always registers. */
+  private val lastReg = new java.util.concurrent.ConcurrentHashMap[(Int, String), Any]()
+
+  private def registerIfChanged(spark: SparkSession, name: String, params: Any)(
+      builder: Seq[Expression] => Expression): Unit =
+    if (lastReg.put((System.identityHashCode(spark), name), params) != params)
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+
   /** Register both as SQL temp functions on the session and return Column
     * builders (the function-registry route is backend-stable in Spark 4). */
   def register(spark: SparkSession, a: IndexedSeq[Long], b: IndexedSeq[Long], p: Long): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs => MinHashSig(exprs.head, a, b, p), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash32", exprs => SimHash32(exprs.head), "built-in")
+    registerIfChanged(spark, "graft_minhash_sig", (a, b, p))(
+      exprs => MinHashSig(exprs.head, a, b, p))
+    registerIfChanged(spark, "graft_simhash32", ())(
+      exprs => SimHash32(exprs.head))
   }
 
   def minhashSig(spark: SparkSession, shinglesCol: String): Column =
@@ -333,16 +346,16 @@ object HashExprs {
   }
 
   def registerWordNgrams(spark: SparkSession, w: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_word_ngrams", exprs => WordNgrams(exprs.head, w), "built-in")
+    registerIfChanged(spark, "graft_word_ngrams", w)(
+      exprs => WordNgrams(exprs.head, w))
 
   def wordNgrams(spark: SparkSession, textCol: String): Column =
     expr(s"graft_word_ngrams($textCol)")
 
   def registerMinHashDoc(spark: SparkSession, w: Int, a: IndexedSeq[Long],
       b: IndexedSeq[Long], p: Long): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_doc", exprs => MinHashDoc(exprs.head, w, a, b, p), "built-in")
+    registerIfChanged(spark, "graft_minhash_doc", (w, a, b, p))(
+      exprs => MinHashDoc(exprs.head, w, a, b, p))
 
   def minhashDoc(spark: SparkSession, textCol: String): Column =
     expr(s"graft_minhash_doc($textCol)")
@@ -352,9 +365,9 @@ object HashExprs {
 
   def registerRpLsh(spark: SparkSession, planes: Array[Array[Double]],
       bitsPerBand: Int): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_rplsh_buckets", exprs => RpLshBuckets(exprs.head, planes, bitsPerBand),
-      "built-in")
+    registerIfChanged(spark, "graft_rplsh_buckets",
+      (planes.map(_.toSeq).toSeq, bitsPerBand))(
+      exprs => RpLshBuckets(exprs.head, planes, bitsPerBand))
 
   def rpLshBuckets(spark: SparkSession, embCol: String): Column =
     expr(s"graft_rplsh_buckets($embCol)")

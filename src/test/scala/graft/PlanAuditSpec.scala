@@ -140,6 +140,18 @@ class PlanAuditSpec extends SparkSuite {
     }.nonEmpty), s"bloom probe must filter below the semi join:\n$plan")
   }
 
+  test("text_funnel: stages 1-3 are one joinless narrow aggregate") {
+    // the funnel's first aggregate must stay a single corpus scan with
+    // conditional counts — a regression back to per-stage count-joins
+    // would put 3 exchanges and repeated projections on the 100 TB path
+    val p = plan("text_funnel")
+    assert(!p.contains("SortMergeJoin"),
+      "funnel stages must not join on doc_id")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 4, // dedup window hash + 2 single-row aggs + bcast
+      s"funnel should shuffle only for the dedup window, got $exchanges:\n$p")
+  }
+
   test("sample_weighted: weighted top-k plans TakeOrderedAndProject") {
     val p = plan("sample_weighted")
     assert(p.contains("TakeOrderedAndProject"),
