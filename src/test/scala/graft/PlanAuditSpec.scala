@@ -152,6 +152,17 @@ class PlanAuditSpec extends SparkSuite {
       s"funnel should shuffle only for the dedup window, got $exchanges:\n$p")
   }
 
+  test("text_lm_score: model/prefix/probe reuse one tokenization pass") {
+    // without the docBg persist, the model, prefix, and probe legs each
+    // rebuild tokenize+explode from the parquet scan — 4 corpus scans.
+    // (InMemoryRelation's toString echoes its cached plan's inner scan,
+    // so count the cache hits, not the 'Scan parquet' strings.)
+    val p = plan("text_lm_score")
+    val cacheHits = "InMemoryTableScan".r.findAllIn(p).length
+    assert(cacheHits >= 3,
+      s"model, prefix AND probe must read the persisted docBg, got $cacheHits:\n$p")
+  }
+
   test("sample_weighted: weighted top-k plans TakeOrderedAndProject") {
     val p = plan("sample_weighted")
     assert(p.contains("TakeOrderedAndProject"),
