@@ -70,6 +70,27 @@ object Streams {
     try f finally spark.conf.set(key, prev)
   }
 
+  /** Scope the streaming state store to Spark's bundled RocksDB provider
+    * for the duration of `f` (the conf is read at query start, so scoping
+    * works per-query). The default HDFS-backed store keeps every key's
+    * state on the executor HEAP — at 100 TB-scale key cardinalities
+    * (per-user sessions, dedup keys) that is an OOM, while RocksDB keeps
+    * working state off-heap/on-disk with incremental checkpoints. The
+    * harness queries run the default store (tiny state, no native-lib
+    * variance in bench numbers); StreamsSpec proves the same pipelines
+    * are correct under RocksDB, so flipping the provider is a config
+    * change, not a code change. */
+  def withRocksDbState[T](spark: SparkSession)(f: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Run the tumbling-window stream over `dir` to completion with an
     * `AvailableNow` trigger (process everything currently in the source,
     * then stop — the batch-parity execution mode) and return the final

@@ -34,6 +34,33 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("tumbling + session + dedup agree with batch under RocksDB state") {
+    // the 100 TB state-store posture: same pipelines, provider flipped by
+    // config only — bounded executor memory instead of all-state-on-heap
+    Streams.withRocksDbState(spark) {
+      assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        .contains("RocksDB"))
+      val streamed = Streams.tumblingAvailableNow(spark, eventsDir,
+        queryName = "tumbling_rocks_out").collect().toSeq
+      val batch = EventWindows.tumbling(spark.read.parquet(eventsDir))
+        .collect().toSeq
+      assert(streamed === batch)
+      val sessions = Streams.sessionsAvailableNow(spark, eventsDir,
+        queryName = "session_rocks_out").collect().toSeq
+      val sessionsBatch = EventWindows.sessions(spark.read.parquet(eventsDir))
+        .collect().toSeq
+      assert(sessions === sessionsBatch)
+      val deduped = Streams.dedupAvailableNow(spark, eventsDir,
+        queryName = "dedup_rocks_out").count()
+      val dedupBatch = spark.read.parquet(eventsDir)
+        .select("user_id", "event_type").distinct().count()
+      assert(deduped === dedupBatch)
+    }
+    // scoping restored the default provider
+    assert(!spark.conf
+      .getOption("spark.sql.streaming.stateStore.providerClass").exists(_.contains("RocksDB")))
+  }
+
   test("streaming session window equals the batch operator") {
     val q = Streams.sessionCounts(Streams.readEvents(spark, eventsDir))
       .writeStream.format("memory").queryName("session_out")
