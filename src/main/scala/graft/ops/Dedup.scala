@@ -73,6 +73,23 @@ object Dedup {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
+    // Every iteration is a NEW plan, so whole-stage codegen re-compiles
+    // (Janino) each round — measured at ~half the loop's wall time when
+    // the edge list is small. Run the loop interpreted below a size
+    // threshold (per-row interpretation is noise at that scale) and keep
+    // codegen above it, where per-row cost dominates compile cost.
+    val spark = pairs.sparkSession
+    val codegenKey = "spark.sql.codegen.wholeStage"
+    val prevCodegen = spark.conf.get(codegenKey)
+    if (edges.count() < 1000000L) spark.conf.set(codegenKey, "false")
+    try {
+      connectedComponentsLoop(edges, labels, maxIter)
+    } finally spark.conf.set(codegenKey, prevCodegen)
+  }
+
+  private def connectedComponentsLoop(
+      edges: DataFrame, labels0: DataFrame, maxIter: Int): DataFrame = {
+    var labels = labels0
     // checkpointed datasets are not in the CacheManager, so
     // Dataset.unpersist on them is a no-op — release each round's snapshot
     // blocks through the underlying RDD handle instead (Shims)
