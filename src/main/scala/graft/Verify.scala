@@ -17,11 +17,14 @@ import java.nio.file.{Files, Paths}
 object Verify {
 
   /** Known-expensive batch queries, deferred until after everything cheap
-    * (measured in the r1-r3 bench tails; keep in sync when adding hogs). */
+    * (measured in the r1-r5 verify/bench tails; keep in sync when adding
+    * hogs). */
   private val expensive = Set(
     "text_bpe_tokens", "text_chunks", "skewjoin_salted", "sql_lateral",
     "sim_neardup_cosine", "dedup_ngram_jaccard", "t9_union_sort",
-    "w2_window_running", "zorder_value", "scd2_history")
+    "w2_window_running", "zorder_value", "scd2_history",
+    "text_lm_score", "text_tfidf", "text_funnel", "dedup_cluster_planted",
+    "sim_ivf_kmeans_recall", "mm_features")
 
   /** Deterministic execution order: registration order within each rank. */
   def orderedNames: Seq[String] = {
