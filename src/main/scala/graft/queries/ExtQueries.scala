@@ -881,6 +881,22 @@ object ExtQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY c.user_id, click_id, purchase_id""".stripMargin
 
+  /** Streaming AS-OF join driver entry: each purchase with the same
+    * user's most recent click at or before it (ties by event id), oracled
+    * by the equivalent batch correlated top-1. */
+  private def evAsofStream(s: SparkSession, dir: String): DataFrame =
+    Streams.asofAvailableNow(s, stagedEventsDir(s, dir))
+
+  private val evAsofStreamSql =
+    """SELECT p.user_id, p.event_id AS purchase_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_at,
+      |  (SELECT c.event_id FROM events c
+      |    WHERE c.user_id = p.user_id AND c.event_type = 'click'
+      |      AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+      |    ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_id
+      |FROM events p WHERE p.event_type = 'purchase'
+      |ORDER BY purchase_id""".stripMargin
+
   private val evRunningStreamSql =
     """SELECT user_id, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -1004,6 +1020,7 @@ object ExtQueries {
     "ev_running_stream" -> QueryDef(evRunningStream, Some(evRunningStreamSql)),
     "ev_dedup_stream" -> QueryDef(evDedupStream, Some(evDedupStreamSql)),
     "ev_join_stream" -> QueryDef(evJoinStream, Some(evJoinStreamSql)),
+    "ev_asof_stream" -> QueryDef(evAsofStream, Some(evAsofStreamSql)),
     "ev_json_kpi" -> QueryDef(evJsonKpi, Some(evJsonKpiSql)),
     "ev_variant_kpi" -> QueryDef(
       (s, dir) => EventWindows.variantKpi(Tables.events(s, dir)),

@@ -186,6 +186,64 @@ object Streams {
     spark.table(queryName).orderBy("user_id", "click_id", "purchase_id")
   }
 
+  final case class AsOfEvent(user_id: Long, ts_us: Long, event_type: String,
+      event_id: Long)
+  final case class LastClick(ts_us: Long, event_id: Long)
+  final case class AsOfMatch(user_id: Long, purchase_id: Long,
+      purchase_ts_us: Long, click_id: Option[Long])
+
+  /** Streaming AS-OF join: each purchase enriched with the same user's
+    * most recent click at or before it — the streaming twin of the batch
+    * as-of operator (`graft.ops.AsOf` / `AsOfJoinExec`), built on
+    * flatMapGroupsWithState. Per group and micro-batch the events are
+    * sorted by (event time, id) and replayed against O(1) state (the last
+    * click seen), which carries across batches; ties at identical
+    * timestamps resolve by event id, so the result is deterministic and
+    * oracle-comparable.
+    *
+    * Scale: state is one (ts, id) pair per user — the minimal as-of
+    * state — and the per-batch sort is bounded by one user's events per
+    * batch. An always-on deployment adds EventTimeTimeout to expire idle
+    * users; AvailableNow over a static directory needs no expiry and
+    * equals the batch as-of, which is the oracle. */
+  def asofAvailableNow(spark: SparkSession, dir: String,
+      queryName: String = "ev_asof_stream_out"): DataFrame = {
+    import spark.implicits._
+    val ev = readEvents(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("event_id"))
+      .as[AsOfEvent]
+    val matched = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastClick, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[AsOfEvent], state: GroupState[LastClick]) =>
+          val evs = batch.toArray.sortBy(e => (e.ts_us, e.event_id))
+          var last = state.getOption
+          val out = Array.newBuilder[AsOfMatch]
+          evs.foreach { e =>
+            if (e.event_type == "click") last = Some(LastClick(e.ts_us, e.event_id))
+            else out += AsOfMatch(user, e.event_id, e.ts_us, last.map(_.event_id))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+    withStreamPartitions(spark, 8) {
+      val q = matched.toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.table(queryName)
+      .select(col("user_id"), col("purchase_id"),
+        date_format(timestamp_micros(col("purchase_ts_us")),
+          "yyyy-MM-dd HH:mm:ss").as("purchase_at"),
+        col("click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** Exactly-once foreachBatch sink into an [[AtomicTable]].
     *
     * Structured Streaming's foreachBatch contract is at-least-once: after a

@@ -74,6 +74,27 @@ class StreamsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of join equals the batch most-recent-click lookup") {
+    val streamed = Streams.asofAvailableNow(spark, eventsDir).collect().toSeq
+    // batch oracle: per purchase, the max-(ts, id) click at or before it
+    val ev = spark.read.parquet(eventsDir)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("c_id"))
+    val purchases = ev.filter($"event_type" === "purchase")
+    val batch = purchases.join(clicks,
+        $"user_id" === $"c_user" &&
+          ($"c_ts" < $"ts" || ($"c_ts" === $"ts" && $"c_id" < $"event_id")),
+        "left_outer")
+      .groupBy($"user_id", $"event_id".as("purchase_id"), $"ts")
+      .agg(max_by($"c_id", struct($"c_ts", $"c_id")).as("click_id"))
+      .select($"user_id", $"purchase_id",
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("purchase_at"),
+        $"click_id")
+      .orderBy("purchase_id").collect().toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stateful running totals match the batch aggregate after one batch") {
     val stream = Streams.readEvents(spark, eventsDir)
       .select($"user_id", $"ts", $"value").as[Streams.UserEvent]
