@@ -763,8 +763,9 @@ object ExtQueries {
       |  unnest(range(0, doc_id * 40 + 1000, 1000)) AS frame_ts_ms
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts_ms""".stripMargin
 
-  /** Feature-extraction plumbing (stub decoder — engine-specific, so
-    * rows-only): per-media feature norms, deterministic. */
+  /** Feature-extraction plumbing across all three kinds (audio/video
+    * features are engine-specific — RMS of JVM-rendered sines, rolling-
+    * hash stub — so rows-only): per-media feature norms, deterministic. */
   private def mmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(
         Multimodal.syntheticMediaFrom(Tables.documents(s, dir)), dim = 16)
@@ -772,6 +773,38 @@ object ExtQueries {
       .select(col("media_id"), col("kind"),
         round(Similarity.norm(col("features")), 4).as("feature_norm"))
       .orderBy("media_id")
+
+  /** The REAL image decode oracled end-to-end: synthetic image payloads
+    * are solid 16x16 PNGs whose color derives from the id, so the decoded
+    * luminance histogram is one-hot with weight exactly 1.0 (256 float
+    * increments of 1 / 256 — exact), and the hot bin is pure integer
+    * arithmetic DuckDB can replicate. A wrong decode, wrong BT.709
+    * weights, or wrong binning shifts the bin and fails the hash. */
+  private def mmImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaFrom(Tables.documents(s, dir))
+      .filter(col("kind") === "image")
+    Multimodal.extractFeatures(media, dim = 16).toDF()
+      .select(col("media_id"),
+        posexplode(col("features")).as(Seq("pos", "value")))
+      .filter(col("value") =!= 0f)
+      .select(col("media_id"), col("pos").cast("bigint").as("hot_bin"),
+        col("value").cast("double").as("hot_weight"))
+      .orderBy("media_id")
+  }
+
+  private val mmImageFeaturesSql =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id * 2654435761) % 16777216 AS rgb
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |lum AS (
+      |  SELECT media_id,
+      |    (2126 * (rgb // 65536) + 7152 * ((rgb // 256) % 256)
+      |      + 722 * (rgb % 256)) // 10000 AS l
+      |  FROM img)
+      |SELECT media_id, CAST((l * 16) // 256 AS BIGINT) AS hot_bin,
+      |  CAST(1.0 AS DOUBLE) AS hot_weight
+      |FROM lum ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- skew
 
@@ -1011,6 +1044,7 @@ object ExtQueries {
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),
     "mm_features" -> QueryDef(mmFeatures, None),
+    "mm_image_features" -> QueryDef(mmImageFeatures, Some(mmImageFeaturesSql)),
     "skewjoin_salted" -> QueryDef(skewJoinSalted, Some(skewJoinSaltedSql)),
     "ev_tumbling" -> QueryDef(evTumbling, Some(evTumblingSql)),
     "ev_tumbling_stream" -> QueryDef(evTumblingStream, Some(evTumblingSql)),
