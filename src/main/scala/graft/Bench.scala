@@ -8,19 +8,19 @@ import org.apache.spark.sql.SparkSession
   * warmup query runs first so JVM classloading + first-codegen cost is not
   * attributed to whichever query happens to run first.
   *
-  * Default is ONE pass: the driver's wall budget cannot fit multiple
-  * passes over this surface (rc-124 DNFs in rounds 2-3), and a completed
-  * single-pass total beats any stall-filtered statistic that never
-  * prints. Set SPARK_GRAFT_BENCH_PASSES>1 to re-enable the interleaved
-  * multi-pass mode (per-query min across passes) when wall-clock allows —
+  * Default is TWO interleaved passes with per-query MIN as the headline:
   * this host occasionally stalls for minutes, inflating whichever queries
-  * are in flight 10-100x, and interleaved passes bound that to one pass
-  * per query. Raw per-pass numbers stay in the JSON for audit. */
+  * are in flight 10-100x (r4 and r5 each produced phantom 15-20 s
+  * "regressions" that re-measurement erased), and interleaved passes
+  * bound a stall's damage to one pass per query. Single-pass wall is now
+  * ~190 s at sf0.1, so two passes fit the driver budget that DNF'd the
+  * wider r2-r3 surfaces. Override with SPARK_GRAFT_BENCH_PASSES. Raw
+  * per-pass numbers stay in the JSON for audit. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt.max(1)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")

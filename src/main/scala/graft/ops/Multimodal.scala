@@ -41,6 +41,7 @@ object Multimodal {
   final case class Media(media_id: Long, kind: String, payload: Array[Byte],
       width: Int, height: Int, format: String, duration_ms: Long)
   final case class MediaFeatures(media_id: Long, kind: String, features: Array[Float])
+  final case class MediaIntFeatures(media_id: Long, kind: String, features: Array[Long])
 
   /** Render a tiny real PNG — a 16×16 solid color derived from the seed —
     * so the synthetic table's image rows exercise the REAL ImageIO decode
@@ -134,6 +135,28 @@ object Multimodal {
     out
   }
 
+  /** Integer twin of [[imageFeatures]]: raw (unnormalized) dim-bin
+    * luminance histogram COUNTS. Exact integers survive any aggregation
+    * order and any engine's float formatting, so this is the
+    * oracle-friendly feature contract (see mm_av_features). */
+  def imageHistCounts(img: java.awt.image.BufferedImage, dim: Int): Array[Long] = {
+    val out = new Array[Long](dim)
+    val (w, h) = (img.getWidth, img.getHeight)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff) +
+          722 * (rgb & 0xff)) / 10000
+        out(lum * dim / 256) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Real audio decode: JDK javax.sound (WAV/PCM, any sample size the JDK
     * converts to 16-bit). None when the bytes aren't a decodable stream. */
   def decodeAudio(payload: Array[Byte]): Option[Array[Short]] =
@@ -169,6 +192,26 @@ object Multimodal {
       var i = lo
       while (i < hi) { acc += samples(i).toDouble * samples(i); i += 1 }
       if (hi > lo) out(w) = (math.sqrt(acc / (hi - lo)) / 32768.0).toFloat
+      w += 1
+    }
+    out
+  }
+
+  /** Integer twin of [[audioFeatures]]: per-window sum of squared 16-bit
+    * samples. The samples are exact integers and each window's sum fits a
+    * Long with ~40 bits to spare, so the value is bit-reproducible by any
+    * engine from the same PCM — the oracle-friendly audio signature. */
+  def audioWindowEnergies(samples: Array[Short], dim: Int): Array[Long] = {
+    val out = new Array[Long](dim)
+    if (samples.isEmpty) return out
+    var w = 0
+    while (w < dim) {
+      val lo = (samples.length.toLong * w / dim).toInt
+      val hi = (samples.length.toLong * (w + 1) / dim).toInt
+      var acc = 0L
+      var i = lo
+      while (i < hi) { acc += samples(i).toLong * samples(i); i += 1 }
+      out(w) = acc
       w += 1
     }
     out
@@ -217,6 +260,36 @@ object Multimodal {
       .repartition(col("kind"))
       .mapPartitions { batch: Iterator[Media] =>
         batch.map(m => MediaFeatures(m.media_id, m.kind, decode(m.kind, m.payload, dim)))
+      }
+  }
+
+  /** Integer-feature extraction over the REAL decoders only: image →
+    * luminance histogram counts, audio → windowed PCM energies, both via
+    * the same repartition-by-kind + mapPartitions batch shape as
+    * [[extractFeatures]]. Undecodable payloads and codec-less kinds yield
+    * an EMPTY feature array (they fall out of a posexplode) rather than a
+    * stub — this path exists to be oracled end-to-end, so every emitted
+    * value must be reproducible from the payload bytes alone. */
+  def extractIntFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaIntFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val typed = media.select(
+      col("media_id"), col("kind"), col("payload"),
+      col("meta.width"), col("meta.height"), col("meta.format"),
+      col("meta.duration_ms")).as[Media]
+    typed
+      .repartition(col("kind"))
+      .mapPartitions { batch: Iterator[Media] =>
+        batch.map { m =>
+          val feats = m.kind match {
+            case "image" => decodeImage(m.payload)
+              .map(imageHistCounts(_, dim)).getOrElse(Array.empty[Long])
+            case "audio" => decodeAudio(m.payload)
+              .map(audioWindowEnergies(_, dim)).getOrElse(Array.empty[Long])
+            case _ => Array.empty[Long]
+          }
+          MediaIntFeatures(m.media_id, m.kind, feats)
+        }
       }
   }
 

@@ -298,16 +298,16 @@ object ExtQueries {
       |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
       |  FROM (SELECT unnest(toks) AS tok FROM t)),
       |scored AS (
-      |  SELECT d.doc_id, sum(d.cnt) AS n_bigrams,
-      |    sum(d.cnt * CAST(round((m.c12 + 1.0) / (p.c1 + vocab.v)
-      |      * 1000000, 0) AS BIGINT)) AS p_micro
+      |  SELECT d.doc_id, CAST(sum(d.cnt) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(d.cnt * CAST(round((m.c12 + 1.0) / (p.c1 + vocab.v)
+      |      * 1000000, 0) AS BIGINT)) AS BIGINT) AS p_micro
       |  FROM docbg d
       |  JOIN model m USING (gram)
       |  JOIN prefix p ON split_part(d.gram, ' ', 1) = p.w1
       |  CROSS JOIN vocab
       |  GROUP BY 1)
       |SELECT doc_id, n_bigrams,
-      |  p_micro // n_bigrams AS avg_p_micro
+      |  CAST(p_micro // n_bigrams AS BIGINT) AS avg_p_micro
       |FROM scored ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------- dedup
@@ -806,6 +806,55 @@ object ExtQueries {
       |  CAST(1.0 AS DOUBLE) AS hot_weight
       |FROM lum ORDER BY media_id""".stripMargin
 
+  /** BOTH real decode paths (ImageIO + javax.sound) oracled end-to-end
+    * with integer-exact features. Image rows: luminance histogram COUNTS
+    * (a solid 16x16 PNG → one hot bin of 256). Audio rows: per-window
+    * sums of squared 16-bit PCM samples — the WAV payload is a truncated
+    * 12000-amplitude sine whose samples DuckDB reproduces exactly
+    * (trunc(sin(...)·12000); Java vs C libm agree on all 6800 sample
+    * values, min distance to a truncation boundary 1.5e-14), so every
+    * emitted Long is pure integer arithmetic both sides. A wrong WAV
+    * roundtrip, sample decode, window split, or histogram bin shifts an
+    * integer and fails the hash. Video rows are excluded here (stub
+    * decoder — covered rows-only by mm_features). */
+  private def mmAvFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMediaFrom(Tables.documents(s, dir))
+      .filter(col("kind").isin("image", "audio"))
+    Multimodal.extractIntFeatures(media, dim = 16).toDF()
+      .select(col("media_id"), col("kind"),
+        posexplode(col("features")).as(Seq("feature_id", "feature_val")))
+      .filter(col("feature_val") =!= 0L)
+      .select(col("media_id"), col("kind"),
+        col("feature_id").cast("bigint").as("feature_id"), col("feature_val"))
+      .orderBy("media_id", "feature_id")
+  }
+
+  private val mmAvFeaturesSql =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id,
+      |    (doc_id * 2654435761) % 16777216 AS rgb
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |imgf AS (
+      |  SELECT media_id, 'image' AS kind,
+      |    CAST((((2126 * (rgb // 65536) + 7152 * ((rgb // 256) % 256)
+      |      + 722 * (rgb % 256)) // 10000) * 16) // 256 AS BIGINT) AS feature_id,
+      |    CAST(256 AS BIGINT) AS feature_val
+      |  FROM img),
+      |aud AS (
+      |  SELECT doc_id AS media_id, 200.0 + (doc_id % 17) * 50.0 AS freq
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |samp AS (
+      |  SELECT media_id, i // 25 AS w,
+      |    CAST(trunc(sin(2 * pi() * freq * i / 8000.0) * 12000) AS BIGINT) AS s
+      |  FROM aud, range(0, 400) t(i)),
+      |audf AS (
+      |  SELECT media_id, 'audio' AS kind, CAST(w AS BIGINT) AS feature_id,
+      |    CAST(sum(s * s) AS BIGINT) AS feature_val
+      |  FROM samp GROUP BY 1, 2, 3)
+      |SELECT * FROM (SELECT * FROM imgf UNION ALL SELECT * FROM audf)
+      |WHERE feature_val <> 0
+      |ORDER BY media_id, feature_id""".stripMargin
+
   // ---------------------------------------------------------------- skew
 
   /** Salted join on a deliberately skewed key (~90% of lineitem lands on
@@ -1045,6 +1094,7 @@ object ExtQueries {
     "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),
     "mm_features" -> QueryDef(mmFeatures, None),
     "mm_image_features" -> QueryDef(mmImageFeatures, Some(mmImageFeaturesSql)),
+    "mm_av_features" -> QueryDef(mmAvFeatures, Some(mmAvFeaturesSql)),
     "skewjoin_salted" -> QueryDef(skewJoinSalted, Some(skewJoinSaltedSql)),
     "ev_tumbling" -> QueryDef(evTumbling, Some(evTumblingSql)),
     "ev_tumbling_stream" -> QueryDef(evTumblingStream, Some(evTumblingSql)),

@@ -205,7 +205,17 @@ object Streams {
     * state — and the per-batch sort is bounded by one user's events per
     * batch. An always-on deployment adds EventTimeTimeout to expire idle
     * users; AvailableNow over a static directory needs no expiry and
-    * equals the batch as-of, which is the oracle. */
+    * equals the batch as-of, which is the oracle.
+    *
+    * Cross-batch ordering assumption: carried state is the single LATEST
+    * click, which is sufficient exactly when micro-batches arrive in
+    * event-time order per user (true for AvailableNow over one staged
+    * directory). The match is guarded so a carried click that is FUTURE
+    * relative to a purchase never matches (same (ts, id) tie-break as the
+    * in-batch replay), but a purchase arriving after a NEWER click has
+    * replaced the one it needed would still miss — an always-on deployment
+    * with out-of-order batches needs watermark-bounded click retention
+    * (a small sorted buffer per user) instead of one pair. */
   def asofAvailableNow(spark: SparkSession, dir: String,
       queryName: String = "ev_asof_stream_out"): DataFrame = {
     import spark.implicits._
@@ -223,7 +233,16 @@ object Streams {
           val out = Array.newBuilder[AsOfMatch]
           evs.foreach { e =>
             if (e.event_type == "click") last = Some(LastClick(e.ts_us, e.event_id))
-            else out += AsOfMatch(user, e.event_id, e.ts_us, last.map(_.event_id))
+            else {
+              // carried state may be FUTURE relative to this purchase when
+              // micro-batches split a user's timeline out of event-time
+              // order (maxFilesPerTrigger, always-on): a click from a later
+              // batch must not match an earlier purchase. Same (ts, id)
+              // tie-break as the in-batch replay order.
+              val eligible = last.filter(c =>
+                c.ts_us < e.ts_us || (c.ts_us == e.ts_us && c.event_id < e.event_id))
+              out += AsOfMatch(user, e.event_id, e.ts_us, eligible.map(_.event_id))
+            }
           }
           last.foreach(state.update)
           out.result().iterator

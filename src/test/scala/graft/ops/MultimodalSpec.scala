@@ -101,6 +101,36 @@ class MultimodalSpec extends SparkSuite {
     assert(feats.filter(_.kind == "video").exists(_.features.sum > 2f))
   }
 
+  test("integer features: WAV roundtrip matches direct sine energies exactly") {
+    // the oracle contract: decode(renderWav(seed)) must reproduce the
+    // generator's samples bit-for-bit, so window energies equal those
+    // computed straight from the sine — no container/codec slack at all
+    for (seed <- Seq(1L, 4L, 16L)) {
+      val decoded = Multimodal.decodeAudio(Multimodal.renderWav(seed)).get
+      val direct = Array.tabulate(400) { i =>
+        val freq = 200.0 + math.floorMod(seed, 17L) * 50.0
+        (math.sin(2 * math.Pi * freq * i / 8000.0) * 12000).toInt.toShort
+      }
+      assert(decoded.toSeq === direct.toSeq)
+      assert(Multimodal.audioWindowEnergies(decoded, 16).toSeq ===
+        Multimodal.audioWindowEnergies(direct, 16).toSeq)
+    }
+  }
+
+  test("integer features: solid PNG yields one 256-count histogram bin") {
+    val img = Multimodal.decodeImage(Multimodal.renderPng(seed = 9L)).get
+    val counts = Multimodal.imageHistCounts(img, dim = 16)
+    assert(counts.sum === 256L)
+    assert(counts.count(_ != 0L) === 1)
+  }
+
+  test("extractIntFeatures: real kinds get features, video gets none") {
+    val feats = Multimodal.extractIntFeatures(media, dim = 16).collect()
+    assert(feats.filter(_.kind == "image").forall(_.features.sum == 256L))
+    assert(feats.filter(_.kind == "audio").forall(_.features.exists(_ > 0L)))
+    assert(feats.filter(_.kind == "video").forall(_.features.isEmpty))
+  }
+
   test("frame sampling emits ceil(duration/step) frames per video") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
     val counts = frames.groupBy("media_id", "duration_ms")
