@@ -261,15 +261,24 @@ object HashExprs {
   /** Re-register only when the parameters actually changed: these
     * builders close over hash coefficients / planes, so a blind replace
     * is needed on parameter change but logs a "replaced a previously
-    * registered function" WARN on every no-op repeat. Keyed per
-    * (session, function) so a fresh session always registers. */
-  private val lastReg = new java.util.concurrent.ConcurrentHashMap[(Int, String), Any]()
+    * registered function" WARN on every no-op repeat. Keyed on the LIVE
+    * session object via a WeakHashMap — identityHashCode keying could be
+    * reused by a fresh session after the old one is GC'd, silently
+    * skipping a registration the new session never had (and entries for
+    * dead sessions would pile up forever); weak keys make dead sessions'
+    * entries collectable and a never-seen session always registers. */
+  private val lastReg =
+    new java.util.WeakHashMap[SparkSession, Map[String, Any]]()
 
   private def registerIfChanged(spark: SparkSession, name: String, params: Any)(
-      builder: Seq[Expression] => Expression): Unit =
-    if (lastReg.put((System.identityHashCode(spark), name), params) != params)
+      builder: Seq[Expression] => Expression): Unit = lastReg.synchronized {
+    val seen = lastReg.getOrDefault(spark, Map.empty)
+    if (!seen.get(name).contains(params)) {
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
+      lastReg.put(spark, seen.updated(name, params))
+    }
+  }
 
   /** Register both as SQL temp functions on the session and return Column
     * builders (the function-registry route is backend-stable in Spark 4). */

@@ -56,7 +56,17 @@ object Dedup {
     * Each iteration is one join + partial-aggregated groupBy on node id;
     * iterations needed = cluster diameter, which for near-dup graphs is
     * small. The standard big-graph CC loop (Hash-to-Min style); at 100 TB
-    * the edge list is the (tiny) output of the LSH miner, not the corpus. */
+    * the edge list is the (tiny) output of the LSH miner, not the corpus.
+    *
+    * NOT CONCURRENCY-SAFE on a shared session: for small edge lists this
+    * toggles the session-global `spark.sql.codegen.wholeStage` conf for
+    * the loop's duration (restored in a finally), so a query PLANNED
+    * concurrently on the same SparkSession during that window silently
+    * runs interpreted — correct but slower. Spark has no public per-plan
+    * codegen switch, and the loop's frames are bound to the caller's
+    * session, so a cloned-session scope can't carry them; callers running
+    * a multi-tenant session should plan around it (or pass a dedicated
+    * session for dedup). Already-running queries are unaffected. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager), not persist: a persisted frame still CARRIES
     // its logical plan, so iteration N's plan embeds every previous

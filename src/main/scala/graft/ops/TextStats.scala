@@ -95,30 +95,47 @@ object TextStats {
     * All signals are narrow per-row array math — no shuffle, linear scale.
     */
   def gopherQuality(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    val sig = gopherSignals(col("text"), tokens(col("text")))
+    docs.select(
+      col("doc_id"),
+      sig.nTokens.cast("bigint").as("n_tokens"),
+      round(sig.meanLen, 6).as("mean_token_len"),
+      round(sig.alphaFrac, 6).as("alpha_frac"),
+      sig.distinctStops.cast("bigint").as("distinct_stopwords"),
+      sig.keep.as("keep"))
+  }
+
+  /** Gopher keep-gate signals over a tokenized projection — the SINGLE
+    * source of the thresholds, shared by [[gopherQuality]] and
+    * [[curationFunnel]] so the funnel's stage counts cannot drift from
+    * the standalone filter when thresholds change. */
+  private[ops] final case class GopherSignals(
+      nTokens: Column, meanLen: Column, alphaFrac: Column, distinctStops: Column) {
+    def keep: Column =
+      nTokens.between(10, 100000) && meanLen.between(2.0, 12.0) &&
+        alphaFrac >= 0.8 && distinctStops >= 2
+  }
+
+  private[ops] def gopherSignals(text: Column, toks: Column): GopherSignals = {
     val nTokens = size(toks)
     // mean characters per token (non-space chars / tokens)
-    val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+    val meanLen = length(regexp_replace(text, "\\s", "")).cast("double") /
       nTokens.cast("double")
     // fraction of tokens containing at least one alphabetic character
-    val alphaToks = size(filter(toks, t => t.rlike("[a-zA-Z一-鿿]")))
-    val alphaFrac = alphaToks.cast("double") / nTokens.cast("double")
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z一-鿿]")))
+      .cast("double") / nTokens.cast("double")
     // distinct stopwords present (any language) — Gopher requires >= 2.
     // Counted by filtering the (distinct) stopword registry against the
     // token set, so the count is distinct-by-construction in any engine.
     val stopSet = typedlit(langStopwords.flatMap(_._2))
     val distinctStops = size(filter(stopSet, w => array_contains(toks, w)))
-    docs.select(
-      col("doc_id"),
-      nTokens.cast("bigint").as("n_tokens"),
-      round(meanLen, 6).as("mean_token_len"),
-      round(alphaFrac, 6).as("alpha_frac"),
-      distinctStops.cast("bigint").as("distinct_stopwords"),
-      (nTokens.between(10, 100000) &&
-        meanLen.between(2.0, 12.0) &&
-        alphaFrac >= 0.8 &&
-        distinctStops >= 2).as("keep"))
+    GopherSignals(nTokens, meanLen, alphaFrac, distinctStops)
   }
+
+  /** True when any language's stopword list hits — [[langId]]'s
+    * "predicted != und" condition, shared with [[curationFunnel]]. */
+  private[ops] def langIdentified(toks: Column): Column =
+    greatest(langStopwords.map { case (_, ws) => stopwordHits(toks, ws) }: _*) > 0
 
   /** Repetition signals (the Gopher duplicate-content family): duplicate
     * token fraction and duplicate 2-gram fraction from per-row array
@@ -268,20 +285,9 @@ object TextStats {
     // window (the one unavoidable shuffle — on the survivors only).
     val toksed = docs.select(col("doc_id"), col("text"),
       tokens(col("text")).as("_toks"))
-    val nTokens = size(col("_toks"))
-    val meanLen = length(regexp_replace(col("text"), "\\s", "")).cast("double") /
-      nTokens.cast("double")
-    val alphaFrac = size(filter(col("_toks"), t => t.rlike("[a-zA-Z一-鿿]")))
-      .cast("double") / nTokens.cast("double")
-    val stopSet = typedlit(langStopwords.flatMap(_._2))
-    val distinctStops = size(filter(stopSet, w => array_contains(col("_toks"), w)))
-    val keep = nTokens.between(10, 100000) && meanLen.between(2.0, 12.0) &&
-      alphaFrac >= 0.8 && distinctStops >= 2
-    val hitCols = langStopwords.map { case (_, words) =>
-      stopwordHits(col("_toks"), words)
-    }
+    val keep = gopherSignals(col("text"), col("_toks")).keep
     val flagged = toksed.select(col("doc_id"), col("text"),
-      keep.as("_keep"), (keep && greatest(hitCols: _*) > 0).as("_lang"))
+      keep.as("_keep"), (keep && langIdentified(col("_toks"))).as("_lang"))
 
     val firstCounts = flagged.agg(
       count(lit(1)).as("total"),
