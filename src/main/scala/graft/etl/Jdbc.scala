@@ -66,10 +66,13 @@ object Jdbc {
     val existsSqlState = "X0Y32"
   }
 
-  /** PostgreSQL (`jdbc:postgresql:`). Execution requires the pg driver jar
-    * on the classpath of a real deployment; the DDL/quoting surface is
-    * covered by JdbcSpec's dialect tests (no embedded PG in this
-    * environment — Derby carries the execution tests). */
+  /** PostgreSQL (`jdbc:postgresql:`). A real deployment puts the pg driver
+    * jar on the classpath; in this offline environment JdbcSpec EXECUTES
+    * this dialect end-to-end (ensureTables → mergeFact/mergeDim → scan)
+    * through a test-scoped `org.postgresql.Driver` double that runs every
+    * emitted statement over the real JDBC protocol (see
+    * graft.testutil.PgFake — only Postgres's SQL parser is emulated, by
+    * translating the two pg-only constructs for embedded Derby). */
   case object Postgres extends Dialect {
     val name = "postgresql"
     val driverClass = "org.postgresql.Driver"

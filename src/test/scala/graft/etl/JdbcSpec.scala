@@ -100,6 +100,54 @@ class JdbcSpec extends SparkSuite {
       .getProperty("driver") === "org.postgresql.Driver")
   }
 
+  // ---- Postgres-dialect EXECUTION via the test-scoped org.postgresql
+  //      Driver double (PgFake: real JDBC protocol over embedded Derby,
+  //      pg-only syntax translated, statements logged pre-rewrite) ----
+
+  private val pgCounter = new java.util.concurrent.atomic.AtomicInteger()
+  private def freshPgUrl(): String =
+    s"jdbc:postgresql://localhost:5432/graft_test_${pgCounter.incrementAndGet()}"
+
+  test("postgres dialect executes the full fact round trip") {
+    val url = freshPgUrl()
+    graft.testutil.PgFake.executed.clear()
+
+    val r1 = Jdbc.mergeFact(spark, factDf, url)
+    assert(r1 === Map("inserted" -> 3L, "updated" -> 0L, "unchanged" -> 0L))
+    // rerun idempotent — including the IF NOT EXISTS DDL second time around
+    val r2 = Jdbc.mergeFact(spark, factDf, url)
+    assert(r2 === Map("inserted" -> 0L, "updated" -> 0L, "unchanged" -> 3L))
+    // one revision drives the batched-prepared-UPDATE leg
+    val revised = factDf.withColumn("value",
+      when($"series_id" === "UNRATE" && $"date" === to_date(lit("2024-01-01")), 4.1)
+        .otherwise($"value"))
+    assert(Jdbc.mergeFact(spark, revised, url) ===
+      Map("inserted" -> 0L, "updated" -> 1L, "unchanged" -> 2L))
+
+    val back = Jdbc.scanFact(spark, url)
+    assert(back.schema("date").dataType === org.apache.spark.sql.types.DateType)
+    assert(back.count() === 3)
+    assert(back.filter("series_id = 'UNRATE' AND value IS NULL").count() === 1)
+    assert(back.filter("value = 4.1").count() === 1)
+
+    // the EXECUTED statements were the Postgres-dialect text: idempotent
+    // DDL with IF NOT EXISTS + DOUBLE PRECISION, and the parameterized
+    // UPDATE — not some pre-rendered Derby variant
+    val log = graft.testutil.PgFake.executed.toArray.map(_.toString)
+    assert(log.exists(s => s.contains("CREATE TABLE IF NOT EXISTS") &&
+      s.contains("DOUBLE PRECISION")))
+    assert(log.exists(_.startsWith(s"UPDATE ${Jdbc.FactTable}")))
+  }
+
+  test("postgres dialect executes the dim insert-if-absent path") {
+    val url = freshPgUrl()
+    val dim = Seq(("UNRATE", "Unemployment Rate", "FRED"))
+      .toDF("series_id", "series_name", "source")
+    assert(Jdbc.mergeDim(spark, dim, url) === Map("inserted" -> 1L, "unchanged" -> 0L))
+    assert(Jdbc.mergeDim(spark, dim, url) === Map("inserted" -> 0L, "unchanged" -> 1L))
+    assert(Jdbc.scanDim(spark, url).count() === 1)
+  }
+
   test("derby DDL is a bare CREATE (idempotence via SQLState)") {
     val fact = Jdbc.factDdl(Jdbc.Derby)
     assert(fact.startsWith(s"CREATE TABLE ${Jdbc.FactTable}"))
