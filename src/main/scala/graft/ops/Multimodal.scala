@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * The IMAGE decode is real: `javax.imageio` (JDK-native PNG/BMP/GIF/JPEG)
   * → normalized luminance histogram. The AUDIO decode is real:
   * `javax.sound.sampled` (JDK-native WAV/PCM) → per-window RMS energy
-  * envelope. Video stays on `decodeStub` (no JDK video codec); a
-  * production build swaps the stub for an FFmpeg/JNI call and nothing
-  * else changes.
+  * envelope. The VIDEO container layer is real: a pure-JVM ISO BMFF box
+  * parser ([[Mp4]]) recovers the sample tables and extracts sync-sample
+  * (keyframe) byte ranges; only the frame CODEC is stubbed (no JDK video
+  * codec exists) — a production build swaps `decodeStub` over the
+  * extracted keyframe stream for an FFmpeg/JNI call and nothing else
+  * changes.
   *
   * At 100 TB: binaries stay columnar in parquet (never exploded), the
   * decode stage is a narrow per-partition map (no shuffle), and
@@ -82,21 +85,26 @@ object Multimodal {
 
   /** Deterministic synthetic media table derived from `documents` — stands
     * in for a real binary ingest so the plumbing is testable offline.
-    * Image rows carry a real PNG and audio rows a real WAV (rendered by a
-    * UDF so the column stays an expression Catalyst can PRUNE — the
+    * Image rows carry a real PNG, audio rows a real WAV, video rows a
+    * structurally valid MP4 container ([[Mp4.writeMinimalMp4]]: real box
+    * tree + sample tables, opaque stub frame payloads). All rendered by
+    * UDFs so the column stays an expression Catalyst can PRUNE — the
     * metadata-only queries mm_resize/mm_frames must not pay for codec
-    * work); video rows carry opaque text bytes for the stub path. */
+    * work. `meta.duration_ms` is the DECLARED (catalog) duration, which
+    * deliberately need not equal the container's own timeline — container
+    * truth comes from the parsed sample tables (mm_video_keyframes). */
   def syntheticMediaFrom(docs: DataFrame): DataFrame = {
     val kind = element_at(typedlit(Seq("image", "audio", "video")),
       (col("doc_id") % 3 + 1).cast("int"))
     val png = udf(renderPng _)
     val wav = udf(renderWav _)
+    val mp4 = udf(Mp4.writeMinimalMp4 _)
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
       when(kind === "image", png(col("doc_id")))
         .when(kind === "audio", wav(col("doc_id")))
-        .otherwise(encode(col("text"), "UTF-8")).as("payload"),
+        .otherwise(mp4(col("doc_id"))).as("payload"),
       struct(
         (col("doc_id") % 640 + 64).cast("int").as("width"),
         (col("doc_id") % 480 + 48).cast("int").as("height"),
@@ -218,15 +226,19 @@ object Multimodal {
   }
 
   /** Kind-dispatched decode: images through the real ImageIO path, audio
-    * through the real javax.sound path — both falling back to the stub on
-    * undecodable bytes rather than failing the batch (corrupt payloads
-    * are data, not errors, at corpus scale); video through the stub until
-    * a real codec is linked. */
+    * through the real javax.sound path, video through the real MP4
+    * container parser ([[Mp4.keyframeBytes]]: the stub featurizes the
+    * extracted keyframe payload stream — the bytes a real codec would
+    * receive; only the codec itself remains stubbed). All fall back to the
+    * stub on undecodable bytes rather than failing the batch (corrupt
+    * payloads are data, not errors, at corpus scale). */
   def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] =
     kind match {
       case "image" => decodeImage(payload).map(imageFeatures(_, dim))
         .getOrElse(decodeStub(payload, dim))
       case "audio" => decodeAudio(payload).map(audioFeatures(_, dim))
+        .getOrElse(decodeStub(payload, dim))
+      case "video" => Mp4.keyframeBytes(payload).map(decodeStub(_, dim))
         .getOrElse(decodeStub(payload, dim))
       case _ => decodeStub(payload, dim)
     }
@@ -289,6 +301,32 @@ object Multimodal {
             case _ => Array.empty[Long]
           }
           MediaIntFeatures(m.media_id, m.kind, feats)
+        }
+      }
+  }
+
+  final case class VideoKeyframe(media_id: Long, kf_index: Long,
+      kf_pts_ms: Long, kf_offset: Long, kf_size: Long)
+
+  /** Keyframe table for video rows, PARSED from the MP4 container bytes
+    * (stts/stss/stsz/stco walk — [[Mp4.parseKeyframes]]): 1-based sample
+    * index, presentation time, and the payload byte range of every sync
+    * sample. This is the real container half of video ingest — the stage
+    * that feeds a codec exactly the keyframe byte ranges to decode,
+    * without reading the rest of the stream. Narrow per-row parse after
+    * the kind repartition; unparseable payloads contribute no rows. */
+  def videoKeyframes(media: DataFrame): Dataset[VideoKeyframe] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("kind") === "video").select(
+      col("media_id"), col("kind"), col("payload"),
+      col("meta.width"), col("meta.height"), col("meta.format"),
+      col("meta.duration_ms")).as[Media]
+      .repartition(col("kind"))
+      .mapPartitions { batch: Iterator[Media] =>
+        batch.flatMap { m =>
+          Mp4.parseKeyframes(m.payload).getOrElse(Seq.empty).map(k =>
+            VideoKeyframe(m.media_id, k.sampleIx.toLong, k.ptsMs, k.offset, k.size))
         }
       }
   }

@@ -855,6 +855,36 @@ object ExtQueries {
       |WHERE feature_val <> 0
       |ORDER BY media_id, feature_id""".stripMargin
 
+  /** The VIDEO container path oracled end-to-end: keyframe sample index,
+    * presentation time, byte offset and size are PARSED from real MP4
+    * sample tables (moov/trak/mdia/minf/stbl walk), while DuckDB derives
+    * the same integers from the writer's generative formulas — so a wrong
+    * box layout, a wrong stts/stss/stsz/stco parse, or a drifted cumulative
+    * offset fails the hash. Pure integer output on both sides. */
+  private def mmVideoKeyframes(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoKeyframes(
+        Multimodal.syntheticMediaFrom(Tables.documents(s, dir)))
+      .toDF().orderBy("media_id", "kf_index")
+
+  private val mmVideoKeyframesSql =
+    """WITH vid AS (
+      |  SELECT doc_id AS media_id, 8 + doc_id % 5 AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |samp AS (
+      |  SELECT media_id, j, 50 + (media_id * 31 + j * 17) % 100 AS sz
+      |  FROM vid, range(0, 12) t(j) WHERE j < n),
+      |cum AS (
+      |  SELECT media_id, j, sz,
+      |    32 + coalesce(sum(sz) OVER (PARTITION BY media_id ORDER BY j
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      |  FROM samp)
+      |SELECT media_id, CAST(j + 1 AS BIGINT) AS kf_index,
+      |  CAST(j * 40 AS BIGINT) AS kf_pts_ms,
+      |  CAST(off AS BIGINT) AS kf_offset,
+      |  CAST(sz AS BIGINT) AS kf_size
+      |FROM cum WHERE j % 4 = 0
+      |ORDER BY media_id, kf_index""".stripMargin
+
   // ---------------------------------------------------------------- skew
 
   /** Salted join on a deliberately skewed key (~90% of lineitem lands on
@@ -1095,6 +1125,7 @@ object ExtQueries {
     "mm_features" -> QueryDef(mmFeatures, None),
     "mm_image_features" -> QueryDef(mmImageFeatures, Some(mmImageFeaturesSql)),
     "mm_av_features" -> QueryDef(mmAvFeatures, Some(mmAvFeaturesSql)),
+    "mm_video_keyframes" -> QueryDef(mmVideoKeyframes, Some(mmVideoKeyframesSql)),
     "skewjoin_salted" -> QueryDef(skewJoinSalted, Some(skewJoinSaltedSql)),
     "ev_tumbling" -> QueryDef(evTumbling, Some(evTumblingSql)),
     "ev_tumbling_stream" -> QueryDef(evTumblingStream, Some(evTumblingSql)),

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class Mp4Spec extends AnyFunSuite {
+
+  test("writer emits a parseable box tree; parser recovers the generative layout") {
+    for (seed <- Seq(0L, 2L, 5L, 11L, 1234L)) {
+      val bytes = Mp4.writeMinimalMp4(seed)
+      assert(new String(bytes, 4, 4, "US-ASCII") === "ftyp")
+      val n = Mp4.sampleCount(seed)
+      val kfs = Mp4.parseKeyframes(bytes)
+        .getOrElse(fail(s"seed $seed did not parse"))
+      // sync samples 1, 5, 9... up to n
+      assert(kfs.map(_.sampleIx) === (1 to n by Mp4.SyncEvery))
+      kfs.foreach { k =>
+        assert(k.ptsMs === (k.sampleIx - 1).toLong * Mp4.FrameDeltaMs)
+        assert(k.size === Mp4.sampleSize(seed, k.sampleIx - 1).toLong)
+        val expectedOffset = Mp4.FirstSampleOffset +
+          (0 until k.sampleIx - 1).map(Mp4.sampleSize(seed, _).toLong).sum
+        assert(k.offset === expectedOffset)
+        // the byte range is in bounds and carries the deterministic filler
+        assert(k.offset + k.size <= bytes.length)
+        assert(bytes(k.offset.toInt) ===
+          (seed * 131 + (k.sampleIx - 1) * 31).toByte)
+      }
+    }
+  }
+
+  test("keyframeBytes concatenates exactly the sync-sample payload ranges") {
+    val seed = 7L
+    val bytes = Mp4.writeMinimalMp4(seed)
+    val kf = Mp4.keyframeBytes(bytes).get
+    assert(kf.length === Mp4.parseKeyframes(bytes).get.map(_.size).sum)
+    // first keyframe starts at the first sample: filler byte at pos 0
+    assert(kf(0) === (seed * 131).toByte)
+  }
+
+  test("corrupt and truncated inputs return None, never throw") {
+    val good = Mp4.writeMinimalMp4(3L)
+    assert(Mp4.parseKeyframes(Array.empty[Byte]).isEmpty)
+    assert(Mp4.parseKeyframes("not an mp4 at all".getBytes("UTF-8")).isEmpty)
+    assert(Mp4.parseKeyframes(good.take(good.length / 2)).isEmpty) // moov gone
+    // flip the moov type tag so the path walk fails cleanly
+    val broken = good.clone()
+    val moovAt = {
+      var p = 0
+      var at = -1
+      while (at < 0 && p + 8 <= broken.length) {
+        if (new String(broken, p + 4, 4, "US-ASCII") == "moov") at = p
+        else p += java.nio.ByteBuffer.wrap(broken, p, 4).getInt
+      }
+      at
+    }
+    broken(moovAt + 4) = 'X'.toByte
+    assert(Mp4.parseKeyframes(broken).isEmpty)
+  }
+
+  test("video decode routes through keyframe extraction (not whole-file stub)") {
+    val bytes = Mp4.writeMinimalMp4(5L)
+    val viaDecode = Multimodal.decode("video", bytes, 8).toSeq
+    val direct = Multimodal.decodeStub(Mp4.keyframeBytes(bytes).get, 8).toSeq
+    assert(viaDecode === direct)
+    assert(viaDecode !== Multimodal.decodeStub(bytes, 8).toSeq)
+  }
+}
