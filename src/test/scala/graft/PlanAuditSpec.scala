@@ -187,6 +187,23 @@ class PlanAuditSpec extends SparkSuite {
       s"exactly one exchange for the layout pass:\n$p")
   }
 
+  test("mm_resize / mm_frames: metadata-only queries never render payloads") {
+    // the media payload is a codec-rendering UDF column: the metadata-only
+    // queries must let Catalyst PRUNE it, or every resize plan pays for
+    // PNG/WAV/MP4 encoding it never reads
+    for (q <- Seq("mm_resize", "mm_frames")) {
+      val p = plan(q)
+      assert(!p.contains("payload"), s"$q must prune the payload column:\n$p")
+    }
+  }
+
+  test("mm_video_keyframes: one kind-exchange, then a narrow parse") {
+    val p = plan("mm_video_keyframes")
+    assert("Exchange".r.findAllIn(p).length <= 2, // kind repartition + sort
+      s"keyframe parse must stay narrow after the kind repartition:\n$p")
+    assert(p.contains("MapPartitions"), "parse stage must be mapPartitions")
+  }
+
   test("dedup_exact_hash: shuffle carries hashes, not documents") {
     // formatted mode lists nodes bottom-up: the sha2 projection and the
     // partial aggregate must precede the exchange

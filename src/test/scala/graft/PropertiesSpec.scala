@@ -77,6 +77,22 @@ class PropertiesSpec extends SparkSuite {
     })
   }
 
+  test("mp4 parser never throws on arbitrary corruption of a valid file") {
+    import graft.ops.Mp4
+    val seedGen = Gen.choose(0L, 5000L)
+    val flips = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 4095), Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    check(forAll(seedGen, flips) { (seed, muts) =>
+      val bytes = Mp4.writeMinimalMp4(seed)
+      muts.foreach { case (ix, b) => bytes(ix % bytes.length) = b }
+      // contract under corruption: None or a value — never a throw (the
+      // byte-range validity check lives in keyframeBytes, also exercised)
+      Mp4.parseKeyframes(bytes)
+      Mp4.keyframeBytes(bytes)
+      true
+    })
+  }
+
   test("epsilon equality matches the reference truth table (Spark-side)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
