@@ -217,9 +217,17 @@ object Streams {
     * with out-of-order batches needs watermark-bounded click retention
     * (a small sorted buffer per user) instead of one pair. */
   def asofAvailableNow(spark: SparkSession, dir: String,
-      queryName: String = "ev_asof_stream_out"): DataFrame = {
+      queryName: String = "ev_asof_stream_out",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val ev = readEvents(spark, dir)
+    // maxFilesPerTrigger splits the AvailableNow run into multiple
+    // micro-batches (one per file group) — the cross-batch state-carry
+    // path StreamsSpec exercises with time-ordered file staging
+    val reader = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(eventsSchema)) { (r, n) =>
+      r.option("maxFilesPerTrigger", n)
+    }
+    val ev = reader.parquet(dir)
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"), col("event_id"))

@@ -95,6 +95,78 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("as-of stream carries state across MULTIPLE micro-batches correctly") {
+    // time-ordered staging: three range files whose path+mtime order equals
+    // event-time order, so maxFilesPerTrigger=1 yields in-order batches and
+    // the single-pair carried state must reproduce the batch answer exactly
+    val dir = Files.createTempDirectory("graft-stream-mb").toString
+    Tables.events(spark, sf0001)
+      .repartitionByRange(3, $"ts").sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    assert(parts.length === 3)
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+
+    val batches = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.numInputRows > 0) batches.incrementAndGet()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val multiBatch =
+      try Streams.asofAvailableNow(spark, dir, "ev_asof_mb_out",
+        maxFilesPerTrigger = Some(1)).collect().toSeq
+      finally {
+        spark.streams.active.foreach(_.stop())
+        // listener events are async: poll-drain before reading the counter
+        val deadline = System.currentTimeMillis + 15000
+        while (batches.get() < 2 && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        spark.streams.removeListener(listener)
+      }
+    assert(batches.get() >= 2, "staging must actually split into micro-batches")
+    val singleBatch = Streams.asofAvailableNow(spark, eventsDir,
+      "ev_asof_sb_out").collect().toSeq
+    assert(multiBatch === singleBatch)
+    assert(multiBatch.nonEmpty)
+  }
+
+  test("as-of stream never matches a FUTURE click carried from a prior batch") {
+    // adversarial file order: batch 1 delivers a LATE click (t=300), batch 2
+    // an EARLIER purchase (t=200) — the carried click is in the purchase's
+    // future and must not match (the pre-guard implementation matched it)
+    val dir = Files.createTempDirectory("graft-stream-guard").toString
+    def writeFile(name: String, rows: Seq[(Long, Long, java.sql.Timestamp, String)], mtime: Long): Unit = {
+      val sub = new java.io.File(dir, name)
+      rows.toDF("event_id", "user_id", "ts", "event_type")
+        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+        .select("event_id", "user_id", "ts", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = sub.listFiles().filter(_.getName.startsWith("part-")).head
+      val target = new java.io.File(dir, name + ".parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(sub)
+      target.setLastModified(mtime)
+    }
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    writeFile("a", Seq((10L, 1L, ts(100), "click"), (30L, 1L, ts(300), "click")), 1000000L)
+    writeFile("b", Seq((20L, 1L, ts(200), "purchase")), 1060000L)
+
+    val out = Streams.asofAvailableNow(spark, dir, "ev_asof_guard_out",
+      maxFilesPerTrigger = Some(1)).collect().toSeq
+    assert(out.size === 1)
+    val row = out.head
+    // the t=100 click was superseded in state by the t=300 click within
+    // batch 1 (single-pair state), and the t=300 click is future-guarded:
+    // the purchase must emit with NO click, not with click 30
+    assert(row.getAs[Long]("purchase_id") === 20L)
+    assert(row.getAs[Any]("click_id") === null,
+      s"future click must not match a past purchase: $row")
+  }
+
   test("stateful running totals match the batch aggregate after one batch") {
     val stream = Streams.readEvents(spark, eventsDir)
       .select($"user_id", $"ts", $"value").as[Streams.UserEvent]
