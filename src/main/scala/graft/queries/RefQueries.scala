@@ -292,13 +292,17 @@ object RefQueries {
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
   /** Running-frame window: exact (decimal) running sum + lag. The window
-    * order (shipdate, orderkey, linenumber) is total within a suppkey
-    * partition — (orderkey, linenumber) alone is NOT unique in this data —
-    * and the final sort appends running_qty (strictly increasing within a
-    * partition) so the output order is total too. */
+    * order (shipdate, orderkey, linenumber, quantity) makes ties
+    * OUTPUT-interchangeable — (orderkey, linenumber) alone is NOT unique
+    * in this data, and at sf0.1 even (shipdate, orderkey, linenumber)
+    * collides within a suppkey; appending quantity means any remaining
+    * tied rows contribute identical running/lag values in either order,
+    * so the result is deterministic without requiring a true total order.
+    * The final sort appends running_qty so the output order is total. */
   private def windowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
     // Exact running sum via integer cents (quantities have 2 decimals):
     // long addition stays in whole-stage codegen, an order of magnitude
     // faster than a Decimal accumulator in the window frame, and remains
@@ -316,10 +320,10 @@ object RefQueries {
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |  SUM(CAST(round(l_quantity * 100) AS BIGINT))
       |       OVER (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_qty,
       |  lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-      |                           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+      |                           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
       |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin
 
   /** Multi-join + agg + top-k (TPC-H Q3 shape). customer is broadcast
