@@ -270,6 +270,12 @@ object HashExprs {
   private val lastReg =
     new java.util.WeakHashMap[SparkSession, Map[String, Any]]()
 
+  /** Shared registration seam for the expression modules in this package
+    * (same idempotence semantics as the local registrations). */
+  private[functions] def registerNamed(spark: SparkSession, name: String,
+      params: Any)(builder: Seq[Expression] => Expression): Unit =
+    registerIfChanged(spark, name, params)(builder)
+
   private def registerIfChanged(spark: SparkSession, name: String, params: Any)(
       builder: Seq[Expression] => Expression): Unit = lastReg.synchronized {
     val seen = lastReg.getOrDefault(spark, Map.empty)

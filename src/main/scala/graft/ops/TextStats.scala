@@ -28,6 +28,15 @@ object TextStats {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedlit(words), t)))
 
+  /** The one-pass signals array (graft.functions.TextExprs.TextSignals)
+    * over the `text` column — the codegen'd substrate for quality/langid/
+    * gopher/funnel (their composed-built-in forms pay an interpreted
+    * higher-order-function step per token). */
+  private def signals(docs: DataFrame): Column = {
+    graft.functions.TextExprs.register(docs.sparkSession, langStopwords.map(_._2))
+    graft.functions.TextExprs.textSignals(docs.sparkSession, "text")
+  }
+
   /** BPE-style pre-tokenization pattern (GPT-2-shaped, simplified to the
     * character classes present in the corpus): contractions, space-glued
     * word pieces, number runs, punctuation runs. Subword merges happen
@@ -56,33 +65,32 @@ object TextStats {
     * Everything is per-row double math — deterministic and identical in
     * any engine evaluating the same IEEE expressions. */
   def quality(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTokens = size(toks).cast("double")
+    import graft.functions.TextExprs._
+    val sig = signals(docs)
+    val nTokens = element_at(sig, NTokens).cast("double")
     val nChars = length(col("text")).cast("double")
-    val nonSpace = length(regexp_replace(col("text"), "\\s", "")).cast("double")
-    val alnum = length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", "")).cast("double")
-    val stopHits = stopwordHits(toks, langStopwords.flatMap(_._2)).cast("double")
     docs.select(
       col("doc_id"),
-      nTokens.cast("bigint").as("n_tokens"),
-      round(nonSpace / nTokens, 6).as("avg_token_len"),
-      round((nChars - alnum) / nChars, 6).as("punct_ratio"),
-      round(stopHits / nTokens, 6).as("stopword_ratio"))
+      element_at(sig, NTokens).as("n_tokens"),
+      round(element_at(sig, NonSpaceChars).cast("double") / nTokens, 6)
+        .as("avg_token_len"),
+      round(element_at(sig, PunctChars).cast("double") / nChars, 6)
+        .as("punct_ratio"),
+      round(element_at(sig, AnyStopTokens).cast("double") / nTokens, 6)
+        .as("stopword_ratio"))
   }
 
   /** Language-ID heuristic: per-language stopword hit counts, argmax with
     * ties resolved by registry order, no hits at all → "und". */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = langStopwords.foldLeft(docs.withColumn("_toks", toks)) {
-      case (df, (lang, words)) =>
-        df.withColumn(s"_hits_$lang", stopwordHits(col("_toks"), words))
-    }
-    val hitCols = langStopwords.map { case (lang, _) => col(s"_hits_$lang") }
-    val best = greatest(hitCols: _*)
+    val scored = docs.withColumn("_sig", signals(docs))
+    def hitCol(i: Int): Column =
+      element_at(col("_sig"), graft.functions.TextExprs.LangBase + i)
+    val best = greatest(langStopwords.indices.map(hitCol): _*)
     // foldRight keeps registry priority: when(en)...otherwise(when(de)...)
-    val pred = langStopwords.foldRight(lit("und")) { case ((lang, _), elseExpr) =>
-      when(col(s"_hits_$lang") === best && best > 0, lit(lang)).otherwise(elseExpr)
+    val pred = langStopwords.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, _), i), elseExpr) =>
+        when(hitCol(i) === best && best > 0, lit(lang)).otherwise(elseExpr)
     }
     scored.select(
       col("doc_id"), col("lang").as("declared_lang"),
@@ -95,17 +103,17 @@ object TextStats {
     * All signals are narrow per-row array math — no shuffle, linear scale.
     */
   def gopherQuality(docs: DataFrame): DataFrame = {
-    val sig = gopherSignals(col("text"), tokens(col("text")))
+    val sig = gopherSignalsFrom(signals(docs))
     docs.select(
       col("doc_id"),
-      sig.nTokens.cast("bigint").as("n_tokens"),
+      sig.nTokens.as("n_tokens"),
       round(sig.meanLen, 6).as("mean_token_len"),
       round(sig.alphaFrac, 6).as("alpha_frac"),
-      sig.distinctStops.cast("bigint").as("distinct_stopwords"),
+      sig.distinctStops.as("distinct_stopwords"),
       sig.keep.as("keep"))
   }
 
-  /** Gopher keep-gate signals over a tokenized projection — the SINGLE
+  /** Gopher keep-gate signals over a [[signals]] array — the SINGLE
     * source of the thresholds, shared by [[gopherQuality]] and
     * [[curationFunnel]] so the funnel's stage counts cannot drift from
     * the standalone filter when thresholds change. */
@@ -116,26 +124,25 @@ object TextStats {
         alphaFrac >= 0.8 && distinctStops >= 2
   }
 
-  private[ops] def gopherSignals(text: Column, toks: Column): GopherSignals = {
-    val nTokens = size(toks)
-    // mean characters per token (non-space chars / tokens)
-    val meanLen = length(regexp_replace(text, "\\s", "")).cast("double") /
-      nTokens.cast("double")
-    // fraction of tokens containing at least one alphabetic character
-    val alphaFrac = size(filter(toks, t => t.rlike("[a-zA-Z一-鿿]")))
-      .cast("double") / nTokens.cast("double")
-    // distinct stopwords present (any language) — Gopher requires >= 2.
-    // Counted by filtering the (distinct) stopword registry against the
-    // token set, so the count is distinct-by-construction in any engine.
-    val stopSet = typedlit(langStopwords.flatMap(_._2))
-    val distinctStops = size(filter(stopSet, w => array_contains(toks, w)))
-    GopherSignals(nTokens, meanLen, alphaFrac, distinctStops)
+  private[ops] def gopherSignalsFrom(sig: Column): GopherSignals = {
+    import graft.functions.TextExprs._
+    val nTokens = element_at(sig, NTokens)
+    GopherSignals(
+      nTokens,
+      // mean characters per token (non-space chars / tokens)
+      element_at(sig, NonSpaceChars).cast("double") / nTokens.cast("double"),
+      // fraction of tokens containing at least one alphabetic character
+      element_at(sig, AlphaTokens).cast("double") / nTokens.cast("double"),
+      // registry entries present in the token set (duplicates across
+      // language lists counted per entry) — Gopher requires >= 2
+      element_at(sig, RegistryStops))
   }
 
   /** True when any language's stopword list hits — [[langId]]'s
     * "predicted != und" condition, shared with [[curationFunnel]]. */
-  private[ops] def langIdentified(toks: Column): Column =
-    greatest(langStopwords.map { case (_, ws) => stopwordHits(toks, ws) }: _*) > 0
+  private[ops] def langIdentifiedFrom(sig: Column): Column =
+    greatest(langStopwords.indices.map(i =>
+      element_at(sig, graft.functions.TextExprs.LangBase + i)): _*) > 0
 
   /** Repetition signals (the Gopher duplicate-content family): duplicate
     * token fraction and duplicate 2-gram fraction from per-row array
@@ -283,11 +290,11 @@ object TextStats {
     // conditional counts in a single narrow aggregate (one corpus scan,
     // zero joins) and stages 4-5 are a second aggregate over the dedup
     // window (the one unavoidable shuffle — on the survivors only).
-    val toksed = docs.select(col("doc_id"), col("text"),
-      tokens(col("text")).as("_toks"))
-    val keep = gopherSignals(col("text"), col("_toks")).keep
-    val flagged = toksed.select(col("doc_id"), col("text"),
-      keep.as("_keep"), (keep && langIdentified(col("_toks"))).as("_lang"))
+    val sigged = docs.select(col("doc_id"), col("text"),
+      signals(docs).as("_sig"))
+    val keep = gopherSignalsFrom(col("_sig")).keep
+    val flagged = sigged.select(col("doc_id"), col("text"),
+      keep.as("_keep"), (keep && langIdentifiedFrom(col("_sig"))).as("_lang"))
 
     val firstCounts = flagged.agg(
       count(lit(1)).as("total"),

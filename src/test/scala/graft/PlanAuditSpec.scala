@@ -56,6 +56,9 @@ class PlanAuditSpec extends SparkSuite {
       "RpLshBuckets must implement doGenCode, not fall back")
     assert(!classOf[CodegenFallback].isAssignableFrom(classOf[MinHashDoc]),
       "MinHashDoc must implement doGenCode, not fall back")
+    assert(!classOf[CodegenFallback].isAssignableFrom(
+      classOf[graft.functions.TextExprs.TextSignals]),
+      "TextSignals must implement doGenCode, not fall back")
   }
 
   test("minhash LSH: the band-bucket candidate table carries scalars only") {
