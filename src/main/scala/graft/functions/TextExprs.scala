@@ -30,7 +30,7 @@ object TextExprs {
   /** 1-based element positions in the output array (for element_at). */
   val NTokens = 1       // size(split(trim(text), "\s+"))
   val NonSpaceChars = 2 // length(regexp_replace(text, "\s", ""))
-  val AlphaTokens = 3   // size(filter(toks, _.rlike("[a-zA-Z一-鿿]")))
+  val AlphaTokCount = 3 // size(filter(toks, _.rlike("[a-zA-Z一-鿿]")))
   val RegistryStops = 4 // size(filter(registryWithDups, array_contains(toks, _)))
   val AnyStopTokens = 5 // size(filter(toks, _ ∈ union of all lists))
   val PunctChars = 6    // length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\s]", ""))
@@ -149,10 +149,120 @@ object TextExprs {
     override def prettyName: String = "graft_text_signals"
   }
 
-  def register(spark: SparkSession, langWords: Seq[Seq[String]]): Unit =
+  /** Lowercased pure-alpha tokens: parity twin of
+    * `filter(tokens(lower(text)), t => t.rlike("^[a-z]+$"))` (the HOF form
+    * pays an interpreted regex per token). Lowercasing delegates to
+    * UTF8String.toLowerCase — exactly Spark's `lower` — so locale edge
+    * cases (Kelvin sign, dotted İ) cannot diverge from the built-in. */
+  case class AlphaTokens(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got ${child.dataType.catalogString}")
+
+    @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+    private def pureAlpha(tok: String): Boolean = {
+      if (tok.isEmpty) return false
+      var i = 0
+      while (i < tok.length) {
+        val c = tok.charAt(i)
+        if (c < 'a' || c > 'z') return false
+        i += 1
+      }
+      true
+    }
+
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = text.toLowerCase.toString
+      var st = 0
+      var en = s.length
+      while (st < en && s.charAt(st) == ' ') st += 1
+      while (en > st && s.charAt(en - 1) == ' ') en -= 1
+      val toks = ws.split(s.substring(st, en), -1)
+      val out = new java.util.ArrayList[Any](toks.length)
+      var t = 0
+      while (t < toks.length) {
+        if (pureAlpha(toks(t)))
+          out.add(org.apache.spark.unsafe.types.UTF8String.fromString(toks(t)))
+        t += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("alphaTokens", this, classOf[AlphaTokens].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_alpha_tokens"
+  }
+
+  /** Adjacent-pair word grams of a token array: parity twin of
+    * `zip_with(slice(toks, 1, n-1), slice(toks, 2, n-1), concat_ws(" "))`
+    * (interpreted lambda per gram). n < 2 tokens → empty array. */
+  case class WordBigrams(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.catalogString}")
+    }
+
+    def compute(arr: ArrayData): ArrayData = {
+      val n = arr.numElements()
+      if (n < 2) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](n - 1)
+      var prev = arr.getUTF8String(0)
+      var i = 1
+      while (i < n) {
+        val cur = arr.getUTF8String(i)
+        out(i - 1) = org.apache.spark.unsafe.types.UTF8String.concat(
+          prev, org.apache.spark.unsafe.types.UTF8String.fromString(" "), cur)
+        prev = cur
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("wordBigrams", this, classOf[WordBigrams].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_word_bigrams"
+  }
+
+  def register(spark: SparkSession, langWords: Seq[Seq[String]]): Unit = {
     HashExprs.registerNamed(spark, "graft_text_signals", langWords)(
       exprs => TextSignals(exprs.head, langWords))
+    HashExprs.registerNamed(spark, "graft_alpha_tokens", ())(
+      exprs => AlphaTokens(exprs.head))
+    HashExprs.registerNamed(spark, "graft_word_bigrams", ())(
+      exprs => WordBigrams(exprs.head))
+  }
 
   def textSignals(spark: SparkSession, textCol: String): Column =
     expr(s"graft_text_signals($textCol)")
+
+  def alphaTokens(spark: SparkSession, textCol: String): Column =
+    expr(s"graft_alpha_tokens($textCol)")
+
+  def wordBigrams(spark: SparkSession, toksCol: String): Column =
+    expr(s"graft_word_bigrams($toksCol)")
 }

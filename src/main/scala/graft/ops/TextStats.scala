@@ -32,8 +32,11 @@ object TextStats {
     * over the `text` column — the codegen'd substrate for quality/langid/
     * gopher/funnel (their composed-built-in forms pay an interpreted
     * higher-order-function step per token). */
-  private def signals(docs: DataFrame): Column = {
+  private def registerExprs(docs: DataFrame): Unit =
     graft.functions.TextExprs.register(docs.sparkSession, langStopwords.map(_._2))
+
+  private def signals(docs: DataFrame): Column = {
+    registerExprs(docs)
     graft.functions.TextExprs.textSignals(docs.sparkSession, "text")
   }
 
@@ -132,7 +135,7 @@ object TextStats {
       // mean characters per token (non-space chars / tokens)
       element_at(sig, NonSpaceChars).cast("double") / nTokens.cast("double"),
       // fraction of tokens containing at least one alphabetic character
-      element_at(sig, AlphaTokens).cast("double") / nTokens.cast("double"),
+      element_at(sig, AlphaTokCount).cast("double") / nTokens.cast("double"),
       // registry entries present in the token set (duplicates across
       // language lists counted per entry) — Gopher requires >= 2
       element_at(sig, RegistryStops))
@@ -150,18 +153,18 @@ object TextStats {
     * (one shuffle on doc_id over exploded tokens — at corpus scale the
     * partial count aggregate absorbs the fan-in before the exchange). */
   def repetition(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    val grams = zip_with(slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
-      (a, b) => concat_ws(" ", a, b))
-    val narrow = docs.select(
+    registerExprs(docs)
+    val toksed = docs.select(col("doc_id"), tokens(col("text")).as("_toks"))
+    val n = size(col("_toks"))
+    val grams = graft.functions.TextExprs.wordBigrams(docs.sparkSession, "_toks")
+    val narrow = toksed.select(
       col("doc_id"),
       n.cast("bigint").as("n_tokens"),
-      size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+      size(array_distinct(col("_toks"))).cast("bigint").as("n_distinct"),
       (n - 1).cast("bigint").as("n_2grams"),
       size(array_distinct(grams)).cast("bigint").as("n_distinct_2grams"))
-    val topTok = docs
-      .select(col("doc_id"), explode(toks).as("tok"))
+    val topTok = toksed
+      .select(col("doc_id"), explode(col("_toks")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id").agg(max(col("cnt")).as("top_tok_cnt"))
     narrow.join(topTok, "doc_id").select(
@@ -211,9 +214,11 @@ object TextStats {
     * across engines; the float tfidf rides along rounded. */
   def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = docs.select(col("doc_id"),
-      explode(filter(tokens(lower(col("text"))), t => t.rlike("^[a-z]+$")))
-        .as("term"))
+    registerExprs(docs)
+    val words = docs
+      .select(col("doc_id"),
+        graft.functions.TextExprs.alphaTokens(docs.sparkSession, "text").as("_toks"))
+      .select(col("doc_id"), explode(col("_toks")).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
     val docTokens = tf.groupBy("doc_id").agg(sum("cnt").as("doc_tokens"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -347,13 +352,13 @@ object TextStats {
     * Docs with fewer than two alphabetic tokens are excluded (they have
     * no bigrams). */
   def bigramLmScore(docs: DataFrame): DataFrame = {
-    val toks = filter(tokens(lower(col("text"))), t => t.rlike("^[a-z]+$"))
-    val base = docs.select(col("doc_id"), toks.as("toks"))
+    registerExprs(docs)
+    val spark = docs.sparkSession
+    val base = docs.select(col("doc_id"),
+      graft.functions.TextExprs.alphaTokens(spark, "text").as("toks"))
     val n = size(col("toks"))
     val grams = base.where(n >= 2).select(col("doc_id"),
-      explode(zip_with(slice(col("toks"), lit(1), n - 1),
-        slice(col("toks"), lit(2), n - 1),
-        (a, b) => concat_ws(" ", a, b))).as("gram"))
+      explode(graft.functions.TextExprs.wordBigrams(spark, "toks")).as("gram"))
     // persist the per-doc bigram counts: model, prefix AND the probe side
     // all derive from this one table — without the persist each rebuilds
     // the tokenize+explode from the parquet scan (4 corpus scans; measured
