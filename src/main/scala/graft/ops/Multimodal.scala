@@ -26,8 +26,11 @@ import org.apache.spark.sql.types._
   * changes.
   *
   * At 100 TB: binaries stay columnar in parquet (never exploded), the
-  * decode stage is a narrow per-partition map (no shuffle), and
-  * repartitioning by kind bounds codec-library memory per executor.
+  * decode stage is a narrow per-partition map (no shuffle), and the
+  * kind-contiguous RANGE repartition gives codec locality (≤ kinds-1
+  * boundary partitions load two codec libraries) at full cluster
+  * parallelism — each kind spreads over every partition, unlike a plain
+  * hash repartition on kind (3 active cores forever).
   */
 object Multimodal {
 
@@ -258,18 +261,27 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction: repartition by kind (codec locality), then one
-    * mapPartitions pass — the per-partition iterator is the "batch" a
-    * real decoder would process (analogous to an Arrow-batched UDF). */
+  /** Kind-contiguous repartition at FULL parallelism: range-partition on
+    * (kind, media_id), so partitions are contiguous runs of one kind (at
+    * most kinds-1 boundary partitions see two codecs) while every kind
+    * spreads over the whole partition count. A plain repartition(kind)
+    * leaves ≤3 non-empty partitions regardless of cluster size — a
+    * 1000-executor run would decode on 3 cores. */
+  private def repartitionByKind(media: DataFrame): DataFrame =
+    media.repartitionByRange(col("kind"), col("media_id"))
+
+  /** Feature extraction: kind-homogeneous salted repartition (codec
+    * locality at full parallelism), then one mapPartitions pass — the
+    * per-partition iterator is the "batch" a real decoder would process
+    * (analogous to an Arrow-batched UDF). */
   def extractFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val typed = media.select(
+    val typed = repartitionByKind(media).select(
       col("media_id"), col("kind"), col("payload"),
       col("meta.width"), col("meta.height"), col("meta.format"),
       col("meta.duration_ms")).as[Media]
     typed
-      .repartition(col("kind"))
       .mapPartitions { batch: Iterator[Media] =>
         batch.map(m => MediaFeatures(m.media_id, m.kind, decode(m.kind, m.payload, dim)))
       }
@@ -285,12 +297,11 @@ object Multimodal {
   def extractIntFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaIntFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val typed = media.select(
+    val typed = repartitionByKind(media).select(
       col("media_id"), col("kind"), col("payload"),
       col("meta.width"), col("meta.height"), col("meta.format"),
       col("meta.duration_ms")).as[Media]
     typed
-      .repartition(col("kind"))
       .mapPartitions { batch: Iterator[Media] =>
         batch.map { m =>
           val feats = m.kind match {
@@ -318,11 +329,10 @@ object Multimodal {
   def videoKeyframes(media: DataFrame): Dataset[VideoKeyframe] = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.filter(col("kind") === "video").select(
+    repartitionByKind(media.filter(col("kind") === "video")).select(
       col("media_id"), col("kind"), col("payload"),
       col("meta.width"), col("meta.height"), col("meta.format"),
       col("meta.duration_ms")).as[Media]
-      .repartition(col("kind"))
       .mapPartitions { batch: Iterator[Media] =>
         batch.flatMap { m =>
           Mp4.parseKeyframes(m.payload).getOrElse(Seq.empty).map(k =>
