@@ -30,7 +30,7 @@ object Verify {
   def orderedNames: Seq[String] = {
     val refNames = queries.RefQueries.defs.map(_._1).toSet
     def rank(n: String): Int =
-      if (n.endsWith("_stream")) 3
+      if (n.contains("_stream")) 3
       else if (expensive(n)) 2
       else if (refNames(n)) 0
       else 1

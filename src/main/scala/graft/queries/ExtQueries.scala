@@ -1009,6 +1009,48 @@ object ExtQueries {
       |FROM events p WHERE p.event_type = 'purchase'
       |ORDER BY purchase_id""".stripMargin
 
+  /** Watermark-buffered streaming as-of (the ALWAYS-ON-correct variant:
+    * both sides buffered against the watermark, so micro-batch boundaries
+    * and bounded event-time disorder cannot change the answer), run over
+    * time-ordered multi-file staging with maxFilesPerTrigger=1 — a REAL
+    * multi-batch execution — plus a terminal heartbeat click (punctuation)
+    * so the final watermark matures every purchase. Same oracle as
+    * ev_asof_stream: the heartbeat user emits nothing. */
+  private val stagedWmEvents = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stagedWmEventsDir(s: SparkSession, dir: String): String =
+    stagedWmEvents.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ev-wm").toString
+      Tables.events(s, d)
+        .repartitionByRange(4, col("ts")).sortWithinPartitions("ts")
+        .write.mode("overwrite").parquet(tmp)
+      val parts = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1000000L + i * 60000L)
+      }
+      val maxTs = Tables.events(s, d).agg(max(col("ts")))
+        .collect().head.getTimestamp(0)
+      val hb = s.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(
+          999999999L, new java.sql.Timestamp(maxTs.getTime + 3600000L),
+          999999999L, "click", 0.0, "{}")),
+        Streams.eventsSchema)
+      val sub = new java.io.File(tmp, "hb")
+      hb.coalesce(1).write.mode("overwrite").parquet(sub.toString)
+      val part = sub.listFiles().filter(_.getName.startsWith("part-")).head
+      val target = new java.io.File(tmp, "zz-heartbeat.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(sub)
+      target.setLastModified(1000000L + 100 * 60000L)
+      tmp
+    })
+
+  private def evAsofStreamWm(s: SparkSession, dir: String): DataFrame =
+    Streams.asofWatermarked(s, stagedWmEventsDir(s, dir),
+        maxFilesPerTrigger = Some(1))
+      .filter(col("user_id") =!= 999999999L)
+
   private val evRunningStreamSql =
     """SELECT user_id, count(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
@@ -1136,6 +1178,7 @@ object ExtQueries {
     "ev_dedup_stream" -> QueryDef(evDedupStream, Some(evDedupStreamSql)),
     "ev_join_stream" -> QueryDef(evJoinStream, Some(evJoinStreamSql)),
     "ev_asof_stream" -> QueryDef(evAsofStream, Some(evAsofStreamSql)),
+    "ev_asof_stream_wm" -> QueryDef(evAsofStreamWm, Some(evAsofStreamSql)),
     "ev_json_kpi" -> QueryDef(evJsonKpi, Some(evJsonKpiSql)),
     "ev_variant_kpi" -> QueryDef(
       (s, dir) => EventWindows.variantKpi(Tables.events(s, dir)),

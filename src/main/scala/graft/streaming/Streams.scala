@@ -271,6 +271,107 @@ object Streams {
       .orderBy("purchase_id")
   }
 
+  final case class AsOfRawEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, event_id: Long)
+  final case class AsOfBufState(clicks: List[LastClick], pending: List[LastClick])
+
+  /** ALWAYS-ON-correct streaming as-of join: watermark-buffered on BOTH
+    * sides, so micro-batch boundaries and cross-batch event-time disorder
+    * (up to the watermark delay) cannot change the answer — the upgrade
+    * over [[asofAvailableNow]]'s single-pair state, whose in-order
+    * assumption its scaladoc documents.
+    *
+    * Protocol, per user group and invocation:
+    *  1. arriving clicks join a sorted buffer; arriving purchases join a
+    *     pending list (they must NOT emit yet — an older click may still
+    *     arrive in a later batch);
+    *  2. purchases with ts <= current watermark emit, matched against the
+    *     latest buffered click at-or-before them ((ts, id) tie-break) —
+    *     by the watermark contract every on-time click at-or-before that
+    *     instant has arrived, and later-arriving ones would be dropped as
+    *     late anyway, so this is the best answer ANY implementation could
+    *     give;
+    *  3. the click buffer prunes to the single latest click at-or-below
+    *     the watermark plus everything above it (exactly what future
+    *     purchases can still need — O(disorder window) per user, not
+    *     O(history));
+    *  4. an event-time timeout at the earliest immature pending purchase
+    *     guarantees a flush invocation once the watermark passes it (the
+    *     no-data micro-batch), even if that user never appears again.
+    *
+    * On a finite run the watermark stops `delay` short of the last event
+    * time, so a tail of purchases can stay pending — inherent to
+    * watermark semantics, not a bug; the spec closes it with a terminal
+    * heartbeat event (the standard punctuation trick). */
+  def asofWatermarked(spark: SparkSession, dir: String,
+      queryName: String = "ev_asof_wm_out",
+      delay: String = "0 seconds",
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val reader = maxFilesPerTrigger.foldLeft(
+      spark.readStream.schema(eventsSchema)) { (r, n) =>
+      r.option("maxFilesPerTrigger", n)
+    }
+    // the watermarked `ts` column must reach the stateful operator — the
+    // analyzer rejects EventTimeTimeout if a projection replaces it
+    val ev = reader.parquet(dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .as[AsOfRawEvent]
+    def tsUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    val matched = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfBufState, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[AsOfRawEvent], state: GroupState[AsOfBufState]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val st = state.getOption.getOrElse(AsOfBufState(Nil, Nil))
+          var clicks = st.clicks
+          var pending = st.pending
+          batch.foreach { e =>
+            if (e.event_type == "click") clicks = LastClick(tsUs(e.ts), e.event_id) :: clicks
+            else pending = LastClick(tsUs(e.ts), e.event_id) :: pending
+          }
+          val clicksSorted = clicks.sortBy(c => (c.ts_us, c.event_id))
+          val (mature, immature) = pending.partition(_.ts_us <= wmUs)
+          val out = mature.sortBy(p => (p.ts_us, p.event_id)).map { p =>
+            val m = clicksSorted.takeWhile(c =>
+              c.ts_us < p.ts_us || (c.ts_us == p.ts_us && c.event_id < p.event_id))
+              .lastOption
+            AsOfMatch(user, p.event_id, p.ts_us, m.map(_.event_id))
+          }
+          // prune: the latest click at-or-below the watermark still serves
+          // future purchases; everything above it must be kept verbatim
+          val (below, above) = clicksSorted.partition(_.ts_us <= wmUs)
+          val kept = below.lastOption.toList ::: above
+          if (kept.isEmpty && immature.isEmpty) state.remove()
+          else {
+            state.update(AsOfBufState(kept, immature))
+            // guarantee a flush invocation when the earliest pending
+            // purchase matures (timeout must sit strictly past the wm)
+            immature.map(_.ts_us).minOption.foreach { ts =>
+              state.setTimeoutTimestamp(ts / 1000L + 1L)
+            }
+          }
+          out.iterator
+      }
+    withStreamPartitions(spark, 8) {
+      val q = matched.toDF()
+        .writeStream.format("memory").queryName(queryName)
+        .outputMode(OutputMode.Append)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    spark.table(queryName)
+      .select(col("user_id"), col("purchase_id"),
+        date_format(timestamp_micros(col("purchase_ts_us")),
+          "yyyy-MM-dd HH:mm:ss").as("purchase_at"),
+        col("click_id"))
+      .orderBy("purchase_id")
+  }
+
   /** Exactly-once foreachBatch sink into an [[AtomicTable]].
     *
     * Structured Streaming's foreachBatch contract is at-least-once: after a

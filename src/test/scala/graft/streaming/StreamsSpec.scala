@@ -139,21 +139,10 @@ class StreamsSpec extends SparkSuite {
     // an EARLIER purchase (t=200) — the carried click is in the purchase's
     // future and must not match (the pre-guard implementation matched it)
     val dir = Files.createTempDirectory("graft-stream-guard").toString
-    def writeFile(name: String, rows: Seq[(Long, Long, java.sql.Timestamp, String)], mtime: Long): Unit = {
-      val sub = new java.io.File(dir, name)
-      rows.toDF("event_id", "user_id", "ts", "event_type")
-        .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
-        .select("event_id", "user_id", "ts", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-      val part = sub.listFiles().filter(_.getName.startsWith("part-")).head
-      val target = new java.io.File(dir, name + ".parquet")
-      java.nio.file.Files.move(part.toPath, target.toPath)
-      org.apache.commons.io.FileUtils.deleteDirectory(sub)
-      target.setLastModified(mtime)
-    }
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
-    writeFile("a", Seq((10L, 1L, ts(100), "click"), (30L, 1L, ts(300), "click")), 1000000L)
-    writeFile("b", Seq((20L, 1L, ts(200), "purchase")), 1060000L)
+    writeEventsFile(dir, "a",
+      Seq((10L, 1L, ts(100), "click"), (30L, 1L, ts(300), "click")), 1000000L)
+    writeEventsFile(dir, "b", Seq((20L, 1L, ts(200), "purchase")), 1060000L)
 
     val out = Streams.asofAvailableNow(spark, dir, "ev_asof_guard_out",
       maxFilesPerTrigger = Some(1)).collect().toSeq
@@ -166,6 +155,69 @@ class StreamsSpec extends SparkSuite {
     assert(row.getAs[Any]("click_id") === null,
       s"future click must not match a past purchase: $row")
   }
+
+  test("watermark-buffered as-of equals the single-batch answer across batches") {
+    // in-order range staging + terminal heartbeat (punctuation) so the
+    // watermark passes every purchase and the pending tail flushes
+    val dir = Files.createTempDirectory("graft-stream-wm").toString
+    Tables.events(spark, sf0001)
+      .repartitionByRange(3, $"ts").sortWithinPartitions("ts")
+      .write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) => f.setLastModified(1000000L + i * 60000L) }
+    val maxTs = Tables.events(spark, sf0001).agg(max($"ts")).collect()
+      .head.getTimestamp(0)
+    writeHeartbeat(dir, new java.sql.Timestamp(maxTs.getTime + 3600 * 1000L), 1240000L)
+
+    val buffered = Streams.asofWatermarked(spark, dir, "ev_asof_wm1_out",
+      delay = "0 seconds", maxFilesPerTrigger = Some(1)).collect().toSeq
+    val single = Streams.asofAvailableNow(spark, eventsDir,
+      "ev_asof_wm_ref_out").collect().toSeq
+    assert(buffered === single)
+    assert(buffered.nonEmpty)
+  }
+
+  test("watermark-buffered as-of survives cross-batch disorder the pair-state misses") {
+    // batch 1: clicks t=100 and t=300; batch 2: purchase t=200 (out of
+    // event-time order). The single-pair variant provably emits NO match
+    // (guard test above); the buffered variant must emit the CORRECT
+    // as-of answer: click id 10 at t=100.
+    val dir = Files.createTempDirectory("graft-stream-wm2").toString
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    writeEventsFile(dir, "a",
+      Seq((10L, 1L, ts(100), "click"), (30L, 1L, ts(300), "click")), 1000000L)
+    writeEventsFile(dir, "b", Seq((20L, 1L, ts(200), "purchase")), 1060000L)
+    writeHeartbeat(dir, ts(100000), 1120000L)
+
+    val out = Streams.asofWatermarked(spark, dir, "ev_asof_wm2_out",
+      delay = "10 minutes", maxFilesPerTrigger = Some(1)).collect().toSeq
+    assert(out.size === 1)
+    assert(out.head.getAs[Long]("purchase_id") === 20L)
+    assert(out.head.getAs[Long]("click_id") === 10L,
+      s"buffered as-of must recover the older click across batches: ${out.head}")
+  }
+
+  /** One single-file events parquet under `dir/<name>.parquet` with a
+    * pinned modification time (file order drives batch order). */
+  private def writeEventsFile(dir: String, name: String,
+      rows: Seq[(Long, Long, java.sql.Timestamp, String)], mtime: Long): Unit = {
+    val sub = new java.io.File(dir, name)
+    rows.toDF("event_id", "user_id", "ts", "event_type")
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+      .select("event_id", "user_id", "ts", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(sub.toString)
+    val part = sub.listFiles().filter(_.getName.startsWith("part-")).head
+    val target = new java.io.File(dir, name + ".parquet")
+    java.nio.file.Files.move(part.toPath, target.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(sub)
+    target.setLastModified(mtime)
+  }
+
+  /** Terminal punctuation: one far-future click for a nonexistent user,
+    * staged as the LAST file so the final watermark passes all real data. */
+  private def writeHeartbeat(dir: String, at: java.sql.Timestamp, mtime: Long): Unit =
+    writeEventsFile(dir, "zz-heartbeat", Seq((999999L, 999999L, at, "click")), mtime)
 
   test("stateful running totals match the batch aggregate after one batch") {
     val stream = Streams.readEvents(spark, eventsDir)
