@@ -166,7 +166,11 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("q_norm"), col("centroid_id"))
 
-    val cands = assigned.join(probed, Seq("centroid_id"))
+    // BROADCAST the probe side: it is #queries × nprobe rows (a query
+    // batch, not a corpus), while `assigned` is the full corpus — a
+    // shuffle join here would re-shuffle every corpus embedding by
+    // centroid_id for nothing. Same discipline as bruteForceTopK/rpLshTopK.
+    val cands = assigned.join(broadcast(probed), Seq("centroid_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosinePre(col("q_emb"), col("q_norm"), col("embedding"), col("v_norm")), 6)

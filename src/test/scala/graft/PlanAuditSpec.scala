@@ -190,6 +190,15 @@ class PlanAuditSpec extends SparkSuite {
       s"exactly one exchange for the layout pass:\n$p")
   }
 
+  test("sim_ivf_topk: the probe join broadcasts the query side") {
+    // the corpus must never re-shuffle by centroid_id to meet a probe
+    // batch: probes are #queries x nprobe rows, always the broadcast side
+    val p = plan("sim_ivf_topk")
+    assert(p.contains("BroadcastHashJoin"), s"probe join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "IVF search must not shuffle-sort the corpus against the probe batch")
+  }
+
   test("mm_resize / mm_frames: metadata-only queries never render payloads") {
     // the media payload is a codec-rendering UDF column: the metadata-only
     // queries must let Catalyst PRUNE it, or every resize plan pays for
