@@ -65,6 +65,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
 
+    // Untimed warmup (same rationale as Bench): JVM classloading +
+    // first-codegen cost otherwise lands on whichever query runs first
+    // and distorts the per-query log this file's budget decisions read.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
     // Local-iteration filter: SPARK_GRAFT_ONLY=q1,q2 runs a subset.
     // The driver never sets it, so the contract is unchanged.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
