@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.HashExprs
-import graft.ops.Dedup
+import graft.functions.{HashExprs, TextExprs}
+import graft.ops.{Dedup, TextStats}
 
 /** Session-extension wiring: registers the engine's custom Catalyst
   * expressions as SQL functions at session build time, so SQL users get
@@ -38,6 +38,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HashExprs.MinHashDoc].getName, "graft_minhash_doc"),
       (exprs: Seq[Expression]) =>
         HashExprs.MinHashDoc(exprs.head, 3, Dedup.hashA, Dedup.hashB, Dedup.MinhashP)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_text_signals"),
+      new ExpressionInfo(classOf[TextExprs.TextSignals].getName, "graft_text_signals"),
+      (exprs: Seq[Expression]) =>
+        TextExprs.TextSignals(exprs.head, TextStats.langStopwords.map(_._2))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_alpha_tokens"),
+      new ExpressionInfo(classOf[TextExprs.AlphaTokens].getName, "graft_alpha_tokens"),
+      (exprs: Seq[Expression]) => TextExprs.AlphaTokens(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_bigrams"),
+      new ExpressionInfo(classOf[TextExprs.WordBigrams].getName, "graft_word_bigrams"),
+      (exprs: Seq[Expression]) => TextExprs.WordBigrams(exprs.head)))
     // whole-operator extension: plans graft.plans.AsOfJoinNode into the
     // streaming-merge AsOfJoinExec (AsOf.joinPriorExec installs the same
     // strategy lazily via spark.experimental for extension-less sessions)

@@ -29,6 +29,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           " graft_simhash32(array('spark', 'scala')) AS s2").collect().head
       assert(sim.getLong(0) === sim.getLong(1))
       assert(sim.getLong(0) >= 0L && sim.getLong(0) <= 0xFFFFFFFFL)
+      // text family: one-pass signals + tokenizers, pure SQL
+      val txt = spark.sql(
+        "SELECT graft_text_signals('the quick brown fox') AS sig," +
+          " graft_alpha_tokens('The Quick  123 fox!') AS toks," +
+          " graft_word_bigrams(array('a', 'b', 'c')) AS grams").collect().head
+      assert(txt.getSeq[Long](0).head === 4L) // n_tokens
+      assert(txt.getSeq[String](1) === Seq("the", "quick")) // 123, fox! dropped
+      assert(txt.getSeq[String](2) === Seq("a b", "b c"))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
