@@ -17,14 +17,16 @@ import java.nio.file.{Files, Paths}
 object Verify {
 
   /** Known-expensive batch queries, deferred until after everything cheap
-    * (measured in the r1-r5 verify/bench tails; keep in sync when adding
-    * hogs). */
+    * (re-measured r6 after the TextSignals/IVF-broadcast work: the text
+    * family fell off the list; dedup/sim/mm and the big sorts remain).
+    * Keep in sync when adding hogs. */
   private val expensive = Set(
     "text_bpe_tokens", "text_chunks", "skewjoin_salted", "sql_lateral",
     "sim_neardup_cosine", "dedup_ngram_jaccard", "t9_union_sort",
     "w2_window_running", "zorder_value", "scd2_history",
-    "text_lm_score", "text_tfidf", "text_funnel", "dedup_cluster_planted",
-    "sim_ivf_kmeans_recall", "mm_features")
+    "dedup_cluster_planted", "dedup_minhash_pairs", "dedup_index_planted",
+    "dedup_exact_hash", "dedup_minhash_planted", "bloom_prune_join",
+    "sim_ivf_kmeans_recall", "sim_ivf_topk", "mm_features", "text_lm_score")
 
   /** Deterministic execution order: registration order within each rank. */
   def orderedNames: Seq[String] = {
