@@ -323,6 +323,131 @@ object Similarity {
           x => round(x.cast("double") / col("l2_raw"), 9)))
         .as("unit"))
 
+  // ---------------------------------------------------- product quantization
+
+  /** PQ geometry: 64-dim embeddings split into `PqM` subspaces of
+    * `PqSubDim` dims, `PqKs` codes per subspace — 8 bytes of codes per
+    * vector instead of 256 bytes of float32, the compression that keeps a
+    * 100 TB corpus's ANN index in executor memory. */
+  val PqM = 8
+  val PqSubDim = 8
+  val PqKs = 32
+
+  /** One row per (vector, subspace): unit-normalized double subvectors, so
+    * dot products downstream ARE cosine contributions. */
+  private def pqSubRows(df: DataFrame, idCol: String): DataFrame = {
+    val unit = df.select(col(idCol), col("embedding"),
+        greatest(norm(col("embedding")), lit(1e-12)).as("l2"))
+      .select(col(idCol),
+        transform(col("embedding"), x => x.cast("double") / col("l2")).as("u"))
+    unit.select(col(idCol), posexplode(array((0 until PqM).map(j =>
+      slice(col("u"), j * PqSubDim + 1, PqSubDim)): _*)).as(Seq("sub", "subvec")))
+  }
+
+  /** Per-subspace codebooks via Lloyd's on a deterministic training
+    * stride (codebook training on a bounded sample is the standard PQ
+    * practice — FAISS trains on ~100k vectors regardless of corpus size;
+    * here the stride is arithmetic so results are reproducible). Seeds
+    * are the first `PqKs` stride vectors' subvectors; every iteration is
+    * ONE broadcast join + argmax + re-mean covering ALL subspaces at once
+    * (subspace is just a key), so training cost does not scale with m.
+    * Returns (sub, code, centroid, c_half = ||c||²/2). */
+  def pqCodebooks(corpus: DataFrame, iters: Int = 2, trainMod: Int = 4): DataFrame = {
+    val train = pqSubRows(corpus.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+      .select(col("vec_id"), col("embedding")), "vec_id")
+      .localCheckpoint(true) // reused every iteration: truncate lineage once
+    val seedIds = train.select("vec_id").distinct()
+      .orderBy("vec_id").limit(PqKs)
+      .withColumn("code", row_number().over(Window.orderBy("vec_id")) - 1)
+    var books = train.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("code"), col("subvec").as("centroid"))
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    for (_ <- 0 until iters) {
+      val snap = books.localCheckpoint(true)
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = org.apache.spark.sql.graftshim.Shims.checkpointedRdd(snap)
+      val scored = train.join(broadcast(snap.withColumn("c_half",
+          VectorExprs.dot(col("centroid"), col("centroid")) / 2)), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("subvec"), col("code"),
+          (VectorExprs.dot(col("subvec"), col("centroid")) - col("c_half")).as("s"))
+      val w = Window.partitionBy("vec_id", "sub")
+        .orderBy(col("s").desc, col("code"))
+      val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // empty codes simply drop out (codebook shrinks — harmless for ANN)
+      books = best.groupBy("sub", "code")
+        .agg(
+          array((0 until PqSubDim).map(i =>
+            sum(element_at(col("subvec"), i + 1))): _*).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("sub"), col("code"),
+          transform(col("sums"), s => s / col("n")).as("centroid"))
+    }
+    books.withColumn("c_half",
+      VectorExprs.dot(col("centroid"), col("centroid")) / 2)
+  }
+
+  /** Encode: nearest codebook entry per (vector, subspace) — broadcast
+    * codebooks, argmax of (v·c − ||c||²/2), never a corpus shuffle.
+    * Returns (vec_id, sub, code): the 8-byte index representation. */
+  def pqEncode(corpus: DataFrame, books: DataFrame): DataFrame = {
+    val scored = pqSubRows(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        (VectorExprs.dot(col("subvec"), col("centroid")) - col("c_half")).as("s"))
+    val w = Window.partitionBy("vec_id", "sub").orderBy(col("s").desc, col("code"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("vec_id", "sub", "code")
+  }
+
+  /** PQ ANN search, FAISS-shaped: ADC shortlist + exact re-rank.
+    *
+    *  1. LUT: per (query, sub, code), the query subvector · centroid dot,
+    *     quantized to integer micro-units (order-independent sums — the
+    *     cross-engine determinism rule) — #queries × m × ks rows,
+    *     broadcast;
+    *  2. ADC: corpus CODES join the LUT on (sub, code) — the corpus scan
+    *     touches 8 bytes of codes per vector, never the embeddings — and
+    *     the per-vector sum of m lookups approximates the cosine;
+    *  3. shortlist top-`shortlist` per query by ADC score, then re-rank
+    *     EXACTLY on the true embeddings fetched by id (the candidate
+    *     diet: only shortlist×queries embeddings move).
+    *
+    * Same output contract as the other topK searches. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      iters: Int = 2, shortlist: Int = 64): DataFrame = {
+    val books = pqCodebooks(corpus, iters).localCheckpoint(true)
+    val codes = pqEncode(corpus, books)
+    val lut = pqSubRows(queries.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(books), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("sub"), col("code"),
+        round(VectorExprs.dot(col("subvec"), col("centroid")) * 1000000).cast("long")
+          .as("pdot_micro"))
+    val adc = codes.join(broadcast(lut), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum("pdot_micro").as("adc_micro"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    val ws = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro").desc, col("neighbor_id"))
+    val cand = adc.withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select("query_id", "neighbor_id")
+    // exact re-rank over the shortlist only
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    val exact = cand.join(broadcast(q), Seq("query_id")).join(c, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePre(col("q_emb"), col("q_norm"), col("c_emb"), col("c_norm")), 6)
+          .as("score"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(wr).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs over a deterministic sample:
     * top-k most similar pairs (id_a < id_b). */
   def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int): DataFrame = {

@@ -691,6 +691,18 @@ object ExtQueries {
   /** Planted-recall contract through the quantized corpus: the ~0.04%
     * max quantization error cannot drop a 0.9999-cosine planted neighbor
     * below the noise floor, so the constant-truth oracle applies. */
+  /** Planted-recall through the PQ index (per-subspace Lloyd codebooks →
+    * 8-byte codes → integer ADC shortlist → exact re-rank): the planted
+    * 1%-perturbed twin must survive quantization to the shortlist and the
+    * exact re-rank then ranks it home. */
+  private def simPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = withPlantedNearDups(emb, 100)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+    foundPlanted(Similarity.pqTopK(queries, corpus, k = 5))
+      .orderBy("query_id")
+  }
+
   private def simQuantizedRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
@@ -1158,6 +1170,7 @@ object ExtQueries {
     "sim_rplsh_topk" -> QueryDef(simRpLsh, None),
     "sim_rplsh_recall" -> QueryDef(simRpLshRecall, Some(simRecallSql)),
     "sim_quantized_recall" -> QueryDef(simQuantizedRecall, Some(simRecallSql)),
+    "sim_pq_recall" -> QueryDef(simPqRecall, Some(simRecallSql)),
     "emb_quantize_int8" -> QueryDef(embQuantize, Some(embQuantizeSql)),
     "emb_l2_normalize" -> QueryDef(embL2Normalize, Some(embL2NormalizeSql)),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),

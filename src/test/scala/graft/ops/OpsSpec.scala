@@ -94,6 +94,31 @@ class OpsSpec extends SparkSuite {
     assert(rank1(1L) === 101L)
   }
 
+  test("pq: codes are one-per-subspace, ADC shortlist + re-rank finds a planted dup") {
+    val rng = new scala.util.Random(13)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(64)(rng.nextGaussian().toFloat), i % 4)
+    }
+    val corpus = (base ++ Seq((100L, base(0)._2, 0), (101L, base(1)._2, 1)))
+      .toDF("vec_id", "embedding", "label")
+
+    val books = Similarity.pqCodebooks(corpus, iters = 2)
+    val bk = books.collect()
+    assert(bk.nonEmpty)
+    assert(bk.forall(_.getSeq[Double](2).length === Similarity.PqSubDim))
+    // encode: exactly PqM codes per vector, codes within the codebook
+    val codes = Similarity.pqEncode(corpus, books)
+    val perVec = codes.groupBy("vec_id").count().collect()
+    assert(perVec.forall(_.getLong(1) === Similarity.PqM.toLong))
+    // search: the exact duplicate survives quantization and re-ranks to #1
+    val queries = corpus.filter($"vec_id" < 2)
+    val top = Similarity.pqTopK(queries, corpus, k = 3).collect()
+    val rank1 = top.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rank1(0L) === 100L)
+    assert(rank1(1L) === 101L)
+  }
+
   test("int8 quantization: codes bounded, roundtrip error within one step") {
     val emb = graft.Tables.embeddings(spark, sf0001)
     val q = Similarity.quantizeInt8(emb)
