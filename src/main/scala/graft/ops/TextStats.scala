@@ -254,7 +254,23 @@ object TextStats {
     * broadcast becomes a bloom-filter prefilter + shuffle join on the
     * survivors; the operator shape is otherwise identical. */
   def contamination(docs: DataFrame, evalMod: Int = 97, plantMod: Int = 31,
-      w: Int = 8): DataFrame = {
+      w: Int = 8): DataFrame =
+    contaminationImpl(docs, evalMod, plantMod, w, bloomPrefilter = false)
+
+  /** The extreme-eval-size variant the [[contamination]] scaladoc
+    * promises: a bloom bitmap of the eval grams pre-filters the training
+    * gram stream MAP-SIDE (pure column arithmetic, before any
+    * shuffle/join work), and the exact gram join then runs over the few
+    * survivors only — false positives die there, so the result is
+    * bit-identical to [[contamination]] and shares its oracle. At 100 TB
+    * this changes the dominant term from |corpus grams| join-probe work
+    * to |corpus grams| hash-and-mask work plus |survivors| join work. */
+  def contaminationBloom(docs: DataFrame, evalMod: Int = 97, plantMod: Int = 31,
+      w: Int = 8): DataFrame =
+    contaminationImpl(docs, evalMod, plantMod, w, bloomPrefilter = true)
+
+  private def contaminationImpl(docs: DataFrame, evalMod: Int, plantMod: Int,
+      w: Int, bloomPrefilter: Boolean): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.HashExprs.registerWordNgrams(spark, w)
     val marker = " alpha bravo charlie delta echo foxtrot golf hotel"
@@ -263,9 +279,20 @@ object TextStats {
         concat(col("text"), lit(marker))).otherwise(col("text")).as("text"))
     def gramsOf(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(graft.functions.HashExprs.wordNgrams(spark, "text")).as("gram"))
-    val evalGrams = gramsOf(stamped.where(col("doc_id") % evalMod === 0))
+    val evalGramsBase = gramsOf(stamped.where(col("doc_id") % evalMod === 0))
       .select("gram").distinct()
-    val trainGrams = gramsOf(stamped.where(col("doc_id") % evalMod =!= 0))
+    // bloom mode materializes the eval grams once: the bloom build and the
+    // exact verify join otherwise each recompute the explode
+    val evalGrams =
+      if (bloomPrefilter) evalGramsBase.localCheckpoint(true) else evalGramsBase
+    val trainGramsAll = gramsOf(stamped.where(col("doc_id") % evalMod =!= 0))
+    val trainGrams =
+      if (!bloomPrefilter) trainGramsAll
+      else {
+        val words = BloomPrune.collectBloom(evalGrams, "gram", 1 << 20, 5)
+        trainGramsAll.where(BloomPrune.mightContain(
+          typedlit(words.toSeq), col("gram"), 1 << 20, 5))
+      }
     val hits = trainGrams.join(broadcast(evalGrams), "gram")
       .groupBy("doc_id").agg(countDistinct("gram").as("n_hits"))
     docs.where(col("doc_id") % evalMod =!= 0).select("doc_id")

@@ -201,6 +201,9 @@ object ExtQueries {
       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
       |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  private def textDecontaminateBloom(s: SparkSession, dir: String): DataFrame =
+    TextStats.contaminationBloom(Tables.documents(s, dir)).orderBy("doc_id")
+
   private def textDecontaminate(s: SparkSession, dir: String): DataFrame =
     TextStats.contamination(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -1150,6 +1153,7 @@ object ExtQueries {
     "text_lm_score" -> QueryDef(textLmScore, Some(textLmScoreSql)),
     "text_funnel" -> QueryDef(textFunnel, Some(textFunnelSql)),
     "text_decontaminate" -> QueryDef(textDecontaminate, Some(textDecontaminateSql)),
+    "text_decontam_bloom" -> QueryDef(textDecontaminateBloom, Some(textDecontaminateSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),

@@ -190,6 +190,16 @@ class PlanAuditSpec extends SparkSuite {
       s"exactly one exchange for the layout pass:\n$p")
   }
 
+  test("text_decontam_bloom: bloom probe is a pushed literal predicate") {
+    val p = plan("text_decontam_bloom")
+    assert(p.contains("shiftrightunsigned"),
+      s"bloom probe arithmetic must appear as a scalar filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the exact verify join must still broadcast the eval grams")
+    assert(!p.contains("SortMergeJoin [gram"),
+      "the training gram stream must never shuffle-sort by gram")
+  }
+
   test("sim_ivf_topk: the probe join broadcasts the query side") {
     // the corpus must never re-shuffle by centroid_id to meet a probe
     // batch: probes are #queries x nprobe rows, always the broadcast side
