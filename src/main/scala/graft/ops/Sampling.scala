@@ -25,6 +25,46 @@ object Sampling {
   def pctBucket(id: Column): Column =
     pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(100L))
 
+  /** Deterministic micro-bucket in [0, 1e6): the fine-grained sibling of
+    * [[pctBucket]] for sub-percent acceptance rates, with the same
+    * exact-arithmetic guarantee. */
+  def microBucket(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(2654435761L), lit(1000000L))
+
+  /** Target-MIXTURE resampler: given desired output proportions per
+    * stratum (the "40% en / 15% each tail" data-mixture spec of a
+    * training run), derive the per-stratum acceptance rates that hit the
+    * largest feasible output with those proportions, then keep rows by
+    * deterministic micro-bucket — no randomness, reproducible on any
+    * engine.
+    *
+    * T = min over strata of n_s / w_s is the largest output size for
+    * which no stratum is over-drawn; stratum s then keeps
+    * floor(w_s · T / n_s · 1e6) micro-units of its rows (the arg-min
+    * stratum keeps ~all). Strata absent from `weights` are dropped —
+    * a mixture spec is a whitelist. The per-stratum counts are a tiny
+    * aggregate collected to the driver (#strata rows — sketch-class,
+    * like a broadcast build side); the acceptance pass is map-only.
+    * Double arithmetic is written in the exact same operation order as
+    * the SQL oracle so IEEE results are bit-identical. */
+  def targetMixture(docs: DataFrame, stratumCol: String,
+      weights: Map[String, Double], idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = weights.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return docs.filter(lit(false))
+    val t = present.map { case (s, w) => counts(s) / w }.min
+    val rateMicro: Map[String, Long] = present.map { case (s, w) =>
+      s -> math.min(math.floor(w * t / counts(s) * 1000000).toLong, 1000000L)
+    }
+    val rateExpr = rateMicro.foldLeft(lit(-1L)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    docs.filter(microBucket(col(idCol)) < rateExpr)
+  }
+
   /** Stratified sampling: per-stratum retention rates (e.g. downsample
     * dominant languages, keep the tail). Rows whose stratum is absent
     * from `rates` are kept. The plan is a narrow filter — no shuffle, no

@@ -469,6 +469,31 @@ object ExtQueries {
       |  CASE lang WHEN 'en' THEN 30 WHEN 'zh' THEN 50 ELSE 100 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Target data-mixture resample (40% en / 15% each tail): the oracle
+    * re-derives the per-stratum acceptance rates from the same counts and
+    * the same IEEE operation order, then applies the same deterministic
+    * micro-bucket — acceptance arithmetic AND rate derivation both
+    * cross-checked. */
+  private def sampleMixture(s: SparkSession, dir: String): DataFrame =
+    Sampling.targetMixture(Tables.documents(s, dir), "lang",
+      Map("en" -> 0.4, "de" -> 0.15, "fr" -> 0.15, "es" -> 0.15, "zh" -> 0.15))
+      .select("doc_id", "lang").orderBy("doc_id")
+
+  private val sampleMixtureSql =
+    """WITH w(lang, wt) AS (VALUES ('en', 0.4), ('de', 0.15), ('fr', 0.15),
+      |                           ('es', 0.15), ('zh', 0.15)),
+      |n AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+      |t AS (SELECT min(n.n / CAST(w.wt AS DOUBLE)) AS t
+      |      FROM n JOIN w USING (lang)),
+      |r AS (SELECT lang,
+      |        least(CAST(floor(CAST(w.wt AS DOUBLE) * t.t / n.n * 1000000) AS BIGINT),
+      |              1000000) AS rate_micro
+      |      FROM n JOIN w USING (lang) CROSS JOIN t)
+      |SELECT d.doc_id, d.lang FROM documents d
+      |JOIN r USING (lang)
+      |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < r.rate_micro
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Balanced training-shard plan: hash-ordered round-robin dealing, so
     * per-shard row counts differ by ≤1 whatever the id distribution. */
   private def shardPlan(s: SparkSession, dir: String): DataFrame =
@@ -1165,6 +1190,7 @@ object ExtQueries {
     "dedup_canonical" -> QueryDef(dedupCanonical, Some(dedupCanonicalSql)),
     "dedup_cluster_planted" -> QueryDef(dedupClusterPlanted, Some(dedupClusterPlantedSql)),
     "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
+    "sample_mixture" -> QueryDef(sampleMixture, Some(sampleMixtureSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),

@@ -23,6 +23,26 @@ class SamplingSpec extends SparkSuite {
       s"en kept ${kept("en")} of 333 at rate 30%")
   }
 
+  test("target mixture hits the requested proportions within bucket noise") {
+    // input is 1/3 en, 2/3 de; ask for a 70/30 en-heavy OUTPUT mixture:
+    // en is the binding stratum (T = 333/0.7 ≈ 476), de downsamples hard
+    val out = Sampling.targetMixture(docs, "lang",
+      Map("en" -> 0.7, "de" -> 0.3))
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val total = kept.values.sum.toDouble
+    assert(kept("en").toDouble / total > 0.6 && kept("en") / total < 0.8,
+      s"achieved mixture $kept is not ~70/30")
+    // en binds: essentially all of it survives
+    assert(kept("en") > 300L)
+    // determinism
+    assert(out.select("doc_id").collect().toSet ===
+      Sampling.targetMixture(docs, "lang", Map("en" -> 0.7, "de" -> 0.3))
+        .select("doc_id").collect().toSet)
+    // whitelist semantics: a stratum missing from the spec is dropped
+    val only = Sampling.targetMixture(docs, "lang", Map("en" -> 1.0))
+    assert(only.filter($"lang" === "de").count() === 0L)
+  }
+
   test("shard assignment is balanced to one row and covers every doc") {
     val sharded = Sampling.assignShards(docs, 7)
     assert(sharded.count() === 1000L)
