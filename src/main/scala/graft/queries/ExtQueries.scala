@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Stable.{dsum, sqlDsum}
-import graft.ops.{Chunking, Dedup, DedupIndex, EventWindows, Multimodal, Salting, Sampling, Similarity, TextStats}
+import graft.ops.{Chunking, Dedup, DedupIndex, EventWindows, Export, Multimodal, Salting, Sampling, Similarity, TextStats}
 import graft.streaming.Streams
 
 /** Extension surface (SURVEY.md §7.6 + the north-star mandate): dedup,
@@ -493,6 +493,41 @@ object ExtQueries {
       |JOIN r USING (lang)
       |WHERE ((d.doc_id % 1000003) * 2654435761) % 1000000 < r.rate_micro
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Sharded-JSONL export driven END-TO-END: write the corpus as 8 JSONL
+    * shard dirs (once per JVM+sf), read the files back, and emit per-shard
+    * stats PLUS a genuine roundtrip flag (two-sided exceptAll between the
+    * read-back rows and the originals — any lost row, mangled field, or
+    * broken JSON escaping flips it and fails the hash against the oracle,
+    * which derives the same stats from the table and asserts true). */
+  private val stagedExport = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def exportJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val orig = Tables.documents(s, dir)
+    val out = stagedExport.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-export").toString
+      Export.jsonlShards(Tables.documents(s, d), tmp, 8)
+      tmp
+    })
+    val back = Export.readBack(s, out, orig.schema)
+    val mismatch = back.drop("shard").exceptAll(orig)
+      .unionByName(orig.exceptAll(back.drop("shard")))
+    val ok = broadcast(mismatch.agg((count(lit(1)) === 0).as("roundtrip_ok")))
+    back.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("bigint").as("total_chars"))
+      .crossJoin(ok)
+      .select(col("shard"), col("n_docs"), col("total_chars"), col("roundtrip_ok"))
+      .orderBy("shard")
+  }
+
+  private val exportJsonlSql =
+    """WITH a AS (SELECT doc_id, n_chars,
+      |  (row_number() OVER (ORDER BY ((doc_id % 1000003) * 2654435761) % 100, doc_id) - 1) % 8 AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(1 AS BOOLEAN) AS roundtrip_ok
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
   /** Balanced training-shard plan: hash-ordered round-robin dealing, so
     * per-shard row counts differ by ≤1 whatever the id distribution. */
@@ -1191,6 +1226,7 @@ object ExtQueries {
     "dedup_cluster_planted" -> QueryDef(dedupClusterPlanted, Some(dedupClusterPlantedSql)),
     "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
     "sample_mixture" -> QueryDef(sampleMixture, Some(sampleMixtureSql)),
+    "export_jsonl_roundtrip" -> QueryDef(exportJsonlRoundtrip, Some(exportJsonlSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
