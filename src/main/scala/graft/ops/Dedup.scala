@@ -58,15 +58,15 @@ object Dedup {
     * small. The standard big-graph CC loop (Hash-to-Min style); at 100 TB
     * the edge list is the (tiny) output of the LSH miner, not the corpus.
     *
-    * NOT CONCURRENCY-SAFE on a shared session: for small edge lists this
-    * toggles the session-global `spark.sql.codegen.wholeStage` conf for
-    * the loop's duration (restored in a finally), so a query PLANNED
-    * concurrently on the same SparkSession during that window silently
-    * runs interpreted — correct but slower. Spark has no public per-plan
-    * codegen switch, and the loop's frames are bound to the caller's
-    * session, so a cloned-session scope can't carry them; callers running
-    * a multi-tenant session should plan around it (or pass a dedicated
-    * session for dedup). Already-running queries are unaffected. */
+    * Two paths behind one contract, dispatched on edge count: at or below
+    * [[DriverCcMaxEdges]] a driver union-find computes the identical
+    * min-label fixed point in one collect + one parallelize (the edge
+    * list at that size is sketch-class, like a broadcast build side — and
+    * the distributed loop's diameter-many rounds are pure fixed cost
+    * there); above it, the distributed min-label loop. A spec proves the
+    * two paths agree on the same graph. The earlier session-global
+    * codegen toggle (a concurrency hazard flagged in review) is gone —
+    * the driver path owns exactly the regime it served. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // localCheckpoint (eager), not persist: a persisted frame still CARRIES
     // its logical plan, so iteration N's plan embeds every previous
@@ -81,20 +81,55 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
+    val nEdges = edges.count()
+    // SMALL-GRAPH FAST PATH: the near-dup edge list is the LSH miner's
+    // output — sketch-class relative to the corpus (the same size class
+    // as a broadcast build side or the bloom bitmap). Below the driver
+    // threshold, an in-memory union-find computes the exact min-label
+    // answer in one collect + one parallelize, replacing diameter-many
+    // distributed join rounds (~0.4 s of fixed cost each); above it, the
+    // distributed min-label loop below is the real big-graph path.
+    if (nEdges <= DriverCcMaxEdges) driverCc(pairs.sparkSession, edges)
+    else distributedCc(pairs.sparkSession, edges, maxIter, nEdges)
+  }
+
+  /** Driver union-find ceiling: 2M (src,dst) rows ≈ 32 MB of longs — the
+    * broadcast-build-side size class. Above this the distributed loop is
+    * the right tool. */
+  val DriverCcMaxEdges = 2000000L
+
+  /** In-memory min-label union-find (path compression + union-by-min):
+    * the root of every merged set is always its smallest id, so the final
+    * root per node IS the component minimum — the distributed loop's
+    * fixed point, computed exactly. */
+  private[ops] def driverCc(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "label")
+  }
+
+  private[ops] def distributedCc(spark: org.apache.spark.sql.SparkSession,
+      edges: DataFrame, maxIter: Int, nEdges: Long): DataFrame = {
+    val labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint(true)
-    // Every iteration is a NEW plan, so whole-stage codegen re-compiles
-    // (Janino) each round — measured at ~half the loop's wall time when
-    // the edge list is small. Run the loop interpreted below a size
-    // threshold (per-row interpretation is noise at that scale) and keep
-    // codegen above it, where per-row cost dominates compile cost.
-    val spark = pairs.sparkSession
-    val codegenKey = "spark.sql.codegen.wholeStage"
-    val prevCodegen = spark.conf.get(codegenKey)
-    if (edges.count() < 1000000L) spark.conf.set(codegenKey, "false")
-    try {
-      connectedComponentsLoop(edges, labels, maxIter)
-    } finally spark.conf.set(codegenKey, prevCodegen)
+    connectedComponentsLoop(edges, labels, maxIter)
   }
 
   private def connectedComponentsLoop(

@@ -78,6 +78,25 @@ class SamplingSpec extends SparkSuite {
     assert(comps(10L) === 10L && comps(11L) === 10L)
   }
 
+  test("driver union-find and distributed loop agree on the same graph") {
+    // random-ish graph with chains, cycles, and singleton-pair islands
+    val rng = new scala.util.Random(5)
+    val pairs = ((0 until 200).map { _ =>
+      val a = rng.nextInt(80).toLong
+      (a, a + 1 + rng.nextInt(5)) // local edges -> long chains
+    } ++ Seq((500L, 501L), (600L, 601L), (601L, 600L))) // islands + dup edge
+      .toDF("id_a", "id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .union(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .localCheckpoint(true)
+    val viaDriver = Dedup.driverCc(spark, edges)
+      .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.distributedCc(spark, edges, maxIter = 50, nEdges = 400L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver === viaLoop)
+    assert(viaDriver.nonEmpty)
+  }
+
   test("canonicalize flags every non-keeper copy and only those") {
     val d = Seq(
       (1L, "same text"), (2L, "Same   TEXT"), (3L, "other"))
