@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for a training-data pipeline over `documents`:
   * tokenization, quality scoring, language-ID heuristic, and document
   * fingerprinting. All are per-row narrow transformations (no shuffle), so
-  * they scale linearly and stay inside whole-stage codegen; every helper is
-  * built from `org.apache.spark.sql.functions` — no UDFs.
+  * they scale linearly and stay inside whole-stage codegen; helpers are
+  * built from `org.apache.spark.sql.functions` plus the codegen'd
+  * expressions in `graft.functions.TextExprs` (which replaced the
+  * interpreted higher-order-function forms) — never UDFs.
   */
 object TextStats {
 
@@ -315,13 +317,13 @@ object TextStats {
     * materialize each stage's survivors instead of counting — the plan
     * shape is identical. */
   def curationFunnel(docs: DataFrame): DataFrame = {
-    // All per-row signals inline over ONE tokenized projection: the
-    // previous form computed each stage as a separate count over
-    // chained doc_id joins, re-running the quality/lang-ID projections
-    // up to 4x and paying 3 join exchanges. Here stages 1-3 are
-    // conditional counts in a single narrow aggregate (one corpus scan,
-    // zero joins) and stages 4-5 are a second aggregate over the dedup
-    // window (the one unavoidable shuffle — on the survivors only).
+    // All per-row signals from ONE TextSignals array per document: the
+    // original form computed each stage as a separate count over chained
+    // doc_id joins (re-running the projections up to 4x, 3 exchanges);
+    // stages 1-3 are conditional counts in a single narrow aggregate
+    // (one corpus scan, zero joins) over the shared codegen'd signals,
+    // and stages 4-5 are a second aggregate over the dedup window (the
+    // one unavoidable shuffle — on the survivors only).
     val sigged = docs.select(col("doc_id"), col("text"),
       signals(docs).as("_sig"))
     val keep = gopherSignalsFrom(col("_sig")).keep
