@@ -149,6 +149,26 @@ object TextStats {
     greatest(langStopwords.indices.map(i =>
       element_at(sig, graft.functions.TextExprs.LangBase + i)): _*) > 0
 
+  /** Per-source dataset report card — the statistics table a
+    * training-data team publishes with a corpus release: document and
+    * token counts, quality-gate pass counts, language-identification
+    * coverage. One narrow pass over the shared [[signals]] array + one
+    * small aggregate keyed on source; all-integer output (hash-stable on
+    * any engine). The quality gate is the SAME gopher keep used by
+    * [[gopherQuality]]/[[curationFunnel]], so the card cannot drift from
+    * the filters it reports on. */
+  def reportCard(docs: DataFrame): DataFrame = {
+    import graft.functions.TextExprs._
+    val sigged = docs.select(col("source"), signals(docs).as("_sig"))
+    sigged.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(element_at(col("_sig"), NTokens)).as("total_tokens"),
+        count(when(gopherSignalsFrom(col("_sig")).keep, 1)).as("quality_keep"),
+        count(when(element_at(col("_sig"), AnyStopTokens) > 0, 1))
+          .as("lang_identified"))
+      .orderBy("source")
+  }
+
   /** Repetition signals (the Gopher duplicate-content family): duplicate
     * token fraction and duplicate 2-gram fraction from per-row array
     * distinct counts (narrow, codegen), plus the most-frequent-token share

@@ -201,6 +201,40 @@ object ExtQueries {
       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
       |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** Per-source dataset report card; the oracle recomputes the same
+    * quality gate and language coverage from scratch in SQL, so the card
+    * is pinned to the filters it reports on. */
+  private def textReportCard(s: SparkSession, dir: String): DataFrame =
+    TextStats.reportCard(Tables.documents(s, dir))
+
+  private val textReportCardSql = {
+    val stops = TextStats.langStopwords.flatMap(_._2)
+      .map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH t AS (
+       |  SELECT source, text,
+       |    string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, len(toks) AS n_tokens,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(toks) AS mean_len,
+       |    CAST(len(list_filter(toks,
+       |           x -> regexp_matches(x, '[a-zA-Z一-鿿]'))) AS DOUBLE)
+       |      / len(toks) AS alpha_frac,
+       |    len(list_filter($stops, w -> list_contains(toks, w))) AS distinct_stops,
+       |    len(list_filter(toks, x -> list_contains($stops, x))) AS any_hits
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(count(CASE WHEN n_tokens BETWEEN 10 AND 100000
+       |    AND mean_len BETWEEN 2.0 AND 12.0
+       |    AND alpha_frac >= 0.8 AND distinct_stops >= 2 THEN 1 END) AS BIGINT)
+       |    AS quality_keep,
+       |  CAST(count(CASE WHEN any_hits > 0 THEN 1 END) AS BIGINT)
+       |    AS lang_identified
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private def textDecontaminateBloom(s: SparkSession, dir: String): DataFrame =
     TextStats.contaminationBloom(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -1214,6 +1248,7 @@ object ExtQueries {
     "text_funnel" -> QueryDef(textFunnel, Some(textFunnelSql)),
     "text_decontaminate" -> QueryDef(textDecontaminate, Some(textDecontaminateSql)),
     "text_decontam_bloom" -> QueryDef(textDecontaminateBloom, Some(textDecontaminateSql)),
+    "text_report_card" -> QueryDef(textReportCard, Some(textReportCardSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),
