@@ -131,6 +131,73 @@ object VectorExprs {
     override def prettyName: String = "graft_vec_maxabs"
   }
 
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions with
+    * a {+1, -1} sign matrix (Achlioptas 2001 — database-friendly random
+    * projections): out[j] = Σ_i sign(i, j) · v[i], folded sequentially in
+    * index order (the [[DotProduct]] numerical contract, so the result is
+    * bit-identical to any engine evaluating the same ordered fold). The
+    * sign matrix is never materialized: sign(i, j) derives from an integer
+    * LCG step on the flat index — h = 1103515245·(i·outDim + j) + 12345,
+    * sign = +1 iff bit 16 of h is clear (a HIGH bit: an LCG's low bit
+    * alternates deterministically with the index, which would make the
+    * "random" matrix a parity pattern) — pure 64-bit integer arithmetic
+    * any engine reproduces exactly.
+    *
+    * Second argument must be a foldable integer (the output
+    * dimensionality): the sign matrix is part of the function's identity,
+    * so a per-row dimension would silently change the projection. */
+  case class JlProject(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireFloatingArray(prettyName, "first", left.dataType) match {
+        case TypeCheckResult.TypeCheckSuccess =>
+          if (right.foldable && right.dataType == IntegerType &&
+              right.eval() != null && right.eval().asInstanceOf[Int] > 0)
+            TypeCheckResult.TypeCheckSuccess
+          else TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires a foldable positive INT output dimension, got ${right.sql}")
+        case fail => fail
+      }
+
+    private lazy val childFloat = isFloatArray(left.dataType)
+    private lazy val outDim: Int = right.eval().asInstanceOf[Int]
+
+    def compute(a: ArrayData): ArrayData = {
+      val n = a.numElements()
+      val out = new Array[Double](outDim)
+      var j = 0
+      while (j < outDim) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          val h = 1103515245L * (i.toLong * outDim + j) + 12345L
+          val sign = if (((h >> 16) & 1L) == 0L) 1.0 else -1.0
+          val x = if (childFloat) a.getFloat(i).toDouble else a.getDouble(i)
+          acc += x * sign
+          i += 1
+        }
+        out(j) = acc
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      compute(a.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("graftJl", this, classOf[JlProject].getName)
+      nullSafeCodeGen(ctx, ev, (a, _) => s"${ev.value} = $self.compute($a);")
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "graft_jl_project"
+  }
+
   /** Idempotent per-session registration. Registers each function at most
     * once per session: blind createOrReplaceTempFunction on every Column
     * construction logged a "replaced a previously registered function"
@@ -143,6 +210,9 @@ object VectorExprs {
     if (!reg.functionExists(FunctionIdentifier("graft_vec_maxabs")))
       reg.createOrReplaceTempFunction(
         "graft_vec_maxabs", exprs => VecMaxAbs(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("graft_jl_project")))
+      reg.createOrReplaceTempFunction(
+        "graft_jl_project", exprs => JlProject(exprs(0), exprs(1)), "built-in")
   }
 
   /** Column builders: registered on the thread's active session at plan
@@ -156,5 +226,11 @@ object VectorExprs {
   def maxAbs(a: Column): Column = {
     register(SparkSession.active)
     call_function("graft_vec_maxabs", a)
+  }
+
+  def jlProject(a: Column, outDim: Int): Column = {
+    register(SparkSession.active)
+    call_function("graft_jl_project", a,
+      org.apache.spark.sql.functions.lit(outDim))
   }
 }

@@ -272,6 +272,59 @@ object Similarity {
       .select("id_a", "id_b", "score")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by embedding clusters — k-means partitions the corpus,
+    * near-duplicate pairs are mined WITHIN clusters only, and each
+    * duplicate group keeps its minimum id. The cluster step is what makes
+    * this the 100 TB shape: the pair space is Σ|cluster|² instead of
+    * |corpus|², and the per-cluster self-join shuffles (cluster, id, vec)
+    * once on the cluster key. Each vector is assigned to its `nprobe`
+    * nearest centroids (multi-probe, the [[ivfTopK]] recipe): a
+    * boundary-straddling near-dup pair split by a single-assignment
+    * argmax is still co-bucketed in some probed cluster, the same
+    * robustness margin the planted-recall queries rely on. Duplicate
+    * pairs close transitively through the same connected-components pass
+    * the MinHash clusters use, so a chain of pairwise-similar vectors
+    * collapses to one keeper.
+    *
+    * Returns every corpus row: (vec_id, keep_id, is_dup) — keep_id is the
+    * component minimum, is_dup marks rows a dedup pass would drop. */
+  def semDedup(corpus: DataFrame, threshold: Double, iters: Int = 1,
+      nprobe: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, iters)
+      .withColumn("cent_norm", norm(col("centroid")))
+    val corpusN = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("v_norm"))
+    val scored = corpusN.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("v_norm"), col("centroid_id"),
+        cosinePre(col("embedding"), col("v_norm"), col("centroid"), col("cent_norm"))
+          .as("c_score"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_score").desc, col("centroid_id"))
+    // one materialization for both self-join sides (aliased projections
+    // defeat exchange reuse, the cosineNearDupLsh lesson)
+    val assigned = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"), col("v_norm"))
+      .localCheckpoint(true)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"), col("v_norm").as("norm_a"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"), col("v_norm").as("norm_b"))
+    val edges = a.join(b, "centroid_id")
+      .filter(col("id_a") < col("id_b"))
+      .filter(cosinePre(col("emb_a"), col("norm_a"), col("emb_b"), col("norm_b"))
+        >= threshold)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b") // multi-probe co-buckets pairs twice
+    val cc = Dedup.connectedComponents(edges)
+    corpus.select(col("vec_id"))
+      .join(cc.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"),
+        coalesce(col("label"), col("vec_id")).as("keep_id"),
+        (coalesce(col("label"), col("vec_id")) =!= col("vec_id")).as("is_dup"))
+  }
+
   /** Symmetric per-vector int8 quantization. A 64-dim float32 vector is
     * 256 bytes; int8 codes plus one double scale are 72 — the 3.5×
     * shrink that keeps an ANN candidate store in executor memory at
@@ -308,6 +361,19 @@ object Similarity {
       .localCheckpoint(true)
     bruteForceTopK(queries, deq, k)
   }
+
+  /** Johnson-Lindenstrauss random projection of the embedding table to
+    * `outDim` dimensions ([[VectorExprs.JlProject]]: ±1 sign matrix
+    * derived from integer arithmetic, sequential-fold contract) — the
+    * dimensionality-reduction step an ANN pipeline runs before index
+    * build when the native dimension is large (e.g. 1536 → 64): distances
+    * are preserved within (1±ε) w.h.p., and the projected table is
+    * outDim/d the size of the original. Narrow per-row codegen'd
+    * arithmetic — no shuffle, linear scale, same engine-exact math class
+    * as [[quantizeInt8]]. */
+  def randomProjection(corpus: DataFrame, outDim: Int = 8): DataFrame =
+    corpus.select(col("vec_id"),
+      VectorExprs.jlProject(col("embedding"), outDim).as("proj"))
 
   /** L2-normalized unit vectors (cosine becomes a plain dot product
     * downstream — normalize once, score many). Zero vectors stay zero. */

@@ -235,7 +235,20 @@ object TextStats {
     * integer-only (counts, not the float score) so ordering is identical
     * across engines; the float tfidf rides along rounded. */
   def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (tf, docTokens, df, nDocs) = termStats(docs)
+    val scored = tf.join(df, "term").join(docTokens, "doc_id").crossJoin(nDocs)
+      .withColumn("tfidf",
+        round((col("cnt").cast("double") / col("doc_tokens")) *
+          log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+    topTerms(scored, "tfidf", k)
+  }
+
+  /** The term-statistics substrate shared by [[tfidfTop]] and [[bm25Top]]:
+    * per-(doc, term) counts, per-doc token totals, document frequency, and
+    * the broadcast document count — two shuffles total (by (doc, term) and
+    * by term), both partial-aggregated. One source so the two rankers
+    * cannot drift in tokenization or counting. */
+  private def termStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     registerExprs(docs)
     val words = docs
       .select(col("doc_id"),
@@ -246,16 +259,44 @@ object TextStats {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = broadcast(docs.select(
       countDistinct("doc_id").cast("double").as("n_docs")))
-    val scored = tf.join(df, "term").join(docTokens, "doc_id").crossJoin(nDocs)
-      .withColumn("tfidf",
-        round((col("cnt").cast("double") / col("doc_tokens")) *
-          log((col("n_docs") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+    (tf, docTokens, df, nDocs)
+  }
+
+  /** Per-doc top-k terms by the integer-only rank key (tf desc,
+    * rarer-first, term) — the float score rides along for display but
+    * never orders, so ranking is identical across engines. */
+  private def topTerms(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id")
       .orderBy(col("cnt").desc, col("df").asc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank").cast("bigint").as("rank"),
-        col("term"), col("tfidf"))
+        col("term"), col(scoreCol))
+  }
+
+  /** BM25 (Robertson/Sparck Jones, the Okapi formulation with the
+    * +1-inside-the-log idf so scores stay positive) top terms per
+    * document — the retrieval-grade relevance score a curation pipeline
+    * uses for query-based corpus filtering. Same two-shuffle plan as
+    * [[tfidfTop]] over the shared [[termStats]], plus one broadcast
+    * scalar (average document length). Ranking is the same integer-only
+    * key; the float bm25 value rides along rounded. */
+  def bm25Top(docs: DataFrame, k: Int = 3, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val (tf, docTokens, df, nDocs) = termStats(docs)
+    val avgdl = broadcast(docTokens.agg(
+      (sum("doc_tokens").cast("double") / count(lit(1))).as("avgdl")))
+    val scored = tf.join(df, "term").join(docTokens, "doc_id")
+      .crossJoin(nDocs).crossJoin(avgdl)
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("bm25",
+        round(col("idf") * (col("cnt") * lit(k1 + 1.0)) /
+          (col("cnt") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("doc_tokens").cast("double") / col("avgdl"))), 6))
+    topTerms(scored, "bm25", k)
   }
 
   /** Benchmark decontamination — flag training documents that share any
@@ -433,6 +474,36 @@ object TextStats {
       // reintroduce engine-specific double rounding at the output edge
       .select(col("doc_id"), col("n_bigrams"),
         expr("p_micro div n_bigrams").as("avg_p_micro"))
+  }
+
+  /** Hashed linear quality-classifier INFERENCE — the fastText-shaped
+    * scoring pass a curation pipeline runs with a trained
+    * quality/toxicity model (score every document, threshold downstream).
+    * The model here is a deterministic stand-in (the multimodal-stub
+    * policy: weights derive from an integer LCG on the feature bucket,
+    * not from training — no training corpus ships in this environment),
+    * but the inference shape is real and the one that matters at 100 TB:
+    * token → hash bucket → weight lookup → per-document accumulate, all
+    * narrow per-row arithmetic with NO weight-table join or shuffle (the
+    * weight "table" is a pure function; a real model would broadcast its
+    * weight array and index it the same way).
+    *
+    * Engine-exact by construction: the token code is [[fingerprint]]'s
+    * proven cross-engine primitive, weights are integer milli-units in
+    * [-1000, 1000], and the per-doc activation is a BIGINT sum —
+    * order-independent, no float anywhere. */
+  def classifierScore(docs: DataFrame, buckets: Int = 1024): DataFrame = {
+    val toks = tokens(col("text"))
+    // token code -> bucket -> integer milli-weight in [-1000, 1000]
+    val acts = transform(toks, { t =>
+      val bucket = pmod(ascii(t).cast("bigint") * 31 + length(t), lit(buckets))
+      pmod(shiftright(lit(1103515245L) * bucket + 12345L, 16), lit(2001)) - 1000
+    })
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      aggregate(acts, lit(0L), (acc, x) => acc + x).as("act_milli"))
+      .withColumn("predicted_keep", col("act_milli") > 0)
   }
 
   /** Document fingerprint: polynomial rolling hash over per-token codes,

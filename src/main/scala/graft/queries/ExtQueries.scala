@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Stable.{dsum, sqlDsum}
-import graft.ops.{Chunking, Dedup, DedupIndex, EventWindows, Export, Multimodal, Salting, Sampling, Similarity, TextStats}
+import graft.ops.{Chunking, Curation, Dedup, DedupIndex, EventWindows, Export, Multimodal, Salting, Sampling, Similarity, TextStats}
 import graft.streaming.Streams
 
 /** Extension surface (SURVEY.md §7.6 + the north-star mandate): dedup,
@@ -200,6 +200,101 @@ object ExtQueries {
       |  FROM tf JOIN df USING (term) JOIN dt USING (doc_id) CROSS JOIN nd)
       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tfidf
       |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Hashed linear classifier inference: integer-only activation
+    * (BIGINT milli-unit sum), so the oracle is exact with no float risk;
+    * the LCG weight formula is spelled identically on both sides
+    * (Spark shiftright == DuckDB // 65536 on non-negative operands). */
+  private def textClassifierScore(s: SparkSession, dir: String): DataFrame =
+    TextStats.classifierScore(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textClassifierScoreSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |      t -> ((1103515245 * ((CAST(ascii(t) AS BIGINT) * 31 + length(t)) % 1024)
+      |             + 12345) // 65536) % 2001 - 1000)) AS BIGINT) AS act_milli
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, act_milli, act_milli > 0 AS predicted_keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  /** BM25 top terms — same term-statistics substrate and integer-only
+    * ranking as tfidf (TextStats.termStats / topTerms); the float score
+    * rides along rounded, never ordering. */
+  private def textBm25(s: SparkSession, dir: String): DataFrame =
+    TextStats.bm25Top(Tables.documents(s, dir)).orderBy("doc_id", "rank")
+
+  private val textBm25Sql =
+    """WITH words AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                       x -> regexp_matches(x, '^[a-z]+$'))) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS cnt FROM words GROUP BY 1, 2),
+      |dt AS (SELECT doc_id, sum(cnt) AS doc_tokens FROM tf GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+      |       FROM documents),
+      |ad AS (SELECT CAST(sum(doc_tokens) AS DOUBLE) / count(*) AS avgdl FROM dt),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    round(ln(1.0 + (nd.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |          * (tf.cnt * 2.2)
+      |          / (tf.cnt + 1.2 * (0.25 + 0.75 * CAST(dt.doc_tokens AS DOUBLE)
+      |                                    / ad.avgdl)), 6) AS bm25,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.cnt DESC, df.df ASC, tf.term ASC) AS rank
+      |  FROM tf JOIN df USING (term) JOIN dt USING (doc_id)
+      |  CROSS JOIN nd CROSS JOIN ad)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, bm25
+      |FROM scored WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  /** Per-domain cap: the oracle ranks EVERY source while the Spark plan
+    * windows only the over-cap head (under-cap sources pass map-only) —
+    * identical keep sets, since an under-cap source's every rank is <=
+    * cap by definition. */
+  private def textDomainCap(s: SparkSession, dir: String): DataFrame =
+    Curation.domainCap(Tables.documents(s, dir), cap = 15).orderBy("doc_id")
+
+  private val textDomainCapSql =
+    """SELECT doc_id, source,
+      |  row_number() OVER (PARTITION BY source
+      |    ORDER BY len(string_split_regex(trim(text), '\s+')) DESC, doc_id)
+      |    <= 15 AS kept
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Boilerplate removal: both engines stamp the same footer into
+    * doc_id % 7 == 0 (Curation.boilerFooter), segment on 10-token
+    * windows, count corpus-wide document frequency per segment, and
+    * sha-256 the retained text reassembled in position order. */
+  private def textBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Curation.boilerplate(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textBoilerplateSql = {
+    val footer = Curation.boilerFooter
+    s"""WITH stamped AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || '$footer' ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM stamped),
+       |segs AS (
+       |  SELECT doc_id, s['pos'] AS pos, s['seg'] AS seg FROM (
+       |    SELECT doc_id, unnest(list_transform(range((len(toks) + 9) // 10),
+       |      i -> {'pos': i, 'seg': array_to_string(toks[i*10+1:i*10+10], ' ')}))
+       |      AS s
+       |    FROM toks)),
+       |segdf AS (
+       |  SELECT seg, count(DISTINCT doc_id) AS seg_docs FROM segs GROUP BY 1)
+       |SELECT s.doc_id, count(*) AS n_segments,
+       |  count(*) FILTER (WHERE d.seg_docs >= 3) AS n_boiler,
+       |  sha256(coalesce(string_agg(CASE WHEN d.seg_docs < 3 THEN s.seg END,
+       |    ' ' ORDER BY s.pos), '')) AS clean_sha
+       |FROM segs s JOIN segdf d USING (seg)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
 
   /** Per-source dataset report card; the oracle recomputes the same
     * quality gate and language coverage from scratch in SQL, so the card
@@ -785,6 +880,46 @@ object ExtQueries {
       |    x -> CAST(round(x * 1000000000.0, 0) AS BIGINT))) AS VARCHAR) AS unit_nanos
       |FROM u ORDER BY vec_id""".stripMargin
 
+  /** SemDeDup planted contract: every planted 1%-perturbed twin
+    * (cosine ≈ 0.999 to its original, far above random-pair cosine in
+    * 64-dim) must be flagged a duplicate with its original as keeper —
+    * multi-probe cluster assignment makes the co-bucketing robust to
+    * centroid-boundary straddle, so the constant-truth oracle applies. */
+  private def simSemdedupPlanted(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = withPlantedNearDups(emb, 100)
+    Similarity.semDedup(corpus, threshold = 0.99, iters = 1)
+      .where(col("vec_id") >= 1000000L).orderBy("vec_id")
+  }
+
+  private val simSemdedupPlantedSql =
+    """SELECT vec_id + 1000000 AS vec_id, vec_id AS keep_id,
+      |  CAST(1 AS BOOLEAN) AS is_dup
+      |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY vec_id""".stripMargin
+
+  /** Johnson-Lindenstrauss projection to 8 dims, compared as integer
+    * MICRO-units (the [[embL2Normalize]] rendering recipe): the ±1 sign
+    * matrix derives from integer LCG arithmetic both engines evaluate
+    * exactly, and the per-output-dim sum folds in index order on both
+    * sides (VectorExprs.JlProject's sequential contract vs DuckDB
+    * list_sum). */
+  private def embRandomProjection(s: SparkSession, dir: String): DataFrame =
+    Similarity.randomProjection(Tables.embeddings(s, dir), outDim = 8)
+      .select(col("vec_id"),
+        to_json(transform(col("proj"),
+          x => round(x * 1e6, 0).cast("bigint"))).as("proj_micros"))
+      .orderBy("vec_id")
+
+  private val embRandomProjectionSql =
+    """SELECT vec_id,
+      |  CAST(to_json(list_transform(range(8), j ->
+      |    CAST(round(list_sum(list_transform(range(len(embedding)), i ->
+      |      CAST(embedding[i+1] AS DOUBLE) *
+      |      (CASE WHEN ((1103515245*(i*8+j)+12345)//65536) % 2 = 0
+      |            THEN 1.0 ELSE -1.0 END)))
+      |    * 1000000.0, 0) AS BIGINT))) AS VARCHAR) AS proj_micros
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** Planted-recall contract through the quantized corpus: the ~0.04%
     * max quantization error cannot drop a 0.9999-cosine planted neighbor
     * below the noise floor, so the constant-truth oracle applies. */
@@ -1249,6 +1384,10 @@ object ExtQueries {
     "text_decontaminate" -> QueryDef(textDecontaminate, Some(textDecontaminateSql)),
     "text_decontam_bloom" -> QueryDef(textDecontaminateBloom, Some(textDecontaminateSql)),
     "text_report_card" -> QueryDef(textReportCard, Some(textReportCardSql)),
+    "text_bm25" -> QueryDef(textBm25, Some(textBm25Sql)),
+    "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
+    "text_domain_cap" -> QueryDef(textDomainCap, Some(textDomainCapSql)),
+    "text_boilerplate" -> QueryDef(textBoilerplate, Some(textBoilerplateSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),
@@ -1272,8 +1411,10 @@ object ExtQueries {
     "sim_rplsh_recall" -> QueryDef(simRpLshRecall, Some(simRecallSql)),
     "sim_quantized_recall" -> QueryDef(simQuantizedRecall, Some(simRecallSql)),
     "sim_pq_recall" -> QueryDef(simPqRecall, Some(simRecallSql)),
+    "sim_semdedup_planted" -> QueryDef(simSemdedupPlanted, Some(simSemdedupPlantedSql)),
     "emb_quantize_int8" -> QueryDef(embQuantize, Some(embQuantizeSql)),
     "emb_l2_normalize" -> QueryDef(embL2Normalize, Some(embL2NormalizeSql)),
+    "emb_random_projection" -> QueryDef(embRandomProjection, Some(embRandomProjectionSql)),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
     "sim_neardup_lsh" -> QueryDef(simNearDupLsh, Some(simRecallSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),

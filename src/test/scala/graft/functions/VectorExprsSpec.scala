@@ -48,6 +48,49 @@ class VectorExprsSpec extends SparkSuite {
     assert(e2.getMessage.contains("array<float>"))
   }
 
+  test("jlProject matches an independent reimplementation of the fold") {
+    import spark.implicits._
+    val v = floats(0.5, -1.25, 2.0, 3.5)
+    val df = Seq(Tuple1(v)).toDF("v")
+    val out = df.select(VectorExprs.jlProject(col("v"), 3).as("p"))
+      .collect().head.getSeq[Double](0)
+    // re-derive sign(i, j) from the documented LCG-bit-16 formula
+    def expected(j: Int): Double =
+      v.indices.foldLeft(0.0) { (acc, i) =>
+        val h = 1103515245L * (i.toLong * 3 + j) + 12345L
+        val s = if (((h >> 16) & 1L) == 0L) 1.0 else -1.0
+        acc + v(i).toDouble * s
+      }
+    assert(out.length === 3)
+    (0 until 3).foreach(j => assert(
+      java.lang.Double.doubleToLongBits(out(j)) ==
+        java.lang.Double.doubleToLongBits(expected(j))))
+  }
+
+  test("jlProject signs are not a parity pattern across i for fixed j") {
+    // bit 16 of the LCG must break the low-bit alternation: across the
+    // first 64 flat indices for j=0 both signs occur
+    val signs = (0 until 64).map { i =>
+      val h = 1103515245L * (i.toLong * 8) + 12345L
+      (h >> 16) & 1L
+    }
+    assert(signs.toSet.size === 2)
+  }
+
+  test("jlProject rejects bad inputs at analysis") {
+    import spark.implicits._
+    val ints = Seq(Tuple1(Array(1, 2, 3))).toDF("v")
+    val e = intercept[AnalysisException] {
+      ints.select(VectorExprs.jlProject(col("v"), 4)).collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+    val fl = Seq(Tuple1(floats(1, 2, 3))).toDF("v")
+    val e2 = intercept[AnalysisException] {
+      fl.select(call_function("graft_jl_project", col("v"), lit(0))).collect()
+    }
+    assert(e2.getMessage.contains("positive"))
+  }
+
   test("registration is once-per-session (no replace on repeat)") {
     VectorExprs.register(spark)
     val reg = spark.sessionState.functionRegistry

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  // 1 small source (2 docs, under any cap) + 1 heavy source (6 docs)
+  private lazy val docs = Seq(
+    (1L, "one two three four five", "small"),
+    (2L, "one two", "small"),
+    (3L, "a b c d e f g h", "heavy"),
+    (4L, "a b c d e f g", "heavy"),
+    (5L, "a b c d e f", "heavy"),
+    (6L, "a b c d e", "heavy"),
+    (7L, "a b c d", "heavy"),
+    (8L, "a b c", "heavy"))
+    .toDF("doc_id", "text", "source")
+
+  test("domainCap keeps everything in under-cap sources, top-N in over-cap") {
+    val kept = Curation.domainCap(docs, cap = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept(1L) && kept(2L)) // under-cap source: all kept
+    // heavy source ranked by token count desc, doc_id asc: 3,4,5 survive
+    assert(kept(3L) && kept(4L) && kept(5L))
+    assert(!kept(6L) && !kept(7L) && !kept(8L))
+  }
+
+  test("domainCap tie-break is doc_id when token counts equal") {
+    val tied = Seq(
+      (10L, "x y", "s"), (11L, "x y", "s"), (12L, "x y", "s"))
+      .toDF("doc_id", "text", "source")
+    val kept = Curation.domainCap(tied, cap = 2).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept(10L) && kept(11L) && !kept(12L))
+  }
+
+  test("domainCap emits exactly one row per document") {
+    val out = Curation.domainCap(docs, cap = 3)
+    assert(out.count() === docs.count())
+    assert(out.select("doc_id").distinct().count() === docs.count())
+  }
+
+  test("boilerplate strips exactly the planted footer and keeps the rest") {
+    // 4 docs with doc_id % 7 == 0 (0, 7, 14) get the footer stamped; the
+    // footer is one 10-token segment occurring in 3 docs >= minDf=3
+    val df = Seq(
+      (0L, "alpha bravo charlie delta echo foxtrot golf hotel india juliet"),
+      (7L, "kilo lima mike november oscar papa quebec romeo sierra tango"),
+      (14L, "uniform victor whiskey xray yankee zulu one two three four"),
+      (21L, "five six seven eight nine ten eleven twelve thirteen fourteen"))
+      .toDF("doc_id", "text")
+    // doc 21 also stamped (21 % 7 == 0) -> footer appears in 4 docs
+    val out = Curation.boilerplate(df, segLen = 10, minDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    // every doc: 1 body segment + 1 footer segment
+    assert(out.forall { case (_, nSeg, nBoil, _) => nSeg == 2 && nBoil == 1 })
+    // retained text is exactly the original body
+    val expected = df.select(col("doc_id"), sha2(col("text"), 256)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, _, _, sha) => assert(sha === expected(id)) }
+  }
+
+  test("boilerplate of an all-boiler doc yields sha256 of empty string") {
+    val same = "dup dup dup dup dup dup dup dup dup dup"
+    val df = Seq((1L, same), (2L, same), (3L, same)).toDF("doc_id", "text")
+    val out = Curation.boilerplate(df, segLen = 10, minDf = 3, plantMod = 1000)
+      .collect()
+    val emptySha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(out.forall(r => r.getLong(2) === 1L && r.getString(3) === emptySha))
+  }
+
+  test("boilerplate final short segment keeps remainder tokens") {
+    val df = Seq((1L, "a b c d e f g h i j k l")).toDF("doc_id", "text") // 12 toks
+    val out = Curation.boilerplate(df, segLen = 10, minDf = 99, plantMod = 1000)
+      .collect().head
+    assert(out.getLong(1) === 2L) // 10-token segment + 2-token remainder
+    val sha = spark.sql("SELECT sha2('a b c d e f g h i j k l', 256)")
+      .collect().head.getString(0)
+    assert(out.getString(3) === sha) // nothing dropped, reassembly is exact
+  }
+}

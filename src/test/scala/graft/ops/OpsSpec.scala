@@ -262,6 +262,56 @@ class OpsSpec extends SparkSuite {
     assert(scores("zebra") > scores("common"))
   }
 
+  test("semDedup flags the near-dup with min-id keeper, spares the rest") {
+    // 64-dim corpus, two label-init clusters: v1/v2 near-dups (cosine
+    // ~0.99995), v3 orthogonal, v4 in the other cluster
+    def vec(hot: Int, scale: Double): Array[Float] = {
+      val a = Array.fill(64)(0.01f)
+      a(hot) = scale.toFloat; a
+    }
+    val emb = Seq(
+      (1L, vec(0, 1.0), 0),
+      (2L, vec(0, 1.01), 0),  // near-dup of 1
+      (3L, vec(20, 1.0), 0),  // same init label, far vector
+      (4L, vec(40, 1.0), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(emb, threshold = 0.99, iters = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((1L, false))) // keeper
+    assert(out(2L) === ((1L, true)))  // dropped, keeper is min id
+    assert(out(3L) === ((3L, false)))
+    assert(out(4L) === ((4L, false)))
+  }
+
+  test("classifier score matches the LCG weight formula by hand") {
+    val df = Seq((1L, "aa bbb")).toDF("doc_id", "text")
+    val r = TextStats.classifierScore(df).collect().head
+    def w(tok: String): Long = {
+      val bucket = (tok.head.toLong * 31 + tok.length) % 1024
+      ((1103515245L * bucket + 12345L) >> 16) % 2001 - 1000
+    }
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === w("aa") + w("bbb"))
+    assert(r.getBoolean(3) === (w("aa") + w("bbb") > 0))
+  }
+
+  test("bm25 matches the Okapi formula computed by hand") {
+    val df = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextStats.bm25Top(df, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(2)) -> r.getDouble(3)).toMap
+    // N=2, df(a)=2, df(b)=1, dl1=3, dl2=2, avgdl=2.5, k1=1.2, b=0.75
+    def bm25(tf: Int, dfT: Int, dl: Int): Double = {
+      val idf = math.log(1.0 + (2.0 - dfT + 0.5) / (dfT + 0.5))
+      val s = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.5))
+      math.rint(s * 1e6) / 1e6
+    }
+    assert(out((1L, "a")) === bm25(2, 2, 3))
+    assert(out((1L, "b")) === bm25(1, 1, 3))
+    assert(out((2L, "c")) === bm25(1, 1, 2))
+    // rarer term with the same tf outranks the common one on the score
+    assert(out((2L, "c")) > out((2L, "a")))
+  }
+
   test("session windows split on gap and merge within gap") {
     val ev = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 100L, "click", 1.0, "{}"),
