@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -41,6 +41,62 @@ object Curation {
       .select(col("doc_id"), col("source"),
         (row_number().over(w) <= cap).as("kept"))
     tail.unionByName(head)
+  }
+
+  /** Stamped shared passage (15 whitespace tokens) for
+    * [[substringDedup]] — long enough to generate several overlapping
+    * shared 10-grams, so span MERGING is exercised, not just single-gram
+    * removal. */
+  val sharedPassage =
+    " experts say the quick brown fox jumps over the lazy dog near the river bank"
+
+  /** Cross-document repeated-substring removal — the exact-substring
+    * dedup class of Lee et al. 2022 (arXiv:2107.06499, "Deduplicating
+    * Training Data Makes Language Models Better"), approximated at the
+    * token-w-gram granularity a distributed engine can shuffle: a token
+    * span is removed iff it is covered by some `w`-token gram that occurs
+    * in at least `minDocs` distinct documents. Overlapping shared grams
+    * merge naturally (a token survives only if NO shared gram covers it),
+    * so a long duplicated passage is excised as one span, like the
+    * suffix-array method — without a suffix array.
+    *
+    * Scale shape: the gram stream shuffles once keyed on the gram string
+    * with partial aggregation; the SHARED gram set is duplicate content
+    * only (tiny vs the corpus — at 100 TB it is the broadcast side of the
+    * verdict join); per-document span removal is narrow per-row array
+    * math over the collected start positions. The synthetic corpus has no
+    * natural cross-doc repeats, so docs with `doc_id % plantMod == 0` get
+    * [[sharedPassage]] appended by both engines (the plant-then-detect
+    * recipe of [[TextStats.contamination]]). */
+  def substringDedup(docs: DataFrame, w: Int = 10, minDocs: Int = 2,
+      plantMod: Int = 11): DataFrame = {
+    val stamped = docs.select(col("doc_id"),
+      when(col("doc_id") % plantMod === 0, concat(col("text"), lit(sharedPassage)))
+        .otherwise(col("text")).as("text"))
+    val toks = stamped.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("toks"))
+    val grams = toks.where(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - w), i =>
+          array_join(slice(col("toks"), i + 1, lit(w)), " "))))
+      .toDF("doc_id", "pos", "gram")
+    val shared = grams.groupBy("gram")
+      .agg(countDistinct("doc_id").as("g_docs"))
+      .where(col("g_docs") >= minDocs)
+      .select("gram")
+    val starts = grams.join(shared, "gram")
+      .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val st = coalesce(col("starts"), typedlit(Seq.empty[Int]))
+    val covered = (i: Column) => exists(st, s => s <= i && i < s + w)
+    val clean = filter(
+      transform(sequence(lit(0), size(col("toks")) - 1), i =>
+        when(covered(i), lit(null)).otherwise(element_at(col("toks"), i + 1))),
+      x => x.isNotNull)
+    toks.join(starts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        (size(col("toks")) - size(clean)).cast("bigint").as("n_removed"),
+        sha2(array_join(clean, " "), 256).as("clean_sha"))
   }
 
   /** Stamped boilerplate footer (10 whitespace tokens) — the same

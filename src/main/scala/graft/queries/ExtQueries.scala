@@ -296,6 +296,47 @@ object ExtQueries {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Exact-substring dedup (anchor-gram approximation of Lee et al.
+    * 2022): both engines stamp the shared passage into doc_id % 11 == 0,
+    * mine 10-grams shared across >= 2 documents, and excise every covered
+    * token span — reassembly proven byte-exact by sha-256. */
+  private def textSubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Curation.substringDedup(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textSubstringDedupSql = {
+    val passage = Curation.sharedPassage
+    s"""WITH stamped AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 11 = 0 THEN text || '$passage' ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM stamped),
+       |grams AS (
+       |  SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM (
+       |    SELECT doc_id, unnest(list_transform(range(len(toks) - 9),
+       |      i -> {'pos': i, 'gram': array_to_string(toks[i+1:i+10], ' ')})) AS u
+       |    FROM toks WHERE len(toks) >= 10)),
+       |shared AS (
+       |  SELECT gram FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+       |starts AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS starts
+       |  FROM grams JOIN shared USING (gram) GROUP BY 1),
+       |joined AS (
+       |  SELECT t.doc_id, t.toks, coalesce(s.starts, []) AS starts
+       |  FROM toks t LEFT JOIN starts s USING (doc_id)),
+       |cleaned AS (
+       |  SELECT doc_id, len(toks) AS n_tokens,
+       |    list_transform(list_filter(range(len(toks)),
+       |      i -> len(list_filter(starts, s -> s <= i AND i < s + 10)) = 0),
+       |      i -> toks[i+1]) AS clean
+       |  FROM joined)
+       |SELECT doc_id, n_tokens, n_tokens - len(clean) AS n_removed,
+       |  -- array_to_string([]) is NULL in DuckDB, '' in Spark's array_join
+       |  sha256(coalesce(array_to_string(clean, ' '), '')) AS clean_sha
+       |FROM cleaned ORDER BY doc_id""".stripMargin
+  }
+
   /** Per-source dataset report card; the oracle recomputes the same
     * quality gate and language coverage from scratch in SQL, so the card
     * is pinned to the filters it reports on. */
@@ -1388,6 +1429,7 @@ object ExtQueries {
     "text_classifier_score" -> QueryDef(textClassifierScore, Some(textClassifierScoreSql)),
     "text_domain_cap" -> QueryDef(textDomainCap, Some(textDomainCapSql)),
     "text_boilerplate" -> QueryDef(textBoilerplate, Some(textBoilerplateSql)),
+    "text_substring_dedup" -> QueryDef(textSubstringDedup, Some(textSubstringDedupSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),

@@ -226,6 +226,43 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("MapPartitions"), "parse stage must be mapPartitions")
   }
 
+  test("text_domain_cap: the Zipf tail routes map-only via broadcast") {
+    val p = plan("text_domain_cap")
+    // over-cap membership checks (anti for the tail, inner for the head)
+    // are broadcasts of the tiny over-cap source set — the corpus itself
+    // must never shuffle for the membership decision
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"tail anti + head inner must both broadcast:\n$p")
+    assert("Window".r.findAllIn(p).length === 1,
+      "only the over-cap head pays the rank window")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle for membership:\n$p")
+  }
+
+  test("emb_random_projection / text_classifier_score: map-only compute") {
+    // both are narrow per-row scoring passes: the only exchange allowed
+    // is the output ORDER BY's range repartition
+    for (q <- Seq("emb_random_projection", "text_classifier_score")) {
+      val p = plan(q)
+      // sparkPlan is pre-EnsureRequirements: any Exchange HERE would be an
+      // explicit repartition the operator has no business doing (the output
+      // ORDER BY's range exchange is inserted later and is fine)
+      assert(!p.contains("Exchange"), s"$q must not repartition:\n$p")
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+      assert(!p.contains("Aggregate"), s"$q must stay per-row narrow:\n$p")
+    }
+  }
+
+  test("text_boilerplate: segment frequency is partial-aggregated") {
+    val p = plan("text_boilerplate")
+    // corpus-frequency count over (seg) and the per-doc reassembly are
+    // both agg-shaped; boilerplate segments are exactly the high-fan-in
+    // keys map-side partial aggregation must absorb before the exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"segment count needs map-side partials:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"verdict join must be key-based:\n$p")
+  }
+
   test("dedup_exact_hash: shuffle carries hashes, not documents") {
     // formatted mode lists nodes bottom-up: the sha2 projection and the
     // partial aggregate must precede the exchange

@@ -74,6 +74,37 @@ class CurationSpec extends SparkSuite {
     assert(out.forall(r => r.getLong(2) === 1L && r.getString(3) === emptySha))
   }
 
+  test("substringDedup excises the shared passage as one merged span") {
+    // two docs share a 14-token passage (5 overlapping shared 10-grams);
+    // distinct prefixes/suffixes must survive untouched
+    val passage = "one two three four five six seven eight nine ten eleven twelve thirteen fourteen"
+    val df = Seq(
+      (1L, s"alpha beta $passage gamma delta"),
+      (2L, s"epsilon zeta $passage eta theta"),
+      (3L, "totally unrelated words that repeat nothing from anywhere else at all"))
+      .toDF("doc_id", "text")
+    val out = Curation.substringDedup(df, w = 10, minDocs = 2, plantMod = 1000)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // docs 1/2: 18 tokens, the 14 passage tokens removed in one span
+    assert(out(1L)._1 === 18L && out(1L)._2 === 14L)
+    assert(out(2L)._2 === 14L)
+    val sha = (s: String) => spark.sql(s"SELECT sha2('$s', 256)")
+      .collect().head.getString(0)
+    assert(out(1L)._3 === sha("alpha beta gamma delta"))
+    assert(out(2L)._3 === sha("epsilon zeta eta theta"))
+    // doc 3: nothing shared, reassembly is the identity
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._3 === sha("totally unrelated words that repeat nothing from anywhere else at all"))
+  }
+
+  test("substringDedup leaves short docs (< w tokens) untouched") {
+    val df = Seq((1L, "tiny doc"), (2L, "tiny doc")).toDF("doc_id", "text")
+    val out = Curation.substringDedup(df, w = 10, minDocs = 2, plantMod = 1000)
+      .collect()
+    assert(out.forall(r => r.getLong(2) === 0L))
+  }
+
   test("boilerplate final short segment keeps remainder tokens") {
     val df = Seq((1L, "a b c d e f g h i j k l")).toDF("doc_id", "text") // 12 toks
     val out = Curation.boilerplate(df, segLen = 10, minDf = 99, plantMod = 1000)
