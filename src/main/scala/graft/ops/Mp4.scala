@@ -169,6 +169,9 @@ object Mp4 {
     val n = stsz.getInt
     if (n < 0 || n > (1 << 20)) return None
     val sizes = Array.tabulate(n)(_ => if (fixedSize != 0) fixedSize else stsz.getInt)
+    // a corrupt stsz can read negative: it would walk the chunk-offset
+    // scan backwards and turn the copyOfRange bounds inside out
+    if (sizes.exists(_ < 0)) return None
 
     val stco = table("stco").getOrElse(return None)
     if (stco.getInt != 1) return None // scope: single chunk
@@ -213,7 +216,8 @@ object Mp4 {
     parseKeyframes(bytes).flatMap { kfs =>
       val out = Array.newBuilder[Byte]
       kfs.foreach { k =>
-        if (k.offset < 0 || k.offset + k.size > bytes.length) return None
+        if (k.offset < 0 || k.size < 0 || k.offset + k.size > bytes.length)
+          return None
         out ++= java.util.Arrays.copyOfRange(
           bytes, k.offset.toInt, (k.offset + k.size).toInt)
       }

@@ -82,15 +82,20 @@ class PropertiesSpec extends SparkSuite {
     val seedGen = Gen.choose(0L, 5000L)
     val flips = Gen.nonEmptyListOf(
       Gen.zip(Gen.choose(0, 4095), Gen.choose(Byte.MinValue, Byte.MaxValue)))
-    check(forAll(seedGen, flips) { (seed, muts) =>
-      val bytes = Mp4.writeMinimalMp4(seed)
-      muts.foreach { case (ix, b) => bytes(ix % bytes.length) = b }
-      // contract under corruption: None or a value — never a throw (the
-      // byte-range validity check lives in keyframeBytes, also exercised)
-      Mp4.parseKeyframes(bytes)
-      Mp4.keyframeBytes(bytes)
-      true
-    })
+    // 500 cases, not the default 100: the negative-stsz crash surfaced at
+    // roughly 1-in-300 generated corruptions
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500),
+      forAll(seedGen, flips) { (seed, muts) =>
+        val bytes = Mp4.writeMinimalMp4(seed)
+        muts.foreach { case (ix, b) => bytes(ix % bytes.length) = b }
+        // contract under corruption: None or a value — never a throw (the
+        // byte-range validity check lives in keyframeBytes, also exercised)
+        Mp4.parseKeyframes(bytes)
+        Mp4.keyframeBytes(bytes)
+        true
+      })
+    assert(result.passed, result.status.toString)
   }
 
   test("epsilon equality matches the reference truth table (Spark-side)") {

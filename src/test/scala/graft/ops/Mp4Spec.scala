@@ -56,6 +56,15 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.parseKeyframes(broken).isEmpty)
   }
 
+  test("negative corrupted stsz size returns None (fuzz regression)") {
+    // scalacheck-found: seed 3393 with byte 1593 -> -1 flips a stsz entry
+    // negative; the inverted copyOfRange bounds threw IllegalArgumentException
+    val bytes = Mp4.writeMinimalMp4(3393L)
+    bytes(1593 % bytes.length) = -1
+    assert(Mp4.parseKeyframes(bytes).forall(_ => true)) // must not throw
+    assert(Mp4.keyframeBytes(bytes).forall(_ => true))
+  }
+
   test("video decode routes through keyframe extraction (not whole-file stub)") {
     val bytes = Mp4.writeMinimalMp4(5L)
     val viaDecode = Multimodal.decode("video", bytes, 8).toSeq
