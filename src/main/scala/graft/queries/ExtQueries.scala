@@ -296,6 +296,38 @@ object ExtQueries {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
+  /** Distributed BPE training, full K=5 merge table. Iterative argmax
+    * re-tokenization is not expressible in one engine-neutral SQL
+    * statement (aggregates are barred from recursive CTE terms), so this
+    * entry is rows-only by the driver contract; [[textBpeFirstMerge]] is
+    * its oracled twin (merge #1 needs no re-tokenization), and BpeSpec
+    * pins the full greedy semantics on a hand-computed corpus. */
+  private def textBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.train(Tables.documents(s, dir), merges = 5)
+      .orderBy("merge_ix")
+
+  /** First BPE merge: the weighted argmax adjacent character pair —
+    * SQL-expressible exactly, and it pins the whole substrate the
+    * iterated trainer runs on (tokenization, weighting, tie-break). */
+  private def textBpeFirstMerge(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.train(Tables.documents(s, dir), merges = 1)
+
+  private val textBpeFirstMergeSql =
+    """WITH words AS (
+      |  SELECT w, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                  x -> regexp_matches(x, '^[a-z]+$'))) AS w
+      |    FROM documents) GROUP BY 1),
+      |pairs AS (
+      |  SELECT u['l'] AS lhs, u['r'] AS rhs, cnt FROM (
+      |    SELECT cnt, unnest(list_transform(range(length(w) - 1),
+      |      i -> {'l': w[i+1], 'r': w[i+2]})) AS u
+      |    FROM words WHERE length(w) >= 2))
+      |SELECT CAST(1 AS BIGINT) AS merge_ix, lhs, rhs,
+      |  CAST(sum(cnt) AS BIGINT) AS pair_count
+      |FROM pairs GROUP BY 2, 3
+      |ORDER BY pair_count DESC, lhs, rhs LIMIT 1""".stripMargin
+
   /** Exact-substring dedup (anchor-gram approximation of Lee et al.
     * 2022): both engines stamp the shared passage into doc_id % 11 == 0,
     * mine 10-grams shared across >= 2 documents, and excise every covered
@@ -1430,6 +1462,8 @@ object ExtQueries {
     "text_domain_cap" -> QueryDef(textDomainCap, Some(textDomainCapSql)),
     "text_boilerplate" -> QueryDef(textBoilerplate, Some(textBoilerplateSql)),
     "text_substring_dedup" -> QueryDef(textSubstringDedup, Some(textSubstringDedupSql)),
+    "text_bpe_first_merge" -> QueryDef(textBpeFirstMerge, Some(textBpeFirstMergeSql)),
+    "text_bpe_merges" -> QueryDef(textBpeMerges, None),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),
