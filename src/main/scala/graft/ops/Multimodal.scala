@@ -118,9 +118,31 @@ object Multimodal {
 
   /** Real image decode: JDK ImageIO (PNG/BMP/GIF/JPEG). None when the
     * bytes aren't a decodable image. */
+  /** Pixel budget per image — the standard decompression-bomb guard: a
+    * corrupt or hostile header declaring huge dimensions must be rejected
+    * BEFORE the raster allocates (an OutOfMemoryError is not catchable
+    * in any useful way and would take the executor down). */
+  val MaxImagePixels: Long = 64L << 20
+
   def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
-    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    // NonFatal, not just IOException: ImageIO's format plugins throw
+    // IllegalArgument/IndexOutOfBounds/NegativeArraySize on malformed
+    // headers (same crash class as the fuzz-found Mp4 negative-stsz bug)
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val (w, h) = (r.getWidth(0), r.getHeight(0))
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxImagePixels) None
+          else Option(r.read(0))
+        } finally r.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Image features: dim-bin luminance histogram (BT.709 integer weights),
     * normalized to a distribution — size-invariant and codec-independent
@@ -168,16 +190,37 @@ object Multimodal {
     out
   }
 
+  /** Decoded-PCM budget per payload: a corrupt WAV header can declare an
+    * absurd rate/frame-length whose conversion stream expands without
+    * bound — fuzz-found as a 100%-CPU multi-GB readAllBytes hang, the
+    * executor-stalling failure mode. Anything past the cap is corrupt. */
+  val MaxPcmBytes: Int = 16 << 20
+
   /** Real audio decode: JDK javax.sound (WAV/PCM, any sample size the JDK
-    * converts to 16-bit). None when the bytes aren't a decodable stream. */
+    * converts to 16-bit). None when the bytes aren't a decodable stream
+    * or the decoded PCM exceeds [[MaxPcmBytes]]. */
   def decodeAudio(payload: Array[Byte]): Option[Array[Short]] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
+      // validate the DECLARED format before any conversion work: the JDK
+      // conversion stream spins unboundedly on corrupt fields (fuzz-found:
+      // degenerate frame size / absurd rates make each read() loop at
+      // 100% CPU), so a sanity window on the header is the only safe gate
+      val f = in.getFormat
+      val frames = in.getFrameLength
+      val sane = java.lang.Float.isFinite(f.getSampleRate) &&
+        f.getSampleRate >= 1f && f.getSampleRate <= 1e6f &&
+        f.getChannels >= 1 && f.getChannels <= 16 &&
+        f.getSampleSizeInBits >= 1 && f.getSampleSizeInBits <= 64 &&
+        f.getFrameSize >= 1 && f.getFrameSize <= 1024 &&
+        frames >= 0 && frames * 2L * f.getChannels <= MaxPcmBytes
+      if (!sane) return None
       val fmt16 = new javax.sound.sampled.AudioFormat(
-        in.getFormat.getSampleRate, 16, in.getFormat.getChannels, true, false)
+        f.getSampleRate, 16, f.getChannels, true, false)
       val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt16, in)
-      val bytes = pcm.readAllBytes()
+      val bytes = pcm.readNBytes(MaxPcmBytes + 1)
+      if (bytes.length > MaxPcmBytes) return None
       val out = new Array[Short](bytes.length / 2)
       var i = 0
       while (i < out.length) {
@@ -186,8 +229,11 @@ object Multimodal {
       }
       Some(out)
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
+      // includes UnsupportedAudioFileException and IOException, plus the
+      // runtime exceptions the sample-rate/frame-size conversion math
+      // throws on corrupt WAV headers — a corrupt payload is data, not an
+      // error, at corpus scale
+      case scala.util.control.NonFatal(_) => None
     }
 
   /** Audio features: dim-window RMS energy envelope, normalized to full

@@ -98,6 +98,28 @@ class PropertiesSpec extends SparkSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("image/audio decode never throws on arbitrary corruption") {
+    // same contract (and crash class) as the mp4 fuzz: ImageIO and
+    // javax.sound plugins throw RuntimeExceptions on malformed headers;
+    // decode must fall back to the stub, not fail the batch
+    val seedGen = Gen.choose(0L, 5000L)
+    val flips = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 4095), Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300),
+      forAll(seedGen, flips) { (seed, muts) =>
+        val png = Multimodal.renderPng(seed)
+        val wav = Multimodal.renderWav(seed)
+        muts.foreach { case (ix, b) =>
+          png(ix % png.length) = b
+          wav(ix % wav.length) = b
+        }
+        Multimodal.decode("image", png, 8).length == 8 &&
+          Multimodal.decode("audio", wav, 8).length == 8
+      })
+    assert(result.passed, result.status.toString)
+  }
+
   test("epsilon equality matches the reference truth table (Spark-side)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
