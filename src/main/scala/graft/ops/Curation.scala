@@ -80,6 +80,10 @@ object Curation {
         posexplode(transform(sequence(lit(0), size(col("toks")) - w), i =>
           array_join(slice(col("toks"), i + 1, lit(w)), " "))))
       .toDF("doc_id", "pos", "gram")
+      // one materialization for both consumers (the frequency aggregate
+      // and the starts join) — without it each branch re-scans the corpus
+      // and re-builds every gram string (the cosineNearDupLsh lesson)
+      .persist()
     val shared = grams.groupBy("gram")
       .agg(countDistinct("doc_id").as("g_docs"))
       .where(col("g_docs") >= minDocs)
