@@ -62,14 +62,8 @@ object Bpe {
         val b = top(0).getString(1)
         val c = top(0).getLong(2)
         learned += ((ix + 1L, a, b, c))
-        // greedy left-to-right merge of (a, b) in every word's symbols
-        val merged = aggregate(col("syms"),
-          typedlit(Seq.empty[String]),
-          (acc, x) => when(
-            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x))))
-        val next = syms.select(col("cnt"), merged.as("syms")).localCheckpoint(true)
+        val next = syms.select(col("cnt"),
+          mergePair(col("syms"), a, b).as("syms")).localCheckpoint(true)
         prevRdd.foreach(_.unpersist(false))
         prevRdd = org.apache.spark.sql.graftshim.Shims.checkpointedRdd(syms)
         syms = next
@@ -77,6 +71,67 @@ object Bpe {
       }
     }
     toMergeTable(spark, learned.result())
+  }
+
+  /** Greedy left-to-right merge of adjacent (a, b) in a symbol array —
+    * the reference BPE merge step, shared by [[train]] and [[encode]]. */
+  private[ops] def mergePair(syms: org.apache.spark.sql.Column, a: String,
+      b: String): org.apache.spark.sql.Column =
+    aggregate(syms,
+      typedlit(Seq.empty[String]),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Apply a FROZEN merge list — the tokenizer-inference half of BPE: a
+    * production pipeline learns merges once ([[train]]) and then encodes
+    * every corpus with that fixed table, so the merges arrive here as
+    * constants (tokenizer-as-config), which is also what makes the
+    * operator exactly SQL-oracle-able. Merges apply in list (priority)
+    * order per word, greedy left-to-right within each — the reference
+    * semantics. Narrow per-row array math: no shuffle, linear scale.
+    *
+    * Emits per document: word count, subword count after merging, and a
+    * sha-256 of the full subword stream in order (proving the encoding
+    * byte-exact, the reassembly recipe of Curation). */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.TextExprs.register(spark,
+      TextStats.langStopwords.map(_._2))
+    val words = graft.functions.TextExprs.alphaTokens(spark, "text")
+    // codegen'd one-pass encode (graft.functions.BpeExpr): the composed
+    // form — transform(words, w => merges.foldLeft(chars(w))(mergePair)) —
+    // measured 14.0 s at sf0.1 (interpreted HOF fold per merge per word);
+    // the expression runs the same greedy loops JIT-compiled, 0.9 s.
+    // BpeSpec proves the two forms emit identical subword streams.
+    val flat = graft.functions.BpeExpr.subwords(words, merges)
+    docs.select(
+      col("doc_id"),
+      size(words).cast("bigint").as("n_words"),
+      size(flat).cast("bigint").as("n_subwords"),
+      sha2(array_join(flat, " "), 256).as("subword_sha"))
+  }
+
+  /** The composed-built-ins encode (chars transform + one [[mergePair]]
+    * fold per merge) — kept as the semantic reference the codegen'd
+    * expression is tested against (BpeSpec side-by-side). */
+  private[ops] def encodeViaFolds(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.TextExprs.register(spark,
+      TextStats.langStopwords.map(_._2))
+    val words = graft.functions.TextExprs.alphaTokens(spark, "text")
+    val subwords = transform(words, { w =>
+      val chars = transform(sequence(lit(1), length(w)), i =>
+        substring(w, i, lit(1)))
+      merges.foldLeft(chars) { case (s, (a, b)) => mergePair(s, a, b) }
+    })
+    docs.select(
+      col("doc_id"),
+      size(words).cast("bigint").as("n_words"),
+      size(flatten(subwords)).cast("bigint").as("n_subwords"),
+      sha2(array_join(flatten(subwords), " "), 256).as("subword_sha"))
   }
 
   private def toMergeTable(spark: SparkSession,

@@ -328,6 +328,47 @@ object ExtQueries {
       |FROM pairs GROUP BY 2, 3
       |ORDER BY pair_count DESC, lhs, rhs LIMIT 1""".stripMargin
 
+  /** Frozen tokenizer config for [[textBpeEncode]] — chosen to fire on
+    * this corpus's vocabulary (table, data, scan, query, value, column)
+    * including one chained merge (t+a then ta+b). */
+  private val bpeFrozenMerges =
+    Seq(("t", "a"), ("ta", "b"), ("s", "c"), ("q", "u"), ("l", "u"))
+
+  /** BPE ENCODE with a frozen merge table — tokenizer inference. The
+    * merges are constants (tokenizer-as-config, how production encodes a
+    * corpus), so the oracle replays the exact greedy fold in SQL: DuckDB
+    * list_reduce seeds the accumulator with the first element, which
+    * matches the empty-seed Spark fold because a lone first symbol can
+    * never merge backwards; the accumulator is a unit-separator-delimited
+    * string, with ends_with(sep || lhs) as the token-boundary test. */
+  private def textBpeEncode(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Bpe.encode(Tables.documents(s, dir), bpeFrozenMerges)
+      .orderBy("doc_id")
+
+  private val textBpeEncodeSql = {
+    val sep = "chr(31)"
+    def fold(inner: String, a: String, b: String): String =
+      s"string_split(list_reduce($inner, (acc, x) -> " +
+        s"CASE WHEN x = '$b' AND (acc = '$a' OR ends_with(acc, $sep || '$a')) " +
+        s"THEN substr(acc, 1, length(acc) - ${a.length}) || '${a + b}' " +
+        s"ELSE acc || $sep || x END), $sep)"
+    val chars = "list_transform(range(length(w)), i -> w[i+1])"
+    val merged = bpeFrozenMerges.foldLeft(chars) { case (s0, (a, b)) => fold(s0, a, b) }
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                x -> regexp_matches(x, '^[a-z]+$$')) AS words
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, len(words) AS n_words,
+       |    flatten(list_transform(words, w -> $merged)) AS subs
+       |  FROM t)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(len(subs) AS BIGINT) AS n_subwords,
+       |  sha256(coalesce(array_to_string(subs, ' '), '')) AS subword_sha
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact-substring dedup (anchor-gram approximation of Lee et al.
     * 2022): both engines stamp the shared passage into doc_id % 11 == 0,
     * mine 10-grams shared across >= 2 documents, and excise every covered
@@ -1464,6 +1505,7 @@ object ExtQueries {
     "text_substring_dedup" -> QueryDef(textSubstringDedup, Some(textSubstringDedupSql)),
     "text_bpe_first_merge" -> QueryDef(textBpeFirstMerge, Some(textBpeFirstMergeSql)),
     "text_bpe_merges" -> QueryDef(textBpeMerges, None),
+    "text_bpe_encode" -> QueryDef(textBpeEncode, Some(textBpeEncodeSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
     "dedup_minhash_pairs" -> QueryDef(dedupMinhash, None),

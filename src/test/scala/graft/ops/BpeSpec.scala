@@ -35,6 +35,36 @@ class BpeSpec extends SparkSuite {
     assert(out(1) === (("aa", "a", 2L)))
   }
 
+  test("encode applies frozen merges in priority order, greedy within word") {
+    val docs = Seq((1L, "table tata scan")).toDF("doc_id", "text")
+    val merges = Seq(("t", "a"), ("ta", "b"), ("s", "c"))
+    val r = Bpe.encode(docs, merges).collect().head
+    // table: t a b l e -> ta b l e -> tab l e           (3 subwords)
+    // tata:  t a t a   -> ta ta    -> (ta,b misses)     (2 subwords)
+    // scan:  s c a n   -> sc a n                        (3 subwords)
+    assert(r.getLong(1) === 3L) // words
+    assert(r.getLong(2) === 8L) // 3 + 2 + 3
+    val sha = spark.sql("SELECT sha2('tab l e ta ta sc a n', 256)")
+      .collect().head.getString(0)
+    assert(r.getString(3) === sha)
+  }
+
+  test("encode with no merges is character-level; empty doc is stable") {
+    val docs = Seq((1L, "ab"), (2L, "123 !!")).toDF("doc_id", "text")
+    val out = Bpe.encode(docs, Seq.empty).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((1L, 2L)))
+    assert(out(2L) === ((0L, 0L))) // no alphabetic words at all
+  }
+
+  test("codegen'd encode equals the composed-fold reference form") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val merges = Seq(("t", "a"), ("ta", "b"), ("s", "c"), ("q", "u"), ("l", "u"))
+    val fast = Bpe.encode(docs, merges)
+    val slow = Bpe.encodeViaFolds(docs, merges)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+  }
+
   test("training stops early when no pairs remain") {
     val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
     val out = Bpe.train(docs, merges = 10).collect()
