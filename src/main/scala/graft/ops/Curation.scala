@@ -19,15 +19,25 @@ object Curation {
     * ranked by token count (desc) then doc_id — an integer-only ranking,
     * so the keep set is identical on any engine.
     *
-    * Scale shape: domain popularity is Zipfian, so the long tail of
-    * domains is under the cap and needs NO ranking at all. One partial-agg
-    * count per source finds the few over-cap domains; that set is
-    * broadcast, the under-cap tail passes through map-only (anti join
-    * against the broadcast), and only the over-cap head pays the
-    * rank-window shuffle — on its own rows only. At 100 TB this turns a
-    * full-corpus window sort into a window over the heavy domains'
-    * slice. */
-  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    * Scale shape, two layers:
+    *  1. Domain popularity is Zipfian, so the long tail of domains is
+    *     under the cap and needs NO ranking at all. One partial-agg count
+    *     per source finds the few over-cap domains; that set is
+    *     broadcast, the under-cap tail passes through map-only (anti
+    *     join), and only the over-cap head pays ranking — on its own
+    *     rows only.
+    *  2. The head ranking itself is the TWO-PHASE SALTED top-N: a single
+    *     `Window.partitionBy(source)` would sort each mega-domain on ONE
+    *     reducer (the straggler SaltingSpec measures at 5.7× on a planted
+    *     90%-hot key). Phase 1 ranks within (source, salt-of-doc_id) — a
+    *     doc below `cap` inside its own salt bucket is below `cap`
+    *     globally, since everything above it there is above it globally —
+    *     so each bucket keeps `cap` survivors and the hot domain spreads
+    *     over `salts` reducers. Phase 2 re-ranks the ≤ salts·cap
+    *     survivors per source: a sketch-sized window. The kept set is
+    *     provably identical to the single-window form (the oracle
+    *     recomputes the naive single-window SQL at three scales). */
+  def domainCap(docs: DataFrame, cap: Int, salts: Int = 16): DataFrame = {
     val nTok = size(split(trim(col("text")), "\\s+")).cast("bigint")
     val base = docs.select(col("doc_id"), col("source"), nTok.as("n_tokens"))
     val overCap = broadcast(
@@ -35,12 +45,21 @@ object Curation {
         .where(col("n") > cap).select("source"))
     val tail = base.join(overCap, Seq("source"), "left_anti")
       .select(col("doc_id"), col("source"), lit(true).as("kept"))
-    val w = Window.partitionBy("source")
-      .orderBy(col("n_tokens").desc, col("doc_id").asc)
     val head = base.join(overCap, "source")
-      .select(col("doc_id"), col("source"),
-        (row_number().over(w) <= cap).as("kept"))
-    tail.unionByName(head)
+    val order = Seq(col("n_tokens").desc, col("doc_id").asc)
+    val w1 = Window.partitionBy(col("source"), pmod(col("doc_id"), lit(salts)))
+      .orderBy(order: _*)
+    val survivors = head.withColumn("_rn1", row_number().over(w1))
+      .where(col("_rn1") <= cap)
+    val w2 = Window.partitionBy("source").orderBy(order: _*)
+    val keptIds = survivors.withColumn("_rn2", row_number().over(w2))
+      .where(col("_rn2") <= cap).select(col("doc_id").as("_kept_id"))
+    // kept ids are cap × (number of heavy domains) — broadcast-class by
+    // the same Zipf argument that made the overCap set broadcastable
+    val flagged = head.join(broadcast(keptIds),
+        col("doc_id") === col("_kept_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("_kept_id").isNotNull.as("kept"))
+    tail.unionByName(flagged)
   }
 
   /** Stamped shared passage (15 whitespace tokens) for

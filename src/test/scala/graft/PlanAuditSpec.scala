@@ -231,10 +231,10 @@ class PlanAuditSpec extends SparkSuite {
     // over-cap membership checks (anti for the tail, inner for the head)
     // are broadcasts of the tiny over-cap source set — the corpus itself
     // must never shuffle for the membership decision
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
-      s"tail anti + head inner must both broadcast:\n$p")
-    assert("Window".r.findAllIn(p).length === 1,
-      "only the over-cap head pays the rank window")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"tail anti + head inner + kept-flag join must all broadcast:\n$p")
+    assert("Window \\[".r.findAllIn(p).length === 2,
+      "two-phase salted top-N: salt-bucket window + survivor re-rank")
     assert(!p.contains("SortMergeJoin"), s"no corpus shuffle for membership:\n$p")
   }
 

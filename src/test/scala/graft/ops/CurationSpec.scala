@@ -37,6 +37,23 @@ class CurationSpec extends SparkSuite {
     assert(kept(10L) && kept(11L) && !kept(12L))
   }
 
+  test("salted two-phase cap equals the naive single-window form (skewed)") {
+    import org.apache.spark.sql.expressions.Window
+    // one hot domain with 400 docs (97% of the corpus), ties included
+    val skewed = ((1 to 400).map(i =>
+      (i.toLong, ("w " * (i % 37 + 1)).trim, "hot")) ++
+      (1 to 12).map(i => (1000L + i, "x y z", s"cold$i")))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.domainCap(skewed, cap = 10, salts = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val w = Window.partitionBy("source")
+      .orderBy(size(split(trim(col("text")), "\\s+")).desc, col("doc_id").asc)
+    val naive = skewed
+      .withColumn("kept", row_number().over(w) <= 10)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out === naive)
+  }
+
   test("domainCap emits exactly one row per document") {
     val out = Curation.domainCap(docs, cap = 3)
     assert(out.count() === docs.count())
