@@ -172,4 +172,83 @@ object Curation {
             struct(col("pos"), col("seg"))))),
           s => s.getField("seg")), " "), 256).as("clean_sha"))
   }
+
+  /** Portable per-token feature bucket in [0, buckets): first-char code,
+    * last-char code, and length folded with odd multipliers. Expressible
+    * identically in any SQL engine (ascii / negative index / length),
+    * unlike murmur — the same portability argument as
+    * [[TextStats.fingerprint]]'s token code. */
+  private[ops] def tokenBucket(t: Column, buckets: Int): Column =
+    pmod(ascii(t).cast("bigint") * 961
+      + ascii(substring(t, -1, 1)).cast("bigint") * 31
+      + length(t), lit(buckets.toLong))
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169 "Data
+    * Selection for Language Models via Importance Resampling"): estimate
+    * bag-of-hashed-token distributions for a TARGET slice (the
+    * high-quality corpus the run wants more of — here one `source`
+    * domain) and the RAW corpus, score every document by its
+    * log-importance weight Σ_tokens log(p_target/p_raw) (Laplace
+    * smoothed), and keep the top `k`. The paper samples Gumbel-top-k;
+    * this is the deterministic argmax-k variant, so the keep set is a
+    * pure function of the data.
+    *
+    * Engine-exact arithmetic: the per-bucket log ratio is rounded ONCE
+    * to integer micro-units (HALF_UP, matching SQL `round(x, 0)`), after
+    * which every per-document operation is 64-bit integer — the
+    * [[TextStats.bigramLmScore]] recipe. The transcendental risk surface
+    * is `buckets` values, not N documents.
+    *
+    * Scale shape, three stages:
+    *  1. Per-bucket counts: the token stream shuffles ONCE keyed on the
+    *     hashed bucket with partial aggregation (at most `buckets`
+    *     groups per map task, so the shuffle payload is bounded by
+    *     tasks × buckets, not corpus size).
+    *  2. The learned log-ratio table is ≤ `buckets` rows — sketch-class
+    *     — collected and re-entering the plan as ONE dense
+    *     `array<bigint>` literal indexed O(1) per token (a Catalyst MAP
+    *     literal would be a linear scan per row — the
+    *     [[BloomPrune]] lesson).
+    *  3. Scoring is then MAP-ONLY: one narrow pass folds each document's
+    *     tokens through the array — zero shuffle over the corpus, the
+    *     same inference shape as [[TextStats.classifierScore]].
+    * The top-k plans as TakeOrderedAndProject (per-partition top-k, k-row
+    * driver merge) and the k ids broadcast back for the flag join. */
+  def dsirSelect(docs: DataFrame, targetSource: String, buckets: Int = 1024,
+      k: Int = 100): DataFrame = {
+    val toksArr = TextStats.tokens(col("text"))
+    val counts = docs
+      .select(col("source"), explode(toksArr).as("tok"))
+      .groupBy(tokenBucket(col("tok"), buckets).as("bucket"))
+      .agg(count(lit(1)).as("r_cnt"),
+        count(when(col("source") === targetSource, 1)).as("t_cnt"))
+      .collect()
+    val rTot = counts.map(_.getLong(1)).sum.toDouble
+    val tTot = counts.map(_.getLong(2)).sum.toDouble
+    val bD = buckets.toDouble
+    // identical operation order to the oracle SQL, one rounding at the end
+    val lr = new Array[Long](buckets)
+    counts.foreach { r =>
+      val v = math.log(((r.getLong(2) + 1.0) / (tTot + bD)) /
+        ((r.getLong(1) + 1.0) / (rTot + bD))) * 1000000.0
+      lr(r.getLong(0).toInt) =
+        BigDecimal.valueOf(v).setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    }
+    // unseen buckets stay 0: a document can only index buckets its own
+    // tokens hash to, and those are by construction in the corpus counts
+    val lrLit = typedlit(lr.toSeq)
+    val scored = docs.select(
+      col("doc_id"),
+      size(toksArr).cast("bigint").as("n_feats"),
+      aggregate(toksArr, lit(0L),
+        (acc, t) => acc + element_at(lrLit, tokenBucket(t, buckets).cast("int") + 1))
+        .as("logw_micro"))
+    val topIds = scored
+      .orderBy(col("logw_micro").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id").as("_sel_id"))
+    scored.join(broadcast(topIds), col("doc_id") === col("_sel_id"), "left_outer")
+      .select(col("doc_id"), col("n_feats"), col("logw_micro"),
+        col("_sel_id").isNotNull.as("selected"))
+  }
 }

@@ -169,4 +169,46 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"), col("offset"),
         expr(s"offset div ${budget}L").as("seq_id"))
   }
+
+  /** Token-budget corpus selection (the FineWeb/Dolma assembly step:
+    * "fill an N-token training budget with the best-scoring documents"):
+    * rank documents by quality score descending, accumulate token counts
+    * in rank order, and keep every document whose run STARTS inside the
+    * budget — so the selection crosses the budget by at most one
+    * document, never stops short of it. The quality score is
+    * [[TextStats.classifierScore]]'s integer activation, and the budget
+    * is `total_tokens / denom` — all 64-bit integer arithmetic, so the
+    * keep set is engine-exact.
+    *
+    * The running total over the (score desc, doc_id) order is the
+    * distributed two-phase prefix sum of [[packSequences]], generalized
+    * to a non-contiguous sort key: coarse score-range buckets
+    * (`score div bucketWidth`, truncating division — monotone in the
+    * score, so bucket order refines to the global order) keep the
+    * within-bucket windows parallel; the only single-partition step is
+    * the running sum over the ≤ a-few-hundred bucket totals, which
+    * broadcast back as offsets. A bare `Window.orderBy(score)` would
+    * serialize the corpus through one task — round-2's scale-killer. */
+  def tokenBudget(docs: DataFrame, denom: Int = 5,
+      bucketWidth: Int = 10000): DataFrame = {
+    val scored = TextStats.classifierScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("act_milli"))
+    val total = scored.agg(sum("n_tokens").as("_total"))
+    val bucketed = scored
+      .withColumn("_b", expr(s"act_milli div $bucketWidth"))
+    val wB = Window.orderBy(col("_b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("_b").agg(sum("n_tokens").as("_bt"))
+      .select(col("_b"), coalesce(sum("_bt").over(wB), lit(0L)).as("_off"))
+    val wIn = Window.partitionBy("_b")
+      .orderBy(col("act_milli").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("_b"))
+      .withColumn("cum_before",
+        col("_off") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("act_milli"), col("n_tokens"),
+        col("cum_before"),
+        (col("cum_before") < expr(s"_total div $denom")).as("selected"))
+  }
 }

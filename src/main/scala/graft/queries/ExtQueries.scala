@@ -410,6 +410,51 @@ object ExtQueries {
        |FROM cleaned ORDER BY doc_id""".stripMargin
   }
 
+  /** DSIR importance-resampling selection (Curation.dsirSelect): 'src7'
+    * plays the high-quality target slice. The oracle recomputes the
+    * hashed-bucket log-ratio model with a join-based scoring pass, while
+    * the Spark plan scores map-only through a collected dense array —
+    * identical results since both round the per-bucket log ratio once to
+    * micro-units and do integer math from there. */
+  private def textDsirSelect(s: SparkSession, dir: String): DataFrame =
+    Curation.dsirSelect(Tables.documents(s, dir), targetSource = "src7")
+      .orderBy("doc_id")
+
+  private val textDsirSelectSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    (CAST(ascii(tok) AS BIGINT) * 961 + CAST(ascii(tok[-1]) AS BIGINT) * 31
+      |     + length(tok)) % 1024 AS bucket,
+      |    source
+      |  FROM toks),
+      |counts AS (
+      |  SELECT bucket, count(*) AS r_cnt,
+      |    count(*) FILTER (WHERE source = 'src7') AS t_cnt
+      |  FROM b GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(sum(r_cnt) AS DOUBLE) AS r_tot,
+      |    CAST(sum(t_cnt) AS DOUBLE) AS t_tot
+      |  FROM counts),
+      |lr AS (
+      |  SELECT bucket,
+      |    CAST(round(ln(((t_cnt + 1.0) / (t_tot + 1024.0))
+      |      / ((r_cnt + 1.0) / (r_tot + 1024.0))) * 1000000.0, 0) AS BIGINT)
+      |      AS lr_micro
+      |  FROM counts CROSS JOIN tot),
+      |scored AS (
+      |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |    CAST(sum(lr.lr_micro) AS BIGINT) AS logw_micro
+      |  FROM b JOIN lr USING (bucket) GROUP BY 1),
+      |sel AS (
+      |  SELECT doc_id FROM scored ORDER BY logw_micro DESC, doc_id LIMIT 100)
+      |SELECT s.doc_id, s.n_feats, s.logw_micro,
+      |  sel.doc_id IS NOT NULL AS selected
+      |FROM scored s LEFT JOIN sel USING (doc_id) ORDER BY s.doc_id""".stripMargin
+
   /** Per-source dataset report card; the oracle recomputes the same
     * quality gate and language coverage from scratch in SQL, so the card
     * is pinned to the filters it reports on. */
@@ -811,6 +856,33 @@ object ExtQueries {
       |      FROM b JOIN bo USING (bucket))
       |SELECT doc_id, n_tokens, "offset", "offset" // 512 AS seq_id
       |FROM o ORDER BY doc_id""".stripMargin
+
+  /** Token-budget selection (Sampling.tokenBudget): fill a
+    * total/5-token budget with the best classifier-scored documents. The
+    * oracle's single global window recomputes what the Spark plan does
+    * as a two-phase bucketed prefix sum. */
+  private def sampleTokenBudget(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudget(Tables.documents(s, dir), denom = 5)
+      .orderBy("doc_id")
+
+  private val sampleTokenBudgetSql =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+      |      t -> ((1103515245 * ((CAST(ascii(t) AS BIGINT) * 31 + length(t)) % 1024)
+      |             + 12345) // 65536) % 2001 - 1000)) AS BIGINT) AS act_milli
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM scored),
+      |cum AS (
+      |  SELECT doc_id, act_milli, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY act_milli DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM scored)
+      |SELECT c.doc_id, c.act_milli, c.n_tokens, c.cum_before,
+      |  c.cum_before < tot.total // 5 AS selected
+      |FROM cum c CROSS JOIN tot ORDER BY doc_id""".stripMargin
 
   /** Corpus-wide heavy hitters through the custom Space-Saving UDAF
     * (graft.functions.SpaceSavingTopK): top-20 tokens with exact counts —
@@ -1503,6 +1575,7 @@ object ExtQueries {
     "text_domain_cap" -> QueryDef(textDomainCap, Some(textDomainCapSql)),
     "text_boilerplate" -> QueryDef(textBoilerplate, Some(textBoilerplateSql)),
     "text_substring_dedup" -> QueryDef(textSubstringDedup, Some(textSubstringDedupSql)),
+    "text_dsir_select" -> QueryDef(textDsirSelect, Some(textDsirSelectSql)),
     "text_bpe_first_merge" -> QueryDef(textBpeFirstMerge, Some(textBpeFirstMergeSql)),
     "text_bpe_merges" -> QueryDef(textBpeMerges, None),
     "text_bpe_encode" -> QueryDef(textBpeEncode, Some(textBpeEncodeSql)),
@@ -1521,6 +1594,7 @@ object ExtQueries {
     "export_jsonl_roundtrip" -> QueryDef(exportJsonlRoundtrip, Some(exportJsonlSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
+    "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
     "sim_ivf_topk" -> QueryDef(simIvf, None),
     "sim_ivf_recall" -> QueryDef(simIvfRecall, Some(simRecallSql)),

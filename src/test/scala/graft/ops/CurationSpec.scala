@@ -131,4 +131,60 @@ class CurationSpec extends SparkSuite {
       .collect().head.getString(0)
     assert(out.getString(3) === sha) // nothing dropped, reassembly is exact
   }
+
+  // two vocabularies: target-style docs reuse the target slice's words,
+  // noise docs use words the target never contains
+  private lazy val dsirDocs = Seq(
+    (1L, "model data training scale corpus", "target"),
+    (2L, "data model corpus tokens scale", "target"),
+    (3L, "model corpus data quality", "target"),
+    (4L, "data training model scale corpus tokens", "other"), // target-like
+    (5L, "zebra yak walrus vole urchin", "other"),            // noise
+    (6L, "quokka pangolin okapi numbat", "other"))            // noise
+    .toDF("doc_id", "text", "source")
+
+  test("dsirSelect ranks target-like documents above noise documents") {
+    val out = Curation.dsirSelect(dsirDocs, targetSource = "target", k = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // doc 4 shares the target vocabulary; docs 5/6 share none of it
+    assert(out(4L)._1 > out(5L)._1 && out(4L)._1 > out(6L)._1)
+    assert(out.values.count(_._2) === 4)
+    assert(out(4L)._2 && !out(5L)._2 && !out(6L)._2)
+    // importance is RELATIVE: every target-vocabulary doc outranks every
+    // noise doc (absolute signs depend on the smoothing mass, since the
+    // target here is a subset of raw rather than a disjoint corpus)
+    val targetLike = Seq(1L, 2L, 3L, 4L).map(out(_)._1)
+    val noise = Seq(5L, 6L).map(out(_)._1)
+    assert(targetLike.min > noise.max)
+  }
+
+  test("dsirSelect dense-array scoring equals a join-based recomputation") {
+    val buckets = 64
+    val toks = dsirDocs.select(col("doc_id"), col("source"),
+      explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .withColumn("bucket", Curation.tokenBucket(col("tok"), buckets))
+    val counts = toks.groupBy("bucket").agg(
+      count(lit(1)).as("r_cnt"),
+      count(when(col("source") === "target", 1)).as("t_cnt"))
+    val Array(rTot, tTot) = counts
+      .agg(sum("r_cnt").cast("double"), sum("t_cnt").cast("double"))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val lr = counts.collect().map { r =>
+      val v = math.log(((r.getLong(2) + 1.0) / (tTot + buckets)) /
+        ((r.getLong(1) + 1.0) / (rTot + buckets))) * 1000000.0
+      r.getLong(0) -> BigDecimal.valueOf(v)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).longValue
+    }.toMap
+    val expected = toks.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(r => lr(r.getLong(3))).sum }
+    val out = Curation.dsirSelect(dsirDocs, "target", buckets = buckets, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out === expected)
+  }
+
+  test("dsirSelect with k >= corpus selects everything") {
+    val out = Curation.dsirSelect(dsirDocs, "target", k = 100).collect()
+    assert(out.length === 6 && out.forall(_.getBoolean(3)))
+  }
 }

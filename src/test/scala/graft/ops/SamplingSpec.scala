@@ -105,4 +105,35 @@ class SamplingSpec extends SparkSuite {
       .as[(Long, Long, Boolean)].collect().sortBy(_._1)
     assert(out === Array((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
   }
+
+  private lazy val budgetDocs = (1L to 400L)
+    .map(i => (i, Seq.fill((i % 23 + 1).toInt)("w" + (i * 13 % 97)).mkString(" ")))
+    .toDF("doc_id", "text")
+
+  test("tokenBudget two-phase prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val out = Sampling.tokenBudget(budgetDocs, denom = 5, bucketWidth = 1000)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    val scored = TextStats.classifierScore(budgetDocs)
+    val total = scored.agg(sum("n_tokens")).collect().head.getLong(0)
+    val w = Window.orderBy(col("act_milli").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = scored
+      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(4) < total / 5))).toMap
+    assert(out === naive)
+  }
+
+  test("tokenBudget fills the budget: crosses it by at most one document") {
+    val rows = Sampling.tokenBudget(budgetDocs, denom = 5, bucketWidth = 1000)
+      .collect()
+    val total = rows.map(_.getLong(2)).sum
+    val budget = total / 5
+    val selTokens = rows.filter(_.getBoolean(4)).map(_.getLong(2)).sum
+    val maxDoc = rows.map(_.getLong(2)).max
+    assert(selTokens >= budget)          // never stops short
+    assert(selTokens < budget + maxDoc)  // overshoot bounded by one doc
+  }
 }
