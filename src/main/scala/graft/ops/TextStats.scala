@@ -42,6 +42,13 @@ object TextStats {
     graft.functions.TextExprs.textSignals(docs.sparkSession, "text")
   }
 
+  /** Rows passing the shared Gopher keep-gate — the composable filter
+    * form of [[gopherQuality]] for pipelines (e.g. the streaming curated
+    * ingest) that need the gate itself rather than the signal report.
+    * Same single source of thresholds, so it cannot drift. */
+  def qualityKeep(docs: DataFrame): DataFrame =
+    docs.filter(gopherSignalsFrom(signals(docs)).keep)
+
   /** BPE-style pre-tokenization pattern (GPT-2-shaped, simplified to the
     * character classes present in the corpus): contractions, space-glued
     * word pieces, number runs, punctuation runs. Subword merges happen

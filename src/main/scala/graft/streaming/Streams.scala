@@ -458,6 +458,95 @@ object Streams {
     }
   }
 
+  /** Documents schema for the streaming curate-and-ingest source. */
+  def documentsSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType)))
+
+  /** One micro-batch of the streaming curated ingest: quality-gate the
+    * batch, dedup it (exact + near-dup within the batch, near-dup against
+    * everything EVER ingested via the persistent MinHash index), then
+    * commit survivors to the corpus AtomicTable and their signatures to
+    * the index. This is the ingest-time shape of a training-data
+    * pipeline: per-batch cost ∝ batch (the corpus is consulted only
+    * through its ~100-bytes/doc index, never rescanned), and the corpus
+    * only ever contains documents that passed every gate.
+    *
+    * Exactly-once across BOTH tables without a cross-table transaction:
+    *  1. the corpus commit carries `last_batch_id` in its manifest and is
+    *     performed LAST — a batch at or below it is skipped entirely;
+    *  2. the index append is partition-granular per batch tag
+    *     ([[graft.ops.DedupIndex.append]] REPLACES the tag's partition),
+    *     so a replay of a batch that died between index append and corpus
+    *     commit rewrites the identical partition rather than duplicating;
+    *  3. the index match excludes the batch's own ids, so such a replay
+    *     does not match the half-committed attempt's own signatures and
+    *     drop every document as a "duplicate" of itself.
+    *
+    * In-batch near-dup pairs keep the smaller doc_id (same keeper rule as
+    * [[graft.ops.Dedup.canonicalize]]); the survivor is what gets
+    * indexed, so a third copy arriving later matches it. */
+  def curateBatch(corpusTable: String, indexRoot: String,
+      threshold: Double = 0.5)(df: DataFrame, batchId: Long): Unit = {
+    import graft.ops.{Dedup, DedupIndex, TextStats}
+    val root = java.nio.file.Paths.get(corpusTable)
+    val last = AtomicTable.manifest(root)
+      .flatMap(_.properties.get("last_batch_id")).map(_.toLong).getOrElse(-1L)
+    if (batchId <= last) return
+    val spark = df.sparkSession
+    // materialize the batch once: every stage below re-reads it, and a
+    // file-stream batch re-plans the file scan per reference otherwise
+    val batch = df.localCheckpoint(true)
+    try {
+      val quality = TextStats.qualityKeep(batch)
+      val exactKeepers = Dedup.canonicalize(quality)
+        .filter(!col("is_dup")).select("doc_id")
+      val exactKept = quality.join(exactKeepers, "doc_id")
+      val selfDupIds = Dedup.minhashPairs(exactKept, threshold)
+        .select(col("id_b").as("doc_id")).distinct()
+      val batchKept = exactKept.join(selfDupIds, Seq("doc_id"), "left_anti")
+      val idxDupIds = DedupIndex.matches(spark, indexRoot, batchKept, threshold)
+        .join(batch.select(col("doc_id").as("idx_id")), Seq("idx_id"), "left_anti")
+        .select(col("new_id").as("doc_id")).distinct()
+      val survivors = batchKept.join(idxDupIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      DedupIndex.append(indexRoot, survivors, ingest = f"b$batchId%06d")
+      AtomicTable.replacePartitions(spark, corpusTable,
+        survivors.withColumn("batch_id", lit(batchId)), "batch_id",
+        properties = Map("last_batch_id" -> batchId.toString))
+      ()
+    } finally {
+      // minhashPairs persists its candidate tables for the duration of
+      // the batch; a long-running ingest must not accumulate them
+      spark.catalog.clearCache()
+    }
+  }
+
+  /** Run the curated ingest over a staging directory of JSON document
+    * files to completion (AvailableNow), one file per micro-batch so
+    * multi-batch semantics — cross-batch dedup, index growth, replay
+    * idempotency — actually execute rather than collapsing into one
+    * batch. The deployment form is the same query with an always-on
+    * trigger. */
+  def curatedIngestAvailableNow(spark: SparkSession, stagingDir: String,
+      corpusTable: String, indexRoot: String, checkpoint: String,
+      threshold: Double = 0.5): Unit = {
+    withStreamPartitions(spark, 8) {
+      val q = spark.readStream
+        .schema(documentsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stagingDir)
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) =>
+          curateBatch(corpusTable, indexRoot, threshold)(df, id))
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+  }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

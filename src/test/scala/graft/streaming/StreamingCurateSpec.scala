@@ -1,0 +1,116 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.etl.AtomicTable
+import graft.ops.DedupIndex
+
+/** End-to-end streaming curated ingest: quality gate → in-batch dedup
+  * (exact + near-dup) → cross-batch near-dup via the persistent MinHash
+  * index → exactly-once commit to corpus + index. Multi-batch execution
+  * is forced (one file per trigger) so the cross-batch and replay
+  * semantics actually run. */
+class StreamingCurateSpec extends SparkSuite {
+
+  // ≥10 tokens, ≥2 registry stopwords (the/and), all-alpha → passes the
+  // shared Gopher gate
+  private val passageA = "the quick brown fox and the lazy dog run over " +
+    "green hills while morning light settles on quiet fields"
+  private val passageAEdit = "the quick brown fox and the lazy dog run over " +
+    "green hills while morning light settles on quiet meadows"
+  private val passageB = "a gentle stream winds and turns through the deep " +
+    "forest carrying cold clear water past mossy stones today"
+  private val passageC = "the old library holds many rare books and scrolls " +
+    "that scholars travel great distances to read carefully"
+
+  private def jsonLine(id: Long, text: String): String =
+    s"""{"doc_id": $id, "text": "$text", "source": "s"}"""
+
+  private def freshDirs(): (Path, String, String, String) = {
+    val base = Files.createTempDirectory("graft-curate")
+    (base.resolve("staging"), s"$base/corpus", s"$base/index", s"$base/ckpt")
+  }
+
+  private def corpusIds(corpus: String): Set[Long] = {
+    val schema = org.apache.spark.sql.types.StructType(
+      Streams.documentsSchema.fields :+
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))
+    AtomicTable.read(spark, corpus, schema)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("curated ingest: gate, in-batch dedup, cross-batch dedup via index") {
+    val (staging, corpus, index, ckpt) = freshDirs()
+    Files.createDirectories(staging)
+    // batch 1: d1 unique; d2 exact dup of d1; d3 near-dup of d1;
+    // d4 fails the quality gate; d5 unique
+    Files.writeString(staging.resolve("f1.json"), Seq(
+      jsonLine(1, passageA),
+      jsonLine(2, passageA),
+      jsonLine(3, passageAEdit),
+      jsonLine(4, "x"),
+      jsonLine(5, passageB)).mkString("", "\n", "\n"))
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    assert(corpusIds(corpus) === Set(1L, 5L))
+
+    // batch 2 (same checkpoint — only the new file is processed):
+    // d6 near-dups batch 1's d1 and must be caught by the INDEX, not by
+    // any rescan of batch 1's text; d7 is new
+    Files.writeString(staging.resolve("f2.json"), Seq(
+      jsonLine(6, passageAEdit),
+      jsonLine(7, passageC)).mkString("", "\n", "\n"))
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    assert(corpusIds(corpus) === Set(1L, 5L, 7L))
+
+    // the index carries signatures for exactly the corpus survivors
+    val sigIds = AtomicTable.read(spark, s"$index/sigs", DedupIndex.sigSchema)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds === Set(1L, 5L, 7L))
+  }
+
+  test("replayed batch at or below last_batch_id is a no-op") {
+    val (staging, corpus, index, ckpt) = freshDirs()
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("f1.json"),
+      jsonLine(1, passageA) + "\n")
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    val vBefore = AtomicTable.manifest(java.nio.file.Paths.get(corpus))
+      .map(_.version)
+    import spark.implicits._
+    val replay = Seq((1L, passageA, "s")).toDF("doc_id", "text", "source")
+    Streams.curateBatch(corpus, index)(replay, batchId = 0L)
+    assert(AtomicTable.manifest(java.nio.file.Paths.get(corpus))
+      .map(_.version) === vBefore)
+    assert(corpusIds(corpus) === Set(1L))
+  }
+
+  test("replay after a crash between index append and corpus commit " +
+      "does not drop the batch as a self-duplicate") {
+    val (staging, corpus, index, ckpt) = freshDirs()
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("f1.json"),
+      jsonLine(1, passageA) + "\n")
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    // simulate the torn state: batch 1's index partition committed, but
+    // the corpus commit (and its last_batch_id advance) never happened
+    import spark.implicits._
+    val batch = Seq((8L, passageC, "s")).toDF("doc_id", "text", "source")
+    DedupIndex.append(index, batch, ingest = "b000001")
+    // the replay must match the index WITHOUT treating its own
+    // signatures as an existing duplicate
+    Streams.curateBatch(corpus, index)(batch, batchId = 1L)
+    assert(corpusIds(corpus) === Set(1L, 8L))
+    // and the index partition was replaced, not duplicated
+    val sigRows = AtomicTable.read(spark, s"$index/sigs", DedupIndex.sigSchema)
+      .filter(col("doc_id") === 8L).count()
+    assert(sigRows === 1L)
+  }
+}
