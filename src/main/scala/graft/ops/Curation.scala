@@ -237,12 +237,16 @@ object Curation {
     // unseen buckets stay 0: a document can only index buckets its own
     // tokens hash to, and those are by construction in the corpus counts
     val lrLit = typedlit(lr.toSeq)
+    // persisted: the top-k branch would otherwise re-scan the corpus and
+    // re-run the whole scoring fold a second time (24 bytes/row kept vs
+    // a second full text pass at 100 TB)
     val scored = docs.select(
       col("doc_id"),
       size(toksArr).cast("bigint").as("n_feats"),
       aggregate(toksArr, lit(0L),
         (acc, t) => acc + element_at(lrLit, tokenBucket(t, buckets).cast("int") + 1))
         .as("logw_micro"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topIds = scored
       .orderBy(col("logw_micro").desc, col("doc_id"))
       .limit(k)

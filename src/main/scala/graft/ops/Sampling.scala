@@ -191,8 +191,14 @@ object Sampling {
     * serialize the corpus through one task — round-2's scale-killer. */
   def tokenBudget(docs: DataFrame, denom: Int = 5,
       bucketWidth: Int = 10000): DataFrame = {
+    // three consumers (budget total, bucket totals, the ranked pass) —
+    // persist the 24-byte/row scored projection so the corpus TEXT is
+    // scanned and scored once, not three times (MEMORY_AND_DISK: a
+    // 100 TB run spills rather than recomputes; released by the
+    // caller's clearCache, as with the text-family persists)
     val scored = TextStats.classifierScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("act_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = scored.agg(sum("n_tokens").as("_total"))
     val bucketed = scored
       .withColumn("_b", expr(s"act_milli div $bucketWidth"))

@@ -263,6 +263,34 @@ class PlanAuditSpec extends SparkSuite {
       s"verdict join must be key-based:\n$p")
   }
 
+  test("sample_token_budget: the full-data window is bucket-partitioned") {
+    val p = plan("sample_token_budget")
+    // the per-document running sum (orders by act_milli, doc_id) must
+    // carry a partition spec — an unpartitioned window here would move
+    // the whole corpus through one task
+    val docWindow = p.linesIterator
+      .find(l => l.contains("Window [") && l.contains("doc_id"))
+      .getOrElse(fail(s"no per-document window in:\n$p"))
+    assert(docWindow.contains("], [_b#"),
+      s"per-document window must partition by the score bucket:\n$docWindow")
+    // the only unpartitioned window runs over the bucket-totals
+    // aggregate (a ≤ few-hundred-row frame), which is partial-aggregated
+    assert(p.contains("partial_sum"), "bucket totals need map-side combine")
+  }
+
+  test("text_dsir_select: scoring is map-only against a dense array literal") {
+    val p = plan("text_dsir_select")
+    // the learned log-ratio table must enter as a literal (no join on
+    // the bucket key), leaving ONE broadcast join: the top-k flag
+    assert(!p.contains("SortMergeJoin"),
+      "DSIR scoring must not shuffle the corpus against the model")
+    assert("BroadcastHashJoin".r.findAllIn(p).length === 1,
+      s"expected exactly the top-k flag join in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "selection must plan as per-partition top-k, not a global sort")
+    assert(p.contains("element_at"), "scoring must index the literal array")
+  }
+
   test("dedup_exact_hash: shuffle carries hashes, not documents") {
     // formatted mode lists nodes bottom-up: the sha2 projection and the
     // partial aggregate must precede the exchange
