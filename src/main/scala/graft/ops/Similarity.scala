@@ -62,6 +62,33 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-space benchmark decontamination: flag every training
+    * vector whose cosine similarity to ANY held-out eval vector reaches
+    * `threshold` — the semantic sibling of the 8-gram text
+    * decontamination (TextStats.contamination), catching paraphrased or
+    * re-embedded benchmark leakage that exact n-grams miss.
+    *
+    * Scale shape mirrors [[bruteForceTopK]]: the eval set is
+    * benchmark-sized (thousands of rows against a 100 TB train corpus),
+    * so it BROADCASTS with precomputed norms; the train side streams once
+    * — per-row max over the broadcast side with map-side partial
+    * aggregation, so only (vec_id, max_sim) pairs ever shuffle, never an
+    * embedding. Self-pairs (an eval vector present in the train corpus)
+    * are excluded by id. */
+  def semanticDecontam(train: DataFrame, eval: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    val e = eval.select(col("vec_id").as("eval_id"),
+      col("embedding").as("e_emb"), norm(col("embedding")).as("e_norm"))
+    val c = train.select(col("vec_id"),
+      col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
+    c.join(broadcast(e), col("vec_id") =!= col("eval_id"))
+      .select(col("vec_id"),
+        round(cosinePre(col("c_emb"), col("c_norm"), col("e_emb"), col("e_norm")), 6)
+          .as("s"))
+      .groupBy("vec_id").agg(max(col("s")).as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= threshold)
+  }
+
   /** Trainless IVF: centroids are the per-label mean vectors (deterministic
     * — no sampled k-means), each vector is assigned to its nearest
     * centroid, and a query searches only `nprobe` nearest buckets. */

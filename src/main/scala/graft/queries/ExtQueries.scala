@@ -1010,6 +1010,49 @@ object ExtQueries {
     """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_planted
       |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id""".stripMargin
 
+  /** Embedding-space decontamination with a full VALUE oracle: both
+    * engines plant a ~0.9999-cosine perturbed twin of each eval vector
+    * (vec_id % 97 slice) into the train side at id + 2,000,000 — the
+    * [[withPlantedNearDups]] perturbation — and the oracle recomputes
+    * max-cosine-vs-eval and the 0.9 flag exactly in SQL (the natural
+    * corpus maxes at ≈0.47 cross-similarity, so the margin is wide on
+    * both sides of the threshold). */
+  private def simDecontamEmbed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val eval = emb.filter(col("vec_id") % 97 === 0)
+    val planted = eval.select((col("vec_id") + 2000000L).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)).cast("double")))
+          .cast("float")).as("embedding"),
+      col("label"))
+    val train = emb.unionByName(planted).localCheckpoint(true)
+    Similarity.semanticDecontam(train, eval).orderBy("vec_id")
+  }
+
+  private val simDecontamEmbedSql =
+    """WITH ev AS (
+      |  SELECT vec_id AS eval_id, embedding FROM embeddings
+      |  WHERE vec_id % 97 = 0),
+      |planted AS (
+      |  SELECT eval_id + 2000000 AS vec_id,
+      |    list_transform(range(len(embedding)),
+      |      i -> CAST(CAST(embedding[i+1] AS DOUBLE)
+      |           * (1.0 + 0.01 * ((i % 7) - 3)) AS FLOAT)) AS embedding
+      |  FROM ev),
+      |train AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM planted),
+      |e AS (SELECT eval_id, CAST(embedding AS DOUBLE[]) AS ee FROM ev),
+      |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM train),
+      |scored AS (
+      |  SELECT c.vec_id,
+      |    max(round(list_dot_product(ce, ee)
+      |        / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(ee, ee))),
+      |        6)) AS max_sim
+      |  FROM c JOIN e ON vec_id != eval_id GROUP BY 1)
+      |SELECT vec_id, max_sim, max_sim >= 0.9 AS contaminated
+      |FROM scored ORDER BY vec_id""".stripMargin
+
   /** Exact-oracle int8 quantization of the full embedding table: every
     * arithmetic step is IEEE-exact in both engines, so scale and the
     * integer code vector hash-match bit-for-bit. */
@@ -1604,6 +1647,7 @@ object ExtQueries {
     "sim_quantized_recall" -> QueryDef(simQuantizedRecall, Some(simRecallSql)),
     "sim_pq_recall" -> QueryDef(simPqRecall, Some(simRecallSql)),
     "sim_semdedup_planted" -> QueryDef(simSemdedupPlanted, Some(simSemdedupPlantedSql)),
+    "sim_decontam_embed" -> QueryDef(simDecontamEmbed, Some(simDecontamEmbedSql)),
     "emb_quantize_int8" -> QueryDef(embQuantize, Some(embQuantizeSql)),
     "emb_l2_normalize" -> QueryDef(embL2Normalize, Some(embL2NormalizeSql)),
     "emb_random_projection" -> QueryDef(embRandomProjection, Some(embRandomProjectionSql)),

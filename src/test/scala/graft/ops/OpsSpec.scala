@@ -77,6 +77,24 @@ class OpsSpec extends SparkSuite {
     assert(top.length === 2)
   }
 
+  test("semanticDecontam flags near-eval vectors, spares unrelated ones") {
+    val eval = Seq(
+      (100L, Seq(1f, 0f, 0f), 0),
+      (101L, Seq(0f, 0f, 1f), 1)).toDF("vec_id", "embedding", "label")
+    val train = Seq(
+      (1L, Seq(0.99f, 0.05f, 0f), 0), // paraphrase-close to eval 100
+      (2L, Seq(0f, 1f, 0f), 1),       // orthogonal to both eval vectors
+      (100L, Seq(1f, 0f, 0f), 0))     // eval 100 itself (self-pair)
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDecontam(train, eval, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && !out(2L))
+    // the self-pair is excluded by id, and eval 100 is orthogonal to the
+    // OTHER eval vector — an eval member in the corpus must not flag
+    // itself through its own twin row
+    assert(!out(100L))
+  }
+
   test("rp-lsh ANN retrieves a planted duplicate at rank 1") {
     val rng = new scala.util.Random(11)
     val base = (0 until 20).map { i =>
