@@ -107,7 +107,12 @@ object Curation {
       .agg(countDistinct("doc_id").as("g_docs"))
       .where(col("g_docs") >= minDocs)
       .select("gram")
-    val starts = grams.join(shared, "gram")
+    // explicit broadcast, per the 100 TB argument above: the shared-gram
+    // set is duplicate content only. Without the hint an unhinted planner
+    // could pick a sort-merge join that shuffles the full gram stream a
+    // SECOND time just to meet the (tiny) shared set (pinned in
+    // PlanAuditSpec).
+    val starts = grams.join(broadcast(shared), "gram")
       .groupBy("doc_id").agg(sort_array(collect_list(col("pos"))).as("starts"))
     val st = coalesce(col("starts"), typedlit(Seq.empty[Int]))
     val covered = (i: Column) => exists(st, s => s <= i && i < s + w)
@@ -162,6 +167,12 @@ object Curation {
       .toDF("doc_id", "pos", "seg")
     val segDf = segs.groupBy("seg")
       .agg(countDistinct("doc_id").as("seg_docs"))
+    // deliberately NOT broadcast (contrast with substringDedup's shared
+    // set): segDf is the frequency of EVERY distinct segment — corpus-
+    // sized, not duplicate-content-sized. The sort-merge join keys on the
+    // same `seg` the aggregate just exchanged on, so the segs side reuses
+    // that exchange and the verdict join costs one shuffle of the (small)
+    // aggregate output only.
     segs.join(segDf, "seg")
       .groupBy("doc_id")
       .agg(

@@ -78,9 +78,19 @@ object DedupIndex {
     * (new doc, indexed doc) pair whose bucket collision survives the
     * size-ratio prefilter and signature verification. The corpus side
     * never rescans its text — the candidate join runs on the scalar
-    * bucket table, and only candidate ids fetch signatures. */
+    * bucket table, and only candidate ids fetch signatures.
+    *
+    * `excludeIngest`: ignore index entries committed under this ingest
+    * tag. A replaying batch passes its OWN tag so a torn previous attempt
+    * (index partition appended, corpus commit lost) does not match the
+    * half-committed signatures and drop every document as a duplicate of
+    * itself. The exclusion is tag-granular, not doc_id-granular: a
+    * document REDELIVERED in a later batch still matches its previously
+    * committed signature (different tag) and is correctly rejected. The
+    * filter is on the partition column, so it prunes at the scan. */
   def matches(spark: SparkSession, root: String, newDocs: DataFrame,
-      threshold: Double = 0.5, w: Int = 3): DataFrame = {
+      threshold: Double = 0.5, w: Int = 3,
+      excludeIngest: Option[String] = None): DataFrame = {
     // eager localCheckpoint, not persist: the returned frame references the
     // new batch's signatures twice (bucket side + verify side), and a
     // persist here could never be released — the caller's result would
@@ -91,7 +101,9 @@ object DedupIndex {
     val newBuckets = Dedup.lshBuckets(newSigs)
       .select(col("band"), col("bucket"),
         col("doc_id").as("new_id"), col("n_sh").as("n_new"))
-    val indexed = AtomicTable.read(spark, bucketsPath(root), bucketSchema)
+    val notExcluded = (df: DataFrame) =>
+      excludeIngest.fold(df)(tag => df.filter(col("ingest") =!= tag))
+    val indexed = notExcluded(AtomicTable.read(spark, bucketsPath(root), bucketSchema))
       .select(col("band"), col("bucket"),
         col("doc_id").as("idx_id"), col("n_sh").as("n_idx"))
     val sizeOk = col("n_new") * threshold <= col("n_idx") &&
@@ -100,7 +112,7 @@ object DedupIndex {
       .filter(sizeOk)
       .select("new_id", "idx_id")
       .dropDuplicates("new_id", "idx_id")
-    val idxSigs = AtomicTable.read(spark, sigsPath(root), sigSchema)
+    val idxSigs = notExcluded(AtomicTable.read(spark, sigsPath(root), sigSchema))
       .select(col("doc_id").as("idx_id"), col("signature").as("sig_idx"))
     val newSide = newSigs
       .select(col("doc_id").as("new_id"), col("signature").as("sig_new"))

@@ -183,38 +183,68 @@ object Sampling {
     * The running total over the (score desc, doc_id) order is the
     * distributed two-phase prefix sum of [[packSequences]], generalized
     * to a non-contiguous sort key: coarse score-range buckets
-    * (`score div bucketWidth`, truncating division — monotone in the
-    * score, so bucket order refines to the global order) keep the
-    * within-bucket windows parallel; the only single-partition step is
-    * the running sum over the ≤ a-few-hundred bucket totals, which
-    * broadcast back as offsets. A bare `Window.orderBy(score)` would
-    * serialize the corpus through one task — round-2's scale-killer. */
+    * (`score div width`, truncating division — monotone in the score, so
+    * bucket order refines to the global order) keep the within-bucket
+    * windows parallel; the only single-partition step is the running sum
+    * over the ≤ `targetBuckets`-ish bucket totals, which broadcast back
+    * as offsets. A bare `Window.orderBy(score)` would serialize the
+    * corpus through one task — round-2's scale-killer.
+    *
+    * The bucket width ADAPTS to the observed score range
+    * (`(max-min+1) / targetBuckets`, from the same one-row stats pass
+    * that reads the budget total off the persisted scored projection): a
+    * fixed width would silently degenerate to the single-partition global
+    * window whenever the corpus's score distribution is narrower than
+    * one bucket. When the range is narrower than `targetBuckets` the
+    * width clamps to 1 (one bucket per exact score) and a SECONDARY
+    * doc_id-range bucket restores parallelism — order-safe only at
+    * width 1, because within one exact score the global order IS doc_id
+    * ascending, which the id sub-buckets refine. */
+  /** Bucket widths for [[tokenBudget]]: (score width, doc_id width). A
+    * doc_id width of Long.MaxValue means "no sub-bucketing" (the score
+    * range alone yields ~targetBuckets buckets). */
+  private[ops] def budgetWidths(sRange: Long, dRange: Long,
+      tb: Long): (Long, Long) =
+    if (sRange >= tb) ((sRange + tb - 1L) / tb, Long.MaxValue)
+    else (1L, ((dRange + tb - 1L) / tb).max(1L))
+
   def tokenBudget(docs: DataFrame, denom: Int = 5,
-      bucketWidth: Int = 10000): DataFrame = {
-    // three consumers (budget total, bucket totals, the ranked pass) —
-    // persist the 24-byte/row scored projection so the corpus TEXT is
-    // scanned and scored once, not three times (MEMORY_AND_DISK: a
-    // 100 TB run spills rather than recomputes; released by the
+      targetBuckets: Int = 256): DataFrame = {
+    // three consumers (budget+range stats, bucket totals, the ranked
+    // pass) — persist the 24-byte/row scored projection so the corpus
+    // TEXT is scanned and scored once, not three times (MEMORY_AND_DISK:
+    // a 100 TB run spills rather than recomputes; released by the
     // caller's clearCache, as with the text-family persists)
     val scored = TextStats.classifierScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("act_milli"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val total = scored.agg(sum("n_tokens").as("_total"))
+    // one row of longs to the driver — the sketch-class aggregate that
+    // sizes the buckets and fixes the budget as a literal (replacing the
+    // broadcast-total cross join)
+    val stats = scored.agg(sum("n_tokens"), min("act_milli"),
+      max("act_milli"), min("doc_id"), max("doc_id")).first()
+    val empty = stats.isNullAt(1)
+    val total = if (empty) 0L else stats.getLong(0)
+    val sRange = if (empty) 1L else stats.getLong(2) - stats.getLong(1) + 1L
+    val dRange = if (empty) 1L else stats.getLong(4) - stats.getLong(3) + 1L
+    val (wS, wD) = budgetWidths(sRange, dRange, targetBuckets.toLong)
     val bucketed = scored
-      .withColumn("_b", expr(s"act_milli div $bucketWidth"))
-    val wB = Window.orderBy(col("_b").desc)
+      .withColumn("_b", expr(s"act_milli div ${wS}L"))
+      .withColumn("_b2",
+        if (wD == Long.MaxValue) lit(0L) else expr(s"doc_id div ${wD}L"))
+    val wB = Window.orderBy(col("_b").desc, col("_b2").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("_b").agg(sum("n_tokens").as("_bt"))
-      .select(col("_b"), coalesce(sum("_bt").over(wB), lit(0L)).as("_off"))
-    val wIn = Window.partitionBy("_b")
+    val offsets = bucketed.groupBy("_b", "_b2").agg(sum("n_tokens").as("_bt"))
+      .select(col("_b"), col("_b2"),
+        coalesce(sum("_bt").over(wB), lit(0L)).as("_off"))
+    val wIn = Window.partitionBy("_b", "_b2")
       .orderBy(col("act_milli").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    bucketed.join(broadcast(offsets), Seq("_b"))
+    bucketed.join(broadcast(offsets), Seq("_b", "_b2"))
       .withColumn("cum_before",
         col("_off") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
-      .crossJoin(broadcast(total))
       .select(col("doc_id"), col("act_milli"), col("n_tokens"),
         col("cum_before"),
-        (col("cum_before") < expr(s"_total div $denom")).as("selected"))
+        (col("cum_before") < lit(total / denom)).as("selected"))
   }
 }

@@ -73,20 +73,29 @@ object Similarity {
     * so it BROADCASTS with precomputed norms; the train side streams once
     * — per-row max over the broadcast side with map-side partial
     * aggregation, so only (vec_id, max_sim) pairs ever shuffle, never an
-    * embedding. Self-pairs (an eval vector present in the train corpus)
-    * are excluded by id. */
+    * embedding. A pair is excluded as SELF only when BOTH id and vector
+    * match (the eval row literally present in train — the usual
+    * train ⊇ eval layout): excluding by id alone would hide a real
+    * contaminant that happens to share an id with an eval row while
+    * carrying different content. The join is LEFT from train so every
+    * train vector appears in the output even when eval is empty or its
+    * only eval row is its self-pair — those rows report max_sim NULL /
+    * contaminated=false rather than vanishing. */
   def semanticDecontam(train: DataFrame, eval: DataFrame,
       threshold: Double = 0.9): DataFrame = {
     val e = eval.select(col("vec_id").as("eval_id"),
       col("embedding").as("e_emb"), norm(col("embedding")).as("e_norm"))
     val c = train.select(col("vec_id"),
       col("embedding").as("c_emb"), norm(col("embedding")).as("c_norm"))
-    c.join(broadcast(e), col("vec_id") =!= col("eval_id"))
+    c.join(broadcast(e),
+        col("vec_id") =!= col("eval_id") || col("c_emb") =!= col("e_emb"),
+        "left_outer")
       .select(col("vec_id"),
         round(cosinePre(col("c_emb"), col("c_norm"), col("e_emb"), col("e_norm")), 6)
           .as("s"))
       .groupBy("vec_id").agg(max(col("s")).as("max_sim"))
-      .withColumn("contaminated", col("max_sim") >= threshold)
+      .withColumn("contaminated",
+        coalesce(col("max_sim") >= threshold, lit(false)))
   }
 
   /** Trainless IVF: centroids are the per-label mean vectors (deterministic

@@ -1049,8 +1049,9 @@ object ExtQueries {
       |    max(round(list_dot_product(ce, ee)
       |        / (sqrt(list_dot_product(ce, ce)) * sqrt(list_dot_product(ee, ee))),
       |        6)) AS max_sim
-      |  FROM c JOIN e ON vec_id != eval_id GROUP BY 1)
-      |SELECT vec_id, max_sim, max_sim >= 0.9 AS contaminated
+      |  FROM c LEFT JOIN e ON NOT (vec_id = eval_id AND ce = ee) GROUP BY 1)
+      |SELECT vec_id, max_sim,
+      |  coalesce(max_sim >= 0.9, false) AS contaminated
       |FROM scored ORDER BY vec_id""".stripMargin
 
   /** Exact-oracle int8 quantization of the full embedding table: every

@@ -480,13 +480,31 @@ object Streams {
     *     ([[graft.ops.DedupIndex.append]] REPLACES the tag's partition),
     *     so a replay of a batch that died between index append and corpus
     *     commit rewrites the identical partition rather than duplicating;
-    *  3. the index match excludes the batch's own ids, so such a replay
-    *     does not match the half-committed attempt's own signatures and
-    *     drop every document as a "duplicate" of itself.
+    *  3. the index match excludes the batch's own INGEST TAG (not its
+    *     doc_ids), so such a replay does not match the half-committed
+    *     attempt's own signatures and drop every document as a
+    *     "duplicate" of itself — while a document REDELIVERED in a later
+    *     batch (new batchId, so the last_batch_id guard passes) still
+    *     matches its previously committed signature under the old tag and
+    *     is rejected, preserving the corpus-only-holds-deduped invariant.
     *
-    * In-batch near-dup pairs keep the smaller doc_id (same keeper rule as
-    * [[graft.ops.Dedup.canonicalize]]); the survivor is what gets
-    * indexed, so a third copy arriving later matches it. */
+    * In-batch near-dup pairs are clustered through
+    * [[graft.ops.Dedup.connectedComponents]] and each CLUSTER keeps its
+    * min doc_id (same keeper rule as [[graft.ops.Dedup.canonicalize]]).
+    * Clustering matters for chains a~b, b~c with no a~c pair: the keeper
+    * set must be one per CLUSTER, not "never appears as id_b" (which
+    * keeps both endpoints of a path joined through a dropped middle).
+    *
+    * The INDEX holds more than the corpus: every quality+exact survivor
+    * that did not itself match the index — keepers AND their in-batch
+    * near-dup variants. Indexing only keepers has a recall gap on exactly
+    * the chain case: c (dropped as a near-dup of b) may be under
+    * threshold against keeper a, so a later copy of c's content would
+    * match nothing and be admitted. Indexing c's signature closes that:
+    * any later copy of any cluster member matches. Docs that matched the
+    * index are NOT re-indexed — their signature is within threshold of an
+    * already-indexed one, so re-indexing adds no recall, and skipping it
+    * keeps a popular duplicate from appending a signature every batch. */
   def curateBatch(corpusTable: String, indexRoot: String,
       threshold: Double = 0.5)(df: DataFrame, batchId: Long): Unit = {
     import graft.ops.{Dedup, DedupIndex, TextStats}
@@ -503,15 +521,21 @@ object Streams {
       val exactKeepers = Dedup.canonicalize(quality)
         .filter(!col("is_dup")).select("doc_id")
       val exactKept = quality.join(exactKeepers, "doc_id")
-      val selfDupIds = Dedup.minhashPairs(exactKept, threshold)
-        .select(col("id_b").as("doc_id")).distinct()
-      val batchKept = exactKept.join(selfDupIds, Seq("doc_id"), "left_anti")
-      val idxDupIds = DedupIndex.matches(spark, indexRoot, batchKept, threshold)
-        .join(batch.select(col("doc_id").as("idx_id")), Seq("idx_id"), "left_anti")
+      val selfDupIds = Dedup.connectedComponents(
+          Dedup.minhashPairs(exactKept, threshold))
+        .filter(col("id") =!= col("label"))
+        .select(col("id").as("doc_id"))
+      val tag = f"b$batchId%06d"
+      val idxDupIds = DedupIndex.matches(spark, indexRoot, exactKept, threshold,
+          excludeIngest = Some(tag))
         .select(col("new_id").as("doc_id")).distinct()
-      val survivors = batchKept.join(idxDupIds, Seq("doc_id"), "left_anti")
+      // eager: the index reads under `matches` must complete BEFORE the
+      // append below mutates the index
+      val indexable = exactKept.join(idxDupIds, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
-      DedupIndex.append(indexRoot, survivors, ingest = f"b$batchId%06d")
+      val survivors = indexable.join(selfDupIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
+      DedupIndex.append(indexRoot, indexable, ingest = tag)
       AtomicTable.replacePartitions(spark, corpusTable,
         survivors.withColumn("batch_id", lit(batchId)), "batch_id",
         properties = Map("last_batch_id" -> batchId.toString))

@@ -263,6 +263,16 @@ class PlanAuditSpec extends SparkSuite {
       s"verdict join must be key-based:\n$p")
   }
 
+  test("text_substring_dedup: the shared-gram verdict join broadcasts") {
+    val p = plan("text_substring_dedup")
+    // the shared-gram set is duplicate content only (broadcast-class at
+    // any scale); the full gram stream must meet it via broadcast, never
+    // by shuffling itself a second time on the gram key
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("gram")),
+      s"shared-gram join must broadcast:\n$p")
+  }
+
   test("sample_token_budget: the full-data window is bucket-partitioned") {
     val p = plan("sample_token_budget")
     // the per-document running sum (orders by act_milli, doc_id) must

@@ -112,7 +112,7 @@ class SamplingSpec extends SparkSuite {
 
   test("tokenBudget two-phase prefix sum equals the naive global window") {
     import org.apache.spark.sql.expressions.Window
-    val out = Sampling.tokenBudget(budgetDocs, denom = 5, bucketWidth = 1000)
+    val out = Sampling.tokenBudget(budgetDocs, denom = 5)
       .collect()
       .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
     val scored = TextStats.classifierScore(budgetDocs)
@@ -126,8 +126,47 @@ class SamplingSpec extends SparkSuite {
     assert(out === naive)
   }
 
+  test("tokenBudget stays correct AND bucketed on a degenerate score " +
+      "distribution (every document identical)") {
+    import org.apache.spark.sql.expressions.Window
+    // identical texts → one single act_milli value: the adaptive width
+    // clamps to 1 and the doc_id sub-buckets must carry the parallelism
+    val flat = (1L to 300L).map(i => (i, "same words every time here"))
+      .toDF("doc_id", "text")
+    val out = Sampling.tokenBudget(flat, denom = 5)
+    val p = out.queryExecution.sparkPlan.toString
+    val docWindow = p.linesIterator
+      .find(l => l.contains("Window [") && l.contains("doc_id"))
+      .getOrElse(fail(s"no per-document window in:\n$p"))
+    assert(docWindow.contains("_b2#"),
+      s"flat scores must fall back to doc_id sub-buckets:\n$docWindow")
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    val scored = TextStats.classifierScore(flat)
+    val total = scored.agg(sum("n_tokens")).collect().head.getLong(0)
+    val w = Window.orderBy(col("act_milli").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = scored
+      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(4), r.getLong(4) < total / 5))).toMap
+    assert(got === naive)
+  }
+
+  test("budgetWidths adapts to the observed score range") {
+    // wide range: score buckets alone, ~tb of them, no sub-bucketing
+    assert(Sampling.budgetWidths(1000000L, 500L, 256L) ===
+      ((1000000L + 255L) / 256L, Long.MaxValue))
+    // narrow range: width clamps to 1, doc ids carry the bucket count
+    val (ws, wd) = Sampling.budgetWidths(10L, 100000L, 256L)
+    assert(ws === 1L)
+    assert(wd === (100000L + 255L) / 256L)
+    // single score value over few docs: both widths legal and minimal
+    assert(Sampling.budgetWidths(1L, 1L, 256L) === ((1L, 1L)))
+  }
+
   test("tokenBudget fills the budget: crosses it by at most one document") {
-    val rows = Sampling.tokenBudget(budgetDocs, denom = 5, bucketWidth = 1000)
+    val rows = Sampling.tokenBudget(budgetDocs, denom = 5)
       .collect()
     val total = rows.map(_.getLong(2)).sum
     val budget = total / 5

@@ -21,6 +21,10 @@ class StreamingCurateSpec extends SparkSuite {
     "green hills while morning light settles on quiet fields"
   private val passageAEdit = "the quick brown fox and the lazy dog run over " +
     "green hills while morning light settles on quiet meadows"
+  // one word from passageAEdit (hills→slopes), TWO words from passageA —
+  // near-dup of AEdit but below the 0.5 Jaccard threshold against A
+  private val passageAEdit2 = "the quick brown fox and the lazy dog run over " +
+    "green slopes while morning light settles on quiet meadows"
   private val passageB = "a gentle stream winds and turns through the deep " +
     "forest carrying cold clear water past mossy stones today"
   private val passageC = "the old library holds many rare books and scrolls " +
@@ -68,10 +72,61 @@ class StreamingCurateSpec extends SparkSuite {
       index, ckpt)
     assert(corpusIds(corpus) === Set(1L, 5L, 7L))
 
-    // the index carries signatures for exactly the corpus survivors
+    // the index carries one signature per CONTENT CLASS seen: corpus
+    // keepers plus in-batch near-dup variants (d3), but NOT docs that
+    // matched the index (d6 — its class is already covered by d1/d3)
     val sigIds = AtomicTable.read(spark, s"$index/sigs", DedupIndex.sigSchema)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(sigIds === Set(1L, 5L, 7L))
+    assert(sigIds === Set(1L, 3L, 5L, 7L))
+  }
+
+  test("a committed document redelivered in a LATER batch is rejected " +
+      "by its old index signature, not readmitted") {
+    val (staging, corpus, index, ckpt) = freshDirs()
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("f1.json"),
+      jsonLine(1, passageA) + "\n")
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    assert(corpusIds(corpus) === Set(1L))
+    // the at-least-once source redelivers doc 1 under a NEW batch id —
+    // the last_batch_id guard passes, so only the index can stop it.
+    // (Before the tag-granular exclusion, the match was discarded because
+    // idx_id 1 appeared in the batch, and the corpus got a second copy.)
+    import spark.implicits._
+    val redelivered = Seq((1L, passageA, "s")).toDF("doc_id", "text", "source")
+    Streams.curateBatch(corpus, index)(redelivered, batchId = 7L)
+    val schema = org.apache.spark.sql.types.StructType(
+      Streams.documentsSchema.fields :+
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))
+    val copies = AtomicTable.read(spark, corpus, schema)
+      .filter(col("doc_id") === 1L).count()
+    assert(copies === 1L)
+  }
+
+  test("near-dup CHAIN a~b~c keeps one cluster keeper, and a later copy " +
+      "of the far end still matches the index") {
+    val (staging, corpus, index, ckpt) = freshDirs()
+    Files.createDirectories(staging)
+    // 10~11 and 11~12 are near-dups (one word apart); 10 and 12 are two
+    // words apart — below the 0.5 Jaccard threshold, no direct pair
+    Files.writeString(staging.resolve("f1.json"), Seq(
+      jsonLine(10, passageA),
+      jsonLine(11, passageAEdit),
+      jsonLine(12, passageAEdit2)).mkString("", "\n", "\n"))
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    // one keeper per CLUSTER (min id), both variants dropped
+    assert(corpusIds(corpus) === Set(10L))
+    // ...but the dropped variants' signatures ARE indexed, so a later
+    // copy of 12's content (which is NOT within threshold of keeper 10)
+    // still matches and is rejected
+    Files.writeString(staging.resolve("f2.json"),
+      jsonLine(13, passageAEdit2) + "\n")
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    assert(corpusIds(corpus) === Set(10L))
   }
 
   test("replayed batch at or below last_batch_id is a no-op") {
