@@ -87,7 +87,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val totalMedian = medians.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(mins)},"medians":${obj(medians)},"total_median":${fmt(totalMedian)},"passes":$raw,"n_passes":$passes,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(mins)},"medians":${obj(medians)},"total_median":${fmt(totalMedian)},"passes":$raw,"n_passes":$passes,"sf":"$sfDir"}"""
+    println(json)
+    // ALSO persist the full JSON as a repo artifact: the driver's capture
+    // of stdout has truncated the tail before (r6 lost its headline), and
+    // a /tmp copy does not survive a wipe. SPARK_GRAFT_BENCH_OUT overrides
+    // the destination; failures to write never fail the bench.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full_latest.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
