@@ -125,6 +125,27 @@ object AtomicTable {
     }.reduce(_.unionByName(_)).select(schema.fieldNames.map(col): _*)
   }
 
+  /** Per-table-root commit locks: CONCURRENT WRITERS in one JVM are
+    * linearized here — each commit's read-manifest → write-manifest →
+    * pointer-swap critical section runs under the root's lock, so two
+    * threads committing disjoint partitions both land (versions N+1,
+    * N+2) and neither's partition map is lost to a read-modify-write
+    * race. The DATA STAGING (the expensive parquet write) stays outside
+    * the lock — writers overlap on everything but the metadata swap,
+    * which is exactly the Delta/Iceberg commit-service shape.
+    *
+    * Cross-PROCESS writers are outside this contract: the commit point
+    * would need a put-if-absent primitive the local filesystem lacks
+    * (HDFS rename-no-replace or an S3 conditional PUT provide it — the
+    * same protocol, different pointer swap). One committing driver
+    * process per table is the Structured-Streaming-checkpoint contract
+    * this layer mirrors (WriterRaceSpec pins the in-JVM guarantee). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(root: Path): Object =
+    commitLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString,
+      _ => new Object)
+
   /** Atomically replace the partitions present in `rows` (values of
     * `partitionCol`), leaving all other partitions at their current data
     * dirs. `beforeCommit` is a test hook invoked after the staged data is
@@ -146,22 +167,24 @@ object AtomicTable {
         ExternalCatalogUtils.unescapePathName(
           n.substring(partitionCol.length + 1)) -> s"data/$txn/$n"
       }.toMap
-    val prev = manifest(root)
-    val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
-      prev.map(_.partitions).getOrElse(Map.empty) ++ written,
-      prev.map(_.properties).getOrElse(Map.empty) ++ properties)
-    writeManifest(root, next)
+    commitLock(root).synchronized {
+      val prev = manifest(root)
+      val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
+        prev.map(_.partitions).getOrElse(Map.empty) ++ written,
+        prev.map(_.properties).getOrElse(Map.empty) ++ properties)
+      writeManifest(root, next)
 
-    beforeCommit()
+      beforeCommit()
 
-    // the commit point: one atomic rename of the version pointer
-    val tmp = root.resolve(s"_version.$txn.tmp")
-    Files.writeString(tmp, next.version.toString)
-    Files.move(tmp, versionFile(root),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      // the commit point: one atomic rename of the version pointer
+      val tmp = root.resolve(s"_version.$txn.tmp")
+      Files.writeString(tmp, next.version.toString)
+      Files.move(tmp, versionFile(root),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
-    gc(root, next, retain)
-    next
+      gc(root, next, retain)
+      next
+    }
   }
 
   /** Bin-pack the table's files: rewrite every partition with one task per
@@ -204,40 +227,82 @@ object AtomicTable {
       }.sum
   }
 
-  /** Best-effort post-commit GC: delete data dirs referenced by no
-    * RETAINED manifest (the trailing `retain` versions survive, enabling
-    * `readAt` time travel inside that window; manifests older than the
-    * window are pruned). Crash here leaves orphans, never corruption. */
+  /** Best-effort post-commit GC: prune manifests older than the
+    * retention window and delete exactly the data dirs those pruned
+    * manifests referenced that no RETAINED manifest still references.
+    * Deliberately scoped to ONCE-COMMITTED dirs: a dir no manifest has
+    * ever referenced is either a crash orphan or — under concurrent
+    * writers — another thread's IN-FLIGHT staging txn, and deleting it
+    * here would destroy that writer's data mid-commit (found by
+    * WriterRaceSpec). Never-committed orphans are reclaimed by the
+    * explicit age-gated [[vacuum]] instead. Crash anywhere here leaves
+    * orphans, never corruption. */
   private def gc(root: Path, current: Manifest, retain: Int): Unit = {
     val dataDir = root.resolve("data")
     if (!Files.isDirectory(dataDir)) return
     val minKeep = current.version - (retain.max(1) - 1)
     val mDir = root.resolve("_manifests")
-    if (Files.isDirectory(mDir)) {
+    if (!Files.isDirectory(mDir)) return
+    // read the pruned manifests' dir references BEFORE deleting them —
+    // they are the only record that those dirs were ever committed
+    val (pruned, kept) = {
       val ms = Files.list(mDir)
-      try ms.iterator.asScala.toList.foreach { f =>
+      try ms.iterator.asScala.toList.flatMap { f =>
         f.getFileName.toString.stripPrefix("v").stripSuffix(".json")
-          .toLongOption.filter(_ < minKeep)
-          .foreach(_ => Files.deleteIfExists(f))
-      } finally ms.close()
+          .toLongOption.map(v => (v, f))
+      }.partition(_._1 < minKeep)
+      finally ms.close()
     }
-    val referenced = (minKeep.max(1L) to current.version).flatMap { v =>
-      if (Files.exists(manifestFile(root, v)))
-        manifestAt(root, v).partitions.values
-      else Nil
-    }.toSet
-    val txns = Files.list(dataDir).iterator.asScala.toList
-    for (txn <- txns if Files.isDirectory(txn)) {
-      val parts = Files.list(txn).iterator.asScala.toList
-      for (p <- parts if Files.isDirectory(p)) {
-        val rel = s"data/${txn.getFileName}/${p.getFileName}"
-        if (!referenced.contains(rel)) deleteRecursively(p)
+    val prunedDirs = pruned.flatMap { case (v, _) =>
+      manifestAt(root, v).partitions.values }.toSet
+    val keptDirs = kept.flatMap { case (v, _) =>
+      manifestAt(root, v).partitions.values }.toSet
+    pruned.foreach { case (_, f) => Files.deleteIfExists(f) }
+    for (rel <- prunedDirs -- keptDirs) {
+      val p = root.resolve(rel)
+      if (Files.isDirectory(p)) deleteRecursively(p)
+      val txn = p.getParent
+      if (Files.isDirectory(txn)) {
+        val left = Files.list(txn)
+        try { if (!left.iterator.asScala.exists(q =>
+          Files.isDirectory(q) || !q.getFileName.toString.startsWith("_")))
+          deleteRecursively(txn) }
+        finally left.close()
       }
-      val left = Files.list(txn).iterator.asScala
-        .filter(q => Files.isDirectory(q) || !q.getFileName.toString.startsWith("_"))
-        .toList
-      if (left.isEmpty) deleteRecursively(txn)
     }
+  }
+
+  /** Reclaim never-committed data dirs (crash leftovers): delete any
+    * `data/txn-*` dir that no retained manifest references AND whose
+    * last-modified time is older than `olderThanMs`. The age gate is what
+    * makes this safe to run beside live writers — an in-flight staging
+    * dir is by definition recent (the Delta VACUUM retention argument).
+    * Run it as periodic maintenance, like [[compact]]. */
+  def vacuum(root: Path, olderThanMs: Long = 24L * 3600 * 1000): Unit = {
+    val dataDir = root.resolve("data")
+    if (!Files.isDirectory(dataDir)) return
+    // every RETAINED manifest pins its txn dirs — a time-travel reader
+    // inside the retention window must keep its snapshot
+    val mDir = root.resolve("_manifests")
+    val referenced: Set[String] =
+      if (!Files.isDirectory(mDir)) Set.empty
+      else {
+        val ms = Files.list(mDir)
+        try ms.iterator.asScala.toList.flatMap { f =>
+          f.getFileName.toString.stripPrefix("v").stripSuffix(".json")
+            .toLongOption.toList.flatMap(v => manifestAt(root, v).partitions.values)
+        }.toSet
+        finally ms.close()
+      }
+    val refTxns = referenced.map(d => d.split("/")(1))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val txns = Files.list(dataDir)
+    try txns.iterator.asScala.toList.foreach { txn =>
+      if (Files.isDirectory(txn) &&
+          !refTxns.contains(txn.getFileName.toString) &&
+          Files.getLastModifiedTime(txn).toMillis < cutoff)
+        deleteRecursively(txn)
+    } finally txns.close()
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -571,6 +571,32 @@ object Streams {
     }
   }
 
+  /** The curated ingest in its DEPLOYMENT form: an always-on
+    * ProcessingTime trigger polling the staging directory. Identical
+    * pipeline to [[curatedIngestAvailableNow]] — only the trigger
+    * differs — so the AvailableNow specs carry the semantics and this
+    * form carries liveness: the caller receives the running query and
+    * stops it. One file per micro-batch keeps batch cost ∝ file, and the
+    * per-batch clearCache in [[curateBatch]] is what keeps executor
+    * storage flat over an unbounded run (asserted in
+    * StreamingCurateSpec). */
+  def curatedIngestProcessingTime(spark: SparkSession, stagingDir: String,
+      corpusTable: String, indexRoot: String, checkpoint: String,
+      threshold: Double = 0.5, intervalMs: Long = 100L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withStreamPartitions(spark, 8) {
+      spark.readStream
+        .schema(documentsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .json(stagingDir)
+        .writeStream
+        .foreachBatch((df: DataFrame, id: Long) =>
+          curateBatch(corpusTable, indexRoot, threshold)(df, id))
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.ProcessingTime(intervalMs))
+        .start()
+    }
+
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -138,12 +138,16 @@ class PipelineSpec extends SparkSuite {
     assert(AtomicTable.currentVersion(java.nio.file.Paths.get(layout.factPath)) === v1)
     assert(snapshot() === before, "reader must still see the pre-crash version")
 
-    // the retry commits cleanly and GCs the orphaned staging dir
+    // the retry commits cleanly; the crashed attempt's never-referenced
+    // staging dir is reclaimed by the explicit age-gated vacuum (post-r7
+    // gc deletes only once-committed dirs, so a CONCURRENT writer's
+    // in-flight staging can never be destroyed — WriterRaceSpec)
     AtomicTable.replacePartitions(spark, layout.factPath, revised, "source")
     val after = AtomicTable.read(spark, layout.factPath, graft.model.Schemas.fact)
     assert(after.filter("source = 'FRED' AND value = 99.9").count() === 3)
     assert(after.filter("source = 'BLS'").count() === 6, "BLS partition untouched")
     val root = java.nio.file.Paths.get(layout.factPath)
+    AtomicTable.vacuum(root, olderThanMs = 0L)
     val referenced = AtomicTable.manifest(root).get.partitions.values.toSet
     val onDisk = Files.list(root.resolve("data")).toArray
       .map(_.asInstanceOf[java.nio.file.Path])
