@@ -6,16 +6,26 @@ import java.nio.charset.StandardCharsets
 /** Minimal pure-JVM ISO BMFF (MP4) container layer: a writer that renders
   * structurally valid single-track video files and a box parser that
   * recovers the sample tables and extracts SYNC-SAMPLE (keyframe) byte
-  * ranges — the container half of video ingest, which needs no codec.
+  * ranges — the container half of video ingest.
+  *
+  * The frame CODEC is real too, within a deliberately chosen intra-only
+  * scope: every sample is a self-contained PNG image (the MJPEG shape —
+  * one intra-coded picture per sample — with the JDK's lossless PNG codec
+  * standing in for JPEG, so decode needs no native library and decoded
+  * pixels are bit-exact for the oracle). The stsd entry declares `png `
+  * accordingly. [[Multimodal.decodeVideoHist]] decodes the parsed
+  * keyframe ranges through ImageIO end-to-end; an inter-coded codec
+  * (H.264) would swap that call for FFmpeg/JNI and this container layer
+  * is unchanged. Samples are zero-padded to the deterministic
+  * [[sampleSize]] so the byte LAYOUT stays generative (the
+  * mm_video_keyframes oracle recomputes offsets in SQL) while payloads
+  * carry real images — PNG decoders stop at IEND, so padding is inert.
   *
   * Scope (documented, deliberate): one video trak, samples in one chunk,
   * 32-bit `stco`, one `stts` run — the shape the writer emits and the
-  * synthetic corpus uses. The stsd entry is an `avc1` shell WITHOUT an
-  * `avcC` decoder config, because the frame payloads are opaque stub bytes:
-  * real decode would swap [[Multimodal.decodeStub]] for an FFmpeg/JNI call
-  * and this parser is unchanged. Parsing is defensive — any structural
-  * violation returns None rather than throwing (corrupt payloads are data,
-  * not errors, at corpus scale).
+  * synthetic corpus uses. Parsing is defensive — any structural
+  * violation returns None rather than throwing (corrupt payloads are
+  * data, not errors, at corpus scale).
   *
   * Box layout follows the public ISO/IEC 14496-12 structure (ftyp/mdat/
   * moov/trak/mdia/minf/stbl with stsd/stts/stss/stsc/stsz/stco). */
@@ -34,9 +44,18 @@ object Mp4 {
   /** Deterministic sample count for a seed: 8..12. */
   def sampleCount(seed: Long): Int = (8 + math.floorMod(seed, 5L)).toInt
 
-  /** Deterministic size of 0-based sample j: 50..149 bytes. */
+  /** Deterministic size of 0-based sample j: 260..359 bytes — sized to
+    * hold any solid 16×16 PNG frame (~100 bytes) plus inert padding, so
+    * the byte layout stays a pure function of (seed, j) that the
+    * mm_video_keyframes oracle recomputes in SQL. */
   def sampleSize(seed: Long, j: Int): Int =
-    (50 + math.floorMod(seed * 31 + j.toLong * 17, 100L)).toInt
+    (260 + math.floorMod(seed * 31 + j.toLong * 17, 100L)).toInt
+
+  /** Deterministic solid color of 0-based frame j — the generative
+    * formula the mm_av_features oracle replicates in SQL (Knuth + a
+    * second odd multiplier so frames within a video differ). */
+  def frameRgb(seed: Long, j: Int): Int =
+    ((seed * 2654435761L + j.toLong * 2246822519L) & 0xffffffL).toInt
 
   private def beInt(v: Int): Array[Byte] =
     ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN).putInt(v).array()
@@ -50,7 +69,8 @@ object Mp4 {
     box(typ, (Array[Byte](0, 0, 0, 0) +: payload): _*)
 
   /** Render a structurally valid MP4 whose sample layout derives from the
-    * seed; frame payloads are deterministic opaque bytes (no codec). */
+    * seed; frame payloads are REAL solid-color 16×16 PNG images
+    * ([[frameRgb]]), zero-padded to the generative [[sampleSize]]. */
   def writeMinimalMp4(seed: Long): Array[Byte] = {
     val n = sampleCount(seed)
     val sizes = Array.tabulate(n)(sampleSize(seed, _))
@@ -62,10 +82,16 @@ object Mp4 {
       "mp41".getBytes(StandardCharsets.US_ASCII))
     require(ftyp.length == 24, s"ftyp layout drifted: ${ftyp.length}")
 
-    // frame payloads: deterministic filler derived from (seed, sample, pos)
+    // frame payloads: one intra-coded PNG per sample, padded to the
+    // deterministic size so the file layout stays a generative formula
     val mdatBody = Array.newBuilder[Byte]
-    for (j <- 0 until n; k <- 0 until sizes(j))
-      mdatBody += (seed * 131 + j * 31 + k).toByte
+    for (j <- 0 until n) {
+      val png = Multimodal.renderPngRgb(frameRgb(seed, j))
+      require(png.length <= sizes(j),
+        s"PNG frame (${png.length} B) exceeds sample slot ${sizes(j)} B")
+      mdatBody ++= png
+      mdatBody ++= new Array[Byte](sizes(j) - png.length)
+    }
     val mdat = box("mdat", mdatBody.result())
 
     val mvhd = fullBox("mvhd",
@@ -90,17 +116,18 @@ object Mp4 {
       box("url ", Array[Byte](0, 0, 0, 1))) // self-contained
     val dinf = box("dinf", dref)
 
-    // avc1 sample-entry SHELL (no avcC — stub payloads carry no real
-    // bitstream): the 78-byte VisualSampleEntry body per 14496-12 §12.1.3
-    val avc1Body = ByteBuffer.allocate(78).order(ByteOrder.BIG_ENDIAN)
-    avc1Body.putShort(6, 1.toShort)                            // data_ref_ix
-    avc1Body.putShort(24, 16.toShort).putShort(26, 16.toShort) // width, height
-    avc1Body.putInt(28, 0x00480000).putInt(32, 0x00480000)     // 72 dpi
-    avc1Body.putShort(40, 1.toShort)                           // frame_count
-    avc1Body.putShort(74, 0x0018.toShort)                      // depth 24
-    avc1Body.putShort(76, 0xffff.toShort)                      // pre_defined -1
-    val avc1 = box("avc1", avc1Body.array())
-    val stsd = fullBox("stsd", beInt(1), avc1)
+    // `png ` sample entry (QuickTime-registered fourcc for PNG-coded
+    // video samples): the 78-byte VisualSampleEntry body per 14496-12
+    // §12.1.3 — no decoder-config box needed, each sample is self-coded
+    val entryBody = ByteBuffer.allocate(78).order(ByteOrder.BIG_ENDIAN)
+    entryBody.putShort(6, 1.toShort)                            // data_ref_ix
+    entryBody.putShort(24, 16.toShort).putShort(26, 16.toShort) // width, height
+    entryBody.putInt(28, 0x00480000).putInt(32, 0x00480000)     // 72 dpi
+    entryBody.putShort(40, 1.toShort)                           // frame_count
+    entryBody.putShort(74, 0x0018.toShort)                      // depth 24
+    entryBody.putShort(76, 0xffff.toShort)                      // pre_defined -1
+    val sampleEntry = box("png ", entryBody.array())
+    val stsd = fullBox("stsd", beInt(1), sampleEntry)
 
     val stts = fullBox("stts", beInt(1), beInt(n), beInt(FrameDeltaMs))
     val syncs = (1 to n by SyncEvery).toArray

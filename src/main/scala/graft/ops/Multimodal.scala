@@ -18,12 +18,13 @@ import org.apache.spark.sql.types._
   * The IMAGE decode is real: `javax.imageio` (JDK-native PNG/BMP/GIF/JPEG)
   * → normalized luminance histogram. The AUDIO decode is real:
   * `javax.sound.sampled` (JDK-native WAV/PCM) → per-window RMS energy
-  * envelope. The VIDEO container layer is real: a pure-JVM ISO BMFF box
-  * parser ([[Mp4]]) recovers the sample tables and extracts sync-sample
-  * (keyframe) byte ranges; only the frame CODEC is stubbed (no JDK video
-  * codec exists) — a production build swaps `decodeStub` over the
-  * extracted keyframe stream for an FFmpeg/JNI call and nothing else
-  * changes.
+  * envelope. The VIDEO decode is real end-to-end within an intra-only
+  * codec scope: a pure-JVM ISO BMFF box parser ([[Mp4]]) recovers the
+  * sample tables, and each sync sample's byte range decodes as a
+  * self-contained PNG frame through ImageIO ([[decodeVideoHist]] — the
+  * MJPEG shape with a lossless JDK codec). An inter-coded codec (H.264)
+  * would swap the per-frame ImageIO call for FFmpeg/JNI; container walk,
+  * batch shape, and feature contract are unchanged.
   *
   * At 100 TB: binaries stay columnar in parquet (never exploded), the
   * decode stage is a narrow per-partition map (no shuffle), and the
@@ -52,10 +53,14 @@ object Multimodal {
   /** Render a tiny real PNG — a 16×16 solid color derived from the seed —
     * so the synthetic table's image rows exercise the REAL ImageIO decode
     * path end to end. In-process PNG encoding is deterministic. */
-  def renderPng(seed: Long): Array[Byte] = {
+  def renderPng(seed: Long): Array[Byte] =
+    renderPngRgb(((seed * 2654435761L) & 0xffffffL).toInt)
+
+  /** Solid 16×16 PNG of an explicit color — also the per-frame codec of
+    * the synthetic videos ([[Mp4.writeMinimalMp4]]). */
+  def renderPngRgb(rgb: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = ((seed * 2654435761L) & 0xffffffL).toInt
     var y = 0
     while (y < 16) { var x = 0; while (x < 16) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
     val bos = new java.io.ByteArrayOutputStream()
@@ -90,7 +95,7 @@ object Multimodal {
     * in for a real binary ingest so the plumbing is testable offline.
     * Image rows carry a real PNG, audio rows a real WAV, video rows a
     * structurally valid MP4 container ([[Mp4.writeMinimalMp4]]: real box
-    * tree + sample tables, opaque stub frame payloads). All rendered by
+    * tree + sample tables + real PNG frame payloads). All rendered by
     * UDFs so the column stays an expression Catalyst can PRUNE — the
     * metadata-only queries mm_resize/mm_frames must not pay for codec
     * work. `meta.duration_ms` is the DECLARED (catalog) duration, which
@@ -274,27 +279,57 @@ object Multimodal {
     out
   }
 
+  /** REAL video decode: walk the MP4 sample tables ([[Mp4.parseKeyframes]]),
+    * slice each sync sample's byte range, decode it as an intra-coded
+    * image through ImageIO (the synthetic corpus writes PNG frames — see
+    * [[Mp4]]'s codec-scope note), and accumulate the luminance histogram
+    * COUNTS across keyframes. Integer-exact, so it is oracle-checkable
+    * like [[imageHistCounts]]. None when the container doesn't parse or
+    * any keyframe fails to decode — all-or-nothing keeps the emitted
+    * values a pure function of the payload bytes. */
+  def decodeVideoHist(payload: Array[Byte], dim: Int): Option[Array[Long]] =
+    Mp4.parseKeyframes(payload).flatMap { kfs =>
+      val acc = new Array[Long](dim)
+      kfs.foreach { k =>
+        if (k.offset < 0 || k.size <= 0 || k.offset + k.size > payload.length)
+          return None
+        val frame = java.util.Arrays.copyOfRange(
+          payload, k.offset.toInt, (k.offset + k.size).toInt)
+        decodeImage(frame) match {
+          case Some(img) =>
+            val h = imageHistCounts(img, dim)
+            var i = 0
+            while (i < dim) { acc(i) += h(i); i += 1 }
+          case None => return None
+        }
+      }
+      Some(acc)
+    }
+
   /** Kind-dispatched decode: images through the real ImageIO path, audio
     * through the real javax.sound path, video through the real MP4
-    * container parser ([[Mp4.keyframeBytes]]: the stub featurizes the
-    * extracted keyframe payload stream — the bytes a real codec would
-    * receive; only the codec itself remains stubbed). All fall back to the
-    * stub on undecodable bytes rather than failing the batch (corrupt
-    * payloads are data, not errors, at corpus scale). */
+    * container parse + per-keyframe ImageIO decode
+    * ([[decodeVideoHist]], normalized to a pixel distribution like
+    * [[imageFeatures]]). All fall back to the stub on undecodable bytes
+    * rather than failing the batch (corrupt payloads are data, not
+    * errors, at corpus scale). */
   def decode(kind: String, payload: Array[Byte], dim: Int): Array[Float] =
     kind match {
       case "image" => decodeImage(payload).map(imageFeatures(_, dim))
         .getOrElse(decodeStub(payload, dim))
       case "audio" => decodeAudio(payload).map(audioFeatures(_, dim))
         .getOrElse(decodeStub(payload, dim))
-      case "video" => Mp4.keyframeBytes(payload).map(decodeStub(_, dim))
-        .getOrElse(decodeStub(payload, dim))
+      case "video" => decodeVideoHist(payload, dim).map { counts =>
+          val n = counts.sum.toFloat
+          counts.map(c => if (n == 0f) 0f else c / n)
+        }.getOrElse(decodeStub(payload, dim))
       case _ => decodeStub(payload, dim)
     }
 
   /** STUB decoder: bytes → dim-length pseudo-features via a rolling hash.
-    * The fallback for codec-less kinds; signature and batch shape are the
-    * real contract. */
+    * Since every kind now has a real decode path, this is only the
+    * corrupt-payload fallback of [[decode]] (and the stand-in for any
+    * future kind with no JVM codec). */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -333,13 +368,14 @@ object Multimodal {
       }
   }
 
-  /** Integer-feature extraction over the REAL decoders only: image →
-    * luminance histogram counts, audio → windowed PCM energies, both via
-    * the same repartition-by-kind + mapPartitions batch shape as
-    * [[extractFeatures]]. Undecodable payloads and codec-less kinds yield
-    * an EMPTY feature array (they fall out of a posexplode) rather than a
-    * stub — this path exists to be oracled end-to-end, so every emitted
-    * value must be reproducible from the payload bytes alone. */
+  /** Integer-feature extraction over the REAL decoders: image →
+    * luminance histogram counts, audio → windowed PCM energies, video →
+    * per-keyframe decoded histogram counts summed ([[decodeVideoHist]]),
+    * all via the same repartition-by-kind + mapPartitions batch shape as
+    * [[extractFeatures]]. Undecodable payloads yield an EMPTY feature
+    * array (they fall out of a posexplode) rather than a stub — this
+    * path exists to be oracled end-to-end, so every emitted value must
+    * be reproducible from the payload bytes alone. */
   def extractIntFeatures(media: DataFrame, dim: Int = 16): Dataset[MediaIntFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -355,6 +391,8 @@ object Multimodal {
               .map(imageHistCounts(_, dim)).getOrElse(Array.empty[Long])
             case "audio" => decodeAudio(m.payload)
               .map(audioWindowEnergies(_, dim)).getOrElse(Array.empty[Long])
+            case "video" => decodeVideoHist(m.payload, dim)
+              .getOrElse(Array.empty[Long])
             case _ => Array.empty[Long]
           }
           MediaIntFeatures(m.media_id, m.kind, feats)

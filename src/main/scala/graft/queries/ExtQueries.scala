@@ -1237,17 +1237,6 @@ object ExtQueries {
       |  unnest(range(0, doc_id * 40 + 1000, 1000)) AS frame_ts_ms
       |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id, frame_ts_ms""".stripMargin
 
-  /** Feature-extraction plumbing across all three kinds (audio/video
-    * features are engine-specific — RMS of JVM-rendered sines, rolling-
-    * hash stub — so rows-only): per-media feature norms, deterministic. */
-  private def mmFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(
-        Multimodal.syntheticMediaFrom(Tables.documents(s, dir)), dim = 16)
-      .toDF()
-      .select(col("media_id"), col("kind"),
-        round(Similarity.norm(col("features")), 4).as("feature_norm"))
-      .orderBy("media_id")
-
   /** The REAL image decode oracled end-to-end: synthetic image payloads
     * are solid 16x16 PNGs whose color derives from the id, so the decoded
     * luminance histogram is one-hot with weight exactly 1.0 (256 float
@@ -1280,20 +1269,22 @@ object ExtQueries {
       |  CAST(1.0 AS DOUBLE) AS hot_weight
       |FROM lum ORDER BY media_id""".stripMargin
 
-  /** BOTH real decode paths (ImageIO + javax.sound) oracled end-to-end
-    * with integer-exact features. Image rows: luminance histogram COUNTS
-    * (a solid 16x16 PNG → one hot bin of 256). Audio rows: per-window
-    * sums of squared 16-bit PCM samples — the WAV payload is a truncated
-    * 12000-amplitude sine whose samples DuckDB reproduces exactly
-    * (trunc(sin(...)·12000); Java vs C libm agree on all 6800 sample
-    * values, min distance to a truncation boundary 1.5e-14), so every
-    * emitted Long is pure integer arithmetic both sides. A wrong WAV
-    * roundtrip, sample decode, window split, or histogram bin shifts an
-    * integer and fails the hash. Video rows are excluded here (stub
-    * decoder — covered rows-only by mm_features). */
+  /** ALL THREE real decode paths (ImageIO, javax.sound, MP4 container +
+    * per-keyframe ImageIO) oracled end-to-end with integer-exact
+    * features. Image rows: luminance histogram COUNTS (a solid 16x16 PNG
+    * → one hot bin of 256). Audio rows: per-window sums of squared
+    * 16-bit PCM samples — the WAV payload is a truncated 12000-amplitude
+    * sine whose samples DuckDB reproduces exactly (trunc(sin(...)·12000);
+    * Java vs C libm agree on all 6800 sample values, min distance to a
+    * truncation boundary 1.5e-14), so every emitted Long is pure integer
+    * arithmetic both sides. Video rows: keyframe PNG frames decoded and
+    * histogram counts summed — DuckDB recomputes each keyframe's
+    * generative solid color (Mp4.frameRgb) and bins it, 256 px per
+    * frame. A wrong WAV roundtrip, sample decode, window split, stss
+    * walk, frame slice, or histogram bin shifts an integer and fails
+    * the hash. */
   private def mmAvFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMediaFrom(Tables.documents(s, dir))
-      .filter(col("kind").isin("image", "audio"))
     Multimodal.extractIntFeatures(media, dim = 16).toDF()
       .select(col("media_id"), col("kind"),
         posexplode(col("features")).as(Seq("feature_id", "feature_val")))
@@ -1324,8 +1315,22 @@ object ExtQueries {
       |audf AS (
       |  SELECT media_id, 'audio' AS kind, CAST(w AS BIGINT) AS feature_id,
       |    CAST(sum(s * s) AS BIGINT) AS feature_val
-      |  FROM samp GROUP BY 1, 2, 3)
-      |SELECT * FROM (SELECT * FROM imgf UNION ALL SELECT * FROM audf)
+      |  FROM samp GROUP BY 1, 2, 3),
+      |vid AS (
+      |  SELECT doc_id AS media_id, 8 + doc_id % 5 AS n
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |kf AS (
+      |  SELECT media_id,
+      |    (media_id * 2654435761 + j * 2246822519) % 16777216 AS rgb
+      |  FROM vid, range(0, 12) t(j) WHERE j < n AND j % 4 = 0),
+      |vidf AS (
+      |  SELECT media_id, 'video' AS kind,
+      |    CAST((((2126 * (rgb // 65536) + 7152 * ((rgb // 256) % 256)
+      |      + 722 * (rgb % 256)) // 10000) * 16) // 256 AS BIGINT) AS feature_id,
+      |    CAST(256 * count(*) AS BIGINT) AS feature_val
+      |  FROM kf GROUP BY 1, 2, 3)
+      |SELECT * FROM (SELECT * FROM imgf UNION ALL SELECT * FROM audf
+      |               UNION ALL SELECT * FROM vidf)
       |WHERE feature_val <> 0
       |ORDER BY media_id, feature_id""".stripMargin
 
@@ -1345,7 +1350,7 @@ object ExtQueries {
       |  SELECT doc_id AS media_id, 8 + doc_id % 5 AS n
       |  FROM documents WHERE doc_id % 3 = 2),
       |samp AS (
-      |  SELECT media_id, j, 50 + (media_id * 31 + j * 17) % 100 AS sz
+      |  SELECT media_id, j, 260 + (media_id * 31 + j * 17) % 100 AS sz
       |  FROM vid, range(0, 12) t(j) WHERE j < n),
       |cum AS (
       |  SELECT media_id, j, sz,
@@ -1656,7 +1661,6 @@ object ExtQueries {
     "sim_neardup_lsh" -> QueryDef(simNearDupLsh, Some(simRecallSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),
-    "mm_features" -> QueryDef(mmFeatures, None),
     "mm_image_features" -> QueryDef(mmImageFeatures, Some(mmImageFeaturesSql)),
     "mm_av_features" -> QueryDef(mmAvFeatures, Some(mmAvFeaturesSql)),
     "mm_video_keyframes" -> QueryDef(mmVideoKeyframes, Some(mmVideoKeyframesSql)),

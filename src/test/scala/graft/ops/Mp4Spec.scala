@@ -19,10 +19,10 @@ class Mp4Spec extends AnyFunSuite {
         val expectedOffset = Mp4.FirstSampleOffset +
           (0 until k.sampleIx - 1).map(Mp4.sampleSize(seed, _).toLong).sum
         assert(k.offset === expectedOffset)
-        // the byte range is in bounds and carries the deterministic filler
+        // the byte range is in bounds and starts with a real PNG frame
         assert(k.offset + k.size <= bytes.length)
-        assert(bytes(k.offset.toInt) ===
-          (seed * 131 + (k.sampleIx - 1) * 31).toByte)
+        assert(bytes(k.offset.toInt) === 0x89.toByte)
+        assert(new String(bytes, k.offset.toInt + 1, 3, "US-ASCII") === "PNG")
       }
     }
   }
@@ -32,8 +32,8 @@ class Mp4Spec extends AnyFunSuite {
     val bytes = Mp4.writeMinimalMp4(seed)
     val kf = Mp4.keyframeBytes(bytes).get
     assert(kf.length === Mp4.parseKeyframes(bytes).get.map(_.size).sum)
-    // first keyframe starts at the first sample: filler byte at pos 0
-    assert(kf(0) === (seed * 131).toByte)
+    // first keyframe starts at the first sample: its PNG signature
+    assert(kf(0) === 0x89.toByte)
   }
 
   test("corrupt and truncated inputs return None, never throw") {
@@ -65,11 +65,18 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.keyframeBytes(bytes).forall(_ => true))
   }
 
-  test("video decode routes through keyframe extraction (not whole-file stub)") {
+  test("video decode routes through real frame decode (not the stub)") {
     val bytes = Mp4.writeMinimalMp4(5L)
     val viaDecode = Multimodal.decode("video", bytes, 8).toSeq
-    val direct = Multimodal.decodeStub(Mp4.keyframeBytes(bytes).get, 8).toSeq
-    assert(viaDecode === direct)
+    // real path: normalized summed keyframe histograms — a distribution
+    assert(math.abs(viaDecode.sum - 1.0f) < 1e-5)
+    val counts = Multimodal.decodeVideoHist(bytes, 8).get
+    val total = counts.sum.toFloat
+    assert(viaDecode === counts.map(_ / total).toSeq)
     assert(viaDecode !== Multimodal.decodeStub(bytes, 8).toSeq)
+    // corrupt bytes still fall back to the stub, never throw
+    val junk = "not a container".getBytes("UTF-8")
+    assert(Multimodal.decode("video", junk, 8).toSeq ===
+      Multimodal.decodeStub(junk, 8).toSeq)
   }
 }

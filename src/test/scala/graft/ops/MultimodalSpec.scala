@@ -113,8 +113,11 @@ class MultimodalSpec extends SparkSuite {
     val audio = feats.filter(_.kind == "audio")
     assert(audio.nonEmpty)
     audio.foreach(m => assert(m.features.forall(v => v >= 0f && v <= 1f)))
-    // stub path (video) is not a distribution — distinct signature
-    assert(feats.filter(_.kind == "video").exists(_.features.sum > 2f))
+    // video rows through the real container+frame decode: summed
+    // keyframe histograms normalized to a pixel distribution
+    val video = feats.filter(_.kind == "video")
+    assert(video.nonEmpty)
+    video.foreach(m => assert(math.abs(m.features.sum - 1.0f) < 1e-5))
   }
 
   test("integer features: WAV roundtrip matches direct sine energies exactly") {
@@ -140,11 +143,34 @@ class MultimodalSpec extends SparkSuite {
     assert(counts.count(_ != 0L) === 1)
   }
 
-  test("extractIntFeatures: real kinds get features, video gets none") {
+  test("extractIntFeatures: every kind decodes to exact integer features") {
     val feats = Multimodal.extractIntFeatures(media, dim = 16).collect()
     assert(feats.filter(_.kind == "image").forall(_.features.sum == 256L))
     assert(feats.filter(_.kind == "audio").forall(_.features.exists(_ > 0L)))
-    assert(feats.filter(_.kind == "video").forall(_.features.isEmpty))
+    // video: 256 pixels per decoded keyframe, keyframes = ceil(n/4)
+    val video = feats.filter(_.kind == "video")
+    assert(video.nonEmpty)
+    video.foreach { m =>
+      val n = Mp4.sampleCount(m.media_id)
+      val nkf = (n + Mp4.SyncEvery - 1) / Mp4.SyncEvery
+      assert(m.features.sum === 256L * nkf)
+    }
+  }
+
+  test("decodeVideoHist equals per-frame histograms of the generative colors") {
+    val seed = 8L // 8 % 3 == 2 -> a video id in the synthetic table
+    val hist = Multimodal.decodeVideoHist(Mp4.writeMinimalMp4(seed), 16).get
+    val expected = new Array[Long](16)
+    val n = Mp4.sampleCount(seed)
+    for (j <- 0 until n if j % Mp4.SyncEvery == 0) {
+      val img = Multimodal.decodeImage(
+        Multimodal.renderPngRgb(Mp4.frameRgb(seed, j))).get
+      val h = Multimodal.imageHistCounts(img, 16)
+      for (i <- 0 until 16) expected(i) += h(i)
+    }
+    assert(hist.toSeq === expected.toSeq)
+    // corrupt container -> None, never a partial histogram
+    assert(Multimodal.decodeVideoHist("junk".getBytes("UTF-8"), 16).isEmpty)
   }
 
   test("frame sampling emits ceil(duration/step) frames per video") {
