@@ -35,6 +35,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // round-trips a temp file, which at ~10 PNG frames per synthetic video
+  // (~17k codec calls at sf0.1) dominated the whole mm family. In-memory
+  // cache streams are the right mode for byte-array payloads. Process-
+  // wide, idempotent, thread-safe.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false), // image | audio | video

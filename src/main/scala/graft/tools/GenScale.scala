@@ -1,0 +1,67 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator for the 10× empirical-scaling spot check: writes
+  * `documents` and `embeddings` at `factor`× the source scale by
+  * concatenating `factor` deterministically PERTURBED copies of the
+  * source tables (ids offset per copy; every third token of a document
+  * rewritten from a hash; embeddings nudged per copy). Perturbation —
+  * not plain replication — keeps the corpus representative: verbatim
+  * copies would hand every document `factor-1` exact duplicates and
+  * turn the dedup/LSH benchmarks into a pathological all-dup corpus.
+  * Length, vocabulary, source, lang, and label distributions are
+  * preserved exactly. Output is for BENCH SCALING ONLY (ratios of the
+  * same query at two scales), not for the DuckDB oracle gate.
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <outDir> [factor]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    val nDocs = docs.count()
+    val copies = spark.range(0, factor).select(col("id").as("copy"))
+    // every 3rd token rewritten by a (copy, doc, position)-keyed hash:
+    // cross-copy Jaccard collapses (nearly all 3-shingles broken), so the
+    // scaled corpus has the same near-dup density as the source
+    val toks = split(col("text"), " ")
+    val mixed = array_join(zip_with(toks, sequence(lit(0), size(toks) - 1),
+      (t, i) => when(i % 3 === 0 && col("copy") > 0,
+          concat(lit("w"), pmod(xxhash64(col("copy"), col("doc_id"), i), lit(97))))
+        .otherwise(t)), " ")
+    docs.crossJoin(copies)
+      .select((col("doc_id") + col("copy") * nDocs).as("doc_id"),
+        mixed.as("text"), col("lang"), col("source"),
+        length(mixed).as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val nVecs = emb.count()
+    // per-(copy, vec, dim) deterministic nudge of ~±5%: cluster structure
+    // (label geometry) survives, verbatim duplicates do not
+    val nudged = transform(col("embedding"), (x, i) =>
+      (x.cast("double") * (lit(1.0) +
+        pmod(xxhash64(col("copy"), col("vec_id"), i), lit(100)).cast("double")
+          / 1000.0 - 0.05)).cast("float"))
+    emb.crossJoin(copies)
+      .select((col("vec_id") + col("copy") * nVecs).as("vec_id"),
+        nudged.as("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"wrote $outDir: documents=${nDocs * factor} embeddings=${nVecs * factor}")
+    spark.stop()
+  }
+}
