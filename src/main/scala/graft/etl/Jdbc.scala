@@ -72,7 +72,12 @@ object Jdbc {
     * through a test-scoped `org.postgresql.Driver` double that runs every
     * emitted statement over the real JDBC protocol (see
     * graft.testutil.PgFake — only Postgres's SQL parser is emulated, by
-    * translating the two pg-only constructs for embedded Derby). */
+    * translating the two pg-only constructs for embedded Derby).
+    * Running the round-trip under an engine that natively implements PG
+    * syntax (H2 `MODE=PostgreSQL`, embedded-pg) was evaluated in r7 and
+    * is NOT possible here: the build is offline (COURSIER_MODE=offline)
+    * and no H2/pgjdbc jar exists in the warm cache or /opt/spark/jars —
+    * the residual closes the first time this builds with network. */
   case object Postgres extends Dialect {
     val name = "postgresql"
     val driverClass = "org.postgresql.Driver"
