@@ -41,12 +41,25 @@ import org.apache.spark.sql.types.StructType
   */
 object AtomicTable {
 
+  /** Per-partition zone map: row count plus min/max per tracked column,
+    * string-encoded in a form whose ORDER matches the column type's order
+    * (numerics parse back; dates/timestamps serialize as sortable ISO
+    * text). The manifest-level data-skipping stats of Delta/Iceberg: a
+    * reader with a range predicate on a tracked column prunes whole
+    * partitions from METADATA — no file listing, no footer reads — which
+    * at 100 TB is the difference between a point lookup and a scan. */
+  final case class PartStats(rows: Long, mins: Map[String, String],
+      maxs: Map[String, String])
+
   /** partitions: partition value -> data dir relative to the table root.
     * properties: small KV payload committed ATOMICALLY with the data — the
     * streaming sink stores its last batch epoch here, which is what makes
-    * foreachBatch replay idempotent (see graft.streaming.Streams). */
+    * foreachBatch replay idempotent (see graft.streaming.Streams).
+    * stats: optional per-partition zone maps ([[PartStats]]); partitions
+    * without an entry are simply never pruned. */
   final case class Manifest(version: Long, partitions: Map[String, String],
-      properties: Map[String, String] = Map.empty)
+      properties: Map[String, String] = Map.empty,
+      stats: Map[String, PartStats] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -69,10 +82,15 @@ object AtomicTable {
     val n = mapper.readTree(Files.readString(manifestFile(root, v)))
     val props = Option(n.get("properties")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+    def strMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    val stats = Option(n.get("stats")).map(_.fields().asScala.map { e =>
+      e.getKey -> PartStats(e.getValue.get("rows").asLong,
+        Option(e.getValue.get("mins")).map(strMap).getOrElse(Map.empty),
+        Option(e.getValue.get("maxs")).map(strMap).getOrElse(Map.empty))
+    }.toMap).getOrElse(Map.empty)
     Manifest(n.get("version").asLong,
-      n.get("partitions").fields().asScala
-        .map(e => e.getKey -> e.getValue.asText).toMap,
-      props)
+      strMap(n.get("partitions")), props, stats)
   }
 
   private def writeManifest(root: Path, m: Manifest): Unit = {
@@ -82,6 +100,17 @@ object AtomicTable {
     m.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => parts.put(k, v) }
     val props = node.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    if (m.stats.nonEmpty) {
+      val st = node.putObject("stats")
+      m.stats.toSeq.sortBy(_._1).foreach { case (part, s) =>
+        val p = st.putObject(part)
+        p.put("rows", s.rows)
+        val mins = p.putObject("mins")
+        s.mins.toSeq.sortBy(_._1).foreach { case (c, v) => mins.put(c, v) }
+        val maxs = p.putObject("maxs")
+        s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) => maxs.put(c, v) }
+      }
+    }
     Files.createDirectories(root.resolve("_manifests"))
     Files.writeString(manifestFile(root, m.version),
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
@@ -96,6 +125,59 @@ object AtomicTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(m) => readManifest(spark, table, schema, m)
     }
+
+  /** Order-preserving comparison of two zone-map strings under the
+    * column's type: numerics compare numerically; dates/timestamps and
+    * strings compare as text (their cast-to-string form is sortable). */
+  private def statsCompare(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Int = dt match {
+    case org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType => java.lang.Long.compare(a.toLong, b.toLong)
+    case org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
+    case _: org.apache.spark.sql.types.DecimalType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b)
+  }
+
+  /** Metadata data-skipping read: the table filtered to `col` ∈ [lo, hi],
+    * where partitions whose committed zone map proves no overlap are
+    * dropped BEFORE any file is listed or opened — the manifest is the
+    * only thing consulted. Partitions with no stats entry (never tracked,
+    * or replaced by a stats-less commit) are conservatively read. The
+    * residual per-row filter is still applied, so the result is exact
+    * regardless of how coarse the zone maps are; parquet footer min/max
+    * skipping then prunes row groups WITHIN the surviving partitions as
+    * usual — this operates one level above, at 100 TB saving the listing
+    * and footer I/O itself. */
+  def readPruned(spark: SparkSession, table: String, schema: StructType,
+      column: String, lo: String, hi: String): DataFrame = {
+    val dt = schema(column).dataType
+    val residual = col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)
+    manifest(Paths.get(table)) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(m) =>
+        val kept = m.partitions.filter { case (part, _) =>
+          m.stats.get(part) match {
+            case Some(s) =>
+              (s.mins.get(column), s.maxs.get(column)) match {
+                case (Some(mn), Some(mx)) =>
+                  statsCompare(dt, mn, hi) <= 0 && statsCompare(dt, mx, lo) >= 0
+                case _ => true // column untracked in this partition
+              }
+            case None => true // no zone map: cannot prune, must read
+          }
+        }
+        if (kept.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+          .filter(residual)
+        else readManifest(spark, table, schema,
+          m.copy(partitions = kept)).filter(residual)
+    }
+  }
 
   /** Time travel: read the table AS OF `version`. Valid while the version
     * is inside the table's retention window (`retainVersions` at write
@@ -153,9 +235,16 @@ object AtomicTable {
     * crash at the worst moment and must leave the table unchanged. */
   /** `retain` = how many trailing versions stay readable (via `readAt`)
     * after this commit; 1 keeps only the new version (no time travel). */
+  /** `statsColumns`: record a per-partition zone map (row count + min/max
+    * of each listed column) for the REPLACED partitions, computed in one
+    * partial-aggregated pass over the staged rows — metadata-scale next
+    * to the parquet write. A replaced partition always DROPS its previous
+    * stats entry first, so a commit without stats can never leave a stale
+    * zone map that [[readPruned]] would wrongly prune on. */
   def replacePartitions(spark: SparkSession, table: String, rows: DataFrame,
       partitionCol: String, beforeCommit: () => Unit = () => (),
-      properties: Map[String, String] = Map.empty, retain: Int = 1): Manifest = {
+      properties: Map[String, String] = Map.empty, retain: Int = 1,
+      statsColumns: Seq[String] = Nil): Manifest = {
     val root = Paths.get(table)
     val txn = s"txn-${UUID.randomUUID().toString.take(12)}"
     rows.write.partitionBy(partitionCol).parquet(root.resolve("data").resolve(txn).toString)
@@ -167,11 +256,31 @@ object AtomicTable {
         ExternalCatalogUtils.unescapePathName(
           n.substring(partitionCol.length + 1)) -> s"data/$txn/$n"
       }.toMap
+    val newStats: Map[String, PartStats] =
+      if (statsColumns.isEmpty) Map.empty
+      else {
+        val aggs = Seq(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("_rows")) ++
+          statsColumns.flatMap(c => Seq(
+            org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"_min_$c"),
+            org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"_max_$c")))
+        rows.groupBy(col(partitionCol).cast("string").as("_part"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map { r =>
+            r.getString(0) -> PartStats(r.getLong(1),
+              statsColumns.zipWithIndex.flatMap { case (c, i) =>
+                Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
+              statsColumns.zipWithIndex.flatMap { case (c, i) =>
+                Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap)
+          }.toMap
+      }
     commitLock(root).synchronized {
       val prev = manifest(root)
       val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
         prev.map(_.partitions).getOrElse(Map.empty) ++ written,
-        prev.map(_.properties).getOrElse(Map.empty) ++ properties)
+        prev.map(_.properties).getOrElse(Map.empty) ++ properties,
+        (prev.map(_.stats).getOrElse(Map.empty) -- written.keys) ++ newStats)
       writeManifest(root, next)
 
       beforeCommit()
@@ -208,6 +317,38 @@ object AtomicTable {
       else current.repartition(col(partitionCol),
         pmod(xxhash64(schema.fieldNames.map(col): _*), lit(filesPerPartition.toLong)))
     replacePartitions(spark, table, packed, partitionCol)
+  }
+
+  /** Targeted compaction: rewrite ONLY the partitions whose file count
+    * has reached `minFiles`, leaving every healthy partition's bytes
+    * untouched (carried forward in the manifest by reference). The plain
+    * [[compact]] rewrites the WHOLE table — at 100 TB that is a full
+    * table rewrite to fix a few hot partitions' small-file debt; this is
+    * the `OPTIMIZE WHERE` form a maintenance scheduler actually runs:
+    * cost ∝ fragmented data, not table size. Returns the current
+    * manifest unchanged when nothing is fragmented. */
+  def compactFragmented(spark: SparkSession, table: String,
+      schema: StructType, partitionCol: String, minFiles: Int,
+      statsColumns: Seq[String] = Nil): Manifest = {
+    val root = Paths.get(table)
+    val m = manifest(root).getOrElse(
+      return Manifest(0L, Map.empty))
+    val fragmented = m.partitions.filter { case (_, d) =>
+      val dir = root.resolve(d)
+      Files.isDirectory(dir) && {
+        val s = Files.list(dir)
+        try s.iterator.asScala.count(
+          _.getFileName.toString.endsWith(".parquet")) >= minFiles
+        finally s.close()
+      }
+    }.keySet
+    if (fragmented.isEmpty) return m
+    val rows = read(spark, table, schema)
+      .filter(col(partitionCol).cast("string")
+        .isin(fragmented.toSeq: _*))
+      .repartition(col(partitionCol))
+    replacePartitions(spark, table, rows, partitionCol,
+      statsColumns = statsColumns)
   }
 
   /** Number of data files the current manifest references — the metric a

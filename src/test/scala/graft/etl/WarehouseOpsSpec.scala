@@ -43,6 +43,81 @@ class WarehouseOpsSpec extends SparkSuite {
     assert(after === (1 to 1200).map(i => (i.toLong, s"v$i", s"src${i % 3}")).toSet)
   }
 
+  test("zone-map stats: readPruned skips partitions from metadata alone, " +
+      "stays exact, and never trusts stale stats") {
+    val table = freshTable()
+    val schema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("v", org.apache.spark.sql.types.LongType),
+      StructField("part", org.apache.spark.sql.types.StringType)))
+    // three partitions with disjoint v ranges, zone maps tracked
+    val rows = ((1L to 100L).map(i => (i, i, "p1")) ++
+      (1L to 100L).map(i => (i, i + 1000L, "p2")) ++
+      (1L to 100L).map(i => (i, i + 2000L, "p3"))).toDF("id", "v", "part")
+    AtomicTable.replacePartitions(spark, table, rows, "part",
+      statsColumns = Seq("v"))
+    val m = AtomicTable.manifest(Paths.get(table)).get
+    assert(m.stats("p2") === AtomicTable.PartStats(100L,
+      Map("v" -> "1001"), Map("v" -> "1100")))
+
+    // the range hits only p2: the scan must touch ONLY p2's files
+    val pruned = AtomicTable.readPruned(spark, table, schema,
+      "v", "1001", "1100")
+    assert(pruned.inputFiles.forall(_.contains("part=p2")),
+      s"pruned scan read outside p2: ${pruned.inputFiles.toSeq}")
+    assert(pruned.count() === 100L)
+    // the residual filter keeps the result exact within a partition
+    assert(AtomicTable.readPruned(spark, table, schema, "v", "1050", "1060")
+      .count() === 11L)
+    // a range outside every zone map reads nothing
+    assert(AtomicTable.readPruned(spark, table, schema, "v", "9000", "9999")
+      .count() === 0L)
+
+    // replace p2 WITHOUT stats: its zone map must drop, and readPruned
+    // must conservatively read it again (stale stats would wrongly prune
+    // the new v=5000 row)
+    AtomicTable.replacePartitions(spark, table,
+      Seq((1L, 5000L, "p2")).toDF("id", "v", "part"), "part")
+    val m2 = AtomicTable.manifest(Paths.get(table)).get
+    assert(!m2.stats.contains("p2"))
+    assert(m2.stats.contains("p1"), "untouched partitions keep their stats")
+    assert(AtomicTable.readPruned(spark, table, schema, "v", "5000", "5000")
+      .count() === 1L)
+  }
+
+  test("compactFragmented rewrites only fragmented partitions; healthy " +
+      "partition bytes are untouched") {
+    val table = freshTable()
+    val schema = StructType(Seq(
+      StructField("id", org.apache.spark.sql.types.LongType),
+      StructField("part", org.apache.spark.sql.types.StringType)))
+    // p1 committed in one file; p2 fragmented across 4 files
+    AtomicTable.replacePartitions(spark, table,
+      (1L to 50L).map((_, "p1")).toDF("id", "part").coalesce(1), "part")
+    AtomicTable.replacePartitions(spark, table,
+      (1L to 400L).map((_, "p2")).toDF("id", "part").repartition(4), "part")
+    val root = Paths.get(table)
+    val m = AtomicTable.manifest(root).get
+    val p1DirBefore = m.partitions("p1")
+
+    AtomicTable.compactFragmented(spark, table, schema, "part", minFiles = 3)
+    val m2 = AtomicTable.manifest(root).get
+    assert(m2.partitions("p1") === p1DirBefore,
+      "healthy partition must be carried forward by reference, not rewritten")
+    assert(m2.partitions("p2") !== m.partitions("p2"))
+    // p2 now one file; total data identical
+    val p2Files = Files.list(root.resolve(m2.partitions("p2")))
+    try assert(p2Files.filter(_.getFileName.toString.endsWith(".parquet"))
+      .count() === 1L)
+    finally p2Files.close()
+    assert(AtomicTable.read(spark, table, schema).count() === 450L)
+
+    // nothing fragmented -> no new version
+    val v = AtomicTable.currentVersion(root).get
+    AtomicTable.compactFragmented(spark, table, schema, "part", minFiles = 3)
+    assert(AtomicTable.currentVersion(root).get === v)
+  }
+
   test("exactlyOnceBatchCommit: replayed batch is a no-op, epochs append") {
     val table = freshTable()
     val root = Paths.get(table)
