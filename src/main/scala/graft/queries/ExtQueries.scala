@@ -817,6 +817,58 @@ object ExtQueries {
       |  CAST(1 AS BOOLEAN) AS roundtrip_ok
       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** Zone-map data-skipping read driven END-TO-END through the warehouse:
+    * stage `orders` into an AtomicTable partitioned by orderkey range
+    * with per-partition min/max stats committed in the manifest (once per
+    * JVM+sf), then answer a key-range aggregate through
+    * [[graft.etl.AtomicTable.readPruned]] — partitions whose zone map
+    * misses the range are dropped from METADATA, before any file listing
+    * (the skip itself is pinned in PlanAuditSpec via inputFiles; the
+    * oracle proves the pruned read loses no qualifying row). */
+  private val stagedZoneTable = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def whZonemapPrune(s: SparkSession, dir: String): DataFrame = {
+    val table = stagedZoneTable.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-zonemap")
+        .resolve("orders").toString
+      val orders = s.read.parquet(s"$d/orders.parquet")
+        .withColumn("okey_range", expr("o_orderkey div 4096"))
+      graft.etl.AtomicTable.replacePartitions(s, tmp, orders, "okey_range",
+        statsColumns = Seq("o_orderkey"))
+      tmp
+    })
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_custkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("o_orderdate",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("o_orderpriority",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("okey_range",
+        org.apache.spark.sql.types.LongType)))
+    graft.etl.AtomicTable.readPruned(s, table, schema,
+        "o_orderkey", "1000", "5000")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum("o_orderkey").cast("bigint").as("sum_okey"),
+        min("o_orderkey").as("min_okey"),
+        max("o_orderkey").as("max_okey"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val whZonemapPruneSql =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+      |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Balanced training-shard plan: hash-ordered round-robin dealing, so
     * per-shard row counts differ by ≤1 whatever the id distribution. */
   private def shardPlan(s: SparkSession, dir: String): DataFrame =
@@ -1641,6 +1693,7 @@ object ExtQueries {
     "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
     "sample_mixture" -> QueryDef(sampleMixture, Some(sampleMixtureSql)),
     "export_jsonl_roundtrip" -> QueryDef(exportJsonlRoundtrip, Some(exportJsonlSql)),
+    "wh_zonemap_prune" -> QueryDef(whZonemapPrune, Some(whZonemapPruneSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),

@@ -273,6 +273,17 @@ class PlanAuditSpec extends SparkSuite {
       s"shared-gram join must broadcast:\n$p")
   }
 
+  test("wh_zonemap_prune: scan touches only zone-map-surviving partitions") {
+    val df = SparkEntry.queries("wh_zonemap_prune")(spark, sf0001)
+    // keys 1000..5000 live in okey_range 0 and 1 (div 4096): every other
+    // partition must be pruned from the MANIFEST, before file listing
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f =>
+      f.contains("okey_range=0") || f.contains("okey_range=1")),
+      s"zone maps failed to prune: ${files.toSeq}")
+  }
+
   test("sample_token_budget: the full-data window is bucket-partitioned") {
     val p = plan("sample_token_budget")
     // the per-document running sum (orders by act_milli, doc_id) must

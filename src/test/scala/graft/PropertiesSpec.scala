@@ -120,6 +120,27 @@ class PropertiesSpec extends SparkSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("video decode never throws on arbitrary corruption") {
+    // the r7 real-frame path: container walk + per-keyframe ImageIO
+    // decode. Under corruption, decodeVideoHist must be None-or-value
+    // (a frame that no longer decodes poisons the whole payload — all-
+    // or-nothing) and decode("video", ...) must fall back to the stub
+    // with the declared shape, never throw.
+    import graft.ops.Mp4
+    val seedGen = Gen.choose(0L, 5000L)
+    val flips = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0, 8191), Gen.choose(Byte.MinValue, Byte.MaxValue)))
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(500),
+      forAll(seedGen, flips) { (seed, muts) =>
+        val bytes = Mp4.writeMinimalMp4(seed)
+        muts.foreach { case (ix, b) => bytes(ix % bytes.length) = b }
+        Multimodal.decodeVideoHist(bytes, 8).forall(_.length == 8) &&
+          Multimodal.decode("video", bytes, 8).length == 8
+      })
+    assert(result.passed, result.status.toString)
+  }
+
   test("epsilon equality matches the reference truth table (Spark-side)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
