@@ -536,9 +536,25 @@ object Streams {
       val survivors = indexable.join(selfDupIds, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       DedupIndex.append(indexRoot, indexable, ingest = tag)
+      // per-batch funnel counts, committed ATOMICALLY with the corpus in
+      // the same manifest swap (so a replayed batch re-reports the same
+      // stats): the observability a production ingest alerts on. Counts
+      // over batch-proportional frames that are already materialized —
+      // the corpus is never touched.
+      val nIn = batch.count()
+      val nQuality = quality.count()
+      val nExact = exactKept.count()
+      val nIndexable = indexable.count()
+      val nCommitted = survivors.count()
+      val stats = s"""{"in":$nIn,"gated":${nIn - nQuality},""" +
+        s""""exact_dropped":${nQuality - nExact},""" +
+        s""""index_dropped":${nExact - nIndexable},""" +
+        s""""neardup_dropped":${nIndexable - nCommitted},""" +
+        s""""committed":$nCommitted}"""
       AtomicTable.replacePartitions(spark, corpusTable,
         survivors.withColumn("batch_id", lit(batchId)), "batch_id",
-        properties = Map("last_batch_id" -> batchId.toString))
+        properties = Map("last_batch_id" -> batchId.toString,
+          "last_batch_stats" -> stats))
       ()
     } finally {
       // minhashPairs persists its candidate tables for the duration of

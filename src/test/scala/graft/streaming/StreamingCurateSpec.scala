@@ -78,6 +78,14 @@ class StreamingCurateSpec extends SparkSuite {
     val sigIds = AtomicTable.read(spark, s"$index/sigs", DedupIndex.sigSchema)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sigIds === Set(1L, 3L, 5L, 7L))
+
+    // the per-batch funnel stats commit atomically with the corpus:
+    // batch 2 was {d6: index dup, d7: committed}
+    val stats = AtomicTable.manifest(java.nio.file.Paths.get(corpus))
+      .flatMap(_.properties.get("last_batch_stats")).get
+    assert(stats ===
+      """{"in":2,"gated":0,"exact_dropped":0,"index_dropped":1,""" +
+        """"neardup_dropped":0,"committed":1}""")
   }
 
   test("a committed document redelivered in a LATER batch is rejected " +
