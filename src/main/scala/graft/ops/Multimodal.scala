@@ -108,12 +108,24 @@ object Multimodal {
     * work. `meta.duration_ms` is the DECLARED (catalog) duration, which
     * deliberately need not equal the container's own timeline — container
     * truth comes from the parsed sample tables (mm_video_keyframes). */
+  /** Bounded per-JVM memo for the synthetic VIDEO payloads: rendering is
+    * a pure function of the seed but now encodes ~10 PNG frames per call,
+    * which otherwise dominates every mm_* query's harness side (the
+    * engine under test only DECODES). ~3 KB/entry; cap keeps a huge-sf
+    * run from hoarding heap. Test-fixture-only code, like the UDFs. */
+  private val mp4Memo =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
+  private def memoMp4(seed: Long): Array[Byte] = {
+    if (mp4Memo.size > 50000) mp4Memo.clear()
+    mp4Memo.computeIfAbsent(seed, Mp4.writeMinimalMp4 _)
+  }
+
   def syntheticMediaFrom(docs: DataFrame): DataFrame = {
     val kind = element_at(typedlit(Seq("image", "audio", "video")),
       (col("doc_id") % 3 + 1).cast("int"))
     val png = udf(renderPng _)
     val wav = udf(renderWav _)
-    val mp4 = udf(Mp4.writeMinimalMp4 _)
+    val mp4 = udf(memoMp4 _)
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),
