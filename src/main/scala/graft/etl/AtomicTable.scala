@@ -241,10 +241,16 @@ object AtomicTable {
     * to the parquet write. A replaced partition always DROPS its previous
     * stats entry first, so a commit without stats can never leave a stale
     * zone map that [[readPruned]] would wrongly prune on. */
+  /** `dropPartitions`: partition values removed from the manifest in the
+    * SAME atomic commit that lands `rows` — the primitive a consolidation
+    * job needs (rewrite many small partitions into one, drop the
+    * originals, one version swap; readers never see both or neither).
+    * The dropped dirs age out through the normal retention GC. */
   def replacePartitions(spark: SparkSession, table: String, rows: DataFrame,
       partitionCol: String, beforeCommit: () => Unit = () => (),
       properties: Map[String, String] = Map.empty, retain: Int = 1,
-      statsColumns: Seq[String] = Nil): Manifest = {
+      statsColumns: Seq[String] = Nil,
+      dropPartitions: Set[String] = Set.empty): Manifest = {
     val root = Paths.get(table)
     val txn = s"txn-${UUID.randomUUID().toString.take(12)}"
     rows.write.partitionBy(partitionCol).parquet(root.resolve("data").resolve(txn).toString)
@@ -278,9 +284,10 @@ object AtomicTable {
     commitLock(root).synchronized {
       val prev = manifest(root)
       val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
-        prev.map(_.partitions).getOrElse(Map.empty) ++ written,
+        (prev.map(_.partitions).getOrElse(Map.empty) -- dropPartitions) ++ written,
         prev.map(_.properties).getOrElse(Map.empty) ++ properties,
-        (prev.map(_.stats).getOrElse(Map.empty) -- written.keys) ++ newStats)
+        (prev.map(_.stats).getOrElse(Map.empty)
+          -- dropPartitions -- written.keys) ++ newStats)
       writeManifest(root, next)
 
       beforeCommit()

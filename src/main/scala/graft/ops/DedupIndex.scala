@@ -68,6 +68,48 @@ object DedupIndex {
     } finally { sigs.unpersist(); () }
   }
 
+  /** Consolidated-history partition tag — sorts before the `bNNNNNN`
+    * batch tags ('a' < 'b'), see [[consolidate]]. */
+  val BaseTag = "a-base"
+
+  /** Index maintenance: fold every ingest tag except the `keepRecent`
+    * most recent into the one consolidated [[BaseTag]] partition, per
+    * table. `keepRecent` must be ≥ 1 so the streaming ingest's LAST
+    * batch tag stays partition-granular — its torn-replay idempotency
+    * (partition REPLACE by tag + tag-granular match exclusion) depends
+    * on that tag still existing as its own partition.
+    * A long-running streaming ingest appends ONE partition per batch —
+    * unbounded manifest growth and a small-file per batch; consolidation
+    * bounds both at (1 + keepRecent) partitions while the recent tags
+    * stay partition-granular so their batches' replay idempotency
+    * (partition REPLACE by tag) keeps working. The fold+drop lands in a
+    * single atomic commit per table, so `matches` sees the old or the
+    * new layout, never both — and its results are identical under either
+    * (the same rows, different partitioning). Cost ∝ the folded index
+    * rows (~100 B/doc), never the corpus. */
+  def consolidate(spark: SparkSession, root: String, keepRecent: Int): Unit = {
+    def one(path: String, schema: StructType): Unit = {
+      val m = AtomicTable.manifest(java.nio.file.Paths.get(path))
+        .getOrElse(return)
+      val tags = m.partitions.keySet
+      // the base tag sorts BEFORE every "bNNNNNN" batch tag, so it can
+      // never be mistaken for a recent batch and is itself re-folded on
+      // the next consolidation (one base forever, not one per run)
+      val recent = (tags - BaseTag).toSeq.sorted.takeRight(keepRecent).toSet
+      val fold = tags -- recent
+      if (fold.size <= 1) return // nothing to gain
+      val folded = AtomicTable.read(spark, path, schema)
+        .filter(col("ingest").isin(fold.toSeq: _*))
+        .withColumn("ingest", lit(BaseTag))
+        .repartition(col("ingest"))
+      AtomicTable.replacePartitions(spark, path, folded, "ingest",
+        dropPartitions = fold)
+      ()
+    }
+    one(bucketsPath(root), bucketSchema)
+    one(sigsPath(root), sigSchema)
+  }
+
   /** Estimated Jaccard: fraction of agreeing signature positions. */
   private def sigSim(a: String, b: String) =
     expr(s"""aggregate(zip_with($a, $b, (x, y) -> IF(x = y, 1, 0)),

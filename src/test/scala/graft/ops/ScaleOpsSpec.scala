@@ -142,6 +142,48 @@ class ScaleOpsSpec extends SparkSuite {
     assert(m2.contains((20L, 11L)), s"match against batch-1 doc not found: $m2")
   }
 
+  test("DedupIndex.consolidate folds old tags into one base partition " +
+      "without changing match results") {
+    import java.nio.file.Paths
+    val root = java.nio.file.Files.createTempDirectory("graft-idxc").toString
+    val mk = (id: Long, t: String) => (id, t)
+    // five single-doc batches, each its own ingest tag
+    for (i <- 0 until 5)
+      DedupIndex.append(root,
+        Seq(mk(i.toLong, s"distinct content number $i " +
+          "with enough words to shingle properly " * 4)).toDF("doc_id", "text"),
+        ingest = f"b$i%06d")
+    val probe = Seq(mk(100L,
+      "distinct content number 2 with enough words to shingle properly " +
+        ("with enough words to shingle properly " * 3))).toDF("doc_id", "text")
+    val before = DedupIndex.matches(spark, root, probe)
+      .select("new_id", "idx_id").as[(Long, Long)].collect().toSet
+
+    DedupIndex.consolidate(spark, root, keepRecent = 2)
+    val m = graft.etl.AtomicTable.manifest(
+      Paths.get(s"$root/sigs")).get
+    assert(m.partitions.keySet ===
+      Set(DedupIndex.BaseTag, "b000003", "b000004"))
+    // identical rows, identical matches — only the partitioning changed
+    assert(graft.etl.AtomicTable.read(spark, s"$root/sigs",
+      DedupIndex.sigSchema).count() === 5L)
+    val after = DedupIndex.matches(spark, root, probe)
+      .select("new_id", "idx_id").as[(Long, Long)].collect().toSet
+    assert(after === before)
+    assert(after.exists(_._2 == 2L), s"probe must match folded doc 2: $after")
+
+    // a second consolidation after more batches re-folds the SAME base
+    // (one base forever, not one per run)
+    DedupIndex.append(root,
+      Seq(mk(7L, "yet another novel document body " * 6)).toDF("doc_id", "text"),
+      ingest = "b000005")
+    DedupIndex.consolidate(spark, root, keepRecent = 1)
+    val m2 = graft.etl.AtomicTable.manifest(Paths.get(s"$root/sigs")).get
+    assert(m2.partitions.keySet === Set(DedupIndex.BaseTag, "b000005"))
+    assert(graft.etl.AtomicTable.read(spark, s"$root/sigs",
+      DedupIndex.sigSchema).count() === 6L)
+  }
+
   // ------------------------------------------------------------ layout
 
   test("clusterByZ tiles the key space into small per-partition boxes") {
