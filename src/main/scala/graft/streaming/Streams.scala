@@ -551,8 +551,13 @@ object Streams {
         s""""index_dropped":${nExact - nIndexable},""" +
         s""""neardup_dropped":${nIndexable - nCommitted},""" +
         s""""committed":$nCommitted}"""
+      // partitioned by the STRING commit tag (batch_id stays as a data
+      // column for provenance): the tag space is what consolidateCorpus
+      // folds, so a long ingest's partition count stays bounded while
+      // each recent batch keeps its own replaceable partition
       AtomicTable.replacePartitions(spark, corpusTable,
-        survivors.withColumn("batch_id", lit(batchId)), "batch_id",
+        survivors.withColumn("batch_id", lit(batchId))
+          .withColumn("commit_part", lit(tag)), "commit_part",
         properties = Map("last_batch_id" -> batchId.toString,
           "last_batch_stats" -> stats))
       ()
@@ -561,6 +566,38 @@ object Streams {
       // the batch; a long-running ingest must not accumulate them
       spark.catalog.clearCache()
     }
+  }
+
+  /** Corpus-side companion of [[graft.ops.DedupIndex.consolidate]]: fold
+    * every commit tag except the `keepRecent` most recent into one base
+    * partition (batch_id survives as a data column, so per-batch
+    * provenance is intact). Safe beside the exactly-once protocol:
+    * replay only ever targets batches ABOVE last_batch_id, and only tags
+    * at or below it are folded. Schedule with the index consolidation as
+    * periodic maintenance; together they bound a years-long ingest's
+    * partition count at 2·(1 + keepRecent). */
+  def consolidateCorpus(spark: SparkSession, corpusTable: String,
+      keepRecent: Int): Unit = {
+    val root = java.nio.file.Paths.get(corpusTable)
+    val m = AtomicTable.manifest(root).getOrElse(return)
+    val baseTag = graft.ops.DedupIndex.BaseTag
+    val recent = (m.partitions.keySet - baseTag).toSeq.sorted
+      .takeRight(keepRecent).toSet
+    val fold = m.partitions.keySet -- recent
+    if (fold.size <= 1) return
+    val schema = org.apache.spark.sql.types.StructType(
+      documentsSchema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("commit_part",
+          org.apache.spark.sql.types.StringType)))
+    val folded = AtomicTable.read(spark, corpusTable, schema)
+      .filter(col("commit_part").isin(fold.toSeq: _*))
+      .withColumn("commit_part", lit(baseTag))
+      .repartition(col("commit_part"))
+    AtomicTable.replacePartitions(spark, corpusTable, folded, "commit_part",
+      dropPartitions = fold)
+    ()
   }
 
   /** Run the curated ingest over a staging directory of JSON document

@@ -38,14 +38,16 @@ class StreamingCurateSpec extends SparkSuite {
     (base.resolve("staging"), s"$base/corpus", s"$base/index", s"$base/ckpt")
   }
 
-  private def corpusIds(corpus: String): Set[Long] = {
-    val schema = org.apache.spark.sql.types.StructType(
-      Streams.documentsSchema.fields :+
-        org.apache.spark.sql.types.StructField("batch_id",
-          org.apache.spark.sql.types.LongType))
-    AtomicTable.read(spark, corpus, schema)
+  private def corpusSchema = org.apache.spark.sql.types.StructType(
+    Streams.documentsSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("commit_part",
+        org.apache.spark.sql.types.StringType)))
+
+  private def corpusIds(corpus: String): Set[Long] =
+    AtomicTable.read(spark, corpus, corpusSchema)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-  }
 
   test("curated ingest: gate, in-batch dedup, cross-batch dedup via index") {
     val (staging, corpus, index, ckpt) = freshDirs()
@@ -104,13 +106,42 @@ class StreamingCurateSpec extends SparkSuite {
     import spark.implicits._
     val redelivered = Seq((1L, passageA, "s")).toDF("doc_id", "text", "source")
     Streams.curateBatch(corpus, index)(redelivered, batchId = 7L)
-    val schema = org.apache.spark.sql.types.StructType(
-      Streams.documentsSchema.fields :+
-        org.apache.spark.sql.types.StructField("batch_id",
-          org.apache.spark.sql.types.LongType))
-    val copies = AtomicTable.read(spark, corpus, schema)
+    val copies = AtomicTable.read(spark, corpus, corpusSchema)
       .filter(col("doc_id") === 1L).count()
     assert(copies === 1L)
+  }
+
+  test("consolidateCorpus folds old commit tags; data, provenance, and " +
+      "later batches are unaffected") {
+    val (staging, corpus, index, ckpt) = freshDirs()
+    Files.createDirectories(staging)
+    Files.writeString(staging.resolve("f1.json"), jsonLine(1, passageA) + "\n")
+    Files.writeString(staging.resolve("f2.json"), jsonLine(2, passageB) + "\n")
+    Files.writeString(staging.resolve("f3.json"), jsonLine(3, passageC) + "\n")
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    assert(corpusIds(corpus) === Set(1L, 2L, 3L))
+
+    Streams.consolidateCorpus(spark, corpus, keepRecent = 1)
+    graft.ops.DedupIndex.consolidate(spark, index, keepRecent = 1)
+    val root = java.nio.file.Paths.get(corpus)
+    val parts = AtomicTable.manifest(root).get.partitions.keySet
+    assert(parts.size === 2 && parts.contains(graft.ops.DedupIndex.BaseTag),
+      s"expected base + newest tag, got $parts")
+    // rows, per-row batch provenance, and dedup behavior all survive
+    val rows = AtomicTable.read(spark, corpus, corpusSchema)
+      .select("doc_id", "batch_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    // a post-consolidation batch still dedups against folded content
+    val passageD = "mountain winds carry the scent of pine and cedar " +
+      "across the quiet valley where tired shepherds rest today"
+    Files.writeString(staging.resolve("f4.json"),
+      Seq(jsonLine(4, passageA), jsonLine(5, passageD)).mkString("", "\n", "\n"))
+    Streams.curatedIngestAvailableNow(spark, staging.toString, corpus,
+      index, ckpt)
+    assert(corpusIds(corpus) === Set(1L, 2L, 3L, 5L),
+      "exact redelivery of folded doc 1 must still be rejected")
   }
 
   test("near-dup CHAIN a~b~c keeps one cluster keeper, and a later copy " +
