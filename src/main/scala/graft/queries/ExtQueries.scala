@@ -817,6 +817,37 @@ object ExtQueries {
       |  CAST(1 AS BOOLEAN) AS roundtrip_ok
       |FROM a GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** The classifier-TRAINING first gradient step oracled exactly
+    * (ClassifierTrain — fastText-shaped logistic regression): at w = 0
+    * the sigmoid is exactly 0.5, so the full-batch gradient
+    * Σ (p − y)·x is pure integer arithmetic that DuckDB replays from the
+    * raw table — a wrong feature hash, label join, residual sign, or
+    * partial-agg shape shifts an integer and fails the hash. The
+    * iterative remainder (sigmoid steps 2..K) is deterministic and
+    * pinned by ClassifierTrainSpec, the BPE first-merge pattern. */
+  private def textTrainGrad0(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.ClassifierTrain
+    val feat = ClassifierTrain.features(
+      Tables.documents(s, dir), targetSource = "src7")
+    ClassifierTrain.gradientFrame(feat, new Array[Long](1024))
+      .orderBy("bucket")
+  }
+
+  private val textTrainGrad0Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, CAST(source = 'src7' AS INT) AS y,
+      |    unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id, y,
+      |    (CAST(ascii(tok) AS BIGINT) * 961 + CAST(ascii(tok[-1]) AS BIGINT) * 31
+      |     + length(tok)) % 1024 AS bucket,
+      |    count(*) AS c
+      |  FROM toks GROUP BY 1, 2, 3)
+      |SELECT bucket,
+      |  CAST(sum((500000 - y * 1000000) * c) AS BIGINT) AS grad_micro
+      |FROM feat GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** Zone-map data-skipping read driven END-TO-END through the warehouse:
     * stage `orders` into an AtomicTable partitioned by orderkey range
     * with per-partition min/max stats committed in the manifest (once per
@@ -1694,6 +1725,7 @@ object ExtQueries {
     "sample_mixture" -> QueryDef(sampleMixture, Some(sampleMixtureSql)),
     "export_jsonl_roundtrip" -> QueryDef(exportJsonlRoundtrip, Some(exportJsonlSql)),
     "wh_zonemap_prune" -> QueryDef(whZonemapPrune, Some(whZonemapPruneSql)),
+    "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),
