@@ -273,6 +273,17 @@ class PlanAuditSpec extends SparkSuite {
       s"shared-gram join must broadcast:\n$p")
   }
 
+  test("text_train_grad0: both gradient shuffles are partial-aggregated") {
+    val p = plan("text_train_grad0")
+    // per-doc activation agg and per-bucket gradient agg must both
+    // map-side combine — the bucket key is bounded (<= 1024 groups per
+    // task), so the gradient exchange payload is tasks x buckets, never
+    // corpus-sized
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"gradient needs partial aggs on both shuffles:\n$p")
+    assert(!p.contains("CartesianProduct"), s"residual join must be keyed:\n$p")
+  }
+
   test("wh_zonemap_prune: scan touches only zone-map-surviving partitions") {
     val df = SparkEntry.queries("wh_zonemap_prune")(spark, sf0001)
     // keys 1000..5000 live in okey_range 0 and 1 (div 4096): every other

@@ -85,6 +85,36 @@ class WarehouseOpsSpec extends SparkSuite {
       .count() === 1L)
   }
 
+  test("z-order layout + zone maps compose: a range read over the " +
+      "clustered key prunes most partitions from metadata") {
+    val table = freshTable()
+    val schema = StructType(Seq(
+      StructField("x", org.apache.spark.sql.types.LongType),
+      StructField("y", org.apache.spark.sql.types.LongType),
+      StructField("zbin", org.apache.spark.sql.types.LongType)))
+    // cluster rows by z-value, derive a partition id from the SAME
+    // ordering, and commit with zone maps on x: clustering is what makes
+    // the per-partition [min,max] of x tight enough to prune on
+    val rows = (0L until 4096L).map(i => (i % 64, i / 64)).toDF("x", "y")
+    val clustered = graft.ops.Layout.clusterByZ(rows, "x", "y", n = 16)
+    val withBin = clustered
+      .withColumn("zbin", org.apache.spark.sql.functions.spark_partition_id()
+        .cast("long"))
+    AtomicTable.replacePartitions(spark, table, withBin, "zbin",
+      statsColumns = Seq("x", "y"))
+    val m = AtomicTable.manifest(Paths.get(table)).get
+    assert(m.partitions.size === 16)
+    // a tight x-range read touches only the partitions whose z-boxes
+    // intersect it — at most half the table, typically far less
+    val pruned = AtomicTable.readPruned(spark, table, schema, "x", "0", "7")
+    val touched = pruned.inputFiles
+      .flatMap(f => "zbin=(\\d+)".r.findFirstMatchIn(f).map(_.group(1)))
+      .toSet
+    assert(touched.size <= 8,
+      s"z-order zone maps should prune most partitions, touched $touched")
+    assert(pruned.count() === rows.filter($"x" <= 7).count())
+  }
+
   test("compactFragmented rewrites only fragmented partitions; healthy " +
       "partition bytes are untouched") {
     val table = freshTable()
