@@ -367,6 +367,66 @@ object HashExprs {
   def wordNgrams(spark: SparkSession, textCol: String): Column =
     expr(s"graft_word_ngrams($textCol)")
 
+  def registerWordNgramsAll(spark: SparkSession, w: Int): Unit =
+    registerIfChanged(spark, "graft_word_ngrams_all", w)(
+      exprs => WordNgramsAll(exprs.head, w))
+
+  def wordNgramsAll(spark: SparkSession, textCol: String): Column =
+    expr(s"graft_word_ngrams_all($textCol)")
+
+  /** POSITIONAL word w-grams: every gram in token order (index i = gram
+    * starting at token i — what `posexplode` turns into (pos, gram)
+    * rows), no dedup, empty array under w tokens. The exact-substring
+    * dedup's gram builder: the composed-built-in form
+    * (`transform(sequence(...), array_join(slice(...)))`) evaluates each
+    * of the three lambdas interpreted per gram — the same interpreted-HOF
+    * cost class [[WordNgrams]] was measured replacing. One loop per row;
+    * gram strings engine-portable (the DuckDB oracle recomputes them). */
+  case class WordNgramsAll(child: Expression, w: Int)
+    extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    private val ws = java.util.regex.Pattern.compile("\\s+")
+
+    def compute(text: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = text.toString
+      var st = 0
+      var en = s.length
+      while (st < en && s.charAt(st) == ' ') st += 1
+      while (en > st && s.charAt(en - 1) == ' ') en -= 1
+      val toks = ws.split(s.substring(st, en), -1)
+      if (toks.length < w) return new GenericArrayData(Array.empty[Any])
+      val arr = new Array[Any](toks.length - w + 1)
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= toks.length - w) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        arr(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(arr)
+    }
+
+    override def nullSafeEval(input: Any): Any =
+      compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val self = ctx.addReferenceObj("wordNgramsAll", this, classOf[WordNgramsAll].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.compute($c);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "graft_word_ngrams_all"
+  }
+
   def registerMinHashDoc(spark: SparkSession, w: Int, a: IndexedSeq[Long],
       b: IndexedSeq[Long], p: Long): Unit =
     registerIfChanged(spark, "graft_minhash_doc", (w, a, b, p))(

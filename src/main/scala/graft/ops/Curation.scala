@@ -94,10 +94,15 @@ object Curation {
         .otherwise(col("text")).as("text"))
     val toks = stamped.select(col("doc_id"),
       split(trim(col("text")), "\\s+").as("toks"))
-    val grams = toks.where(size(col("toks")) >= w)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("toks")) - w), i =>
-          array_join(slice(col("toks"), i + 1, lit(w)), " "))))
+    // positional grams through the codegen'd expression (one loop per
+    // row): the composed form — transform(sequence)+slice+array_join —
+    // ran three interpreted lambdas per gram, the cost class WordNgrams
+    // was built to kill. Index i = gram starting at token i, empty under
+    // w tokens, so posexplode emits exactly the old (pos, gram) rows.
+    graft.functions.HashExprs.registerWordNgramsAll(docs.sparkSession, w)
+    val grams = stamped
+      .select(col("doc_id"), posexplode(
+        graft.functions.HashExprs.wordNgramsAll(docs.sparkSession, "text")))
       .toDF("doc_id", "pos", "gram")
       // one materialization for both consumers (the frequency aggregate
       // and the starts join) — without it each branch re-scans the corpus
