@@ -245,12 +245,24 @@ object AtomicTable {
     * SAME atomic commit that lands `rows` — the primitive a consolidation
     * job needs (rewrite many small partitions into one, drop the
     * originals, one version swap; readers never see both or neither).
-    * The dropped dirs age out through the normal retention GC. */
+    * The dropped dirs age out through the normal retention GC.
+    *
+    * `expectedVersion`: optimistic concurrency for READ-MODIFY-WRITE
+    * jobs (compaction, consolidation): they read the table at some
+    * version, derive a rewrite from what they read, and must not commit
+    * it over data another writer replaced meanwhile — plain commits
+    * merge at the PARTITION level, but a rewrite of partition p built
+    * from stale p would silently undo the concurrent change. Passing the
+    * version the job read makes the commit abort
+    * (ConcurrentModificationException) if any other commit landed first;
+    * the staged dir becomes a vacuum-reclaimable orphan and the
+    * maintenance job simply runs again later. */
   def replacePartitions(spark: SparkSession, table: String, rows: DataFrame,
       partitionCol: String, beforeCommit: () => Unit = () => (),
       properties: Map[String, String] = Map.empty, retain: Int = 1,
       statsColumns: Seq[String] = Nil,
-      dropPartitions: Set[String] = Set.empty): Manifest = {
+      dropPartitions: Set[String] = Set.empty,
+      expectedVersion: Option[Long] = None): Manifest = {
     val root = Paths.get(table)
     val txn = s"txn-${UUID.randomUUID().toString.take(12)}"
     rows.write.partitionBy(partitionCol).parquet(root.resolve("data").resolve(txn).toString)
@@ -283,6 +295,12 @@ object AtomicTable {
       }
     commitLock(root).synchronized {
       val prev = manifest(root)
+      expectedVersion.foreach { v =>
+        val cur = prev.map(_.version).getOrElse(0L)
+        if (cur != v) throw new java.util.ConcurrentModificationException(
+          s"$table moved to v$cur since this rewrite read v$v; " +
+            "staged data left as a vacuum-reclaimable orphan")
+      }
       val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
         (prev.map(_.partitions).getOrElse(Map.empty) -- dropPartitions) ++ written,
         prev.map(_.properties).getOrElse(Map.empty) ++ properties,
@@ -350,12 +368,15 @@ object AtomicTable {
       }
     }.keySet
     if (fragmented.isEmpty) return m
-    val rows = read(spark, table, schema)
+    val rows = readManifest(spark, table, schema, m)
       .filter(col(partitionCol).cast("string")
         .isin(fragmented.toSeq: _*))
       .repartition(col(partitionCol))
+    // pinned read + optimistic commit: the rewrite was derived from
+    // version m; if another writer replaced one of these partitions
+    // meanwhile, committing would clobber it — abort instead
     replacePartitions(spark, table, rows, partitionCol,
-      statsColumns = statsColumns)
+      statsColumns = statsColumns, expectedVersion = Some(m.version))
   }
 
   /** Number of data files the current manifest references — the metric a

@@ -102,8 +102,10 @@ object DedupIndex {
         .filter(col("ingest").isin(fold.toSeq: _*))
         .withColumn("ingest", lit(BaseTag))
         .repartition(col("ingest"))
+      // optimistic: abort (rather than clobber) if any commit — e.g. a
+      // concurrent batch append — landed since the manifest was read
       AtomicTable.replacePartitions(spark, path, folded, "ingest",
-        dropPartitions = fold)
+        dropPartitions = fold, expectedVersion = Some(m.version))
       ()
     }
     one(bucketsPath(root), bucketSchema)

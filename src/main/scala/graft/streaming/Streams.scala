@@ -595,8 +595,10 @@ object Streams {
       .filter(col("commit_part").isin(fold.toSeq: _*))
       .withColumn("commit_part", lit(baseTag))
       .repartition(col("commit_part"))
+    // optimistic: a concurrent batch commit since the manifest read
+    // aborts the fold (rerun later) instead of clobbering it
     AtomicTable.replacePartitions(spark, corpusTable, folded, "commit_part",
-      dropPartitions = fold)
+      dropPartitions = fold, expectedVersion = Some(m.version))
     ()
   }
 

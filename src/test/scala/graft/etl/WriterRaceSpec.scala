@@ -56,6 +56,27 @@ class WriterRaceSpec extends SparkSuite {
     assert(rows.select("part").distinct().count() === 2L * n)
   }
 
+  test("expectedVersion aborts a stale read-modify-write instead of " +
+      "clobbering a concurrent commit") {
+    import spark.implicits._
+    val table = Files.createTempDirectory("graft-occ").resolve("t").toString
+    val df1 = Seq(("a", 1)).toDF("k", "v").withColumn("part", lit("p1"))
+    AtomicTable.replacePartitions(spark, table, df1, "part") // v1
+    val readAtV = AtomicTable.currentVersion(Paths.get(table)).get
+    // another writer replaces p1 while the maintenance job holds its read
+    val df2 = Seq(("a", 2)).toDF("k", "v").withColumn("part", lit("p1"))
+    AtomicTable.replacePartitions(spark, table, df2, "part") // v2
+    // the stale rewrite must abort...
+    val stale = Seq(("a", 99)).toDF("k", "v").withColumn("part", lit("p1"))
+    intercept[java.util.ConcurrentModificationException] {
+      AtomicTable.replacePartitions(spark, table, stale, "part",
+        expectedVersion = Some(readAtV))
+    }
+    // ...and the concurrent writer's data must survive
+    assert(AtomicTable.read(spark, table, schema)
+      .select("v").as[Int].head() === 2)
+  }
+
   test("vacuum reclaims aged never-committed orphans but spares " +
       "in-flight (recent) staging dirs and committed data") {
     import spark.implicits._
