@@ -275,14 +275,24 @@ object AtomicTable {
           n.substring(partitionCol.length + 1)) -> s"data/$txn/$n"
       }.toMap
     val newStats: Map[String, PartStats] =
-      if (statsColumns.isEmpty) Map.empty
+      if (statsColumns.isEmpty || written.isEmpty) Map.empty
       else {
+        // stats MUST come from the staged parquet, never from a second
+        // execution of `rows`: a non-deterministic input plan (range
+        // partitioner sampling, rand(), spark_partition_id over a fresh
+        // shuffle) can place rows differently on re-execution, and a
+        // committed zone map that does not bound the written files makes
+        // readPruned silently drop qualifying partitions. Reading back
+        // the txn dir scans exactly the bytes being committed — and only
+        // the stats columns, thanks to parquet column pruning.
+        val staged = spark.read.option("basePath", txnDir.toString)
+          .parquet(txnDir.toString)
         val aggs = Seq(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("_rows")) ++
           statsColumns.flatMap(c => Seq(
             org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"_min_$c"),
             org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"_max_$c")))
-        rows.groupBy(col(partitionCol).cast("string").as("_part"))
+        staged.groupBy(col(partitionCol).cast("string").as("_part"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>

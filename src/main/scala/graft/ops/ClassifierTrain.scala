@@ -88,6 +88,9 @@ object ClassifierTrain {
     try {
       val nDocs = feat.select("doc_id").distinct().count()
       val w = new Array[Long](buckets)
+      // an empty slice (every candidate filtered upstream) trains to the
+      // zero model rather than dividing by zero in the update
+      if (nDocs == 0L) return w
       for (_ <- 0 until steps) {
         val g = gradient(feat, w)
         var b = 0

@@ -68,9 +68,21 @@ object DedupIndex {
     } finally { sigs.unpersist(); () }
   }
 
-  /** Consolidated-history partition tag — sorts before the `bNNNNNN`
-    * batch tags ('a' < 'b'), see [[consolidate]]. */
+  /** Consolidated-history partition tag — ordered before every batch
+    * tag by [[tagOrder]], see [[consolidate]]. */
   val BaseTag = "a-base"
+
+  /** Recency order for ingest tags: the base tag first, then batch tags
+    * by their NUMERIC batch id. A plain string sort breaks the moment the
+    * zero-padding overflows ("b1000000" < "b999999" lexicographically),
+    * and folding the true newest — possibly torn — batch tag into the
+    * base would defeat its replay's tag-granular self-exclusion and drop
+    * the whole replayed batch as self-duplicates. */
+  private[graft] def tagOrder(tag: String): (Int, Long, String) =
+    if (tag == BaseTag) (0, 0L, tag)
+    else if (tag.startsWith("b") && tag.drop(1).forall(_.isDigit) &&
+      tag.length > 1) (1, tag.drop(1).toLong, tag)
+    else (2, 0L, tag)
 
   /** Index maintenance: fold every ingest tag except the `keepRecent`
     * most recent into the one consolidated [[BaseTag]] partition, per
@@ -88,14 +100,18 @@ object DedupIndex {
     * (the same rows, different partitioning). Cost ∝ the folded index
     * rows (~100 B/doc), never the corpus. */
   def consolidate(spark: SparkSession, root: String, keepRecent: Int): Unit = {
+    require(keepRecent >= 1,
+      "keepRecent must be >= 1: the newest batch tag must stay its own " +
+        "partition for torn-replay idempotency")
     def one(path: String, schema: StructType): Unit = {
       val m = AtomicTable.manifest(java.nio.file.Paths.get(path))
         .getOrElse(return)
       val tags = m.partitions.keySet
-      // the base tag sorts BEFORE every "bNNNNNN" batch tag, so it can
-      // never be mistaken for a recent batch and is itself re-folded on
-      // the next consolidation (one base forever, not one per run)
-      val recent = (tags - BaseTag).toSeq.sorted.takeRight(keepRecent).toSet
+      // the base tag orders BEFORE every batch tag, so it can never be
+      // mistaken for a recent batch and is itself re-folded on the next
+      // consolidation (one base forever, not one per run)
+      val recent = (tags - BaseTag).toSeq.sortBy(tagOrder)
+        .takeRight(keepRecent).toSet
       val fold = tags -- recent
       if (fold.size <= 1) return // nothing to gain
       val folded = AtomicTable.read(spark, path, schema)

@@ -517,10 +517,15 @@ object Streams {
     // file-stream batch re-plans the file scan per reference otherwise
     val batch = df.localCheckpoint(true)
     try {
-      val quality = TextStats.qualityKeep(batch)
+      // quality and exactKept each feed several consumers (the dedup
+      // stages AND the funnel counts below) — checkpoint them so the
+      // gate and the canonicalize shuffle run once per batch, not once
+      // per consumer. All batch-proportional.
+      val quality = TextStats.qualityKeep(batch).localCheckpoint(true)
       val exactKeepers = Dedup.canonicalize(quality)
         .filter(!col("is_dup")).select("doc_id")
       val exactKept = quality.join(exactKeepers, "doc_id")
+        .localCheckpoint(true)
       val selfDupIds = Dedup.connectedComponents(
           Dedup.minhashPairs(exactKept, threshold))
         .filter(col("id") =!= col("label"))
@@ -538,9 +543,9 @@ object Streams {
       DedupIndex.append(indexRoot, indexable, ingest = tag)
       // per-batch funnel counts, committed ATOMICALLY with the corpus in
       // the same manifest swap (so a replayed batch re-reports the same
-      // stats): the observability a production ingest alerts on. Counts
-      // over batch-proportional frames that are already materialized —
-      // the corpus is never touched.
+      // stats): the observability a production ingest alerts on. Every
+      // counted frame is checkpointed above, so each count is a cached
+      // scan — no stage re-executes and the corpus is never touched.
       val nIn = batch.count()
       val nQuality = quality.count()
       val nExact = exactKept.count()
@@ -578,10 +583,14 @@ object Streams {
     * partition count at 2·(1 + keepRecent). */
   def consolidateCorpus(spark: SparkSession, corpusTable: String,
       keepRecent: Int): Unit = {
+    require(keepRecent >= 1,
+      "keepRecent must be >= 1: the newest batch tag must stay its own " +
+        "partition for torn-replay idempotency")
     val root = java.nio.file.Paths.get(corpusTable)
     val m = AtomicTable.manifest(root).getOrElse(return)
     val baseTag = graft.ops.DedupIndex.BaseTag
-    val recent = (m.partitions.keySet - baseTag).toSeq.sorted
+    val recent = (m.partitions.keySet - baseTag).toSeq
+      .sortBy(graft.ops.DedupIndex.tagOrder)
       .takeRight(keepRecent).toSet
     val fold = m.partitions.keySet -- recent
     if (fold.size <= 1) return

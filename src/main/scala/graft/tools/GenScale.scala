@@ -50,11 +50,14 @@ object GenScale {
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val nVecs = emb.count()
     // per-(copy, vec, dim) deterministic nudge of ~±5%: cluster structure
-    // (label geometry) survives, verbatim duplicates do not
+    // (label geometry) survives, verbatim duplicates do not. Copy 0 stays
+    // byte-identical to the source (same guard as the documents path), so
+    // the scaled corpus CONTAINS the original table verbatim.
     val nudged = transform(col("embedding"), (x, i) =>
-      (x.cast("double") * (lit(1.0) +
-        pmod(xxhash64(col("copy"), col("vec_id"), i), lit(100)).cast("double")
-          / 1000.0 - 0.05)).cast("float"))
+      when(col("copy") === 0, x)
+        .otherwise((x.cast("double") * (lit(1.0) +
+          pmod(xxhash64(col("copy"), col("vec_id"), i), lit(100)).cast("double")
+            / 1000.0 - 0.05)).cast("float")))
     emb.crossJoin(copies)
       .select((col("vec_id") + col("copy") * nVecs).as("vec_id"),
         nudged.as("embedding"), col("label"))

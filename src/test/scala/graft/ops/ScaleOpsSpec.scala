@@ -142,6 +142,16 @@ class ScaleOpsSpec extends SparkSuite {
     assert(m2.contains((20L, 11L)), s"match against batch-1 doc not found: $m2")
   }
 
+  test("consolidation recency order is numeric — survives the zero-pad " +
+      "overflow at batch 1,000,000") {
+    val tags = Seq("b999999", "b1000000", DedupIndex.BaseTag, "b000005")
+    assert(tags.sortBy(DedupIndex.tagOrder) ===
+      Seq(DedupIndex.BaseTag, "b000005", "b999999", "b1000000"))
+    intercept[IllegalArgumentException] {
+      DedupIndex.consolidate(spark, "/nonexistent", keepRecent = 0)
+    }
+  }
+
   test("DedupIndex.consolidate folds old tags into one base partition " +
       "without changing match results") {
     import java.nio.file.Paths
