@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -33,4 +35,115 @@ object Export {
   def readBack(spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema.add("shard", "long")).json(dir)
+
+  // --------------------------------------------------- token binary
+
+  /** TOKEN-BINARY export — the format a pretraining loader memory-maps
+    * (the Megatron `.bin`/`.idx` shape): per shard one `data.bin` of
+    * int32-LE token ids, documents concatenated in doc_id order, plus an
+    * `index.idx` of fixed 20-byte (doc_id: int64, offset: int64,
+    * n_tokens: int32) records and a shared `vocab.txt` (line k = the
+    * subword with id k). Encoding is the frozen-merge BPE
+    * ([[Bpe.encode]]'s codegen'd expression); the vocabulary is the
+    * corpus-distinct subword set in sorted order — deterministic, so the
+    * same corpus + merges always produce byte-identical shards.
+    *
+    * Scale shape: encode is narrow per-row; the vocab collect is
+    * tokenizer-sized (sketch class — it IS the tokenizer artifact); the
+    * shard exchange is [[Sampling.assignShards]]' two-phase rank; each
+    * shard's files are written by the one task that owns its partition
+    * after an in-partition doc_id sort (byte-determinism). File I/O is
+    * java.nio against the export dir — on an object store the same loop
+    * targets the Hadoop FS API, shape unchanged. */
+  def tokenBinShards(docs: DataFrame, merges: Seq[(String, String)],
+      dir: String, n: Int): Unit = {
+    val spark = docs.sparkSession
+    graft.functions.TextExprs.register(spark,
+      TextStats.langStopwords.map(_._2))
+    val words = graft.functions.TextExprs.alphaTokens(spark, "text")
+    val flat = graft.functions.BpeExpr.subwords(words, merges)
+    val enc = Sampling.assignShards(docs, n)
+      .select(col("shard"), col("doc_id"), flat.as("subs"))
+    val vocab = enc.select(explode(col("subs")).as("s")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val vocabIx: Map[String, Int] = vocab.zipWithIndex.toMap
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "vocab.txt"),
+      vocab.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val bc = spark.sparkContext.broadcast(vocabIx)
+    enc.repartition(n, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .select(col("shard"), col("doc_id"), col("subs"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val vx = bc.value
+        var curShard = -1L
+        var binCh: java.io.DataOutputStream = null
+        var idxCh: java.io.DataOutputStream = null
+        var offset = 0L
+        def close(): Unit = if (binCh != null) { binCh.close(); idxCh.close() }
+        def le32(v: Int): Array[Byte] = Array[Byte](
+          (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+        def le64(v: Long): Array[Byte] =
+          le32((v & 0xffffffffL).toInt) ++ le32((v >>> 32).toInt)
+        it.foreach { r =>
+          val shard = r.getLong(0)
+          if (shard != curShard) {
+            close()
+            val d = java.nio.file.Paths.get(dir, s"shard=$shard")
+            java.nio.file.Files.createDirectories(d)
+            binCh = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(d.resolve("data.bin"))))
+            idxCh = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+              java.nio.file.Files.newOutputStream(d.resolve("index.idx"))))
+            curShard = shard
+            offset = 0L
+          }
+          val subs = r.getSeq[String](2)
+          idxCh.write(le64(r.getLong(1)))
+          idxCh.write(le64(offset))
+          idxCh.write(le32(subs.length))
+          subs.foreach(s => binCh.write(le32(vx(s))))
+          offset += subs.length
+        }
+        close()
+      }
+  }
+
+  /** Read a token-binary export back: one row per document with its
+    * shard and decoded SUBWORD stream (via the export's own vocab.txt) —
+    * the lossless-roundtrip half of the contract. Shard dirs are read in
+    * parallel, one task per shard. */
+  def readBackTokens(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "vocab.txt")), "UTF-8")
+      .split("\n", -1).dropRight(1)
+    val shards = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("shard=")).map(_.stripPrefix("shard=").toLong)
+        .toSeq.sorted
+      finally s.close()
+    }
+    val bc = spark.sparkContext.broadcast(vocab)
+    spark.sparkContext.parallelize(shards, shards.length.max(1))
+      .flatMap { shard =>
+        val v = bc.value
+        val d = java.nio.file.Paths.get(dir, s"shard=$shard")
+        val idx = java.nio.ByteBuffer.wrap(java.nio.file.Files.readAllBytes(
+          d.resolve("index.idx"))).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val bin = java.nio.ByteBuffer.wrap(java.nio.file.Files.readAllBytes(
+          d.resolve("data.bin"))).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val out = Seq.newBuilder[(Long, Long, Seq[String])]
+        while (idx.remaining() >= 20) {
+          val docId = idx.getLong
+          val off = idx.getLong
+          val nTok = idx.getInt
+          val subs = (0 until nTok).map(i => v(bin.getInt((off.toInt + i) * 4)))
+          out += ((shard, docId, subs))
+        }
+        out.result()
+      }.toDF("shard", "doc_id", "subs")
+  }
 }

@@ -345,7 +345,9 @@ object ExtQueries {
     graft.ops.Bpe.encode(Tables.documents(s, dir), bpeFrozenMerges)
       .orderBy("doc_id")
 
-  private val textBpeEncodeSql = {
+  /** DuckDB rendition of the frozen-merge greedy fold over one word `w`
+    * — shared by the encode oracle and the token-binary export oracle. */
+  private val bpeMergedWordSql: String = {
     val sep = "chr(31)"
     def fold(inner: String, a: String, b: String): String =
       s"string_split(list_reduce($inner, (acc, x) -> " +
@@ -353,7 +355,11 @@ object ExtQueries {
         s"THEN substr(acc, 1, length(acc) - ${a.length}) || '${a + b}' " +
         s"ELSE acc || $sep || x END), $sep)"
     val chars = "list_transform(range(length(w)), i -> w[i+1])"
-    val merged = bpeFrozenMerges.foldLeft(chars) { case (s0, (a, b)) => fold(s0, a, b) }
+    bpeFrozenMerges.foldLeft(chars) { case (s0, (a, b)) => fold(s0, a, b) }
+  }
+
+  private val textBpeEncodeSql = {
+    val merged = bpeMergedWordSql
     s"""WITH t AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
@@ -899,6 +905,59 @@ object ExtQueries {
       |  min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TOKEN-BINARY export driven END-TO-END (the Megatron .bin/.idx
+    * pretraining format): encode with the frozen BPE merges, write 8
+    * int32-LE shards + index + vocab once per JVM+sf, memory-map them
+    * back, and prove the decoded subword stream of EVERY document
+    * byte-equals a fresh encode (sha-256 per doc, full-outer compare).
+    * The oracle recomputes per-shard doc and token totals from the raw
+    * table — shard dealing and the greedy merge fold replayed in SQL. */
+  private val stagedTokenBin = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def exportTokenBin(s: SparkSession, dir: String): DataFrame = {
+    val out = stagedTokenBin.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tokbin").toString
+      Export.tokenBinShards(Tables.documents(s, d), bpeFrozenMerges, tmp, 8)
+      tmp
+    })
+    val back = Export.readBackTokens(s, out)
+      .select(col("shard"), col("doc_id"),
+        size(col("subs")).cast("bigint").as("n_tokens"),
+        sha2(array_join(col("subs"), " "), 256).as("back_sha"))
+    val ref = graft.ops.Bpe.encode(Tables.documents(s, dir), bpeFrozenMerges)
+      .select(col("doc_id"), col("subword_sha"))
+    val mismatch = back.join(ref, Seq("doc_id"), "full_outer")
+      .filter(col("back_sha").isNull || col("subword_sha").isNull ||
+        col("back_sha") =!= col("subword_sha"))
+    val ok = broadcast(mismatch.agg((count(lit(1)) === 0).as("roundtrip_ok")))
+    back.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("bigint").as("total_tokens"))
+      .crossJoin(ok)
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        col("roundtrip_ok"))
+      .orderBy("shard")
+  }
+
+  private val exportTokenBinSql = {
+    val merged = bpeMergedWordSql
+    s"""WITH a AS (
+       |  SELECT doc_id, text,
+       |    (row_number() OVER (ORDER BY ((doc_id % 1000003) * 2654435761) % 100, doc_id) - 1) % 8 AS shard
+       |  FROM documents),
+       |enc AS (
+       |  SELECT shard, doc_id,
+       |    flatten(list_transform(
+       |      list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                  x -> regexp_matches(x, '^[a-z]+$$')),
+       |      w -> $merged)) AS subs
+       |  FROM a)
+       |SELECT shard, count(*) AS n_docs,
+       |  CAST(sum(len(subs)) AS BIGINT) AS total_tokens,
+       |  CAST(1 AS BOOLEAN) AS roundtrip_ok
+       |FROM enc GROUP BY shard ORDER BY shard""".stripMargin
+  }
 
   /** Balanced training-shard plan: hash-ordered round-robin dealing, so
     * per-shard row counts differ by ≤1 whatever the id distribution. */
@@ -1726,6 +1785,7 @@ object ExtQueries {
     "export_jsonl_roundtrip" -> QueryDef(exportJsonlRoundtrip, Some(exportJsonlSql)),
     "wh_zonemap_prune" -> QueryDef(whZonemapPrune, Some(whZonemapPruneSql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
+    "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),
