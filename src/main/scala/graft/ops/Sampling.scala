@@ -200,6 +200,63 @@ object Sampling {
     * doc_id-range bucket restores parallelism — order-safe only at
     * width 1, because within one exact score the global order IS doc_id
     * ascending, which the id sub-buckets refine. */
+  /** Mixture UPSAMPLING — the epochs-per-source half of data mixing
+    * (the Pile/Dolma recipe: a small high-quality source reaches its
+    * target share of the token budget by being repeated, not just
+    * selected): for each source with target share `share_micro`/1e6 of
+    * `budgetTokens`, every document repeats `floor(N_s / T_s)` times
+    * (N_s = the source's token allocation, T_s = its one-epoch token
+    * count) and the remainder fills with ONE extra repeat for a
+    * deterministic hash-ordered prefix of the source — the same
+    * crossing rule as [[tokenBudget]], so each source overshoots its
+    * allocation by less than one document.
+    *
+    * Scale shape: the per-source totals are a #sources-row aggregate
+    * (broadcast back); the remainder prefix is the two-phase prefix sum
+    * keyed on ([[microBucket]] ranges — the hash range is KNOWN, so
+    * fixed-width buckets cannot degenerate the way score buckets could);
+    * everything else is map-only. Integer-exact end to end: shares in
+    * micro-units, token counts, floor division — the oracle replays it
+    * with per-source windows. */
+  def upsampleToMixture(docs: DataFrame, shareMicro: Map[String, Long],
+      budgetTokens: Long, hashBuckets: Int = 256): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(TextStats.tokens(col("text"))).cast("bigint").as("n_tokens"),
+      microBucket(col("doc_id")).as("_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shares = typedlit(shareMicro)
+    // exact floor(budget·share/1e6) without the 64-bit overflow a direct
+    // product hits at ~1e13 budget tokens: with budget = q·1e6 + r,
+    // floor = q·share + floor(r·share/1e6) (q·share is integral)
+    val (bq, br) = (budgetTokens / 1000000L, budgetTokens % 1000000L)
+    val totals = toks.groupBy("source")
+      .agg(sum("n_tokens").as("_t"))
+      .withColumn("_share", coalesce(element_at(shares, col("source")), lit(0L)))
+      .withColumn("_alloc",
+        lit(bq) * col("_share") + expr(s"${br}L * _share div 1000000"))
+      .select(col("source"),
+        expr("_alloc div _t").as("_full"),
+        expr("_alloc % _t").as("_rem"))
+    val wid = (1000000L + hashBuckets - 1) / hashBuckets
+    val bucketed = toks.withColumn("_b", expr(s"_h div ${wid}L"))
+    val wB = Window.partitionBy("source").orderBy("_b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("source", "_b")
+      .agg(sum("n_tokens").as("_bt"))
+      .select(col("source"), col("_b"),
+        coalesce(sum("_bt").over(wB), lit(0L)).as("_off"))
+    val wIn = Window.partitionBy("source", "_b")
+      .orderBy(col("_h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), Seq("source", "_b"))
+      .join(broadcast(totals), "source")
+      .withColumn("_cum",
+        col("_off") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("_full") + when(col("_cum") < col("_rem"), 1L).otherwise(0L))
+          .as("repeats"))
+  }
+
   /** Bucket widths for [[tokenBudget]]: (score width, doc_id width). A
     * doc_id width of Long.MaxValue means "no sub-bucketing" (the score
     * range alone yields ~targetBuckets buckets). */

@@ -959,6 +959,47 @@ object ExtQueries {
        |FROM enc GROUP BY shard ORDER BY shard""".stripMargin
   }
 
+  /** Mixture UPSAMPLING (Sampling.upsampleToMixture): src0 is granted
+    * 30% and src1 20% of a one-corpus token budget — both far above
+    * their ~5% natural share, so they repeat for multiple epochs — and
+    * the oracle replays the integer allocation, floor epochs, and the
+    * hash-ordered remainder prefix per source. */
+  private def sampleMixtureEpochs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val budget = docs
+      .select(sum(size(TextStats.tokens(col("text")))).cast("bigint"))
+      .first().getLong(0)
+    Sampling.upsampleToMixture(docs,
+      Map("src0" -> 300000L, "src1" -> 200000L), budget)
+      .orderBy("doc_id")
+  }
+
+  private val sampleMixtureEpochsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |    ((doc_id % 1000003) * 2654435761) % 1000000 AS h
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS budget FROM toks),
+      |alloc AS (
+      |  SELECT source, sum(n_tokens) AS t,
+      |    (budget // 1000000) * sh + ((budget % 1000000) * sh) // 1000000 AS alloc
+      |  FROM toks CROSS JOIN tot
+      |  CROSS JOIN LATERAL (SELECT CASE WHEN source = 'src0' THEN 300000
+      |                                  WHEN source = 'src1' THEN 200000
+      |                                  ELSE 0 END AS sh) s
+      |  GROUP BY source, sh, budget),
+      |f AS (SELECT source, alloc // t AS fullr, alloc % t AS rem FROM alloc),
+      |cum AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+      |  FROM toks)
+      |SELECT c.doc_id, c.source, c.n_tokens,
+      |  CAST(f.fullr + CASE WHEN c.cumb < f.rem THEN 1 ELSE 0 END AS BIGINT)
+      |    AS repeats
+      |FROM cum c JOIN f USING (source) ORDER BY doc_id""".stripMargin
+
   /** Balanced training-shard plan: hash-ordered round-robin dealing, so
     * per-shard row counts differ by ≤1 whatever the id distribution. */
   private def shardPlan(s: SparkSession, dir: String): DataFrame =
@@ -1786,6 +1827,7 @@ object ExtQueries {
     "wh_zonemap_prune" -> QueryDef(whZonemapPrune, Some(whZonemapPruneSql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
+    "sample_mixture_epochs" -> QueryDef(sampleMixtureEpochs, Some(sampleMixtureEpochsSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),

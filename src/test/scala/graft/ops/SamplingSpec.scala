@@ -165,6 +165,30 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.budgetWidths(1L, 1L, 256L) === ((1L, 1L)))
   }
 
+  test("upsampleToMixture: each source's repeated tokens hit its " +
+      "allocation to within one document; absent sources get zero") {
+    val docs = (1L to 300L)
+      .map(i => (i, Seq.fill((i % 17 + 3).toInt)("w" + (i % 13)).mkString(" "),
+        s"s${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val budget = 100000L
+    val shares = Map("s0" -> 600000L, "s1" -> 100000L)
+    val out = Sampling.upsampleToMixture(docs, shares, budget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.filter(_._2 == "s2").forall(_._4 === 0L), "s2 not in mixture")
+    for ((src, sh) <- shares) {
+      val rows = out.filter(_._2 == src)
+      val alloc = budget * sh / 1000000L
+      val got = rows.map(r => r._3 * r._4).sum
+      val maxDoc = rows.map(_._3).max
+      assert(got >= alloc, s"$src under-filled: $got < $alloc")
+      assert(got < alloc + maxDoc, s"$src overshot by >= one doc")
+      // s0's 60% of budget vastly exceeds its one-epoch tokens: multiple
+      // full epochs, so every doc repeats at least twice
+      if (src == "s0") assert(rows.forall(_._4 >= 2L))
+    }
+  }
+
   test("tokenBudget fills the budget: crosses it by at most one document") {
     val rows = Sampling.tokenBudget(budgetDocs, denom = 5)
       .collect()
