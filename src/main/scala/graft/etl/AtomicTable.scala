@@ -153,21 +153,36 @@ object AtomicTable {
     * usual — this operates one level above, at 100 TB saving the listing
     * and footer I/O itself. */
   def readPruned(spark: SparkSession, table: String, schema: StructType,
-      column: String, lo: String, hi: String): DataFrame = {
-    val dt = schema(column).dataType
-    val residual = col(column) >= lit(lo).cast(dt) && col(column) <= lit(hi).cast(dt)
+      column: String, lo: String, hi: String): DataFrame =
+    readPrunedMulti(spark, table, schema, Seq((column, lo, hi)))
+
+  /** Multi-column form of [[readPruned]]: a partition survives only if
+    * EVERY (column, lo, hi) bound's zone map overlaps — a z-ordered
+    * table pruned on both clustered dimensions keeps far fewer
+    * partitions than either bound alone (conjunction of box tests, the
+    * Iceberg metadata-filter shape). The residual filter is the same
+    * conjunction per row. */
+  def readPrunedMulti(spark: SparkSession, table: String, schema: StructType,
+      bounds: Seq[(String, String, String)]): DataFrame = {
+    require(bounds.nonEmpty, "at least one (column, lo, hi) bound")
+    val residual = bounds.map { case (c, lo, hi) =>
+      val dt = schema(c).dataType
+      col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
+    }.reduce(_ && _)
     manifest(Paths.get(table)) match {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(m) =>
         val kept = m.partitions.filter { case (part, _) =>
           m.stats.get(part) match {
-            case Some(s) =>
-              (s.mins.get(column), s.maxs.get(column)) match {
+            case Some(s) => bounds.forall { case (c, lo, hi) =>
+              val dt = schema(c).dataType
+              (s.mins.get(c), s.maxs.get(c)) match {
                 case (Some(mn), Some(mx)) =>
                   statsCompare(dt, mn, hi) <= 0 && statsCompare(dt, mx, lo) >= 0
                 case _ => true // column untracked in this partition
               }
+            }
             case None => true // no zone map: cannot prune, must read
           }
         }

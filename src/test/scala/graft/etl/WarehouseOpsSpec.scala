@@ -113,6 +113,17 @@ class WarehouseOpsSpec extends SparkSuite {
     assert(touched.size <= 8,
       s"z-order zone maps should prune most partitions, touched $touched")
     assert(pruned.count() === rows.filter($"x" <= 7).count())
+    // BOTH clustered dimensions bounded: the conjunction of box tests
+    // keeps strictly fewer partitions than either bound alone
+    val box = AtomicTable.readPrunedMulti(spark, table, schema,
+      Seq(("x", "0", "7"), ("y", "0", "7")))
+    val touched2 = box.inputFiles
+      .flatMap(f => "zbin=(\\d+)".r.findFirstMatchIn(f).map(_.group(1)))
+      .toSet
+    assert(touched2.size < touched.size,
+      s"2-D bounds must prune further: $touched2 vs $touched")
+    assert(box.count() ===
+      rows.filter($"x" <= 7 && $"y" <= 7).count())
   }
 
   test("compactFragmented rewrites only fragmented partitions; healthy " +
