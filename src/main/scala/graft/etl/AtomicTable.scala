@@ -297,17 +297,23 @@ object AtomicTable {
         // partitioner sampling, rand(), spark_partition_id over a fresh
         // shuffle) can place rows differently on re-execution, and a
         // committed zone map that does not bound the written files makes
-        // readPruned silently drop qualifying partitions. Reading back
-        // the txn dir scans exactly the bytes being committed — and only
-        // the stats columns, thanks to parquet column pruning.
-        val staged = spark.read.option("basePath", txnDir.toString)
-          .parquet(txnDir.toString)
+        // readPruned silently drop qualifying partitions. Each partition
+        // dir is read under its MANIFEST key (no partition-value type
+        // inference — a dir like part=00123 would otherwise come back as
+        // int 123, orphaning its stats or, worse, attaching its bounds
+        // to a genuinely different partition named "123"). Only the
+        // stats columns are scanned, thanks to parquet column pruning.
+        val staged = written.toSeq.map { case (k, rel) =>
+          spark.read.parquet(root.resolve(rel).toString)
+            .select(statsColumns.map(col): _*)
+            .withColumn("_part", org.apache.spark.sql.functions.lit(k))
+        }.reduce(_.unionByName(_))
         val aggs = Seq(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("_rows")) ++
           statsColumns.flatMap(c => Seq(
             org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"_min_$c"),
             org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"_max_$c")))
-        staged.groupBy(col(partitionCol).cast("string").as("_part"))
+        staged.groupBy(col("_part"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>

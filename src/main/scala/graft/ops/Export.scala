@@ -62,52 +62,113 @@ object Export {
       TextStats.langStopwords.map(_._2))
     val words = graft.functions.TextExprs.alphaTokens(spark, "text")
     val flat = graft.functions.BpeExpr.subwords(words, merges)
-    val enc = Sampling.assignShards(docs, n)
-      .select(col("shard"), col("doc_id"), flat.as("subs"))
-    val vocab = enc.select(explode(col("subs")).as("s")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val vocabIx: Map[String, Int] = vocab.zipWithIndex.toMap
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "vocab.txt"),
-      vocab.mkString("", "\n", "\n").getBytes("UTF-8"))
-    val bc = spark.sparkContext.broadcast(vocabIx)
-    enc.repartition(n, col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
-      .select(col("shard"), col("doc_id"), col("subs"))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val vx = bc.value
-        var curShard = -1L
-        var binCh: java.io.DataOutputStream = null
-        var idxCh: java.io.DataOutputStream = null
-        var offset = 0L
-        def close(): Unit = if (binCh != null) { binCh.close(); idxCh.close() }
-        def le32(v: Int): Array[Byte] = Array[Byte](
-          (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-          ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-        def le64(v: Long): Array[Byte] =
-          le32((v & 0xffffffffL).toInt) ++ le32((v >>> 32).toInt)
-        it.foreach { r =>
-          val shard = r.getLong(0)
-          if (shard != curShard) {
-            close()
-            val d = java.nio.file.Paths.get(dir, s"shard=$shard")
-            java.nio.file.Files.createDirectories(d)
-            binCh = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-              java.nio.file.Files.newOutputStream(d.resolve("data.bin"))))
-            idxCh = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
-              java.nio.file.Files.newOutputStream(d.resolve("index.idx"))))
-            curShard = shard
-            offset = 0L
-          }
-          val subs = r.getSeq[String](2)
-          idxCh.write(le64(r.getLong(1)))
-          idxCh.write(le64(offset))
-          idxCh.write(le32(subs.length))
-          subs.foreach(s => binCh.write(le32(vx(s))))
-          offset += subs.length
-        }
-        close()
+    // the encode runs ONCE: vocab collect and shard write are two
+    // actions over this persisted projection (subword arrays only — the
+    // text never re-tokenizes, the BPE fold never re-runs)
+    val enc = docs.select(col("doc_id"), flat.as("subs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vocab = enc.select(explode(col("subs")).as("s")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val vocabIx: Map[String, Int] = vocab.zipWithIndex.toMap
+      // OVERWRITE semantics, like jsonlShards: stale shard dirs from a
+      // previous (possibly wider) export must not survive and merge into
+      // the new one under a mismatched vocab
+      val out = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.isDirectory(out)) {
+        val s = java.nio.file.Files.list(out)
+        try s.iterator().asScala.toList
+          .filter(p => p.getFileName.toString.startsWith("shard=") ||
+            p.getFileName.toString == "_SUCCESS")
+          .foreach(deleteRecursively)
+        finally s.close()
       }
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.write(out.resolve("vocab.txt"),
+        vocab.mkString("", "\n", "\n").getBytes("UTF-8"))
+      val bc = spark.sparkContext.broadcast(vocabIx)
+      Sampling.assignShards(enc, n)
+        .repartition(n, col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .select(col("shard"), col("doc_id"), col("subs"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          writeShardFiles(dir, bc.value, it)
+        }
+      // completion marker LAST: a killed export leaves no _SUCCESS and
+      // readBackTokens refuses the partial dir
+      java.nio.file.Files.write(out.resolve("_SUCCESS"), Array.empty[Byte])
+      ()
+    } finally { enc.unpersist(); () }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val children = java.nio.file.Files.list(p)
+      try children.forEach(deleteRecursively(_)) finally children.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
+  }
+
+  /** One task's shard files. Each file is staged under a task-unique tmp
+    * name and ATOMICALLY renamed into place — a zombie or speculative
+    * duplicate attempt then cannot interleave bytes into a live file,
+    * and because shard content is a pure function of the corpus (sorted
+    * docs, deterministic vocab), whichever attempt's rename lands last
+    * leaves identical, mutually consistent bin/idx bytes. Streams close
+    * on every path. */
+  private def writeShardFiles(dir: String, vx: Map[String, Int],
+      it: Iterator[org.apache.spark.sql.Row]): Unit = {
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    var curShard = -1L
+    var d: java.nio.file.Path = null
+    var binCh: java.io.DataOutputStream = null
+    var idxCh: java.io.DataOutputStream = null
+    var offset = 0L
+    def le32(v: Int): Array[Byte] = Array[Byte](
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le64(v: Long): Array[Byte] =
+      le32((v & 0xffffffffL).toInt) ++ le32((v >>> 32).toInt)
+    def finishShard(): Unit = if (binCh != null) {
+      try binCh.close() finally binCh = null
+      try idxCh.close() finally idxCh = null
+      java.nio.file.Files.move(d.resolve(s".data.bin.$attempt"),
+        d.resolve("data.bin"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.move(d.resolve(s".index.idx.$attempt"),
+        d.resolve("index.idx"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    def abandon(): Unit = {
+      if (binCh != null) { try binCh.close() catch { case _: Throwable => () } }
+      if (idxCh != null) { try idxCh.close() catch { case _: Throwable => () } }
+    }
+    try {
+      it.foreach { r =>
+        val shard = r.getLong(0)
+        if (shard != curShard) {
+          finishShard()
+          d = java.nio.file.Paths.get(dir, s"shard=$shard")
+          java.nio.file.Files.createDirectories(d)
+          binCh = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(d.resolve(s".data.bin.$attempt"))))
+          idxCh = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+            java.nio.file.Files.newOutputStream(d.resolve(s".index.idx.$attempt"))))
+          curShard = shard
+          offset = 0L
+        }
+        val subs = r.getSeq[String](2)
+        idxCh.write(le64(r.getLong(1)))
+        idxCh.write(le64(offset))
+        idxCh.write(le32(subs.length))
+        subs.foreach(s => binCh.write(le32(vx(s))))
+        offset += subs.length
+      }
+      finishShard()
+    } catch { case t: Throwable => abandon(); throw t }
   }
 
   /** Read a token-binary export back: one row per document with its
@@ -116,6 +177,9 @@ object Export {
     * parallel, one task per shard. */
   def readBackTokens(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_SUCCESS")),
+      s"$dir has no _SUCCESS marker: the export did not complete " +
+        "(a partial dir would read back as a silently truncated corpus)")
     val vocab = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(dir, "vocab.txt")), "UTF-8")
       .split("\n", -1).dropRight(1)

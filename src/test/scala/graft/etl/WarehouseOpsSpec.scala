@@ -85,6 +85,29 @@ class WarehouseOpsSpec extends SparkSuite {
       .count() === 1L)
   }
 
+  test("zone-map stats key by the MANIFEST partition name, immune to " +
+      "partition-value type inference") {
+    // "00123" and "123" are distinct string partitions but the same
+    // value under spark's dir-name type inference — stats keyed through
+    // an inferred read would orphan one and cross-wire the other
+    val table = freshTable()
+    val schema = StructType(Seq(
+      StructField("v", org.apache.spark.sql.types.LongType),
+      StructField("part", org.apache.spark.sql.types.StringType)))
+    val rows = (Seq((1L, "00123"), (2L, "00123"), (1000L, "123")))
+      .toDF("v", "part")
+    AtomicTable.replacePartitions(spark, table, rows, "part",
+      statsColumns = Seq("v"))
+    val m = AtomicTable.manifest(Paths.get(table)).get
+    assert(m.stats("00123") === AtomicTable.PartStats(2L,
+      Map("v" -> "1"), Map("v" -> "2")))
+    assert(m.stats("123") === AtomicTable.PartStats(1L,
+      Map("v" -> "1000"), Map("v" -> "1000")))
+    // a read for v=1000 must NOT be pruned away by 00123's bounds
+    assert(AtomicTable.readPruned(spark, table, schema, "v", "1000", "1000")
+      .count() === 1L)
+  }
+
   test("z-order layout + zone maps compose: a range read over the " +
       "clustered key prunes most partitions from metadata") {
     val table = freshTable()

@@ -61,6 +61,28 @@ class ExportSpec extends SparkSuite {
       Seq("ta", "b", "l", "e", "sc", "a", "n", "ta", "b", "l", "e"))
   }
 
+  test("re-export overwrites stale shards; partial exports are refused") {
+    val docs = (1L to 30L).map(i => (i, s"table scan data q${i % 5}"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-tb3").toString
+    Export.tokenBinShards(docs, merges, dir, n = 6)
+    assert(Files.exists(Paths.get(dir, "_SUCCESS")))
+    // narrower re-export into the same dir: old shard=4..5 must be gone
+    Export.tokenBinShards(docs, merges, dir, n = 2)
+    val shardDirs = Files.list(Paths.get(dir)).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.startsWith("shard=")).toSet
+    assert(shardDirs === Set("shard=0", "shard=1"),
+      s"stale shards survived the re-export: $shardDirs")
+    assert(Export.readBackTokens(spark, dir).count() === 30L)
+    // a dir without the completion marker reads as an error, not as a
+    // silently truncated corpus
+    Files.delete(Paths.get(dir, "_SUCCESS"))
+    intercept[IllegalArgumentException] {
+      Export.readBackTokens(spark, dir)
+    }
+  }
+
   test("export is deterministic: same corpus, byte-identical shards") {
     val docs = (1L to 40L).map(i => (i, s"table scan data value q${i % 5}"))
       .toDF("doc_id", "text")
