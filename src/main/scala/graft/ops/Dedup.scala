@@ -314,6 +314,46 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Perceptual IMAGE dedup, exact-hash form: every image mapped to the
+    * keeper (min media_id) of its average-hash group — the image twin of
+    * [[canonicalize]], one shuffle on the 8-byte hash. Input:
+    * (media_id, ahash) from [[Multimodal.imageHashes]]. */
+  def perceptualCanonicalize(hashes: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    hashes.select(col("media_id"), col("ahash"))
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .select(col("media_id"), col("ahash"), col("canonical_id"),
+        (col("media_id") =!= col("canonical_id")).as("is_dup"))
+  }
+
+  /** Perceptual image NEAR-dup pairs: band the 64-bit average hash into
+    * 8 bytes — any pair within Hamming distance 7 must agree on at least
+    * one byte (pigeonhole) — then verify the true Hamming distance. The
+    * [[simhashPairs]] shape widened to a 64-bit code; `maxHamming` must
+    * stay ≤ 7 for the banding guarantee. */
+  def perceptualPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
+    require(maxHamming <= 7,
+      "8 bands of 8 bits only guarantee collisions up to Hamming 7")
+    val bands = array((0 until 8).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("ahash"), j * 8).bitwiseAND(0xFF).as("bucket"))
+    }: _*)
+    val banded = hashes
+      .select(col("media_id"), col("ahash"), explode(bands).as("b"))
+      .select(col("media_id"), col("ahash"), col("b.band"), col("b.bucket"))
+      .persist() // one materialization for both self-join sides
+    val left = banded.select(col("band"), col("bucket"),
+      col("media_id").as("id_a"), col("ahash").as("h_a"))
+    val right = banded.select(col("band"), col("bucket"),
+      col("media_id").as("id_b"), col("ahash").as("h_b"))
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** n-gram Jaccard similarity over a deterministic document sample:
     * top-k most similar same-language pairs. Pure set algebra (no
     * engine-specific hashing), so it is cross-engine oracle-checkable. */

@@ -140,6 +140,66 @@ object Multimodal {
         (col("doc_id") * 40 + 1000).as("duration_ms")).as("meta"))
   }
 
+  /** Horizontally striped 16×16 PNG: row r is the solid color
+    * `palette(stripeIx(seed, r))` — a fixture whose 8×8 average-hash is
+    * derivable in closed form (each hash cell-row averages two uniform
+    * image rows), so the perceptual-dedup oracle can recompute every
+    * hash bit in SQL. */
+  def renderPngStripes(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      val rgb = stripeRgb(seed, y)
+      var x = 0
+      while (x < 16) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Color of stripe row y for a seed — the generative formula the
+    * oracle replays (same Knuth-multiplier family as [[Mp4.frameRgb]]). */
+  def stripeRgb(seed: Long, y: Int): Int =
+    ((seed * 2654435761L + (y / 2).toLong * 40503L) & 0xffffffL).toInt
+
+  /** 64-bit perceptual AVERAGE HASH of an image, integer-exact: the
+    * image is partitioned into an 8×8 grid, each cell's luminance SUM
+    * (BT.709 integer weights, same as [[imageHistCounts]]) is compared
+    * against the grid mean without any division —
+    * bit = cellSum·64 > totalSum — so the hash is bit-reproducible by
+    * any engine from the pixels. Bit 63 is cell (0,0), row-major
+    * (MSB-first). Requires dimensions divisible by 8; None otherwise
+    * (corpus images are normalized by the resize stage first). */
+  def averageHash(img: java.awt.image.BufferedImage): Option[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w % 8 != 0 || h % 8 != 0 || w == 0 || h == 0) return None
+    val (cw, ch) = (w / 8, h / 8)
+    val sums = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff) +
+          722 * (rgb & 0xff)) / 10000
+        sums((y / ch) * 8 + x / cw) += lum
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (sums(i) * 64L > total) hash |= 1L << (63 - i)
+      i += 1
+    }
+    Some(hash)
+  }
+
   /** Real image decode: JDK ImageIO (PNG/BMP/GIF/JPEG). None when the
     * bytes aren't a decodable image. */
   /** Pixel budget per image — the standard decompression-bomb guard: a
@@ -417,6 +477,23 @@ object Multimodal {
           MediaIntFeatures(m.media_id, m.kind, feats)
         }
       }
+  }
+
+  final case class MediaHash(media_id: Long, ahash: Long)
+
+  /** Perceptual hashes for image payloads: decode + [[averageHash]] in
+    * the same mapPartitions batch shape as the feature extractors.
+    * Undecodable or un-hashable payloads contribute no row (corrupt
+    * payloads are data; a dedup pass must simply not dedup them).
+    * Input needs (media_id, payload). */
+  def imageHashes(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        decodeImage(p).flatMap(averageHash).map(MediaHash(id, _))
+      })
   }
 
   final case class VideoKeyframe(media_id: Long, kf_index: Long,

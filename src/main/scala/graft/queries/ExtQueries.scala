@@ -1517,6 +1517,47 @@ object ExtQueries {
       |WHERE feature_val <> 0
       |ORDER BY media_id, feature_id""".stripMargin
 
+  /** Perceptual IMAGE dedup oracled end-to-end: every document renders a
+    * striped 16×16 PNG whose stripe pattern repeats with period 41
+    * (planted duplicate groups), the engine decodes the pixels and
+    * computes the integer-exact 64-bit average hash, and DuckDB replays
+    * the hash from the stripe formula — each 8×8 cell-row averages two
+    * uniform rows, so bit r = (8·lum_r > Σ lum). A wrong decode, wrong
+    * BT.709 luminance, wrong grid mean, or wrong bit order shifts hex
+    * digits and fails the hash; the dup groups prove the dedup window.
+    * The hash crosses as 16 hex chars — bit 63 makes the raw BIGINT
+    * negative, which hex sidesteps portably. */
+  private def mmImageDedup(s: SparkSession, dir: String): DataFrame = {
+    val stripes = udf((seed: Long) => Multimodal.renderPngStripes(seed))
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        stripes(col("doc_id") % 41).as("payload"))
+    Dedup.perceptualCanonicalize(Multimodal.imageHashes(media).toDF())
+      .select(col("media_id"),
+        format_string("%016x", col("ahash")).as("ahash_hex"),
+        col("canonical_id"), col("is_dup"))
+      .orderBy("media_id")
+  }
+
+  private val mmImageDedupSql =
+    """WITH lums AS (
+      |  SELECT doc_id, r,
+      |    (2126 * (rgb // 65536) + 7152 * ((rgb // 256) % 256)
+      |      + 722 * (rgb % 256)) // 10000 AS lum
+      |  FROM (SELECT doc_id, r,
+      |          ((doc_id % 41) * 2654435761 + r * 40503) % 16777216 AS rgb
+      |        FROM documents, range(0, 8) t(r))),
+      |tot AS (SELECT doc_id, sum(lum) AS tot FROM lums GROUP BY 1),
+      |hx AS (
+      |  SELECT l.doc_id,
+      |    string_agg(CASE WHEN 8 * l.lum > t.tot THEN 'ff' ELSE '00' END,
+      |               '' ORDER BY l.r) AS ahash_hex
+      |  FROM lums l JOIN tot t USING (doc_id) GROUP BY l.doc_id)
+      |SELECT doc_id AS media_id, ahash_hex,
+      |  min(doc_id) OVER (PARTITION BY ahash_hex) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY ahash_hex) AS is_dup
+      |FROM hx ORDER BY media_id""".stripMargin
+
   /** The VIDEO container path oracled end-to-end: keyframe sample index,
     * presentation time, byte offset and size are PARSED from real MP4
     * sample tables (moov/trak/mdia/minf/stbl walk), while DuckDB derives
@@ -1828,6 +1869,7 @@ object ExtQueries {
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
     "sample_mixture_epochs" -> QueryDef(sampleMixtureEpochs, Some(sampleMixtureEpochsSql)),
+    "mm_image_dedup" -> QueryDef(mmImageDedup, Some(mmImageDedupSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),

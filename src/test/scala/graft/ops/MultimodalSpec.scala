@@ -173,6 +173,62 @@ class MultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeVideoHist("junk".getBytes("UTF-8"), 16).isEmpty)
   }
 
+  test("average hash: striped PNG decodes to the closed-form hash; " +
+      "exact-dup groups form per stripe pattern") {
+    import spark.implicits._
+    // same stripe seed -> identical image -> one group
+    val media = Seq((1L, 5L), (2L, 9L), (3L, 5L))
+      .map { case (id, seed) => (id, Multimodal.renderPngStripes(seed)) }
+      .toDF("media_id", "payload")
+    val hashed = Multimodal.imageHashes(media).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    assert(hashed(1L) === hashed(3L))
+    assert(hashed(1L) !== hashed(2L))
+    // closed form: bit-row r set iff 8*lum_r > sum(lum)
+    val lums = (0 until 8).map { r =>
+      val rgb = Multimodal.stripeRgb(5L, 2 * r)
+      (2126 * ((rgb >> 16) & 0xff) + 7152 * ((rgb >> 8) & 0xff) +
+        722 * (rgb & 0xff)) / 10000
+    }
+    val tot = lums.sum
+    val expected = (0 until 8).foldLeft(0L) { (acc, r) =>
+      if (8L * lums(r) > tot) acc | (0xFFL << (8 * (7 - r))) else acc
+    }
+    assert(hashed(1L) === expected)
+    val groups = graft.ops.Dedup.perceptualCanonicalize(
+      Multimodal.imageHashes(media).toDF()).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(groups === Map(1L -> ((1L, false)), 2L -> ((2L, false)),
+      3L -> ((1L, true))))
+  }
+
+  test("perceptual near-dup pairs: pigeonhole banding finds all pairs " +
+      "within Hamming 7, drops beyond") {
+    import spark.implicits._
+    val h = 0x00FF00FF00FF00FFL
+    val hashes = Seq(
+      (1L, h),
+      (2L, h ^ 0x3L),            // Hamming 2 of 1
+      (3L, h ^ 0x01010101010101L
+
+        | 0L),                   // 7 bits flipped, one per byte — Hamming 7
+      (4L, h ^ 0xFF00L),         // a full byte flipped — Hamming 8, excluded
+      (5L, h)).toDF("media_id", "ahash")
+    val pairs = graft.ops.Dedup.perceptualPairs(hashes, maxHamming = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Number]("hamming").longValue).toMap
+    assert(pairs.get((1L, 2L)) === Some(2L))
+    assert(pairs.get((1L, 5L)) === Some(0L))
+    assert(pairs.get((2L, 5L)) === Some(2L))
+    assert(pairs.get((1L, 3L)) === Some(7L),
+      "Hamming-7 pair must survive the 8x8 pigeonhole banding")
+    assert(!pairs.contains((1L, 4L)), "Hamming 8 must be dropped")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.perceptualPairs(hashes, maxHamming = 8)
+    }
+  }
+
   test("frame sampling emits ceil(duration/step) frames per video") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L)
     val counts = frames.groupBy("media_id", "duration_ms")
