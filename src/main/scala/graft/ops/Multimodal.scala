@@ -480,6 +480,24 @@ object Multimodal {
   }
 
   final case class MediaHash(media_id: Long, ahash: Long)
+  final case class AudioPrint(media_id: Long, energies: Array[Long])
+
+  /** Acoustic fingerprints for audio payloads: decode + the integer-
+    * exact [[audioWindowEnergies]] envelope (the signature mm_av_features
+    * already oracles per window). Two payloads with the same decoded PCM
+    * produce identical envelopes, so a group-by on the envelope is exact
+    * audio dedup — robust to container re-muxing (WAV header variants),
+    * not to re-encoding (that needs a spectral fingerprint, which would
+    * slot into this same batch shape). */
+  def audioPrints(media: DataFrame, dim: Int = 16): Dataset[AudioPrint] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        decodeAudio(p).map(s => AudioPrint(id, audioWindowEnergies(s, dim)))
+      })
+  }
 
   /** Perceptual hashes for image payloads: decode + [[averageHash]] in
     * the same mapPartitions batch shape as the feature extractors.

@@ -1558,6 +1558,46 @@ object ExtQueries {
       |  doc_id <> min(doc_id) OVER (PARTITION BY ahash_hex) AS is_dup
       |FROM hx ORDER BY media_id""".stripMargin
 
+  /** Acoustic dedup oracled end-to-end: every document renders a WAV
+    * (seed = doc_id, frequency period 17 → planted duplicate groups at
+    * the SIGNAL level even though seeds differ), the engine decodes the
+    * PCM and fingerprints it with the integer-exact windowed-energy
+    * envelope, and DuckDB recomputes the same envelope from the sine
+    * formula (the mm_av_features recipe) — dedup groups then fall out of
+    * a window over the fingerprint string on both sides. */
+  private def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
+    val wav = udf((seed: Long) => Multimodal.renderWav(seed))
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), wav(col("doc_id")).as("payload"))
+    val prints = Multimodal.audioPrints(media).toDF()
+      .select(col("media_id"),
+        sha2(concat_ws(",", col("energies")), 256).as("fingerprint"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    prints
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .select(col("media_id"), col("fingerprint"), col("canonical_id"),
+        (col("media_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("media_id")
+  }
+
+  private val mmAudioDedupSql =
+    """WITH samp AS (
+      |  SELECT doc_id, i // 25 AS w,
+      |    CAST(trunc(sin(2 * pi() * (200.0 + (doc_id % 17) * 50.0)
+      |      * i / 8000.0) * 12000) AS BIGINT) AS s
+      |  FROM documents, range(0, 400) t(i)),
+      |env AS (
+      |  SELECT doc_id, w, CAST(sum(s * s) AS BIGINT) AS e
+      |  FROM samp GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT doc_id,
+      |    sha256(string_agg(CAST(e AS VARCHAR), ',' ORDER BY w)) AS fingerprint
+      |  FROM env GROUP BY 1)
+      |SELECT doc_id AS media_id, fingerprint,
+      |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+      |FROM fp ORDER BY media_id""".stripMargin
+
   /** The VIDEO container path oracled end-to-end: keyframe sample index,
     * presentation time, byte offset and size are PARSED from real MP4
     * sample tables (moov/trak/mdia/minf/stbl walk), while DuckDB derives
@@ -1870,6 +1910,7 @@ object ExtQueries {
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
     "sample_mixture_epochs" -> QueryDef(sampleMixtureEpochs, Some(sampleMixtureEpochsSql)),
     "mm_image_dedup" -> QueryDef(mmImageDedup, Some(mmImageDedupSql)),
+    "mm_audio_dedup" -> QueryDef(mmAudioDedup, Some(mmAudioDedupSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),
