@@ -297,27 +297,43 @@ object AtomicTable {
         // partitioner sampling, rand(), spark_partition_id over a fresh
         // shuffle) can place rows differently on re-execution, and a
         // committed zone map that does not bound the written files makes
-        // readPruned silently drop qualifying partitions. Each partition
-        // dir is read under its MANIFEST key (no partition-value type
-        // inference — a dir like part=00123 would otherwise come back as
-        // int 123, orphaning its stats or, worse, attaching its bounds
-        // to a genuinely different partition named "123"). Only the
-        // stats columns are scanned, thanks to parquet column pruning.
-        val staged = written.toSeq.map { case (k, rel) =>
-          spark.read.parquet(root.resolve(rel).toString)
-            .select(statsColumns.map(col): _*)
-            .withColumn("_part", org.apache.spark.sql.functions.lit(k))
-        }.reduce(_.unionByName(_))
+        // readPruned silently drop qualifying partitions. ONE scan of
+        // the txn dir (a commit replacing thousands of partitions must
+        // not build thousands of per-dir plans), keyed by the partition
+        // DIR NAME extracted from each row's file path and mapped back
+        // to the manifest key driver-side — never through Spark's
+        // partition-VALUE inference, which would read part=00123 as int
+        // 123 and orphan or cross-wire its stats. Only the stats columns
+        // are scanned, thanks to parquet column pruning.
+        val dirToKey: Map[String, String] = written.keys.map(k =>
+          ExternalCatalogUtils.escapePathName(k) -> k).toMap
+        val dirPattern =
+          java.util.regex.Pattern.quote(s"$partitionCol=") + "([^/]+)/"
+        val staged = spark.read.option("basePath", txnDir.toString)
+          .parquet(txnDir.toString)
+          .select(statsColumns.map(col) :+
+            org.apache.spark.sql.functions.regexp_extract(
+              org.apache.spark.sql.functions.input_file_name(),
+              dirPattern, 1).as("_dir"): _*)
         val aggs = Seq(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("_rows")) ++
           statsColumns.flatMap(c => Seq(
             org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"_min_$c"),
             org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"_max_$c")))
-        staged.groupBy(col("_part"))
+        staged.groupBy(col("_dir"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
-            r.getString(0) -> PartStats(r.getLong(1),
+            // input_file_name URI-encodes the path; the dir segment may
+            // be percent-encoded on top of Hive's own escaping — decode
+            // until it resolves against the written keys
+            val raw = r.getString(0)
+            val key = dirToKey.getOrElse(raw,
+              dirToKey.getOrElse(
+                java.net.URLDecoder.decode(raw, "UTF-8"),
+                ExternalCatalogUtils.unescapePathName(
+                  java.net.URLDecoder.decode(raw, "UTF-8"))))
+            key -> PartStats(r.getLong(1),
               statsColumns.zipWithIndex.flatMap { case (c, i) =>
                 Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
               statsColumns.zipWithIndex.flatMap { case (c, i) =>

@@ -288,31 +288,47 @@ object Dedup {
         HashExprs.simhash32(docs.sparkSession, "toks").as("simhash"))
   }
 
-  /** SimHash near-duplicate pairs: band the 32-bit hash into 4 bytes —
-    * any pair within Hamming distance 3 must agree on at least one byte
-    * (pigeonhole) — then verify the true Hamming distance. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val withSim = simhashes(docs)
-    val bands = array((0 until 4).map { j =>
+  /** Shared pigeonhole-banded Hamming pair miner: split an integer hash
+    * into `nBands` bytes — any pair within Hamming distance `nBands − 1`
+    * must agree on at least one byte — bucket-join on (band, byte), and
+    * verify the true Hamming distance BEFORE the pair-dedup shuffle
+    * (two longs of arithmetic, so only true near-dups enter the
+    * exchange). A `maxHamming` ABOVE `nBands − 1` is allowed but
+    * best-effort: such pairs are found only when their differing bits
+    * happen to spare one byte (simhashPairs runs at 6 over 4 bands this
+    * way, with its recall pinned by the planted oracle); callers that
+    * need the hard guarantee enforce the bound themselves
+    * ([[perceptualPairs]]). The one banded projection is persisted for
+    * both self-join sides — released by the caller's clearCache, the
+    * same lifecycle convention as [[minhashPairs]]' candidate tables. */
+  private def bandedHammingPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, nBands: Int, maxHamming: Int): DataFrame = {
+    val bands = array((0 until nBands).map { j =>
       struct(lit(j).as("band"),
-        shiftright(col("simhash"), j * 8).bitwiseAND(0xFF).as("bucket"))
+        shiftright(col(hashCol), j * 8).bitwiseAND(0xFF).as("bucket"))
     }: _*)
-    val banded = withSim.select(col("doc_id"), col("simhash"), explode(bands).as("b"))
-      .select(col("doc_id"), col("simhash"), col("b.band"), col("b.bucket"))
+    val banded = hashes
+      .select(col(idCol), col(hashCol), explode(bands).as("b"))
+      .select(col(idCol), col(hashCol), col("b.band"), col("b.bucket"))
       .persist() // one materialization for both self-join sides
     val left = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("simhash").as("sim_a"))
+      col(idCol).as("id_a"), col(hashCol).as("h_a"))
     val right = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("simhash").as("sim_b"))
-    // the Hamming verify is two longs of arithmetic — run it BEFORE the
-    // pair-dedup shuffle so only true near-dups enter the exchange
+      col(idCol).as("id_b"), col(hashCol).as("h_b"))
     left.join(right, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
       .filter(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-duplicate pairs: band the 32-bit hash into 4 bytes —
+    * any pair within Hamming distance 3 must agree on at least one byte
+    * (pigeonhole) — then verify the true Hamming distance. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    bandedHammingPairs(simhashes(docs), "doc_id", "simhash",
+      nBands = 4, maxHamming = maxHamming)
 
   /** Perceptual IMAGE dedup, exact-hash form: every image mapped to the
     * keeper (min media_id) of its average-hash group — the image twin of
@@ -326,32 +342,14 @@ object Dedup {
         (col("media_id") =!= col("canonical_id")).as("is_dup"))
   }
 
-  /** Perceptual image NEAR-dup pairs: band the 64-bit average hash into
-    * 8 bytes — any pair within Hamming distance 7 must agree on at least
-    * one byte (pigeonhole) — then verify the true Hamming distance. The
-    * [[simhashPairs]] shape widened to a 64-bit code; `maxHamming` must
-    * stay ≤ 7 for the banding guarantee. */
+  /** Perceptual image NEAR-dup pairs: the [[bandedHammingPairs]] miner
+    * over the 64-bit average hash (8 byte-bands, so `maxHamming` ≤ 7 for
+    * the pigeonhole guarantee). */
   def perceptualPairs(hashes: DataFrame, maxHamming: Int = 7): DataFrame = {
     require(maxHamming <= 7,
       "8 bands of 8 bits only guarantee collisions up to Hamming 7")
-    val bands = array((0 until 8).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("ahash"), j * 8).bitwiseAND(0xFF).as("bucket"))
-    }: _*)
-    val banded = hashes
-      .select(col("media_id"), col("ahash"), explode(bands).as("b"))
-      .select(col("media_id"), col("ahash"), col("b.band"), col("b.bucket"))
-      .persist() // one materialization for both self-join sides
-    val left = banded.select(col("band"), col("bucket"),
-      col("media_id").as("id_a"), col("ahash").as("h_a"))
-    val right = banded.select(col("band"), col("bucket"),
-      col("media_id").as("id_b"), col("ahash").as("h_b"))
-    left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", bit_count(col("h_a").bitwiseXOR(col("h_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .dropDuplicates("id_a", "id_b")
-      .select("id_a", "id_b", "hamming")
+    bandedHammingPairs(hashes, "media_id", "ahash",
+      nBands = 8, maxHamming = maxHamming)
   }
 
   /** n-gram Jaccard similarity over a deterministic document sample:

@@ -145,6 +145,16 @@ object Export {
     def abandon(): Unit = {
       if (binCh != null) { try binCh.close() catch { case _: Throwable => () } }
       if (idxCh != null) { try idxCh.close() catch { case _: Throwable => () } }
+      // a failed attempt must not leave partial .tmp binaries inside an
+      // export that a later attempt completes — anything globbing
+      // shard=* would ship them
+      if (d != null) {
+        try {
+          java.nio.file.Files.deleteIfExists(d.resolve(s".data.bin.$attempt"))
+          java.nio.file.Files.deleteIfExists(d.resolve(s".index.idx.$attempt"))
+          ()
+        } catch { case _: Throwable => () }
+      }
     }
     try {
       it.foreach { r =>

@@ -1564,7 +1564,12 @@ object ExtQueries {
     * PCM and fingerprints it with the integer-exact windowed-energy
     * envelope, and DuckDB recomputes the same envelope from the sine
     * formula (the mm_av_features recipe) — dedup groups then fall out of
-    * a window over the fingerprint string on both sides. */
+    * a window over the fingerprint string on both sides. Pinned
+    * assumption (shared with mm_av_features): Java Math.sin and the
+    * oracle's libm agree on trunc(sin·12000) at every sampled phase —
+    * verified here with 1.5e-14 minimum distance to a truncation
+    * boundary; a 1-ulp libm divergence AT a boundary would fail the
+    * hash loudly on that platform, never silently corrupt. */
   private def mmAudioDedup(s: SparkSession, dir: String): DataFrame = {
     val wav = udf((seed: Long) => Multimodal.renderWav(seed))
     val media = Tables.documents(s, dir)

@@ -94,7 +94,8 @@ class WarehouseOpsSpec extends SparkSuite {
     val schema = StructType(Seq(
       StructField("v", org.apache.spark.sql.types.LongType),
       StructField("part", org.apache.spark.sql.types.StringType)))
-    val rows = (Seq((1L, "00123"), (2L, "00123"), (1000L, "123")))
+    val rows = (Seq((1L, "00123"), (2L, "00123"), (1000L, "123"),
+      (7L, "a b:c"))) // space + colon exercise Hive path escaping
       .toDF("v", "part")
     AtomicTable.replacePartitions(spark, table, rows, "part",
       statsColumns = Seq("v"))
@@ -103,6 +104,8 @@ class WarehouseOpsSpec extends SparkSuite {
       Map("v" -> "1"), Map("v" -> "2")))
     assert(m.stats("123") === AtomicTable.PartStats(1L,
       Map("v" -> "1000"), Map("v" -> "1000")))
+    assert(m.stats("a b:c") === AtomicTable.PartStats(1L,
+      Map("v" -> "7"), Map("v" -> "7")))
     // a read for v=1000 must NOT be pruned away by 00123's bounds
     assert(AtomicTable.readPruned(spark, table, schema, "v", "1000", "1000")
       .count() === 1L)
