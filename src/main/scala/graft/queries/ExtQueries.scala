@@ -1603,6 +1603,64 @@ object ExtQueries {
       |  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
       |FROM fp ORDER BY media_id""".stripMargin
 
+  /** VIDEO dedup oracled end-to-end, completing the modality trifecta
+    * with mm_image_dedup / mm_audio_dedup: every document renders an MP4
+    * whose seed repeats with period 37 (planted duplicate videos), the
+    * engine walks the container, decodes every keyframe frame, and
+    * fingerprints the summed luminance histogram; DuckDB replays the
+    * histogram from the per-keyframe generative colors (the
+    * mm_av_features video CTE) and the dedup window agrees. */
+  private def mmVideoDedup(s: SparkSession, dir: String): DataFrame = {
+    val mp4 = udf((seed: Long) => graft.ops.Mp4.writeMinimalMp4(seed))
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), (col("doc_id") % 37).as("seed"))
+      .select(col("media_id"), mp4(col("seed")).as("payload"))
+    val spark = s
+    import spark.implicits._
+    val prints = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        Multimodal.decodeVideoHist(p, 16).map(h => (id, h.toSeq))
+      }).toDF("media_id", "hist")
+      .select(col("media_id"),
+        sha2(concat_ws(",", col("hist")), 256).as("fingerprint"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
+    prints
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .select(col("media_id"), col("fingerprint"), col("canonical_id"),
+        (col("media_id") =!= col("canonical_id")).as("is_dup"))
+      .orderBy("media_id")
+  }
+
+  private val mmVideoDedupSql =
+    """WITH vid AS (
+      |  SELECT doc_id, doc_id % 37 AS seed, 8 + (doc_id % 37) % 5 AS n
+      |  FROM documents),
+      |kf AS (
+      |  SELECT doc_id,
+      |    (seed * 2654435761 + j * 2246822519) % 16777216 AS rgb
+      |  FROM vid, range(0, 12) t(j) WHERE j < n AND j % 4 = 0),
+      |bins AS (
+      |  SELECT doc_id,
+      |    (((2126 * (rgb // 65536) + 7152 * ((rgb // 256) % 256)
+      |      + 722 * (rgb % 256)) // 10000) * 16) // 256 AS bin
+      |  FROM kf),
+      |hist AS (
+      |  SELECT b.doc_id, i.i AS bin, CAST(count(k.bin) AS BIGINT) * 256 AS c
+      |  FROM (SELECT DISTINCT doc_id FROM bins) b
+      |  CROSS JOIN range(0, 16) i(i)
+      |  LEFT JOIN bins k ON k.doc_id = b.doc_id AND k.bin = i.i
+      |  GROUP BY 1, 2),
+      |fp AS (
+      |  SELECT doc_id,
+      |    sha256(string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin))
+      |      AS fingerprint
+      |  FROM hist GROUP BY 1)
+      |SELECT doc_id AS media_id, fingerprint,
+      |  min(doc_id) OVER (PARTITION BY fingerprint) AS canonical_id,
+      |  doc_id <> min(doc_id) OVER (PARTITION BY fingerprint) AS is_dup
+      |FROM fp ORDER BY media_id""".stripMargin
+
   /** The VIDEO container path oracled end-to-end: keyframe sample index,
     * presentation time, byte offset and size are PARSED from real MP4
     * sample tables (moov/trak/mdia/minf/stbl walk), while DuckDB derives
@@ -1916,6 +1974,7 @@ object ExtQueries {
     "sample_mixture_epochs" -> QueryDef(sampleMixtureEpochs, Some(sampleMixtureEpochsSql)),
     "mm_image_dedup" -> QueryDef(mmImageDedup, Some(mmImageDedupSql)),
     "mm_audio_dedup" -> QueryDef(mmAudioDedup, Some(mmAudioDedupSql)),
+    "mm_video_dedup" -> QueryDef(mmVideoDedup, Some(mmVideoDedupSql)),
     "shard_plan" -> QueryDef(shardPlan, Some(shardPlanSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),
