@@ -113,9 +113,9 @@ object Multimodal {
     * which otherwise dominates every mm_* query's harness side (the
     * engine under test only DECODES). ~3 KB/entry; cap keeps a huge-sf
     * run from hoarding heap. Test-fixture-only code, like the UDFs. */
-  private val mp4Memo =
+  private[graft] val mp4Memo =
     new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
-  private def memoMp4(seed: Long): Array[Byte] = {
+  private[graft] def memoMp4(seed: Long): Array[Byte] = {
     if (mp4Memo.size > 50000) mp4Memo.clear()
     mp4Memo.computeIfAbsent(seed, Mp4.writeMinimalMp4 _)
   }

@@ -1611,7 +1611,7 @@ object ExtQueries {
     * histogram from the per-keyframe generative colors (the
     * mm_av_features video CTE) and the dedup window agrees. */
   private def mmVideoDedup(s: SparkSession, dir: String): DataFrame = {
-    val mp4 = udf((seed: Long) => graft.ops.Mp4.writeMinimalMp4(seed))
+    val mp4 = udf((seed: Long) => Multimodal.memoMp4(seed))
     val media = Tables.documents(s, dir)
       .select(col("doc_id").as("media_id"), (col("doc_id") % 37).as("seed"))
       .select(col("media_id"), mp4(col("seed")).as("payload"))
