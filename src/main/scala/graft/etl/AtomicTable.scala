@@ -126,6 +126,23 @@ object AtomicTable {
       case Some(m) => readManifest(spark, table, schema, m)
     }
 
+  /** Decode %XX escape sequences only — RFC-3986 percent decoding of
+    * UTF-8 bytes, with none of URLDecoder's form semantics ('+' stays a
+    * literal '+'). Malformed sequences pass through verbatim. */
+  private def percentDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
+        catch { case _: NumberFormatException =>
+          out.write(c.toString.getBytes("UTF-8")); i += 1 }
+      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+    }
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Order-preserving comparison of two zone-map strings under the
     * column's type: numerics compare numerically; dates/timestamps and
     * strings compare as text (their cast-to-string form is sortable). */
@@ -278,6 +295,11 @@ object AtomicTable {
       statsColumns: Seq[String] = Nil,
       dropPartitions: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None): Manifest = {
+    require(!statsColumns.contains(partitionCol),
+      s"statsColumns must not include the partition column '$partitionCol': " +
+        "partition pruning already handles it, and the staged files do " +
+        "not physically carry it (its inferred stand-in could record " +
+        "bounds under the wrong type and mis-prune)")
     val root = Paths.get(table)
     val txn = s"txn-${UUID.randomUUID().toString.take(12)}"
     rows.write.partitionBy(partitionCol).parquet(root.resolve("data").resolve(txn).toString)
@@ -307,8 +329,12 @@ object AtomicTable {
         // are scanned, thanks to parquet column pruning.
         val dirToKey: Map[String, String] = written.keys.map(k =>
           ExternalCatalogUtils.escapePathName(k) -> k).toMap
+        // anchored to the SECOND-TO-LAST path segment (greedy .* takes
+        // the last occurrence): a table rooted under an ancestor dir that
+        // itself contains "<partitionCol>=" must not hijack the key
         val dirPattern =
-          java.util.regex.Pattern.quote(s"$partitionCol=") + "([^/]+)/"
+          ".*/" + java.util.regex.Pattern.quote(s"$partitionCol=") +
+            "([^/]+)/[^/]*$"
         val staged = spark.read.option("basePath", txnDir.toString)
           .parquet(txnDir.toString)
           .select(statsColumns.map(col) :+
@@ -326,13 +352,14 @@ object AtomicTable {
           .map { r =>
             // input_file_name URI-encodes the path; the dir segment may
             // be percent-encoded on top of Hive's own escaping — decode
-            // until it resolves against the written keys
+            // %XX sequences ONLY until it resolves against the written
+            // keys (URLDecoder is form decoding: it would turn a literal
+            // '+' in a partition value into a space and could collapse
+            // two distinct partitions onto one stats key)
             val raw = r.getString(0)
             val key = dirToKey.getOrElse(raw,
-              dirToKey.getOrElse(
-                java.net.URLDecoder.decode(raw, "UTF-8"),
-                ExternalCatalogUtils.unescapePathName(
-                  java.net.URLDecoder.decode(raw, "UTF-8"))))
+              dirToKey.getOrElse(percentDecode(raw),
+                ExternalCatalogUtils.unescapePathName(percentDecode(raw))))
             key -> PartStats(r.getLong(1),
               statsColumns.zipWithIndex.flatMap { case (c, i) =>
                 Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,

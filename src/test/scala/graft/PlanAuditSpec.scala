@@ -273,6 +273,19 @@ class PlanAuditSpec extends SparkSuite {
       s"shared-gram join must broadcast:\n$p")
   }
 
+  test("mm dedup family: the canonicalization window partitions by the " +
+      "fingerprint — never an unpartitioned global window") {
+    for (q <- Seq("mm_image_dedup", "mm_audio_dedup", "mm_video_dedup")) {
+      val p = SparkEntry.queries(q)(spark, sf0001)
+        .queryExecution.sparkPlan.toString
+      val win = p.linesIterator.find(_.contains("Window ["))
+        .getOrElse(fail(s"$q has no window:\n$p"))
+      assert(win.contains("windowspecdefinition(") &&
+        (win.contains("ahash") || win.contains("fingerprint")),
+        s"$q window must partition by the hash:\n$win")
+    }
+  }
+
   test("text_train_grad0: both gradient shuffles are partial-aggregated") {
     val p = plan("text_train_grad0")
     // per-doc activation agg and per-bucket gradient agg must both

@@ -94,8 +94,11 @@ class WarehouseOpsSpec extends SparkSuite {
     val schema = StructType(Seq(
       StructField("v", org.apache.spark.sql.types.LongType),
       StructField("part", org.apache.spark.sql.types.StringType)))
+    // space/colon exercise Hive path escaping; the '+' pair exercises
+    // the percent-only decoding ('a+b:c' form-decodes to 'a b:c' — a
+    // URL-style decoder would collapse the two partitions onto one key)
     val rows = (Seq((1L, "00123"), (2L, "00123"), (1000L, "123"),
-      (7L, "a b:c"))) // space + colon exercise Hive path escaping
+      (7L, "a b:c"), (8L, "a+b:c")))
       .toDF("v", "part")
     AtomicTable.replacePartitions(spark, table, rows, "part",
       statsColumns = Seq("v"))
@@ -106,6 +109,13 @@ class WarehouseOpsSpec extends SparkSuite {
       Map("v" -> "1000"), Map("v" -> "1000")))
     assert(m.stats("a b:c") === AtomicTable.PartStats(1L,
       Map("v" -> "7"), Map("v" -> "7")))
+    assert(m.stats("a+b:c") === AtomicTable.PartStats(1L,
+      Map("v" -> "8"), Map("v" -> "8")))
+    // the partition column itself is not a legal stats column
+    intercept[IllegalArgumentException] {
+      AtomicTable.replacePartitions(spark, table, rows, "part",
+        statsColumns = Seq("part"))
+    }
     // a read for v=1000 must NOT be pruned away by 00123's bounds
     assert(AtomicTable.readPruned(spark, table, schema, "v", "1000", "1000")
       .count() === 1L)
