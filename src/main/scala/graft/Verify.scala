@@ -27,7 +27,8 @@ object Verify {
     "dedup_cluster_planted", "dedup_minhash_pairs", "dedup_index_planted",
     "dedup_exact_hash", "dedup_minhash_planted", "bloom_prune_join",
     "sim_ivf_kmeans_recall", "sim_ivf_topk", "mm_av_features", "text_lm_score",
-    "sim_semdedup_planted", "text_bm25", "text_substring_dedup")
+    "sim_semdedup_planted", "text_bm25", "text_substring_dedup",
+    "export_tokenbin_roundtrip")
 
   /** Deterministic execution order: registration order within each rank. */
   def orderedNames: Seq[String] = {
