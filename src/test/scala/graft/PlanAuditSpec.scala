@@ -273,6 +273,19 @@ class PlanAuditSpec extends SparkSuite {
       s"shared-gram join must broadcast:\n$p")
   }
 
+  test("sample_mixture_epochs: the remainder prefix sum is bucket-" +
+      "partitioned per source") {
+    val p = plan("sample_mixture_epochs")
+    // the per-document running sum must carry a partition spec with the
+    // hash bucket — an unpartitioned (or source-only) window would pull
+    // a mega-source through one task
+    val docWindow = p.linesIterator
+      .find(l => l.contains("Window [") && l.contains("doc_id"))
+      .getOrElse(fail(s"no per-document window in:\n$p"))
+    assert(docWindow.contains("_b#"),
+      s"remainder prefix sum must partition by (source, hash bucket):\n$docWindow")
+  }
+
   test("mm dedup family: the canonicalization window partitions by the " +
       "fingerprint — never an unpartitioned global window") {
     for (q <- Seq("mm_image_dedup", "mm_audio_dedup", "mm_video_dedup")) {
