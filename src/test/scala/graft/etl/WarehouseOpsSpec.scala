@@ -121,6 +121,39 @@ class WarehouseOpsSpec extends SparkSuite {
       .count() === 1L)
   }
 
+  test("zone maps on DATE columns: ISO-string bounds order correctly " +
+      "and prune partitions by date range") {
+    val table = freshTable()
+    val schema = StructType(Seq(
+      StructField("d", org.apache.spark.sql.types.DateType),
+      StructField("part", org.apache.spark.sql.types.StringType)))
+    // month partitions with disjoint date ranges; ISO text order == date
+    // order, which is what statsCompare relies on for DateType
+    val rows = Seq(
+      ("2025-01-05", "m1"), ("2025-01-28", "m1"),
+      ("2025-02-02", "m2"), ("2025-02-27", "m2"),
+      ("2025-12-31", "m12"), ("2025-12-01", "m12"))
+      .toDF("ds", "part")
+      .select(to_date(col("ds")).as("d"), col("part"))
+    AtomicTable.replacePartitions(spark, table, rows, "part",
+      statsColumns = Seq("d"))
+    val m = AtomicTable.manifest(Paths.get(table)).get
+    assert(m.stats("m12") === AtomicTable.PartStats(2L,
+      Map("d" -> "2025-12-01"), Map("d" -> "2025-12-31")))
+    val feb = AtomicTable.readPruned(spark, table, schema,
+      "d", "2025-02-01", "2025-02-28")
+    assert(feb.inputFiles.forall(_.contains("part=m2")),
+      s"date zone maps failed to prune: ${feb.inputFiles.toSeq}")
+    assert(feb.count() === 2L)
+    // "2025-1x" style lexicographic traps: December must NOT be read for
+    // a January range (would happen if "2025-12-01" < "2025-02-01"
+    // compared wrongly)
+    val jan = AtomicTable.readPruned(spark, table, schema,
+      "d", "2025-01-01", "2025-01-31")
+    assert(jan.inputFiles.forall(_.contains("part=m1")))
+    assert(jan.count() === 2L)
+  }
+
   test("z-order layout + zone maps compose: a range read over the " +
       "clustered key prunes most partitions from metadata") {
     val table = freshTable()
