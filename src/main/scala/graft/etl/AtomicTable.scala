@@ -24,14 +24,24 @@ import org.apache.spark.sql.types.StructType
   * }}}
   *
   * Writers stage changed partitions into a fresh `data/txn-<id>/` dir and
-  * write manifest v(N+1) = v(N) with those partitions' dirs replaced; the
-  * commit point is ONE atomic rename of the `_graft_version` pointer
-  * (`Files.move` with `ATOMIC_MOVE` — rename(2) locally, also atomic on
-  * HDFS; on S3 the pointer would live in a conditional-PUT object or a
-  * commit service, same protocol shape). A crash anywhere before the swap
-  * leaves orphan data files but the table reads exactly as the previous
-  * version; a crash after the swap leaves unreferenced old dirs that the
-  * next commit's best-effort GC removes. Readers never see a torn table.
+  * build manifest v(N+1) = v(N) with those partitions' dirs replaced; the
+  * commit point is the atomic CREATE-NEW of `_manifests/v<N+1>.json` at
+  * its final name — the full content is staged to a tmp file and
+  * published with one `Files.createLink` (POSIX link(2)), which fails
+  * with EEXIST atomically if any other writer — thread OR process —
+  * already claimed that version. The loser re-reads the new current
+  * manifest, re-merges its partitions, and retries at N+2: optimistic
+  * concurrency with the filesystem itself as the commit service (the
+  * Delta-on-HDFS rename-no-replace protocol; on S3 the same slot-claim
+  * runs over a conditional PUT). `_graft_version` is a best-effort
+  * forward-only CACHE of the latest version — readers take the manifest
+  * directory listing as the authority, so a crash between the link and
+  * the pointer refresh loses nothing. A crash anywhere before the link
+  * leaves orphan data files and tmp manifests but the table reads
+  * exactly as the previous version; a crash after it leaves
+  * unreferenced old dirs that the next commit's best-effort GC removes.
+  * Readers never see a torn table. (CrossProcessCommitSpec races real
+  * OS processes through interleaved commits to pin this.)
   *
   * Scale notes: unchanged partitions are carried forward in the manifest
   * by reference — a one-partition revision moves one partition's bytes,
@@ -67,13 +77,44 @@ object AtomicTable {
   private def manifestFile(root: Path, v: Long): Path =
     root.resolve("_manifests").resolve(s"v$v.json")
 
-  def currentVersion(root: Path): Option[Long] =
-    if (Files.exists(versionFile(root)))
-      Some(Files.readString(versionFile(root)).trim.toLong)
-    else None
+  /** The latest committed version — authoritative: the max `v<N>.json`
+    * present in `_manifests/` (a manifest file at its final name IS a
+    * commit, by the create-new protocol). The `_graft_version` pointer is
+    * only a forward-lagging cache for external tooling; trusting it here
+    * would let a reader miss another PROCESS's just-landed commit, or
+    * chase a stale value into the GC'd gap below the retention window. */
+  def currentVersion(root: Path): Option[Long] = {
+    val mDir = root.resolve("_manifests")
+    if (!Files.isDirectory(mDir)) None
+    else {
+      val s = Files.list(mDir)
+      try s.iterator.asScala.flatMap { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json"))
+          n.stripPrefix("v").stripSuffix(".json").toLongOption
+        else None
+      }.maxOption
+      finally s.close()
+    }
+  }
 
-  def manifest(root: Path): Option[Manifest] = currentVersion(root).map { v =>
-    manifestAt(root, v)
+  def manifest(root: Path): Option[Manifest] = {
+    // re-probe on a miss: between our listing and the read, another
+    // process's commit + GC (retain=1) can prune the version we chose —
+    // the next probe lands on the new current
+    var attempt = 0
+    while (true) {
+      currentVersion(root) match {
+        case None => return None
+        case Some(v) =>
+          try return Some(manifestAt(root, v))
+          catch {
+            case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException
+              if attempt < 5 => attempt += 1
+          }
+      }
+    }
+    None // unreachable
   }
 
   /** A specific version's manifest (the file must still exist — see
@@ -93,7 +134,7 @@ object AtomicTable {
       strMap(n.get("partitions")), props, stats)
   }
 
-  private def writeManifest(root: Path, m: Manifest): Unit = {
+  private def renderManifest(m: Manifest): String = {
     val node = mapper.createObjectNode()
     node.put("version", m.version)
     val parts = node.putObject("partitions")
@@ -111,9 +152,44 @@ object AtomicTable {
         s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) => maxs.put(c, v) }
       }
     }
-    Files.createDirectories(root.resolve("_manifests"))
-    Files.writeString(manifestFile(root, m.version),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  /** Attempt to claim version `m.version`: stage the full content to a
+    * tmp file, then hard-link it to the final `v<N>.json` name —
+    * `Files.createLink` is link(2), which atomically fails with EEXIST
+    * when the name is taken, and when it succeeds the final name carries
+    * the COMPLETE content (no reader can observe a torn manifest).
+    * Returns false when another writer — any thread, any process — won
+    * the version slot. The tmp file is removed on every path; one
+    * orphaned by a crash between write and link is reclaimed by
+    * [[vacuum]]'s tmp sweep. */
+  private def tryPublishManifest(root: Path, m: Manifest): Boolean = {
+    val mDir = root.resolve("_manifests")
+    Files.createDirectories(mDir)
+    val tmp = mDir.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
+    Files.writeString(tmp, renderManifest(m))
+    try { Files.createLink(manifestFile(root, m.version), tmp); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    finally { Files.deleteIfExists(tmp); () }
+  }
+
+  /** Refresh the advisory `_graft_version` cache, forward-only: written
+    * via tmp + atomic rename so readers of the cache never see a torn
+    * value. Two processes racing here can transiently regress the cache
+    * by one commit (check-then-rename is not atomic) — harmless, because
+    * nothing trusts the pointer for correctness ([[currentVersion]] lists
+    * the manifest dir) and the next commit heals it. */
+  private def advancePointer(root: Path, v: Long): Unit = {
+    val stale = if (!Files.exists(versionFile(root))) None
+      else Files.readString(versionFile(root)).trim.toLongOption
+    if (stale.forall(_ < v)) {
+      val tmp = root.resolve(s"_version.${UUID.randomUUID().toString.take(12)}.tmp")
+      Files.writeString(tmp, v.toString)
+      Files.move(tmp, versionFile(root),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
   }
 
   /** Read the table at its current version (empty frame with `schema` if
@@ -137,8 +213,16 @@ object AtomicTable {
       if (c == '%' && i + 2 < s.length) {
         try { out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16)); i += 3 }
         catch { case _: NumberFormatException =>
-          out.write(c.toString.getBytes("UTF-8")); i += 1 }
-      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+          out.write('%'.toInt); i += 1 }
+      } else {
+        // advance by CODE POINT: a supplementary character (emoji in a
+        // partition value) is a surrogate pair, and encoding each half
+        // separately would emit two U+FFFD replacement bytes — the key
+        // would then never resolve against the written partition map
+        val cp = s.codePointAt(i)
+        out.write(new String(Character.toChars(cp)).getBytes("UTF-8"))
+        i += Character.charCount(cp)
+      }
     }
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
@@ -156,8 +240,29 @@ object AtomicTable {
          org.apache.spark.sql.types.FloatType => java.lang.Double.compare(a.toDouble, b.toDouble)
     case _: org.apache.spark.sql.types.DecimalType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      // normalize to epoch micros: ISO text order almost always matches
+      // timestamp order, but signed (BCE) years invert it ("-0044" sorts
+      // after "-0100" as text) — parse both sides and compare numerically,
+      // falling back to text only if either fails to parse
+      (parseTsMicros(a), parseTsMicros(b)) match {
+        case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+        case _ => a.compareTo(b)
+      }
     case _ => a.compareTo(b)
   }
+
+  /** Parse a zone-map timestamp string ("yyyy-MM-dd HH:mm:ss[.f+]", the
+    * `cast(ts as string)` form both writers emit) to epoch microseconds. */
+  private def parseTsMicros(s: String): Option[Long] =
+    try {
+      val ldt = java.time.LocalDateTime.parse(s.trim.replace(' ', 'T'),
+        java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+      Some(Math.addExact(Math.multiplyExact(
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+        ldt.getNano / 1000L))
+    } catch { case _: Exception => None }
 
   /** Metadata data-skipping read: the table filtered to `col` ∈ [lo, hi],
     * where partitions whose committed zone map proves no overlap are
@@ -239,26 +344,67 @@ object AtomicTable {
     }.reduce(_.unionByName(_)).select(schema.fieldNames.map(col): _*)
   }
 
-  /** Per-table-root commit locks: CONCURRENT WRITERS in one JVM are
-    * linearized here — each commit's read-manifest → write-manifest →
-    * pointer-swap critical section runs under the root's lock, so two
-    * threads committing disjoint partitions both land (versions N+1,
-    * N+2) and neither's partition map is lost to a read-modify-write
-    * race. The DATA STAGING (the expensive parquet write) stays outside
-    * the lock — writers overlap on everything but the metadata swap,
-    * which is exactly the Delta/Iceberg commit-service shape.
-    *
-    * Cross-PROCESS writers are outside this contract: the commit point
-    * would need a put-if-absent primitive the local filesystem lacks
-    * (HDFS rename-no-replace or an S3 conditional PUT provide it — the
-    * same protocol, different pointer swap). One committing driver
-    * process per table is the Structured-Streaming-checkpoint contract
-    * this layer mirrors (WriterRaceSpec pins the in-JVM guarantee). */
+  /** Per-table-root commit locks: concurrent writers in ONE JVM take the
+    * root's lock around the claim loop so sibling threads don't burn
+    * retries against each other — an efficiency courtesy, NOT the
+    * correctness mechanism. Correctness against any concurrent writer,
+    * same JVM or another OS process, is the create-new manifest claim in
+    * [[tryPublishManifest]] (POSIX link(2) EEXIST): whoever links
+    * `v<N+1>.json` first owns version N+1, everyone else re-reads and
+    * retries at N+2. The DATA STAGING (the expensive parquet write)
+    * stays outside the lock — writers overlap on everything but the
+    * metadata claim, which is exactly the Delta/Iceberg commit-service
+    * shape. WriterRaceSpec pins the in-JVM interleaving;
+    * CrossProcessCommitSpec races real OS processes. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def commitLock(root: Path): Object =
     commitLocks.computeIfAbsent(root.toAbsolutePath.normalize.toString,
       _ => new Object)
+
+  /** The metadata half of a commit: merge `written` partitions (and
+    * `newStats`, `properties`, minus `dropPartitions`) into the current
+    * manifest and publish it as the next version, retrying the version
+    * claim until it lands or `expectedVersion` proves the premise stale.
+    * Public because it is the full cross-process commit protocol over
+    * ALREADY-STAGED data dirs — [[replacePartitions]] delegates here
+    * after staging, and the two-process race spec drives it directly
+    * from a second JVM. `beforeCommit` runs once, after the merged
+    * manifest is computed but before any claim attempt — throwing there
+    * simulates a crash at the worst moment and must leave the table
+    * unchanged. */
+  def commitManifest(root: Path, written: Map[String, String],
+      newStats: Map[String, PartStats] = Map.empty,
+      properties: Map[String, String] = Map.empty,
+      dropPartitions: Set[String] = Set.empty,
+      expectedVersion: Option[Long] = None, retain: Int = 1,
+      beforeCommit: () => Unit = () => ()): Manifest =
+    commitLock(root).synchronized {
+      var hookRan = false
+      var committed: Manifest = null
+      while (committed == null) {
+        val prev = manifest(root)
+        expectedVersion.foreach { v =>
+          val cur = prev.map(_.version).getOrElse(0L)
+          if (cur != v) throw new java.util.ConcurrentModificationException(
+            s"$root moved to v$cur since this rewrite read v$v; " +
+              "staged data left as a vacuum-reclaimable orphan")
+        }
+        val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
+          (prev.map(_.partitions).getOrElse(Map.empty) -- dropPartitions) ++ written,
+          prev.map(_.properties).getOrElse(Map.empty) ++ properties,
+          (prev.map(_.stats).getOrElse(Map.empty)
+            -- dropPartitions -- written.keys) ++ newStats)
+        if (!hookRan) { beforeCommit(); hookRan = true }
+        // the commit point: atomically claim the version slot; a lost
+        // claim means another PROCESS committed meanwhile (threads are
+        // serialized by the lock) — re-read its manifest and re-merge
+        if (tryPublishManifest(root, next)) committed = next
+      }
+      advancePointer(root, committed.version)
+      gc(root, committed, retain)
+      committed
+    }
 
   /** Atomically replace the partitions present in `rows` (values of
     * `partitionCol`), leaving all other partitions at their current data
@@ -367,32 +513,8 @@ object AtomicTable {
                 Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap)
           }.toMap
       }
-    commitLock(root).synchronized {
-      val prev = manifest(root)
-      expectedVersion.foreach { v =>
-        val cur = prev.map(_.version).getOrElse(0L)
-        if (cur != v) throw new java.util.ConcurrentModificationException(
-          s"$table moved to v$cur since this rewrite read v$v; " +
-            "staged data left as a vacuum-reclaimable orphan")
-      }
-      val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
-        (prev.map(_.partitions).getOrElse(Map.empty) -- dropPartitions) ++ written,
-        prev.map(_.properties).getOrElse(Map.empty) ++ properties,
-        (prev.map(_.stats).getOrElse(Map.empty)
-          -- dropPartitions -- written.keys) ++ newStats)
-      writeManifest(root, next)
-
-      beforeCommit()
-
-      // the commit point: one atomic rename of the version pointer
-      val tmp = root.resolve(s"_version.$txn.tmp")
-      Files.writeString(tmp, next.version.toString)
-      Files.move(tmp, versionFile(root),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-
-      gc(root, next, retain)
-      next
-    }
+    commitManifest(root, written, newStats, properties, dropPartitions,
+      expectedVersion, retain, beforeCommit)
   }
 
   /** Bin-pack the table's files: rewrite every partition with one task per
@@ -442,15 +564,22 @@ object AtomicTable {
       }
     }.keySet
     if (fragmented.isEmpty) return m
-    val rows = readManifest(spark, table, schema, m)
-      .filter(col(partitionCol).cast("string")
-        .isin(fragmented.toSeq: _*))
+    // read ONLY the fragmented partitions' dirs, selected by manifest
+    // PATH — never by an isin on the restored partition column, whose
+    // inferred type need not round-trip the manifest key (part=00123
+    // reads back as int 123, and "123" != "00123" would silently skip
+    // the partition). The rewrite commits with dropPartitions so the
+    // original keys leave the manifest in the same atomic swap even if
+    // the rewritten dir names render differently under inference.
+    val rows = readManifest(spark, table, schema,
+        m.copy(partitions = m.partitions.filter { case (k, _) => fragmented(k) }))
       .repartition(col(partitionCol))
     // pinned read + optimistic commit: the rewrite was derived from
     // version m; if another writer replaced one of these partitions
     // meanwhile, committing would clobber it — abort instead
     replacePartitions(spark, table, rows, partitionCol,
-      statsColumns = statsColumns, expectedVersion = Some(m.version))
+      statsColumns = statsColumns, dropPartitions = fragmented,
+      expectedVersion = Some(m.version))
   }
 
   /** Number of data files the current manifest references — the metric a
@@ -496,10 +625,15 @@ object AtomicTable {
       }.partition(_._1 < minKeep)
       finally ms.close()
     }
-    val prunedDirs = pruned.flatMap { case (v, _) =>
-      manifestAt(root, v).partitions.values }.toSet
-    val keptDirs = kept.flatMap { case (v, _) =>
-      manifestAt(root, v).partitions.values }.toSet
+    // tolerant reads: a CONCURRENT process's gc may delete a pruned
+    // manifest between our listing and the read — its dirs are then that
+    // process's to reclaim, skipping them here is exactly right
+    def partsOf(v: Long): Seq[String] =
+      try manifestAt(root, v).partitions.values.toSeq
+      catch { case _: java.nio.file.NoSuchFileException |
+                   _: java.io.FileNotFoundException => Nil }
+    val prunedDirs = pruned.flatMap { case (v, _) => partsOf(v) }.toSet
+    val keptDirs = kept.flatMap { case (v, _) => partsOf(v) }.toSet
     pruned.foreach { case (_, f) => Files.deleteIfExists(f) }
     for (rel <- prunedDirs -- keptDirs) {
       val p = root.resolve(rel)
@@ -523,17 +657,33 @@ object AtomicTable {
     * Run it as periodic maintenance, like [[compact]]. */
   def vacuum(root: Path, olderThanMs: Long = 24L * 3600 * 1000): Unit = {
     val dataDir = root.resolve("data")
+    val mDir = root.resolve("_manifests")
+    val tmpCutoff = System.currentTimeMillis() - olderThanMs
+    // reclaim tmp manifests orphaned by a writer that crashed between
+    // staging the content and linking it into place (same age gate) —
+    // independent of whether any data was ever staged
+    if (Files.isDirectory(mDir)) {
+      val ts = Files.list(mDir)
+      try ts.iterator.asScala.toList.foreach { f =>
+        if (f.getFileName.toString.startsWith(".tmp-") &&
+            Files.getLastModifiedTime(f).toMillis < tmpCutoff)
+          Files.deleteIfExists(f)
+      } finally ts.close()
+    }
     if (!Files.isDirectory(dataDir)) return
     // every RETAINED manifest pins its txn dirs — a time-travel reader
     // inside the retention window must keep its snapshot
-    val mDir = root.resolve("_manifests")
     val referenced: Set[String] =
       if (!Files.isDirectory(mDir)) Set.empty
       else {
         val ms = Files.list(mDir)
         try ms.iterator.asScala.toList.flatMap { f =>
           f.getFileName.toString.stripPrefix("v").stripSuffix(".json")
-            .toLongOption.toList.flatMap(v => manifestAt(root, v).partitions.values)
+            .toLongOption.toList.flatMap { v =>
+              try manifestAt(root, v).partitions.values
+              catch { case _: java.nio.file.NoSuchFileException |
+                           _: java.io.FileNotFoundException => Nil }
+            }
         }.toSet
         finally ms.close()
       }

@@ -214,7 +214,12 @@ object Export {
           val docId = idx.getLong
           val off = idx.getLong
           val nTok = idx.getInt
-          val subs = (0 until nTok).map(i => v(bin.getInt((off.toInt + i) * 4)))
+          // offsets are int64 in the FORMAT; this verifier reads the whole
+          // shard into one int-indexed buffer (readAllBytes caps at 2 GiB),
+          // so overflow must fail loudly, never truncate — off.toInt on a
+          // >512M-token shard would silently read the wrong document
+          val subs = (0 until nTok).map(i =>
+            v(bin.getInt(Math.toIntExact((off + i) * 4L))))
           out += ((shard, docId, subs))
         }
         out.result()
