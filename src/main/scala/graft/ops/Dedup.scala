@@ -354,10 +354,23 @@ object Dedup {
 
   /** n-gram Jaccard similarity over a deterministic document sample:
     * top-k most similar same-language pairs. Pure set algebra (no
-    * engine-specific hashing), so it is cross-engine oracle-checkable. */
+    * engine-specific hashing), so it is cross-engine oracle-checkable.
+    *
+    * The sample is bounded by ABSOLUTE COUNT, not only by modulus: a
+    * `doc_id % sampleMod` filter alone keeps a fixed FRACTION of the
+    * corpus, so the same-language self-join below would grow
+    * quadratically with corpus size — at 100 TB the "diagnostic" would
+    * dwarf the pipeline. Capping at `maxSample` docs, chosen in a
+    * deterministic pseudo-random order (a multiplicative hash over
+    * doc_id — plain int64 arithmetic, so any engine replays it exactly),
+    * fixes the join at maxSample²/2 pairs regardless of scale; the
+    * order-by-limit is a per-partition top-k + driver merge of
+    * `maxSample` rows, never a global sort. */
   def ngramJaccardTop(docs: DataFrame, sampleMod: Int = 50, k: Int = 20,
-      w: Int = 3): DataFrame = {
+      w: Int = 3, maxSample: Int = 64): DataFrame = {
     val sample = docs.filter(col("doc_id") % sampleMod === 0)
+      .orderBy(pmod(col("doc_id") * lit(1000003L), lit(999999937L)), col("doc_id"))
+      .limit(maxSample)
       .select(col("doc_id"), col("lang"), shingles(col("text"), w).as("sh"))
       .persist() // one materialization for both self-join sides
     val left = sample.select(col("lang"), col("doc_id").as("id_a"), col("sh").as("sh_a"))

@@ -296,15 +296,66 @@ object ExtQueries {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
-  /** Distributed BPE training, full K=5 merge table. Iterative argmax
-    * re-tokenization is not expressible in one engine-neutral SQL
-    * statement (aggregates are barred from recursive CTE terms), so this
-    * entry is rows-only by the driver contract; [[textBpeFirstMerge]] is
-    * its oracled twin (merge #1 needs no re-tokenization), and BpeSpec
-    * pins the full greedy semantics on a hand-computed corpus. */
+  /** Distributed BPE training, full K=5 merge table — fully oracled:
+    * aggregates are barred from recursive CTE terms, but the iteration
+    * state fits ONE ROW (the word-frequency table as a list of
+    * {symbols, count} structs — it is tokenizer-sized by construction),
+    * so each round's pair counting, argmax, and greedy re-merge run as
+    * scalar list functions inside the recursive term. The DuckDB replay
+    * mirrors the engine exactly: overlapping pairs count per occurrence,
+    * argmax ties break lexicographically on (lhs, rhs), and the merge
+    * folds left-to-right over a unit-separator-delimited accumulator
+    * (the [[textBpeEncode]] oracle's fold trick — symbols are [a-z]+ so
+    * the separator can never collide). BpeSpec additionally pins the
+    * greedy semantics on a hand-computed corpus. */
   private def textBpeMerges(s: SparkSession, dir: String): DataFrame =
     graft.ops.Bpe.train(Tables.documents(s, dir), merges = 5)
       .orderBy("merge_ix")
+
+  private val textBpeMergesSql =
+    """WITH RECURSIVE
+      |wf AS (
+      |  SELECT list({'s': str_split(w, ''), 'c': cnt}) AS words FROM (
+      |    SELECT w, count(*) AS cnt FROM (
+      |      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                    x -> regexp_matches(x, '^[a-z]+$'))) AS w
+      |      FROM documents) GROUP BY 1)
+      |),
+      |steps AS (
+      |  SELECT 0 AS merge_ix, CAST(NULL AS VARCHAR) AS lhs, CAST(NULL AS VARCHAR) AS rhs,
+      |         CAST(NULL AS BIGINT) AS pair_count, words
+      |  FROM wf
+      |  UNION ALL
+      |  SELECT t.merge_ix + 1,
+      |         t.best['l'], t.best['r'],
+      |         CAST(99999999999999 - t.best['negc'] AS BIGINT),
+      |         list_transform(t.words, w -> {
+      |           's': CASE WHEN len(w['s']) < 2 THEN w['s']
+      |                ELSE str_split(list_reduce(w['s'], (acc, x) ->
+      |                  CASE WHEN (acc = t.best['l'] OR ends_with(acc, chr(31) || t.best['l']))
+      |                            AND x = t.best['r']
+      |                       THEN substr(acc, 1, length(acc) - length(t.best['l']))
+      |                            || t.best['l'] || t.best['r']
+      |                       ELSE acc || chr(31) || x END), chr(31)) END,
+      |           'c': w['c']})
+      |  FROM (
+      |    SELECT merge_ix, words,
+      |      list_sort(list_transform(
+      |        list_distinct(flatten(list_transform(words, w ->
+      |          list_transform(range(len(w['s']) - 1),
+      |            i -> w['s'][i+1] || chr(31) || w['s'][i+2])))),
+      |        k -> {'negc': 99999999999999 - list_sum(list_transform(
+      |                flatten(list_transform(words, w ->
+      |                  list_transform(range(len(w['s']) - 1),
+      |                    i -> {'p': w['s'][i+1] || chr(31) || w['s'][i+2], 'c': w['c']}))),
+      |                p -> CASE WHEN p['p'] = k THEN p['c'] ELSE 0 END)),
+      |              'l': str_split(k, chr(31))[1], 'r': str_split(k, chr(31))[2]}))[1] AS best
+      |    FROM steps WHERE merge_ix < 5) t
+      |  WHERE t.best IS NOT NULL
+      |)
+      |SELECT CAST(merge_ix AS BIGINT) AS merge_ix, lhs, rhs, pair_count
+      |FROM steps WHERE merge_ix >= 1
+      |ORDER BY merge_ix""".stripMargin
 
   /** First BPE merge: the weighted argmax adjacent character pair —
     * SQL-expressible exactly, and it pins the whole substrate the
@@ -1088,8 +1139,13 @@ object ExtQueries {
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
 
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardTop(Tables.documents(s, dir), sampleMod = 50, k = 20)
+    Dedup.ngramJaccardTop(Tables.documents(s, dir), sampleMod = 50, k = 20,
+      maxSample = 64)
 
+  // the sampled CTE replays the engine's two-stage bound exactly: the
+  // modulus filter, then the absolute cap in multiplicative-hash order
+  // (plain int64 arithmetic — engine-neutral); at sf0.1 the cap is the
+  // binding constraint, so the oracle exercises it
   private val dedupNgramJaccardSql =
     """WITH sample AS (
       |  SELECT doc_id, lang,
@@ -1100,7 +1156,8 @@ object ExtQueries {
       |                     string_split_regex(trim(text), '\s+')[i+2] || ' ' ||
       |                     string_split_regex(trim(text), '\s+')[i+3]))
       |         ELSE [text] END AS sh
-      |  FROM documents WHERE doc_id % 50 = 0)
+      |  FROM (SELECT doc_id, lang, text FROM documents WHERE doc_id % 50 = 0
+      |        ORDER BY (doc_id * 1000003) % 999999937, doc_id LIMIT 64))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
       |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
@@ -1134,6 +1191,54 @@ object ExtQueries {
     val emb = Tables.embeddings(s, dir)
     Similarity.ivfTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5, nprobe = 2)
   }
+
+  /** The trainless IVF is deterministic arithmetic end-to-end (per-label
+    * mean centroids — no sampled k-means), so DuckDB replays the whole
+    * index: centroid means, nearest-centroid assignment (ties to the
+    * lower centroid_id), nprobe=2 probe selection, and the exact cosine
+    * re-rank inside probed buckets. Assignment/probe argmaxes compare
+    * UNROUNDED doubles in both engines; the synthetic label clusters are
+    * separated at ~1e-2 scale, far above cross-engine summation-order
+    * ulps (and the emitted scores round to 6dp like every sim_* query). */
+  private val simIvfSql =
+    """WITH corpusN AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |cents AS (
+      |  SELECT label AS centroid_id, list(s / n ORDER BY idx) AS centroid FROM (
+      |    SELECT label, idx, sum(e[idx]) AS s, count(*) AS n
+      |    FROM corpusN CROSS JOIN (SELECT unnest(range(1, 65)) AS idx) r
+      |    GROUP BY label, idx)
+      |  GROUP BY label),
+      |assigned AS (
+      |  SELECT vec_id, e, centroid_id FROM (
+      |    SELECT c.vec_id, c.e, t.centroid_id,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.e, t.centroid)
+      |          / (sqrt(list_dot_product(c.e, c.e))
+      |             * sqrt(list_dot_product(t.centroid, t.centroid))) DESC,
+      |        t.centroid_id) AS rn
+      |    FROM corpusN c CROSS JOIN cents t) WHERE rn = 1),
+      |probed AS (
+      |  SELECT query_id, qe, q_norm, centroid_id FROM (
+      |    SELECT c.vec_id AS query_id, c.e AS qe,
+      |      sqrt(list_dot_product(c.e, c.e)) AS q_norm, t.centroid_id,
+      |      row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |        list_dot_product(c.e, t.centroid)
+      |          / (sqrt(list_dot_product(c.e, c.e))
+      |             * sqrt(list_dot_product(t.centroid, t.centroid))) DESC,
+      |        t.centroid_id) AS rn
+      |    FROM corpusN c CROSS JOIN cents t WHERE c.vec_id % 100 = 0) WHERE rn <= 2),
+      |cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id,
+      |    round(list_dot_product(p.qe, a.e)
+      |          / (p.q_norm * sqrt(list_dot_product(a.e, a.e))), 6) AS score
+      |  FROM assigned a JOIN probed p USING (centroid_id)
+      |  WHERE p.query_id != a.vec_id)
+      |SELECT query_id, rank, neighbor_id, score FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY score DESC, neighbor_id) AS rank
+      |  FROM cand)
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** ANN scale path (engine-specific hyperplane hashes → rows-only). */
   private def simRpLsh(s: SparkSession, dir: String): DataFrame = {
@@ -1953,7 +2058,7 @@ object ExtQueries {
     "text_substring_dedup" -> QueryDef(textSubstringDedup, Some(textSubstringDedupSql)),
     "text_dsir_select" -> QueryDef(textDsirSelect, Some(textDsirSelectSql)),
     "text_bpe_first_merge" -> QueryDef(textBpeFirstMerge, Some(textBpeFirstMergeSql)),
-    "text_bpe_merges" -> QueryDef(textBpeMerges, None),
+    "text_bpe_merges" -> QueryDef(textBpeMerges, Some(textBpeMergesSql)),
     "text_bpe_encode" -> QueryDef(textBpeEncode, Some(textBpeEncodeSql)),
     "dedup_exact" -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_exact_hash" -> QueryDef(dedupExactHash, Some(dedupExactHashSql)),
@@ -1979,7 +2084,7 @@ object ExtQueries {
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
     "sample_token_budget" -> QueryDef(sampleTokenBudget, Some(sampleTokenBudgetSql)),
     "sim_topk_bruteforce" -> QueryDef(simTopk, Some(simTopkSql)),
-    "sim_ivf_topk" -> QueryDef(simIvf, None),
+    "sim_ivf_topk" -> QueryDef(simIvf, Some(simIvfSql)),
     "sim_ivf_recall" -> QueryDef(simIvfRecall, Some(simRecallSql)),
     "sim_ivf_kmeans_recall" -> QueryDef(simIvfKMeansRecall, Some(simRecallSql)),
     "sim_rplsh_topk" -> QueryDef(simRpLsh, None),
