@@ -505,8 +505,14 @@ object Streams {
     * index are NOT re-indexed — their signature is within threshold of an
     * already-indexed one, so re-indexing adds no recall, and skipping it
     * keeps a popular duplicate from appending a signature every batch. */
+  /** `afterIndexAppend` is a crash-injection hook invoked in the
+    * exactly-once protocol's most dangerous window — index appended,
+    * corpus NOT yet committed. The two-process crash spec halts the JVM
+    * there (CurateCrashChild) and proves the restart replays to the same
+    * corpus. */
   def curateBatch(corpusTable: String, indexRoot: String,
-      threshold: Double = 0.5)(df: DataFrame, batchId: Long): Unit = {
+      threshold: Double = 0.5, afterIndexAppend: () => Unit = () => ())(
+      df: DataFrame, batchId: Long): Unit = {
     import graft.ops.{Dedup, DedupIndex, TextStats}
     val root = java.nio.file.Paths.get(corpusTable)
     val last = AtomicTable.manifest(root)
@@ -541,6 +547,7 @@ object Streams {
       val survivors = indexable.join(selfDupIds, Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
       DedupIndex.append(indexRoot, indexable, ingest = tag)
+      afterIndexAppend()
       // per-batch funnel counts, committed ATOMICALLY with the corpus in
       // the same manifest swap (so a replayed batch re-reports the same
       // stats): the observability a production ingest alerts on. Every
@@ -619,7 +626,8 @@ object Streams {
     * trigger. */
   def curatedIngestAvailableNow(spark: SparkSession, stagingDir: String,
       corpusTable: String, indexRoot: String, checkpoint: String,
-      threshold: Double = 0.5): Unit = {
+      threshold: Double = 0.5,
+      afterIndexAppend: Long => Unit = _ => ()): Unit = {
     withStreamPartitions(spark, 8) {
       val q = spark.readStream
         .schema(documentsSchema)
@@ -627,7 +635,8 @@ object Streams {
         .json(stagingDir)
         .writeStream
         .foreachBatch((df: DataFrame, id: Long) =>
-          curateBatch(corpusTable, indexRoot, threshold)(df, id))
+          curateBatch(corpusTable, indexRoot, threshold,
+            () => afterIndexAppend(id))(df, id))
         .option("checkpointLocation", checkpoint)
         .trigger(Trigger.AvailableNow())
         .start()
