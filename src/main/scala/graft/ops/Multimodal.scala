@@ -111,13 +111,19 @@ object Multimodal {
   /** Bounded per-JVM memo for the synthetic VIDEO payloads: rendering is
     * a pure function of the seed but now encodes ~10 PNG frames per call,
     * which otherwise dominates every mm_* query's harness side (the
-    * engine under test only DECODES). ~3 KB/entry; cap keeps a huge-sf
-    * run from hoarding heap. Test-fixture-only code, like the UDFs. */
+    * engine under test only DECODES). ~3 KB/entry; the cap keeps a
+    * huge-sf run from hoarding heap — and when it is reached the memo
+    * STOPS INSERTING rather than clearing: a clear-all above the cap made
+    * every bench pass at 100× scale re-render the full payload set
+    * (observed as super-linear mm_* timings that were pure fixture
+    * encode, not engine decode). Test-fixture-only code, like the UDFs. */
   private[graft] val mp4Memo =
     new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
   private[graft] def memoMp4(seed: Long): Array[Byte] = {
-    if (mp4Memo.size > 50000) mp4Memo.clear()
-    mp4Memo.computeIfAbsent(seed, Mp4.writeMinimalMp4 _)
+    val hit = mp4Memo.get(seed)
+    if (hit != null) hit
+    else if (mp4Memo.size >= 250000) Mp4.writeMinimalMp4(seed)
+    else mp4Memo.computeIfAbsent(seed, Mp4.writeMinimalMp4 _)
   }
 
   def syntheticMediaFrom(docs: DataFrame): DataFrame = {

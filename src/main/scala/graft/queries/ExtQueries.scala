@@ -91,7 +91,7 @@ object ExtQueries {
     "emb_l2_normalize" -> QueryDef(embL2Normalize, Some(embL2NormalizeSql)),
     "emb_random_projection" -> QueryDef(embRandomProjection, Some(embRandomProjectionSql)),
     "sim_neardup_cosine" -> QueryDef(simNearDup, Some(simNearDupSql)),
-    "sim_neardup_lsh" -> QueryDef(simNearDupLsh, Some(simRecallSql)),
+    "sim_neardup_lsh" -> QueryDef(simNearDupLsh, Some(simNearDupLshSql)),
     "mm_resize" -> QueryDef(mmResize, Some(mmResizeSql)),
     "mm_frames" -> QueryDef(mmFrames, Some(mmFramesSql)),
     "mm_image_features" -> QueryDef(mmImageFeatures, Some(mmImageFeaturesSql)),

@@ -14,12 +14,12 @@ object SimQueries {
 
   private[queries] def simTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.bruteForceTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5)
+    Similarity.bruteForceTopK(recallPanel(emb), emb, k = 5)
   }
 
   private[queries] val simTopkSql =
     """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-      |           FROM embeddings WHERE vec_id % 100 = 0),
+      |           FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 20000),
       |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce
       |      FROM embeddings),
       |scored AS (
@@ -35,7 +35,7 @@ object SimQueries {
 
   private[queries] def simIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.ivfTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5, nprobe = 2)
+    Similarity.ivfTopK(recallPanel(emb), emb, k = 5, nprobe = 2)
   }
 
   /** The trainless IVF is deterministic arithmetic end-to-end (per-label
@@ -73,7 +73,8 @@ object SimQueries {
       |          / (sqrt(list_dot_product(c.e, c.e))
       |             * sqrt(list_dot_product(t.centroid, t.centroid))) DESC,
       |        t.centroid_id) AS rn
-      |    FROM corpusN c CROSS JOIN cents t WHERE c.vec_id % 100 = 0) WHERE rn <= 2),
+      |    FROM corpusN c CROSS JOIN cents t
+      |    WHERE c.vec_id % 100 = 0 AND c.vec_id < 20000) WHERE rn <= 2),
       |cand AS (
       |  SELECT p.query_id, a.vec_id AS neighbor_id,
       |    round(list_dot_product(p.qe, a.e)
@@ -89,7 +90,7 @@ object SimQueries {
   /** ANN scale path (engine-specific hyperplane hashes → rows-only). */
   private[queries] def simRpLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.rpLshTopK(emb.filter(col("vec_id") % 100 === 0), emb, k = 5)
+    Similarity.rpLshTopK(recallPanel(emb), emb, k = 5)
   }
 
   /** Quality oracles for the ANN paths. The synthetic embeddings are
@@ -121,11 +122,21 @@ object SimQueries {
     ann.groupBy("query_id")
       .agg(max(col("neighbor_id") === col("query_id") + 1000000L).as("found_planted"))
 
+  /** Fixed 200-query recall panel: the %100 slice CAPPED at vec_id <
+    * 20,000. Without the cap the panel grows with the corpus (1% of n)
+    * and every queries×corpus evaluation — the PQ ADC join above all —
+    * turns quadratic in n (measured 52× per 10× decade at the 100×
+    * scale point). A recall ESTIMATE gains nothing past a few hundred
+    * panel queries, so the panel is a fixed absolute size: harness cost
+    * linear in corpus, statistics unchanged. Below 20k vectors (every
+    * oracle-gate scale) the cap is a no-op. */
+  private[queries] def recallPanel(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 100 === 0 && col("vec_id") < 20000L)
+
   private[queries] def simIvfRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-    foundPlanted(Similarity.ivfTopK(queries, corpus, k = 5, nprobe = 2))
+    foundPlanted(Similarity.ivfTopK(recallPanel(emb), corpus, k = 5, nprobe = 2))
       .orderBy("query_id")
   }
 
@@ -135,14 +146,14 @@ object SimQueries {
   private[queries] def simIvfKMeansRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-    foundPlanted(Similarity.ivfKMeansTopK(queries, corpus, k = 5, nprobe = 2, iters = 2))
+    foundPlanted(Similarity.ivfKMeansTopK(recallPanel(emb), corpus, k = 5, nprobe = 2, iters = 2))
       .orderBy("query_id")
   }
 
   private[queries] val simRecallSql =
     """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_planted
-      |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id""".stripMargin
+      |FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 20000
+      |ORDER BY query_id""".stripMargin
 
   /** Embedding-space decontamination with a full VALUE oracle: both
     * engines plant a ~0.9999-cosine perturbed twin of each eval vector
@@ -294,24 +305,21 @@ object SimQueries {
   private[queries] def simPqRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-    foundPlanted(Similarity.pqTopK(queries, corpus, k = 5))
+    foundPlanted(Similarity.pqTopK(recallPanel(emb), corpus, k = 5))
       .orderBy("query_id")
   }
 
   private[queries] def simQuantizedRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-    foundPlanted(Similarity.quantizedTopK(queries, corpus, k = 5))
+    foundPlanted(Similarity.quantizedTopK(recallPanel(emb), corpus, k = 5))
       .orderBy("query_id")
   }
 
   private[queries] def simRpLshRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
-    val queries = emb.filter(col("vec_id") % 100 === 0)
-    foundPlanted(Similarity.rpLshTopK(queries, corpus, k = 5))
+    foundPlanted(Similarity.rpLshTopK(recallPanel(emb), corpus, k = 5))
       .orderBy("query_id")
   }
 
@@ -319,7 +327,9 @@ object SimQueries {
     * buckets (no sample cap — the all-pairs `sim_neardup_cosine` stays as
     * the oracle-checkable demo). Planted near-dups are the only pairs
     * above the 0.9 threshold in noise embeddings, so the constant-truth
-    * recall oracle applies. */
+    * recall oracle applies — the UNCAPPED slice here, not [[recallPanel]]:
+    * bucketed mining is linear in the corpus, so every planted pair stays
+    * in scope at any scale. */
   private[queries] def simNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val pairs = Similarity.cosineNearDupLsh(withPlantedNearDups(emb, 100), threshold = 0.9)
@@ -331,6 +341,12 @@ object SimQueries {
         coalesce(col("found_planted"), lit(false)).as("found_planted"))
       .orderBy("query_id")
   }
+
+  /** Constant-truth oracle over the FULL %100 slice (no panel cap) —
+    * pairs with [[simNearDupLsh]] only. */
+  private[queries] val simNearDupLshSql =
+    """SELECT vec_id AS query_id, CAST(1 AS BOOLEAN) AS found_planted
+      |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id""".stripMargin
 
   private[queries] def simNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupTop(Tables.embeddings(s, dir), sampleMod = 25, k = 20)
