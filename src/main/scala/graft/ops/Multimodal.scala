@@ -119,10 +119,10 @@ object Multimodal {
     * encode, not engine decode). Test-fixture-only code, like the UDFs. */
   private[graft] val mp4Memo =
     new java.util.concurrent.ConcurrentHashMap[Long, Array[Byte]]()
-  private[graft] def memoMp4(seed: Long): Array[Byte] = {
+  private[graft] def memoMp4(seed: Long, cap: Int = 250000): Array[Byte] = {
     val hit = mp4Memo.get(seed)
     if (hit != null) hit
-    else if (mp4Memo.size >= 250000) Mp4.writeMinimalMp4(seed)
+    else if (mp4Memo.size >= cap) Mp4.writeMinimalMp4(seed)
     else mp4Memo.computeIfAbsent(seed, Mp4.writeMinimalMp4 _)
   }
 
@@ -131,7 +131,7 @@ object Multimodal {
       (col("doc_id") % 3 + 1).cast("int"))
     val png = udf(renderPng _)
     val wav = udf(renderWav _)
-    val mp4 = udf(memoMp4 _)
+    val mp4 = udf((seed: Long) => memoMp4(seed))
     docs.select(
       col("doc_id").as("media_id"),
       kind.as("kind"),

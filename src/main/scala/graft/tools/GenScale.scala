@@ -49,6 +49,14 @@ object GenScale {
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val nVecs = emb.count()
+    // the sim_* planted-twin protocol writes twins at vec_id + 1,000,000
+    // (SimQueries.withPlantedNearDups); scaled ids must stay below that
+    // offset or twins would collide with real vectors and corrupt every
+    // recall measurement. Binds first at ~500× the sf0.1 corpus.
+    require(nVecs * factor <= 1000000L,
+      s"scaled vec_id space (${nVecs * factor}) would collide with the " +
+        "planted-near-dup offset (1,000,000) — raise the offset in " +
+        "SimQueries/its oracles before scaling this far")
     // per-(copy, vec, dim) deterministic nudge of ~±5%: cluster structure
     // (label geometry) survives, verbatim duplicates do not. Copy 0 stays
     // byte-identical to the source (same guard as the documents path), so
