@@ -551,9 +551,21 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs over a deterministic sample:
-    * top-k most similar pairs (id_a < id_b). */
-  def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int): DataFrame = {
+    * top-k most similar pairs (id_a < id_b).
+    *
+    * Same two-stage sample bound as [[graft.ops.Dedup.ngramJaccardTop]]:
+    * the modulus filter alone keeps a fixed FRACTION of the corpus, so
+    * this all-pairs diagnostic would grow quadratically with scale; the
+    * absolute `maxSample` cap (multiplicative-hash order — plain int64
+    * arithmetic any engine replays) fixes it at maxSample²/2 pairs.
+    * The LSH-bucketed [[cosineNearDupLsh]] is the full-corpus scale
+    * path; this stays the oracle-checkable demo. */
+  def cosineNearDupTop(corpus: DataFrame, sampleMod: Int, k: Int,
+      maxSample: Int = 64): DataFrame = {
     val sample = corpus.filter(col("vec_id") % sampleMod === 0)
+      .orderBy(pmod(col("vec_id") * lit(1000003L), lit(999999937L)), col("vec_id"))
+      .limit(maxSample)
+      .persist() // one materialization for both self-join sides
     val left = sample.select(col("vec_id").as("id_a"), col("embedding").as("emb_a"),
       norm(col("embedding")).as("norm_a"))
     val right = sample.select(col("vec_id").as("id_b"), col("embedding").as("emb_b"),

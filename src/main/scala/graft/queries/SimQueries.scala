@@ -349,11 +349,16 @@ object SimQueries {
       |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY query_id""".stripMargin
 
   private[queries] def simNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupTop(Tables.embeddings(s, dir), sampleMod = 25, k = 20)
+    Similarity.cosineNearDupTop(Tables.embeddings(s, dir), sampleMod = 25, k = 20,
+      maxSample = 64)
 
+  // the sampled CTE replays the engine's two-stage bound exactly (modulus
+  // filter, then the absolute cap in multiplicative-hash order); at sf0.1
+  // the cap is the binding constraint, so the oracle exercises it
   private[queries] val simNearDupSql =
     """WITH sample AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-      |                FROM embeddings WHERE vec_id % 25 = 0)
+      |                FROM embeddings WHERE vec_id % 25 = 0
+      |                ORDER BY (vec_id * 1000003) % 999999937, vec_id LIMIT 64)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_dot_product(a.e, b.e)
       |        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS score
