@@ -36,15 +36,41 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("content_hash", "keep_id", "n_copies")
 
+  /** Attach each row's dup-group keeper (min of `idCol` within `keyCol`)
+    * via partial-aggregated groupBy + join-back — deliberately NOT a
+    * window: `min().over(Window.partitionBy(key))` ships EVERY member of
+    * a group to one reducer, so a pathological dup group (an empty or
+    * boilerplate document with millions of copies — routine in web-scale
+    * corpora) serializes into a single task, and when the key space is
+    * small (the perceptual fingerprints) the whole stage caps at
+    * #distinct-keys tasks. The groupBy pre-aggregates to one row per map
+    * partition before the shuffle, the keeper table is one row per
+    * group, and AQE turns the join-back into a broadcast when that table
+    * is small / splits skewed probe partitions when it is not.
+    *
+    * The input is materialized ONCE (eager localCheckpoint) because it
+    * feeds both join sides — without the barrier the upstream (often an
+    * expensive decode/hash projection) recomputes per side, which
+    * measured 2× on the audio-dedup path. Callers should pass the
+    * NARROW (key, id) projection, not the full corpus: at scale that is
+    * ~40 bytes/row, the same data a window-min would have shuffled. */
+  private[graft] def keeperJoin(df: DataFrame, keyCol: String,
+      idCol: String): DataFrame = {
+    val once = df.localCheckpoint(true)
+    val keepers = once.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("canonical_id"))
+    once.join(keepers, Seq(keyCol))
+  }
+
   /** Per-document canonicalization: every document mapped to the keeper
     * of its exact-dup group (min doc_id over equal normalized content)
     * plus an `is_dup` drop flag — the projection a training pipeline
-    * applies after dedup to filter the corpus in place. One shuffle on
-    * the 32-byte content hash (window min, no join-back). */
+    * applies after dedup to filter the corpus in place. Skew-safe
+    * [[keeperJoin]] on the 32-byte content hash. */
   def canonicalize(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("content_hash")
-    docs.select(col("doc_id"), sha2(normalize(col("text")), 256).as("content_hash"))
-      .withColumn("canonical_id", min(col("doc_id")).over(w))
+    val hashed = docs.select(col("doc_id"),
+      sha2(normalize(col("text")), 256).as("content_hash"))
+    keeperJoin(hashed, "content_hash", "doc_id")
       .select(col("doc_id"), col("canonical_id"),
         (col("doc_id") =!= col("canonical_id")).as("is_dup"))
   }
@@ -334,13 +360,10 @@ object Dedup {
     * keeper (min media_id) of its average-hash group — the image twin of
     * [[canonicalize]], one shuffle on the 8-byte hash. Input:
     * (media_id, ahash) from [[Multimodal.imageHashes]]. */
-  def perceptualCanonicalize(hashes: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
-    hashes.select(col("media_id"), col("ahash"))
-      .withColumn("canonical_id", min(col("media_id")).over(w))
+  def perceptualCanonicalize(hashes: DataFrame): DataFrame =
+    keeperJoin(hashes.select(col("media_id"), col("ahash")), "ahash", "media_id")
       .select(col("media_id"), col("ahash"), col("canonical_id"),
         (col("media_id") =!= col("canonical_id")).as("is_dup"))
-  }
 
   /** Perceptual image NEAR-dup pairs: the [[bandedHammingPairs]] miner
     * over the 64-bit average hash (8 byte-bands, so `maxHamming` ≤ 7 for

@@ -194,9 +194,7 @@ object MmQueries {
     val prints = Multimodal.audioPrints(media).toDF()
       .select(col("media_id"),
         sha2(concat_ws(",", col("energies")), 256).as("fingerprint"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    prints
-      .withColumn("canonical_id", min(col("media_id")).over(w))
+    Dedup.keeperJoin(prints, "fingerprint", "media_id")
       .select(col("media_id"), col("fingerprint"), col("canonical_id"),
         (col("media_id") =!= col("canonical_id")).as("is_dup"))
       .orderBy("media_id")
@@ -241,9 +239,7 @@ object MmQueries {
       }).toDF("media_id", "hist")
       .select(col("media_id"),
         sha2(concat_ws(",", col("hist")), 256).as("fingerprint"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fingerprint")
-    prints
-      .withColumn("canonical_id", min(col("media_id")).over(w))
+    Dedup.keeperJoin(prints, "fingerprint", "media_id")
       .select(col("media_id"), col("fingerprint"), col("canonical_id"),
         (col("media_id") =!= col("canonical_id")).as("is_dup"))
       .orderBy("media_id")

@@ -286,16 +286,21 @@ class PlanAuditSpec extends SparkSuite {
       s"remainder prefix sum must partition by (source, hash bucket):\n$docWindow")
   }
 
-  test("mm dedup family: the canonicalization window partitions by the " +
-      "fingerprint — never an unpartitioned global window") {
-    for (q <- Seq("mm_image_dedup", "mm_audio_dedup", "mm_video_dedup")) {
+  test("mm dedup family: canonicalization is a partial-aggregated keeper " +
+      "join, never a window (a window-min ships every group member to one " +
+      "reducer — single-task skew on huge dup groups, and a stage capped " +
+      "at #distinct-fingerprints tasks)") {
+    for (q <- Seq("mm_image_dedup", "mm_audio_dedup", "mm_video_dedup",
+        "dedup_canonical")) {
       val p = SparkEntry.queries(q)(spark, sf0001)
         .queryExecution.sparkPlan.toString
-      val win = p.linesIterator.find(_.contains("Window ["))
-        .getOrElse(fail(s"$q has no window:\n$p"))
-      assert(win.contains("windowspecdefinition(") &&
-        (win.contains("ahash") || win.contains("fingerprint")),
-        s"$q window must partition by the hash:\n$win")
+      assert(!p.contains("windowspecdefinition("),
+        s"$q must not canonicalize through a window:\n$p")
+      assert(p.contains("partial_min"),
+        s"$q keeper agg must map-side combine:\n$p")
+      assert(p.contains("Join") && (p.contains("ahash") ||
+          p.contains("fingerprint") || p.contains("content_hash")),
+        s"$q must join keepers back on the hash key:\n$p")
     }
   }
 
