@@ -220,6 +220,51 @@ object DedupSampleQueries {
       .orderBy("shard")
   }
 
+  /** WARC export + DSv2 read driven END-TO-END (graft.sources.WarcSource —
+    * the Common Crawl container): write the corpus as 6 per-record-gzip
+    * `.warc.gz` shards, read them back through
+    * `spark.read.format("warc")`, restore every document field from the
+    * record (payload→text, target URI→doc_id+source, the CC language
+    * header→lang), and emit per-shard stats plus the two-sided-exceptAll
+    * roundtrip flag. Any framing, gzip-member, header-escaping, or
+    * field-mapping defect flips the flag or shifts a stat and fails the
+    * oracle hash. */
+  private[queries] def warcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.WarcIO
+    val origCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val orig = Tables.documents(s, dir).select(origCols.map(col): _*)
+    val out = stagedExport.computeIfAbsent("warc:" + dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-warc").toString
+      WarcIO.warcShards(Tables.documents(s, dir), tmp, 6)
+      tmp
+    })
+    val back = s.read.format("warc").load(out)
+      .select(
+        regexp_extract(col("source_file"), "shard=(\\d+)", 1).cast("bigint").as("shard"),
+        element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+        col("payload").cast("string").as("text"),
+        element_at(col("headers"), "WARC-Identified-Content-Language").as("lang"),
+        element_at(split(col("target_uri"), "/"), 3).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val restored = back.select(origCols.map(col): _*)
+    val mismatch = restored.exceptAll(orig).unionByName(orig.exceptAll(restored))
+    val ok = broadcast(mismatch.agg((count(lit(1)) === 0).as("roundtrip_ok")))
+    back.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("bigint").as("total_chars"))
+      .crossJoin(ok)
+      .select(col("shard"), col("n_docs"), col("total_chars"), col("roundtrip_ok"))
+      .orderBy("shard")
+  }
+
+  private[queries] val warcRoundtripSql =
+    """WITH a AS (SELECT doc_id, n_chars,
+      |  (row_number() OVER (ORDER BY ((doc_id % 1000003) * 2654435761) % 100, doc_id) - 1) % 6 AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(1 AS BOOLEAN) AS roundtrip_ok
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
   private[queries] val exportJsonlSql =
     """WITH a AS (SELECT doc_id, n_chars,
       |  (row_number() OVER (ORDER BY ((doc_id % 1000003) * 2654435761) % 100, doc_id) - 1) % 8 AS shard
