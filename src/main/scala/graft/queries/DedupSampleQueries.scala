@@ -257,6 +257,42 @@ object DedupSampleQueries {
       .orderBy("shard")
   }
 
+  /** TFRecord export + read driven END-TO-END (ops/TfRecord — framed
+    * tf.train.Example records with masked-CRC32C words, the tf.data
+    * loader handoff): write 5 shard files, stream them back with CRC
+    * verification, restore every field from the Example features, and
+    * emit per-shard stats plus the two-sided-exceptAll roundtrip flag.
+    * A wire-format, varint, framing, or CRC defect flips the flag or
+    * shifts a stat and fails the oracle hash. */
+  private[queries] def tfrecordRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.TfRecord
+    val origCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val orig = Tables.documents(s, dir).select(origCols.map(col): _*)
+    val out = stagedExport.computeIfAbsent("tfrecord:" + dir, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tfrec").toString
+      TfRecord.tfrecordShards(Tables.documents(s, dir), tmp, 5)
+      tmp
+    })
+    val back = TfRecord.readShards(s, out)
+    val restored = back.select(origCols.map(col): _*)
+    val mismatch = restored.exceptAll(orig).unionByName(orig.exceptAll(restored))
+    val ok = broadcast(mismatch.agg((count(lit(1)) === 0).as("roundtrip_ok")))
+    back.groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("bigint").as("total_chars"))
+      .crossJoin(ok)
+      .select(col("shard"), col("n_docs"), col("total_chars"), col("roundtrip_ok"))
+      .orderBy("shard")
+  }
+
+  private[queries] val tfrecordRoundtripSql =
+    """WITH a AS (SELECT doc_id, n_chars,
+      |  (row_number() OVER (ORDER BY ((doc_id % 1000003) * 2654435761) % 100, doc_id) - 1) % 5 AS shard
+      |  FROM documents)
+      |SELECT shard, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(1 AS BOOLEAN) AS roundtrip_ok
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+
   private[queries] val warcRoundtripSql =
     """WITH a AS (SELECT doc_id, n_chars,
       |  (row_number() OVER (ORDER BY ((doc_id % 1000003) * 2654435761) % 100, doc_id) - 1) % 6 AS shard

@@ -71,6 +71,7 @@ object ExtQueries {
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
     "warc_roundtrip" -> QueryDef(warcRoundtrip, Some(warcRoundtripSql)),
+    "export_tfrecord_roundtrip" -> QueryDef(tfrecordRoundtrip, Some(tfrecordRoundtripSql)),
     "sample_mixture_epochs" -> QueryDef(sampleMixtureEpochs, Some(sampleMixtureEpochsSql)),
     "mm_image_dedup" -> QueryDef(mmImageDedup, Some(mmImageDedupSql)),
     "mm_audio_dedup" -> QueryDef(mmAudioDedup, Some(mmAudioDedupSql)),
