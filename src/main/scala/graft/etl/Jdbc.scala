@@ -75,9 +75,10 @@ object Jdbc {
     * translating the two pg-only constructs for embedded Derby).
     * Running the round-trip under an engine that natively implements PG
     * syntax (H2 `MODE=PostgreSQL`, embedded-pg) was evaluated in r7 and
-    * is NOT possible here: the build is offline (COURSIER_MODE=offline)
-    * and no H2/pgjdbc jar exists in the warm cache or /opt/spark/jars —
-    * the residual closes the first time this builds with network. */
+    * re-checked in r9, and is NOT possible here: the build is offline
+    * (COURSIER_MODE=offline) and a full scan of ~/.ivy2, the coursier
+    * cache, ~/.sbt and /opt/spark/jars finds no H2/pgjdbc jar — the
+    * residual closes the first time this builds with network. */
   case object Postgres extends Dialect {
     val name = "postgresql"
     val driverClass = "org.postgresql.Driver"
