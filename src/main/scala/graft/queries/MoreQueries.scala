@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Stable._
-import graft.ops.{AsOf, BloomPrune, IncrAgg, Layout, Scd2}
+import graft.ops.{AsOf, BloomPrune, Bucketed, IncrAgg, Layout, Scd2}
 
 /** Coverage beyond the reference's own operator set (SURVEY.md §2.6 lists
   * what the reference lacks): as-of join, pivot/unpivot, rollup with
@@ -603,6 +603,27 @@ object MoreQueries {
        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Bucketed co-located join (ops.Bucketed): customer ⋈ orders with
+    * BOTH sides pre-written `CLUSTERED BY custkey INTO 8 BUCKETS`, so
+    * the fact-to-fact join plans with ZERO Exchange on either side
+    * (BucketedSpec pins the plan); only the final 5-row per-segment
+    * aggregate shuffles. The bucketed write is staged once per JVM —
+    * the amortization bucketing exists for. */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame =
+    Bucketed.customerOrdersJoined(s, dir)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  private val bucketedJoinSql =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  count(DISTINCT c_custkey) AS n_customers,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** SCD Type 2 history (ops.Scd2): per-customer order-status runs
     * collapsed to validity intervals — gaps-and-islands over one shuffle. */
   private def scd2History(s: SparkSession, dir: String): DataFrame = {
@@ -691,6 +712,7 @@ object MoreQueries {
   val defs: Seq[(String, QueryDef)] = Seq(
     "bloom_prune_join" -> QueryDef(bloomPruneJoin, Some(bloomPruneJoinSql)),
     "zorder_value" -> QueryDef(zorderValue, Some(zorderValueSql)),
+    "bucketed_join" -> QueryDef(bucketedJoin, Some(bucketedJoinSql)),
     "scd2_history" -> QueryDef(scd2History, Some(scd2HistorySql)),
     "incr_agg_merge" -> QueryDef(incrAggMerge, Some(incrAggMergeSql)),
     "sql_scalar_subquery" -> QueryDef(sqlFrontend, Some(sqlFrontendSql)),
