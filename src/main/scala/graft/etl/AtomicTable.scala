@@ -316,6 +316,23 @@ object AtomicTable {
     }
   }
 
+  /** Read only the listed partition values at the current version — the
+    * metadata-bounded scan a partition-scoped rewrite ([[MergeInto]]'s
+    * row-level MERGE / DELETE) starts from: cost ∝ selected partitions,
+    * never table size. Unknown values are simply absent (empty frame if
+    * none match). */
+  def readPartitions(spark: SparkSession, table: String, schema: StructType,
+      parts: Set[String]): DataFrame =
+    manifest(Paths.get(table)) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(m) =>
+        val kept = m.partitions.filter { case (p, _) => parts(p) }
+        if (kept.isEmpty) spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else readManifest(spark, table, schema, m.copy(partitions = kept))
+    }
+
   /** Time travel: read the table AS OF `version`. Valid while the version
     * is inside the table's retention window (`retainVersions` at write
     * time) — the manifest and every data dir it references are kept on
@@ -338,10 +355,21 @@ object AtomicTable {
     // pushes through the union into each scan's PartitionFilters
     val byTxn = m.partitions.values.toSeq.sorted
       .groupBy(d => d.substring(0, d.lastIndexOf('/')))
-    byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
+    val df = byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
       spark.read.option("basePath", s"$table/$txnDir")
         .parquet(dirs.map(d => s"$table/$d"): _*)
-    }.reduce(_.unionByName(_)).select(schema.fieldNames.map(col): _*)
+    }.reduce(_.unionByName(_))
+    // the partition column comes back TYPE-INFERRED from dir names (an
+    // all-numeric value like "2" reads as int); cast any column whose
+    // read type differs from the caller's declared schema — compared by
+    // catalogString, which ignores nullability, because a bare cast
+    // between nullability variants of the same type is rejected — so
+    // the contract is the schema, not the inference
+    df.select(schema.map { f =>
+      if (df.schema(f.name).dataType.catalogString == f.dataType.catalogString)
+        col(f.name)
+      else col(f.name).cast(f.dataType).as(f.name)
+    }: _*)
   }
 
   /** Per-table-root commit locks: concurrent writers in ONE JVM take the

@@ -26,6 +26,7 @@ object ExtQueries {
   import SimQueries._
   import MmQueries._
   import EventQueries._
+  import WarehouseQueries._
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "text_tokens" -> QueryDef(textTokens, Some(textTokensSql)),
@@ -68,6 +69,8 @@ object ExtQueries {
     "sample_mixture" -> QueryDef(sampleMixture, Some(sampleMixtureSql)),
     "export_jsonl_roundtrip" -> QueryDef(exportJsonlRoundtrip, Some(exportJsonlSql)),
     "wh_zonemap_prune" -> QueryDef(whZonemapPrune, Some(whZonemapPruneSql)),
+    "wh_merge_delete" -> QueryDef(whMergeDelete, Some(whMergeDeleteSql)),
+    "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
     "warc_roundtrip" -> QueryDef(warcRoundtrip, Some(warcRoundtripSql)),

@@ -1,0 +1,148 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.etl.{AtomicTable, MergeInto}
+import graft.functions.Stable.{dsum, sqlDsum}
+
+/** Warehouse-lifecycle queries: operators that mutate an AtomicTable
+  * through its commit protocol and are then value-oracled from the
+  * final table state. */
+object WarehouseQueries {
+
+  /** dir → staged merged/deleted table root (the mutation sequence runs
+    * once per JVM; every pass re-reads the committed final state). */
+  private val staged = new ConcurrentHashMap[String, String]()
+
+  private val ordSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_ym", StringType)))
+
+  /** Row-level MERGE + right-to-be-forgotten DELETE driven END-TO-END
+    * through the AtomicTable commit protocol (etl/MergeInto): seed a
+    * month-partitioned orders table, upsert (reprice every 97th order,
+    * insert an expedited copy of every 101st), then delete every order
+    * of each 991-divisible customer — keys located from the table
+    * itself, so the inserted copies die with their customer. The result
+    * aggregates the FINAL committed state per month; a defect anywhere
+    * in the read-anti-join-union-swap chain (lost update, duplicated
+    * key, resurrected delete, partition dropped or doubled) shifts a
+    * count or sum and fails the value oracle, which replays the same
+    * algebra over the raw parquet. */
+  private[queries] def whMergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent(dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-mergetbl").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      // co-locate each month before the partitioned write: file count
+      // stays one-per-(month, owning task), not months x tasks
+      AtomicTable.replacePartitions(s, t, base.repartition(col("o_ym")), "o_ym")
+      val upd = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("U"))
+      val ins = base.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      MergeInto.upsert(s, t, ordSchema,
+        upd.unionByName(ins).repartition(col("o_ym")), Seq("o_orderkey"), "o_ym")
+      val gone = AtomicTable.read(s, t, ordSchema)
+        .filter(col("o_custkey") % 991 === 0)
+        .select("o_orderkey", "o_ym") // fast path: keys carry their month
+      MergeInto.deleteKeys(s, t, ordSchema, gone, Seq("o_orderkey"), "o_ym")
+      t
+    })
+    AtomicTable.read(s, table, ordSchema)
+      .groupBy("o_ym")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_ym")
+  }
+
+  private val cdcSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("ts", TimestampType),
+    StructField("p", StringType)))
+
+  /** CDC apply driven END-TO-END (etl/MergeInto.applyChanges — the
+    * streaming-MERGE batch kernel): the events table becomes a change
+    * stream keyed by user (op 'd' on error events, upsert otherwise,
+    * per-key order by (ts, event_id)), split into two change batches by
+    * event parity and applied sequentially to a user-bucketed
+    * AtomicTable. Batch boundaries matter — a user's state after batch
+    * 2 is batch 2's winner even when batch 1 held a later timestamp —
+    * and the oracle replays exactly that two-level (batch, seq)
+    * resolution. A defect in the last-writer pick, the anti-join, the
+    * single-commit delete path, or partition bookkeeping changes the
+    * surviving row set and fails the value oracle. */
+  private[queries] def whCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("cdc:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-cdctbl").toString
+      val ch = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts"), (col("user_id") % 8).cast("string").as("p"),
+        when(col("event_type") === "error", lit("d")).otherwise(lit("u")).as("op"))
+      MergeInto.applyChanges(s, t, cdcSchema,
+        ch.filter(col("event_id") % 2 === 0),
+        Seq("user_id"), "p", "op", Seq("ts", "event_id"))
+      MergeInto.applyChanges(s, t, cdcSchema,
+        ch.filter(col("event_id") % 2 === 1),
+        Seq("user_id"), "p", "op", Seq("ts", "event_id"))
+      t
+    })
+    AtomicTable.read(s, table, cdcSchema)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("p"))
+      .orderBy("user_id")
+  }
+
+  private[queries] val whCdcApplySql =
+    """WITH c AS (
+      |  SELECT user_id, event_id, event_type, value, ts,
+      |         CAST(user_id % 8 AS VARCHAR) AS p,
+      |         CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+      |         event_id % 2 AS batch
+      |  FROM events),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY batch DESC, ts DESC, event_id DESC) AS rn
+      |  FROM c),
+      |final AS (SELECT * FROM ranked WHERE rn = 1 AND op <> 'd')
+      |SELECT user_id, event_id, event_type, value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, p
+      |FROM final ORDER BY user_id""".stripMargin
+
+  private[queries] val whMergeDeleteSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         strftime(o_orderdate, '%Y-%m') AS o_ym
+       |  FROM orders),
+       |upd AS (
+       |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       |         o_totalprice + 1000.0 AS o_totalprice, o_ym
+       |  FROM base WHERE o_orderkey % 97 = 0),
+       |ins AS (
+       |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+       |         'N' AS o_orderstatus, o_totalprice, o_ym
+       |  FROM base WHERE o_orderkey % 101 = 0),
+       |merged AS (
+       |  SELECT * FROM base
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       |  UNION ALL SELECT * FROM upd
+       |  UNION ALL SELECT * FROM ins),
+       |final AS (SELECT * FROM merged WHERE o_custkey % 991 <> 0)
+       |SELECT o_ym, count(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM final GROUP BY o_ym ORDER BY o_ym""".stripMargin
+}

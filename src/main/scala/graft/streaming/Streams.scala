@@ -400,6 +400,32 @@ object Streams {
     }
   }
 
+  /** Streaming CDC apply: each micro-batch is a change batch (upserts +
+    * deletes, possibly several changes per key) applied to a keyed
+    * AtomicTable through [[graft.etl.MergeInto.applyChanges]] — the
+    * streaming MERGE sink. Exactly-once by the same epoch defense as
+    * [[exactlyOnceBatchCommit]]: `last_batch_id` rides the SAME manifest
+    * swap as the rewritten partitions, so a replayed batch is skipped
+    * before it stages a byte; and because the whole batch (deletes
+    * included) is one commit, a crash can never publish half a batch.
+    * Restart-after-conflict is also sound: a concurrent writer (e.g. a
+    * compaction) landing mid-apply aborts the batch with
+    * ConcurrentModificationException, the stream retries the SAME
+    * batchId, re-reads the new version, and applies cleanly. */
+  def cdcApplyCommit(table: String, schema: StructType, keyCols: Seq[String],
+      partitionCol: String, opCol: String, seqCols: Seq[String],
+      deleteOp: String = "d")(df: DataFrame, batchId: Long): Unit = {
+    val root = java.nio.file.Paths.get(table)
+    val last = AtomicTable.manifest(root)
+      .flatMap(_.properties.get("last_batch_id")).map(_.toLong).getOrElse(-1L)
+    if (batchId > last) {
+      graft.etl.MergeInto.applyChanges(df.sparkSession, table, schema, df,
+        keyCols, partitionCol, opCol, seqCols, deleteOp,
+        properties = Map("last_batch_id" -> batchId.toString))
+      ()
+    }
+  }
+
   /** Streaming materialized-view maintenance: each micro-batch folds its
     * per-group moment state (graft.ops.IncrAgg) into the stored state
     * table — count/sum/mean/variance stay queryable at all times without
