@@ -66,10 +66,20 @@ object AtomicTable {
     * streaming sink stores its last batch epoch here, which is what makes
     * foreachBatch replay idempotent (see graft.streaming.Streams).
     * stats: optional per-partition zone maps ([[PartStats]]); partitions
-    * without an entry are simply never pruned. */
+    * without an entry are simply never pruned.
+    * deletes: per-partition DELETE VECTORS (merge-on-read): partition
+    * value -> ordered list of delete-key dirs (each a small parquet of
+    * deleted key tuples, staged like data under `data/txn-*`). A
+    * partition's data dirs are IMMUTABLE under a merge-on-read delete —
+    * only this list grows — and [[MergeInto.readMerged]] subtracts the
+    * keys at read time. Replacing or dropping a partition clears its
+    * vectors in the same commit (the rewrite already folded them; a
+    * stale vector would wrongly re-delete a key the rewrite
+    * re-inserted). */
   final case class Manifest(version: Long, partitions: Map[String, String],
       properties: Map[String, String] = Map.empty,
-      stats: Map[String, PartStats] = Map.empty)
+      stats: Map[String, PartStats] = Map.empty,
+      deletes: Map[String, Seq[String]] = Map.empty)
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -130,8 +140,11 @@ object AtomicTable {
         Option(e.getValue.get("mins")).map(strMap).getOrElse(Map.empty),
         Option(e.getValue.get("maxs")).map(strMap).getOrElse(Map.empty))
     }.toMap).getOrElse(Map.empty)
+    val deletes = Option(n.get("deletes")).map(_.fields().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map(_.asText).toSeq
+    }.toMap).getOrElse(Map.empty[String, Seq[String]])
     Manifest(n.get("version").asLong,
-      strMap(n.get("partitions")), props, stats)
+      strMap(n.get("partitions")), props, stats, deletes)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -150,6 +163,13 @@ object AtomicTable {
         s.mins.toSeq.sortBy(_._1).foreach { case (c, v) => mins.put(c, v) }
         val maxs = p.putObject("maxs")
         s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) => maxs.put(c, v) }
+      }
+    }
+    if (m.deletes.nonEmpty) {
+      val del = node.putObject("deletes")
+      m.deletes.toSeq.sortBy(_._1).foreach { case (part, dirs) =>
+        val a = del.putArray(part)
+        dirs.foreach(a.add)
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
@@ -372,6 +392,50 @@ object AtomicTable {
     }: _*)
   }
 
+  /** Manifest property naming the key columns every delete vector of
+    * this table is keyed by (comma-joined, committed with the first
+    * vector) — what makes a table with vectors self-describing enough
+    * for [[compact]] / [[compactFragmented]] to fold them without being
+    * told the keys. */
+  val DeleteKeysProperty = "graft.dv.keys"
+
+  /** Subtract `m`'s delete vectors (restricted to partition values in
+    * `parts` when given) from `rows`: one anti-join on (key columns,
+    * partition column) against the union of the vector files. The vector
+    * side is only the keys deleted since those partitions were last
+    * rewritten — small by the maintenance contract
+    * ([[MergeInto.materializeDeletes]] folds it periodically) — so it is
+    * broadcast; the 100 TB data side never moves. No-op when the
+    * selected vector set is empty. */
+  private[etl] def subtractDeletes(spark: SparkSession, table: String,
+      schema: StructType, m: Manifest, rows: DataFrame,
+      parts: Option[Set[String]] = None): DataFrame = {
+    val sel = parts.fold(m.deletes)(p => m.deletes.filter { case (k, _) => p(k) })
+    if (sel.isEmpty) return rows
+    val keyCols = m.properties(DeleteKeysProperty).split(",").toSeq
+    // the partition column name is in every vector dir name
+    // (`data/txn-x/<col>=<val>`), same as the data dirs
+    val first = sel.valuesIterator.next().head
+    val seg = first.substring(first.lastIndexOf('/') + 1)
+    val partitionCol = seg.substring(0, seg.indexOf('='))
+    val dirs = sel.values.flatten.toSeq.sorted
+    val byTxn = dirs.groupBy(d => d.substring(0, d.lastIndexOf('/')))
+    val dv = byTxn.toSeq.sortBy(_._1).map { case (txnDir, ds) =>
+      spark.read.option("basePath", s"$table/$txnDir")
+        .parquet(ds.map(d => s"$table/$d"): _*)
+    }.reduce(_.unionByName(_))
+    val joinCols = keyCols :+ partitionCol
+    val dvKeys = dv.select(joinCols.map { c =>
+      val dt = schema(c).dataType
+      (if (dv.schema(c).dataType.catalogString == dt.catalogString) col(c)
+       else col(c).cast(dt)).as(c)
+    }: _*)
+    // a USING join moves the join columns to the front of the output;
+    // restore the caller's column order
+    rows.join(org.apache.spark.sql.functions.broadcast(dvKeys),
+      joinCols, "left_anti").select(rows.columns.map(col): _*)
+  }
+
   /** Per-table-root commit locks: concurrent writers in ONE JVM take the
     * root's lock around the claim loop so sibling threads don't burn
     * retries against each other — an efficiency courtesy, NOT the
@@ -406,7 +470,8 @@ object AtomicTable {
       properties: Map[String, String] = Map.empty,
       dropPartitions: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None, retain: Int = 1,
-      beforeCommit: () => Unit = () => ()): Manifest =
+      beforeCommit: () => Unit = () => (),
+      newDeletes: Map[String, Seq[String]] = Map.empty): Manifest =
     commitLock(root).synchronized {
       var hookRan = false
       var committed: Manifest = null
@@ -418,11 +483,18 @@ object AtomicTable {
             s"$root moved to v$cur since this rewrite read v$v; " +
               "staged data left as a vacuum-reclaimable orphan")
         }
+        // delete vectors APPEND per partition; replacing or dropping a
+        // partition clears its vectors (the rewrite folded them — a
+        // stale vector would re-delete a key the rewrite re-inserted)
+        val delBase = prev.map(_.deletes).getOrElse(Map.empty) --
+          dropPartitions -- written.keys
         val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
           (prev.map(_.partitions).getOrElse(Map.empty) -- dropPartitions) ++ written,
           prev.map(_.properties).getOrElse(Map.empty) ++ properties,
           (prev.map(_.stats).getOrElse(Map.empty)
-            -- dropPartitions -- written.keys) ++ newStats)
+            -- dropPartitions -- written.keys) ++ newStats,
+          delBase ++ newDeletes.map { case (p, ds) =>
+            p -> (delBase.getOrElse(p, Nil) ++ ds) })
         if (!hookRan) { beforeCommit(); hookRan = true }
         // the commit point: atomically claim the version slot; a lost
         // claim means another PROCESS committed meanwhile (threads are
@@ -560,12 +632,22 @@ object AtomicTable {
     * repartitions on (partitionCol, random-ish split) instead). */
   def compact(spark: SparkSession, table: String, schema: StructType,
       partitionCol: String, filesPerPartition: Int = 1): Manifest = {
-    val current = read(spark, table, schema)
+    val root = Paths.get(table)
+    val m = manifest(root).getOrElse(return Manifest(0L, Map.empty))
+    // fold any merge-on-read delete vectors into the rewrite: the commit
+    // replaces (or, if a partition came out empty, drops) every current
+    // partition, which clears their vectors in the same swap — without
+    // the fold, the rewrite would resurrect every vector-deleted key
+    val current = subtractDeletes(spark, table, schema, m,
+      readManifest(spark, table, schema, m))
     val packed =
       if (filesPerPartition <= 1) current.repartition(col(partitionCol))
       else current.repartition(col(partitionCol),
         pmod(xxhash64(schema.fieldNames.map(col): _*), lit(filesPerPartition.toLong)))
-    replacePartitions(spark, table, packed, partitionCol)
+    // pinned read + optimistic commit: deriving the rewrite from version
+    // m and committing over a concurrent writer would clobber it
+    replacePartitions(spark, table, packed, partitionCol,
+      dropPartitions = m.partitions.keySet, expectedVersion = Some(m.version))
   }
 
   /** Targeted compaction: rewrite ONLY the partitions whose file count
@@ -599,8 +681,13 @@ object AtomicTable {
     // the partition). The rewrite commits with dropPartitions so the
     // original keys leave the manifest in the same atomic swap even if
     // the rewritten dir names render differently under inference.
-    val rows = readManifest(spark, table, schema,
-        m.copy(partitions = m.partitions.filter { case (k, _) => fragmented(k) }))
+    // fold the fragmented partitions' delete vectors (those partitions
+    // are all rewritten or dropped by this commit, clearing the vectors);
+    // healthy partitions keep both their bytes AND their vectors
+    val rows = subtractDeletes(spark, table, schema, m,
+        readManifest(spark, table, schema,
+          m.copy(partitions = m.partitions.filter { case (k, _) => fragmented(k) })),
+        Some(fragmented))
       .repartition(col(partitionCol))
     // pinned read + optimistic commit: the rewrite was derived from
     // version m; if another writer replaced one of these partitions
@@ -657,7 +744,10 @@ object AtomicTable {
     // manifest between our listing and the read — its dirs are then that
     // process's to reclaim, skipping them here is exactly right
     def partsOf(v: Long): Seq[String] =
-      try manifestAt(root, v).partitions.values.toSeq
+      try {
+        val m = manifestAt(root, v)
+        m.partitions.values.toSeq ++ m.deletes.values.flatten
+      }
       catch { case _: java.nio.file.NoSuchFileException |
                    _: java.io.FileNotFoundException => Nil }
     val prunedDirs = pruned.flatMap { case (v, _) => partsOf(v) }.toSet
@@ -708,7 +798,10 @@ object AtomicTable {
         try ms.iterator.asScala.toList.flatMap { f =>
           f.getFileName.toString.stripPrefix("v").stripSuffix(".json")
             .toLongOption.toList.flatMap { v =>
-              try manifestAt(root, v).partitions.values
+              try {
+                val m = manifestAt(root, v)
+                m.partitions.values ++ m.deletes.values.flatten
+              }
               catch { case _: java.nio.file.NoSuchFileException |
                            _: java.io.FileNotFoundException => Nil }
             }

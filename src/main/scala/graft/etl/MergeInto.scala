@@ -42,6 +42,18 @@ object MergeInto {
     rows.select(col(partitionCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSet
 
+  /** The current merged state of the listed partitions: the data files
+    * minus their delete vectors — what every copy-on-write rewrite here
+    * must start from (reading the raw files would resurrect
+    * vector-deleted keys in the rewritten partitions). */
+  private def mergedPartitions(spark: SparkSession, table: String,
+      schema: StructType, parts: Set[String]): DataFrame =
+    AtomicTable.manifest(java.nio.file.Paths.get(table)) match {
+      case None => AtomicTable.readPartitions(spark, table, schema, parts)
+      case Some(m) => AtomicTable.subtractDeletes(spark, table, schema, m,
+        AtomicTable.readPartitions(spark, table, schema, parts), Some(parts))
+    }
+
   /** MERGE (upsert): rows of `updates` replace current rows with the
     * same `keyCols`; unmatched keys are inserted. Only the partitions
     * present in `updates` are rewritten. Returns the committed
@@ -55,7 +67,7 @@ object MergeInto {
     val cols = schema.fieldNames.toSeq
     val upd = updates.select(cols.map(col): _*)
     val affected = partitionValues(upd, partitionCol)
-    val current = AtomicTable.readPartitions(spark, table, schema, affected)
+    val current = mergedPartitions(spark, table, schema, affected)
     val survivors = current.join(
       broadcast(upd.select(keyCols.map(col): _*).distinct()), keyCols, "left_anti")
     AtomicTable.replacePartitions(spark, table,
@@ -97,7 +109,7 @@ object MergeInto {
         Seq(col(s"w.$opCol").as(opCol)) ++
         payload.filterNot(keyCols.contains).map(c => col(s"w.$c").as(c)): _*)
     val affected = partitionValues(latest, partitionCol)
-    val current = AtomicTable.readPartitions(spark, table, schema, affected)
+    val current = mergedPartitions(spark, table, schema, affected)
     val survivors = current.join(
       broadcast(latest.select(keyCols.map(col): _*).distinct()),
       keyCols, "left_anti")
@@ -132,9 +144,9 @@ object MergeInto {
       if (keys.columns.contains(partitionCol))
         partitionValues(keyFrame, partitionCol)
       else partitionValues(
-        AtomicTable.read(spark, table, schema)
+        readMerged(spark, table, schema)
           .join(broadcast(keyFrame), keyCols, "left_semi"), partitionCol)
-    val current = AtomicTable.readPartitions(spark, table, schema, affected)
+    val current = mergedPartitions(spark, table, schema, affected)
     val survivors = current.join(
       broadcast(keyFrame.select(keyCols.map(col): _*).distinct()),
       keyCols, "left_anti")
@@ -145,5 +157,128 @@ object MergeInto {
       statsColumns = statsColumns, retain = retain,
       dropPartitions = affected -- stillThere,
       expectedVersion = Some(readVersion), beforeCommit = beforeCommit)
+  }
+
+  // ---------------------------------------------------------------- MOR
+
+  /** Merge-on-read DELETE (deletion vectors): instead of rewriting the
+    * partitions that hold `keys` (the copy-on-write [[deleteKeys]]),
+    * commit a small per-partition DELETE VECTOR — a parquet of the
+    * deleted key tuples — and leave every data byte where it is.
+    * [[readMerged]] subtracts the vectors at read time with one
+    * broadcast anti-join; [[materializeDeletes]] folds them back into
+    * the data during maintenance. This is the Iceberg v2 / Delta
+    * deletion-vector trade: a scattered 1000-key delete against a
+    * 100 TB table costs ~one tiny parquet write + a manifest swap,
+    * instead of rewriting every partition those keys touch, at the
+    * price of one small anti-join per read until the next compaction.
+    *
+    * Commits are blind appends — no optimistic version check needed:
+    * a vector is a statement about KEYS, not about file contents, so it
+    * composes with any concurrent commit (the claim loop re-merges; a
+    * concurrent rewrite that was derived from the pre-vector state
+    * aborts on ITS `expectedVersion`, not this one). Keys may carry the
+    * partition column (fast path: vector placement from the frame
+    * alone) or not (one merged scan locates the partitions). */
+  def deleteKeysMor(spark: SparkSession, table: String, schema: StructType,
+      keys: DataFrame, keyCols: Seq[String], partitionCol: String,
+      properties: Map[String, String] = Map.empty,
+      retain: Int = 1): AtomicTable.Manifest = {
+    val root = java.nio.file.Paths.get(table)
+    AtomicTable.manifest(root).foreach { m =>
+      m.properties.get(AtomicTable.DeleteKeysProperty).foreach { prior =>
+        require(prior == keyCols.mkString(","),
+          s"table $table already has delete vectors keyed by ($prior); " +
+            s"a vector keyed by (${keyCols.mkString(",")}) would not compose")
+      }
+    }
+    val keyFrame: DataFrame =
+      if (keys.columns.contains(partitionCol))
+        keys.select((keyCols :+ partitionCol).distinct.map(col): _*).distinct()
+      else readMerged(spark, table, schema)
+        .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
+          keyCols, "left_semi")
+        .select((keyCols :+ partitionCol).map(col): _*).distinct()
+    // stage the vector exactly like data (immutable parquet under a
+    // fresh txn dir, partitioned so each partition's vector is its own
+    // small file set), then commit it as a vector append
+    val txn = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+    val txnDir = root.resolve("data").resolve(txn)
+    // one vector file per partition (repartition, not coalesce — a
+    // coalesce(1) would also strangle the locate scan upstream of it)
+    keyFrame.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).parquet(txnDir.toString)
+    import scala.jdk.CollectionConverters._
+    val written = java.nio.file.Files.list(txnDir).iterator.asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith(s"$partitionCol="))
+      .map { n =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(n.substring(partitionCol.length + 1)) ->
+          Seq(s"data/$txn/$n")
+      }.toMap
+    if (written.isEmpty) // nothing matched: no version burned
+      return AtomicTable.manifest(root).getOrElse(AtomicTable.Manifest(0L, Map.empty))
+    AtomicTable.commitManifest(root, Map.empty,
+      properties = properties +
+        (AtomicTable.DeleteKeysProperty -> keyCols.mkString(",")),
+      retain = retain, newDeletes = written)
+  }
+
+  /** Merge-on-read DELETE WHERE: vector-delete every current row
+    * matching `condition` (evaluated against the merged state). */
+  def deleteWhereMor(spark: SparkSession, table: String, schema: StructType,
+      condition: org.apache.spark.sql.Column, keyCols: Seq[String],
+      partitionCol: String): AtomicTable.Manifest =
+    deleteKeysMor(spark, table, schema,
+      readMerged(spark, table, schema).filter(condition)
+        .select((keyCols :+ partitionCol).map(col): _*),
+      keyCols, partitionCol)
+
+  /** The table's current MERGED state: data files minus delete vectors.
+    * Equal to [[AtomicTable.read]] when no vectors are outstanding. */
+  def readMerged(spark: SparkSession, table: String, schema: StructType): DataFrame =
+    AtomicTable.manifest(java.nio.file.Paths.get(table)) match {
+      case None => AtomicTable.read(spark, table, schema)
+      case Some(m) => AtomicTable.subtractDeletes(spark, table, schema, m,
+        AtomicTable.read(spark, table, schema))
+    }
+
+  /** Time travel over merged state: the table AS OF `version`, with the
+    * delete vectors THAT VERSION carried subtracted (a later vector
+    * never leaks into an earlier snapshot — retention pins both the
+    * data dirs and the vector dirs of every retained manifest). */
+  def readMergedAt(spark: SparkSession, table: String, schema: StructType,
+      version: Long): DataFrame = {
+    val root = java.nio.file.Paths.get(table)
+    val frame = AtomicTable.readAt(spark, table, schema, version)
+    AtomicTable.subtractDeletes(spark, table, schema,
+      AtomicTable.manifestAt(root, version), frame)
+  }
+
+  /** Fold every outstanding delete vector back into the data: rewrite
+    * ONLY the partitions that have vectors (survivor rows re-staged,
+    * emptied partitions dropped), one atomic commit that also clears
+    * the folded vectors. The maintenance half of the merge-on-read
+    * trade — run it like compaction, when vectors have accumulated
+    * enough to tax the read anti-join. Optimistic: aborts if any
+    * writer landed since the fold was derived. */
+  def materializeDeletes(spark: SparkSession, table: String,
+      schema: StructType, partitionCol: String,
+      statsColumns: Seq[String] = Nil): AtomicTable.Manifest = {
+    val root = java.nio.file.Paths.get(table)
+    val m = AtomicTable.manifest(root).getOrElse(
+      return AtomicTable.Manifest(0L, Map.empty))
+    val affected = m.deletes.keySet.intersect(m.partitions.keySet)
+    if (affected.isEmpty) return m
+    val survivors = AtomicTable.subtractDeletes(spark, table, schema, m,
+      AtomicTable.readPartitions(spark, table, schema, affected),
+      Some(affected))
+    val stillThere = partitionValues(survivors, partitionCol)
+    AtomicTable.replacePartitions(spark, table,
+      survivors.repartition(col(partitionCol)), partitionCol,
+      statsColumns = statsColumns,
+      dropPartitions = affected -- stillThere,
+      expectedVersion = Some(m.version))
   }
 }

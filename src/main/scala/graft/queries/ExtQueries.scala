@@ -70,6 +70,7 @@ object ExtQueries {
     "export_jsonl_roundtrip" -> QueryDef(exportJsonlRoundtrip, Some(exportJsonlSql)),
     "wh_zonemap_prune" -> QueryDef(whZonemapPrune, Some(whZonemapPruneSql)),
     "wh_merge_delete" -> QueryDef(whMergeDelete, Some(whMergeDeleteSql)),
+    "wh_delete_mor" -> QueryDef(whDeleteMor, Some(whDeleteMorSql)),
     "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),

@@ -67,6 +67,65 @@ object WarehouseQueries {
       .orderBy("o_ym")
   }
 
+  /** Merge-on-read deletion vectors driven END-TO-END (etl/MergeInto
+    * deleteKeysMor / readMerged): seed the month-partitioned orders
+    * table, vector-delete every 191st order (no partition rewritten —
+    * the commit is a key list + manifest swap), upsert a repriced copy
+    * of every 97th (each rewritten month FOLDS its outstanding vector,
+    * and an upserted key that was vector-deleted is legitimately
+    * resurrected — lcm(191,97) keys exercise exactly that), then
+    * vector-delete every 499-divisible customer's orders through the
+    * locate path (keys without partitions). The final aggregate reads
+    * THROUGH live vectors — the broadcast anti-join subtract is inside
+    * the oracle gate, and the oracle replays the same delete/upsert/
+    * delete algebra over the raw parquet. */
+  private[queries] def whDeleteMor(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("mor:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-mortbl").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      AtomicTable.replacePartitions(s, t, base.repartition(col("o_ym")), "o_ym")
+      MergeInto.deleteKeysMor(s, t, ordSchema,
+        base.filter(col("o_orderkey") % 191 === 0).select("o_orderkey", "o_ym"),
+        Seq("o_orderkey"), "o_ym")
+      val upd = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("U"))
+      MergeInto.upsert(s, t, ordSchema,
+        upd.repartition(col("o_ym")), Seq("o_orderkey"), "o_ym")
+      MergeInto.deleteKeysMor(s, t, ordSchema,
+        MergeInto.readMerged(s, t, ordSchema)
+          .filter(col("o_custkey") % 499 === 0).select("o_orderkey"),
+        Seq("o_orderkey"), "o_ym")
+      t
+    })
+    MergeInto.readMerged(s, table, ordSchema)
+      .groupBy("o_ym")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_ym")
+  }
+
+  private[queries] val whDeleteMorSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         strftime(o_orderdate, '%Y-%m') AS o_ym
+       |  FROM orders),
+       |after_a AS (SELECT * FROM base WHERE o_orderkey % 191 <> 0),
+       |upd AS (
+       |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       |         o_totalprice + 1000.0 AS o_totalprice, o_ym
+       |  FROM base WHERE o_orderkey % 97 = 0),
+       |merged AS (
+       |  SELECT * FROM after_a
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       |  UNION ALL SELECT * FROM upd),
+       |final AS (SELECT * FROM merged WHERE o_custkey % 499 <> 0)
+       |SELECT o_ym, count(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM final GROUP BY o_ym ORDER BY o_ym""".stripMargin
+
   private val cdcSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("event_id", LongType),
