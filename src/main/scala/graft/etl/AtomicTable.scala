@@ -392,6 +392,44 @@ object AtomicTable {
     }: _*)
   }
 
+  /** Schema-evolution read: the table under an EVOLVED schema, where
+    * partitions written before a column existed fill it with NULL and
+    * narrower-typed history is widened by cast (int -> long, float ->
+    * double — the parquet-compatible widenings). This is Delta's
+    * `mergeSchema` read contract made explicit: adding a column (or
+    * widening a type) is a METADATA-ONLY evolution — no old file is
+    * rewritten, ever; new commits simply write the new shape and the
+    * read reconciles. Deliberately a separate entry point from [[read]]:
+    * the strict read still fails loudly on a column no file carries
+    * (usually a typo), while this one declares "absent means null" on
+    * purpose. Rename/drop are not evolutions here — they are rewrites. */
+  def readEvolved(spark: SparkSession, table: String, schema: StructType): DataFrame =
+    manifest(Paths.get(table)) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(m) =>
+        val byTxn = m.partitions.values.toSeq.sorted
+          .groupBy(d => d.substring(0, d.lastIndexOf('/')))
+        val scans = byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
+          spark.read.option("basePath", s"$table/$txnDir")
+            .parquet(dirs.map(d => s"$table/$d"): _*)
+        }
+        // per-scan: project to the target schema, null-filling columns
+        // this txn predates and casting the rest — BEFORE the union, so
+        // every branch has identical shape (allowMissingColumns would
+        // also reorder nothing, but an explicit projection keeps the
+        // cast-per-branch visible in the plan)
+        scans.map { df =>
+          val have = df.schema.fieldNames.toSet
+          df.select(schema.map { f =>
+            if (!have.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+            else if (df.schema(f.name).dataType.catalogString == f.dataType.catalogString)
+              col(f.name)
+            else col(f.name).cast(f.dataType).as(f.name)
+          }: _*)
+        }.reduce(_.unionByName(_))
+    }
+
   /** Manifest property naming the key columns every delete vector of
     * this table is keyed by (comma-joined, committed with the first
     * vector) — what makes a table with vectors self-describing enough

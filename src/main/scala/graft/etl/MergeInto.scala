@@ -159,6 +159,43 @@ object MergeInto {
       expectedVersion = Some(readVersion), beforeCommit = beforeCommit)
   }
 
+  /** UPDATE ... SET: rewrite every current row matching `condition`
+    * with the `set` expressions applied (non-matching rows in the same
+    * partitions are carried through the rewrite unchanged; other
+    * partitions are untouched by reference). Needs NO key columns —
+    * identity is positional within the copy-on-write rewrite — and the
+    * partition column may not be assigned (an update that moves rows
+    * between partitions is a delete + insert, semantically different
+    * and better said that way). Cost: one merged locate scan + a
+    * rewrite of only the partitions holding matches. */
+  def updateWhere(spark: SparkSession, table: String, schema: StructType,
+      condition: org.apache.spark.sql.Column, set: Map[String, org.apache.spark.sql.Column],
+      partitionCol: String, statsColumns: Seq[String] = Nil,
+      retain: Int = 1): AtomicTable.Manifest = {
+    require(!set.contains(partitionCol),
+      s"UPDATE may not assign the partition column '$partitionCol' " +
+        "(moving a row between partitions is a delete + insert)")
+    val unknown = set.keySet -- schema.fieldNames
+    require(unknown.isEmpty, s"SET columns absent from the schema: $unknown")
+    val root = java.nio.file.Paths.get(table)
+    val readVersion = AtomicTable.currentVersion(root).getOrElse(0L)
+    val affected = partitionValues(
+      readMerged(spark, table, schema).filter(condition), partitionCol)
+    if (affected.isEmpty)
+      return AtomicTable.manifest(root).getOrElse(AtomicTable.Manifest(0L, Map.empty))
+    val current = mergedPartitions(spark, table, schema, affected)
+    val rewritten = current.select(schema.map { f =>
+      set.get(f.name) match {
+        case Some(expr) =>
+          when(condition, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }: _*)
+    AtomicTable.replacePartitions(spark, table, rewritten, partitionCol,
+      statsColumns = statsColumns, retain = retain,
+      expectedVersion = Some(readVersion))
+  }
+
   // ---------------------------------------------------------------- MOR
 
   /** Merge-on-read DELETE (deletion vectors): instead of rewriting the

@@ -71,6 +71,9 @@ object ExtQueries {
     "wh_zonemap_prune" -> QueryDef(whZonemapPrune, Some(whZonemapPruneSql)),
     "wh_merge_delete" -> QueryDef(whMergeDelete, Some(whMergeDeleteSql)),
     "wh_delete_mor" -> QueryDef(whDeleteMor, Some(whDeleteMorSql)),
+    "wh_update_where" -> QueryDef(whUpdateWhere, Some(whUpdateWhereSql)),
+    "wh_schema_evolve" -> QueryDef(whSchemaEvolve, Some(whSchemaEvolveSql)),
+    "wh_expect_drop" -> QueryDef(whExpectDrop, Some(whExpectDropSql)),
     "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),

@@ -126,6 +126,125 @@ object WarehouseQueries {
        |  ${sqlDsum("o_totalprice", 2)} AS revenue
        |FROM final GROUP BY o_ym ORDER BY o_ym""".stripMargin
 
+  /** UPDATE ... SET driven END-TO-END (MergeInto.updateWhere): flag and
+    * reprice every order above a total-price threshold in one
+    * copy-on-write statement — both SET expressions read the ORIGINAL
+    * row (simultaneous assignment, standard UPDATE semantics), months
+    * with no match keep their data dirs by reference. The oracle
+    * replays the CASE algebra over the raw parquet. */
+  private[queries] def whUpdateWhere(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("upd:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-updtbl").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      AtomicTable.replacePartitions(s, t, base.repartition(col("o_ym")), "o_ym")
+      MergeInto.updateWhere(s, t, ordSchema,
+        col("o_totalprice") >= 200000.0,
+        Map("o_orderstatus" -> lit("H"),
+          "o_totalprice" -> (col("o_totalprice") + 5000.0)), "o_ym")
+      t
+    })
+    AtomicTable.read(s, table, ordSchema)
+      .groupBy("o_ym")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_orderstatus") === "H", 1L).otherwise(0L)).as("n_high"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_ym")
+  }
+
+  private[queries] val whUpdateWhereSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey,
+       |         CASE WHEN o_totalprice >= 200000.0 THEN 'H'
+       |              ELSE o_orderstatus END AS o_orderstatus,
+       |         CASE WHEN o_totalprice >= 200000.0 THEN o_totalprice + 5000.0
+       |              ELSE o_totalprice END AS o_totalprice,
+       |         strftime(o_orderdate, '%Y-%m') AS o_ym
+       |  FROM orders)
+       |SELECT o_ym, count(*) AS n_rows,
+       |  sum(CASE WHEN o_orderstatus = 'H' THEN 1 ELSE 0 END) AS n_high,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM base GROUP BY o_ym ORDER BY o_ym""".stripMargin
+
+  private val evoSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_seg", StringType),
+    StructField("o_ym", StringType)))
+
+  /** Schema evolution driven END-TO-END (AtomicTable.readEvolved):
+    * the table is written pre-evolution (no `o_seg`), then only the
+    * 1997+ months are re-committed in the EVOLVED five-column shape —
+    * earlier months' files are never rewritten (their data dirs are
+    * asserted byte-identical in WarehouseLifecycleSpec) and the evolved
+    * read fills their missing column with NULL. The aggregate counts
+    * tagged rows per month; the oracle derives the same
+    * null-before-evolution column from the raw parquet. */
+  private[queries] def whSchemaEvolve(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("evo:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-evotbl").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      AtomicTable.replacePartitions(s, t, base.repartition(col("o_ym")), "o_ym")
+      val upgraded = base.filter(col("o_ym") >= "1997-01")
+        .withColumn("o_seg", concat(lit("S"), col("o_orderstatus")))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_seg", "o_ym")
+      AtomicTable.replacePartitions(s, t, upgraded.repartition(col("o_ym")), "o_ym")
+      t
+    })
+    AtomicTable.readEvolved(s, table, evoSchema)
+      .groupBy("o_ym")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_seg").isNotNull, 1L).otherwise(0L)).as("n_tagged"),
+        count_distinct(col("o_seg")).as("n_segs"))
+      .orderBy("o_ym")
+  }
+
+  private[queries] val whSchemaEvolveSql =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |         strftime(o_orderdate, '%Y-%m') AS o_ym
+      |  FROM orders),
+      |evolved AS (
+      |  SELECT o_ym,
+      |         CASE WHEN o_ym >= '1997-01' THEN 'S' || o_orderstatus
+      |              ELSE NULL END AS o_seg
+      |  FROM base)
+      |SELECT o_ym, count(*) AS n_rows,
+      |  sum(CASE WHEN o_seg IS NOT NULL THEN 1 ELSE 0 END) AS n_tagged,
+      |  count(DISTINCT o_seg) AS n_segs
+      |FROM evolved GROUP BY o_ym ORDER BY o_ym""".stripMargin
+
+  /** Drop-mode expectations over the events stream (etl/Expectations):
+    * CHECK tri-state end-to-end — a NULL expectation result passes
+    * (ANSI CHECK), a definite FALSE drops the row. The oracle states
+    * the same tri-state predicate directly. */
+  private[queries] def whExpectDrop(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    graft.etl.Expectations.dropInvalid(ev, Map(
+      "value_nonneg" -> (col("value") >= 0.0),
+      "known_type" -> col("event_type").isin("click", "view", "purchase", "error")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("value"), 6).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private[queries] val whExpectDropSql =
+    s"""SELECT event_type, count(*) AS n_rows,
+       |  ${sqlDsum("value", 6)} AS total_value
+       |FROM events
+       |WHERE (value >= 0 OR value IS NULL)
+       |  AND (event_type IN ('click','view','purchase','error')
+       |       OR event_type IS NULL)
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val cdcSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("event_id", LongType),
