@@ -336,6 +336,38 @@ object AtomicTable {
     }
   }
 
+  /** Partitions whose zone map ADMITS at least one of `values` on
+    * `column` — the point-set form of [[readPruned]]'s range test, and
+    * the metadata half of a key-located DELETE: on a table clustered by
+    * the key (range partitioning, z-order), the partitions that could
+    * hold any of a scattered key set fall out of the MANIFEST, no file
+    * listed or read. Partitions without stats on the column are
+    * conservatively kept (correct, just not pruned). O(P log V) after
+    * one sort of the values. */
+  private[etl] def admitPartitions(m: Manifest, schema: StructType,
+      column: String, values: Seq[String]): Set[String] = {
+    val dt = schema(column).dataType
+    val sorted = values.sortWith((a, b) => statsCompare(dt, a, b) < 0).toIndexedSeq
+    def anyInRange(mn: String, mx: String): Boolean = {
+      // first value >= mn, then check it is <= mx
+      var lo = 0; var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (statsCompare(dt, sorted(mid), mn) < 0) lo = mid + 1 else hi = mid
+      }
+      lo < sorted.length && statsCompare(dt, sorted(lo), mx) <= 0
+    }
+    m.partitions.keySet.filter { part =>
+      m.stats.get(part) match {
+        case Some(s) => (s.mins.get(column), s.maxs.get(column)) match {
+          case (Some(mn), Some(mx)) => anyInRange(mn, mx)
+          case _ => true
+        }
+        case None => true
+      }
+    }
+  }
+
   /** Read only the listed partition values at the current version — the
     * metadata-bounded scan a partition-scoped rewrite ([[MergeInto]]'s
     * row-level MERGE / DELETE) starts from: cost ∝ selected partitions,

@@ -54,6 +54,36 @@ object MergeInto {
         AtomicTable.readPartitions(spark, table, schema, parts), Some(parts))
     }
 
+  /** How many distinct key values the zone-map locate will collect to
+    * the driver before falling back to the full locate scan — bounds
+    * driver memory, not correctness. */
+  private val MaxLocateKeys = 1 << 17
+
+  /** The frame a no-partition key locate scans: the merged state,
+    * ZONE-MAP-BOUNDED when the manifest tracks min/max for the leading
+    * key column — partitions whose bounds admit none of the keys are
+    * dropped from METADATA before any file is listed
+    * ([[AtomicTable.admitPartitions]]). On a table clustered by the key
+    * (range partitioning, z-order) this turns "where do these keys
+    * live" from a table scan into a read of the few admitting
+    * partitions; on an unclustered table every partition admits and it
+    * degrades to exactly the old full scan. Falls back when the key
+    * set exceeds [[MaxLocateKeys]] (the bound is a driver-side
+    * collect) or no partition tracks the column. */
+  private def locateFrame(spark: SparkSession, table: String,
+      schema: StructType, keys: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val statsCol = keyCols.head
+    AtomicTable.manifest(java.nio.file.Paths.get(table)) match {
+      case Some(m) if m.stats.valuesIterator.exists(_.mins.contains(statsCol)) =>
+        val vals = keys.select(col(statsCol).cast("string")).distinct()
+          .limit(MaxLocateKeys + 1).collect().map(_.getString(0)).toSeq
+        if (vals.length > MaxLocateKeys) readMerged(spark, table, schema)
+        else mergedPartitions(spark, table, schema,
+          AtomicTable.admitPartitions(m, schema, statsCol, vals))
+      case _ => readMerged(spark, table, schema)
+    }
+  }
+
   /** MERGE (upsert): rows of `updates` replace current rows with the
     * same `keyCols`; unmatched keys are inserted. Only the partitions
     * present in `updates` are rewritten. Returns the committed
@@ -144,7 +174,7 @@ object MergeInto {
       if (keys.columns.contains(partitionCol))
         partitionValues(keyFrame, partitionCol)
       else partitionValues(
-        readMerged(spark, table, schema)
+        locateFrame(spark, table, schema, keyFrame, keyCols)
           .join(broadcast(keyFrame), keyCols, "left_semi"), partitionCol)
     val current = mergedPartitions(spark, table, schema, affected)
     val survivors = current.join(
@@ -232,7 +262,7 @@ object MergeInto {
     val keyFrame: DataFrame =
       if (keys.columns.contains(partitionCol))
         keys.select((keyCols :+ partitionCol).distinct.map(col): _*).distinct()
-      else readMerged(spark, table, schema)
+      else locateFrame(spark, table, schema, keys, keyCols)
         .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_semi")
         .select((keyCols :+ partitionCol).map(col): _*).distinct()

@@ -367,4 +367,35 @@ class PlanAuditSpec extends SparkSuite {
     assert(sha2Idx < exchangeIdx && partialIdx < exchangeIdx,
       "content hash and partial agg must be computed pre-shuffle")
   }
+
+  test("readMerged: the delete-vector subtract is a broadcast anti-join") {
+    import org.apache.spark.sql.functions._
+    import graft.etl.{AtomicTable, MergeInto}
+    val dir = java.nio.file.Files.createTempDirectory("graft-dvplan").toString
+    import spark.implicits._
+    AtomicTable.replacePartitions(spark,
+      dir, Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "p"), "p")
+    MergeInto.deleteKeysMor(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType))),
+      Seq((1L, "a")).toDF("id", "p"), Seq("id"), "p")
+    val p = MergeInto.readMerged(spark, dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.StringType))))
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"the vector side must broadcast — the data side never moves:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "a 100 TB data side must not shuffle to subtract a small vector")
+  }
 }

@@ -109,6 +109,43 @@ class WarehouseLifecycleSpec extends SparkSuite {
     }
   }
 
+  test("admitPartitions: zone maps admit only partitions whose bounds hold a key") {
+    val dir = Files.createTempDirectory("graft-admit").toString
+    // range-clustered table: each partition covers a disjoint id range,
+    // with zone maps tracked on id
+    AtomicTable.replacePartitions(spark, dir,
+      frame((1L, 1L, "a"), (10L, 1L, "a"), (11L, 1L, "b"), (20L, 1L, "b"),
+        (21L, 1L, "c"), (30L, 1L, "c")), "p", statsColumns = Seq("id"))
+    val m = AtomicTable.manifest(Paths.get(dir)).get
+    assert(AtomicTable.admitPartitions(m, schema, "id", Seq("5", "25")) ===
+      Set("a", "c"))
+    assert(AtomicTable.admitPartitions(m, schema, "id", Seq("15")) === Set("b"))
+    assert(AtomicTable.admitPartitions(m, schema, "id", Seq("99")) === Set())
+    // a partition without stats is conservatively admitted
+    AtomicTable.replacePartitions(spark, dir, frame((40L, 1L, "d")), "p")
+    val m2 = AtomicTable.manifest(Paths.get(dir)).get
+    assert(AtomicTable.admitPartitions(m2, schema, "id", Seq("99")) === Set("d"))
+  }
+
+  test("key-located deletes on a clustered table stay correct under the pruned locate") {
+    val dir = Files.createTempDirectory("graft-locate").toString
+    AtomicTable.replacePartitions(spark, dir,
+      frame((1L, 1L, "a"), (10L, 2L, "a"), (11L, 3L, "b"), (20L, 4L, "b"),
+        (21L, 5L, "c"), (30L, 6L, "c")), "p", statsColumns = Seq("id"))
+    import spark.implicits._
+    // CoW path: keys without partitions, zone maps bound the locate
+    MergeInto.deleteKeys(spark, dir, schema,
+      Seq(10L, 21L).toDF("id"), Seq("id"), "p")
+    assert(MergeInto.readMerged(spark, dir, schema).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 11L, 20L, 30L))
+    // MOR path: same pruning, vector placed on the right partition
+    MergeInto.deleteKeysMor(spark, dir, schema,
+      Seq(20L).toDF("id"), Seq("id"), "p")
+    assert(AtomicTable.manifest(Paths.get(dir)).get.deletes.keySet === Set("b"))
+    assert(MergeInto.readMerged(spark, dir, schema).collect()
+      .map(_.getLong(0)).toSet === Set(1L, 11L, 30L))
+  }
+
   test("expectations: fail mode counts and aborts before any byte stages") {
     val dir = Files.createTempDirectory("graft-exp").toString
     val bad = frame((1L, 10L, "a"), (2L, -5L, "a"), (3L, -1L, "b"))
