@@ -356,7 +356,12 @@ object DedupSampleQueries {
         .resolve("orders").toString
       val orders = s.read.parquet(s"$d/orders.parquet")
         .withColumn("okey_range", expr("o_orderkey div 4096"))
-      graft.etl.AtomicTable.replacePartitions(s, tmp, orders, "okey_range",
+      // co-locate each range before the partitioned write: file count
+      // stays one per range, not ranges x tasks — at 10x the key space
+      // (10x the ranges) the un-colocated write was a 46k-file
+      // explosion and the single super-linear point in the wh decade
+      graft.etl.AtomicTable.replacePartitions(s, tmp,
+        orders.repartition(col("okey_range")), "okey_range",
         statsColumns = Seq("o_orderkey"))
       tmp
     })

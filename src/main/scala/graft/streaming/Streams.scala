@@ -400,6 +400,32 @@ object Streams {
     }
   }
 
+  /** Streaming right-to-be-forgotten sink: each micro-batch is a frame
+    * of KEYS whose rows must go, applied as merge-on-read deletion
+    * vectors ([[graft.etl.MergeInto.deleteKeysMor]]) — a privacy-delete
+    * feed against a 100 TB corpus where per-batch partition rewrites
+    * would be absurd: every batch costs one tiny key parquet + a
+    * manifest swap, and the data files are untouched until the next
+    * materialize/compact folds the vectors. Exactly-once by the same
+    * epoch defense as [[exactlyOnceBatchCommit]] (`dv_last_batch_id`
+    * rides the vector commit — its own property name, so it composes
+    * with a data-appending sink on the same table); a replayed batch is
+    * also SEMANTICALLY idempotent regardless (a duplicate vector
+    * subtracts the same keys twice), the epoch just keeps replays from
+    * appending garbage vectors. */
+  def deleteMorCommit(table: String, schema: StructType, keyCols: Seq[String],
+      partitionCol: String)(df: DataFrame, batchId: Long): Unit = {
+    val root = java.nio.file.Paths.get(table)
+    val last = AtomicTable.manifest(root)
+      .flatMap(_.properties.get("dv_last_batch_id")).map(_.toLong).getOrElse(-1L)
+    if (batchId > last) {
+      graft.etl.MergeInto.deleteKeysMor(df.sparkSession, table, schema, df,
+        keyCols, partitionCol,
+        properties = Map("dv_last_batch_id" -> batchId.toString))
+      ()
+    }
+  }
+
   /** Streaming CDC apply: each micro-batch is a change batch (upserts +
     * deletes, possibly several changes per key) applied to a keyed
     * AtomicTable through [[graft.etl.MergeInto.applyChanges]] — the

@@ -72,7 +72,42 @@ object GenScale {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    println(s"wrote $outDir: documents=${nDocs * factor} embeddings=${nVecs * factor}")
+    // orders / events: the warehouse-lifecycle family's fact tables.
+    // Copies offset the KEYS (orderkey / user_id / event_id) but keep
+    // every date column — so a month-partitioned table keeps its
+    // partition COUNT and grows each partition's rows by `factor`,
+    // which is exactly the shape a scaling check of partition-bounded
+    // MERGE/DELETE/CDC must preserve (more partitions would instead
+    // scale the metadata axis). Prices perturbed per copy so
+    // threshold predicates (wh_update_where) keep their selectivity
+    // without every copy crossing identically.
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    val maxOk = orders.agg(max("o_orderkey")).head.getLong(0) + 1
+    require(maxOk * factor < 100000000L,
+      "scaled o_orderkey space would collide with wh_merge_delete's " +
+        "+100,000,000 insert offset")
+    orders.crossJoin(copies)
+      .select((col("o_orderkey") + col("copy") * maxOk).as("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * (lit(1.0) +
+          pmod(xxhash64(col("copy"), col("o_orderkey")), lit(100)).cast("double")
+            / 1000.0 - 0.05), 2).as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    val maxUid = events.agg(max("user_id")).head.getLong(0) + 1
+    val maxEid = events.agg(max("event_id")).head.getLong(0) + 1
+    events.crossJoin(copies)
+      .select((col("user_id") + col("copy") * maxUid).as("user_id"),
+        (col("event_id") + col("copy") * maxEid).as("event_id"),
+        col("event_type"), col("value"), col("ts"), col("props"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    println(s"wrote $outDir: documents=${nDocs * factor} embeddings=${nVecs * factor} " +
+      s"orders/events x$factor")
     spark.stop()
   }
 }

@@ -169,6 +169,41 @@ class DeleteVectorSpec extends SparkSuite {
       .map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("deleteMorCommit: streaming privacy deletes are exactly-once vector appends") {
+    import graft.streaming.Streams
+    val dir = seed()
+    val src = Files.createTempDirectory("graft-dvstream")
+    import spark.implicits._
+    Seq((2L, "a")).toDF("id", "p").coalesce(1)
+      .write.parquet(src.resolve("b0").toString)
+    Thread.sleep(50)
+    Seq((4L, "c")).toDF("id", "p").coalesce(1)
+      .write.parquet(src.resolve("b1").toString)
+    val keySchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    val checkpoint = Files.createTempDirectory("graft-dv-ckpt").toString
+    val q = spark.readStream.schema(keySchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString + "/*")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Streams.deleteMorCommit(dir, schema, Seq("id"), "p")(df, id))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(merged(dir) === Set((1L, 10L, "a"), (3L, 30L, "b")))
+    val m = AtomicTable.manifest(Paths.get(dir)).get
+    assert(m.partitions.keySet === Set("a", "b", "c"),
+      "no partition rewritten — the deletes are pure vector appends")
+    // replayed epoch: same batchId must not even bump the version
+    val v = m.version
+    Streams.deleteMorCommit(dir, schema, Seq("id"), "p")(
+      frame((1L, 0L, "a")).select("id", "p"), 0L)
+    assert(AtomicTable.currentVersion(Paths.get(dir)).get === v)
+    assert(merged(dir) === Set((1L, 10L, "a"), (3L, 30L, "b")))
+  }
+
   test("mismatched vector keys are rejected") {
     val dir = seed()
     MergeInto.deleteKeysMor(spark, dir, schema,
