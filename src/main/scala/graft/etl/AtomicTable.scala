@@ -273,6 +273,12 @@ object AtomicTable {
     case _ => a.compareTo(b)
   }
 
+  /** The zone-map comparator, shared with the DSv2 scan
+    * (graft.sources.GraftSource) so its pushed-filter pruning orders
+    * bounds exactly like [[readPruned]] does. */
+  private[graft] def statsOrder(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Int = statsCompare(dt, a, b)
+
   /** Parse a zone-map timestamp string ("yyyy-MM-dd HH:mm:ss[.f+]", the
     * `cast(ts as string)` form both writers emit) to epoch microseconds. */
   private def parseTsMicros(s: String): Option[Long] =

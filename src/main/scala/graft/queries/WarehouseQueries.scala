@@ -245,6 +245,48 @@ object WarehouseQueries {
        |       OR event_type IS NULL)
        |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The `graft` DataSource V2 format driven END-TO-END: stage a
+    * month-partitioned zone-mapped orders table, vector-delete every
+    * 83rd order, then read it back THROUGH `spark.read.format("graft")`
+    * — partition-key and zone-map pruning pushed into the scan,
+    * deletion vectors applied inside the partition reader (no join in
+    * the plan), the partition column surfacing as the manifest's
+    * string key. The oracle replays the filter + delete algebra over
+    * the raw parquet, so a defect in the reader's type materialization
+    * (timestamps included), its vector subtract, or over-eager pruning
+    * fails the value compare. */
+  private[queries] def graftSourceScan(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("dsv2:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-dsv2tbl").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      AtomicTable.replacePartitions(s, t, base.repartition(col("o_ym")), "o_ym",
+        statsColumns = Seq("o_orderkey"))
+      MergeInto.deleteKeysMor(s, t, ordSchema,
+        base.filter(col("o_orderkey") % 83 === 0).select("o_orderkey", "o_ym"),
+        Seq("o_orderkey"), "o_ym")
+      t
+    })
+    s.read.format("graft").load(table)
+      .filter(col("o_ym") >= "1995-01" && col("o_ym") <= "1996-12")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
+  private[queries] val graftSourceScanSql =
+    s"""SELECT o_orderstatus, count(*) AS n_rows,
+       |  sum(o_orderkey) AS sum_okey,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |WHERE o_orderkey % 83 <> 0
+       |  AND strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1996-12'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   private val cdcSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("event_id", LongType),

@@ -1,0 +1,425 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{GroupType, LogicalTypeAnnotation, MessageType, PrimitiveType, Type => PType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.etl.AtomicTable
+
+/** `spark.read.format("graft").load(tableRoot)` — the engine's
+  * [[AtomicTable]] protocol as a native DataSource V2 relation, which is
+  * what makes the transactional tables reachable from PLAIN SQL
+  * (`CREATE TEMPORARY VIEW t USING graft OPTIONS (path '…')`) with the
+  * table's own metadata driving the scan:
+  *
+  *  - **Snapshot isolation for free**: the scan plans against ONE
+  *    manifest read at planning time; concurrent commits land new
+  *    versions that this scan simply never sees.
+  *  - **Manifest pruning pushed down** ([[SupportsPushDownFilters]]):
+  *    equality/IN on the partition column selects partitions by key;
+  *    range/equality predicates on zone-mapped columns drop partitions
+  *    whose committed [min, max] cannot match — all from metadata,
+  *    before a single file is listed. Every filter is also kept as a
+  *    residual (Spark re-evaluates), so pruning can only skip work,
+  *    never change results.
+  *  - **Merge-on-read deletion vectors applied IN the reader**: each
+  *    input partition carries its vector files; the reader loads the
+  *    (small, by maintenance contract) deleted-key set into a hash set
+  *    and drops matching rows as it streams — the Iceberg v2 scan
+  *    shape, so SQL readers see the merged state with no extra join in
+  *    their plan.
+  *  - **Column pruning reaches the parquet reader**
+  *    ([[SupportsPushDownRequiredColumns]]): the projection is pushed
+  *    into the record materializer (key columns are force-included
+  *    only while vectors are outstanding, then dropped from output).
+  *  - **One input partition per table partition** — co-located with the
+  *    layout the writers maintain (one file per partition after
+  *    compaction), the right granularity for a fact table whose
+  *    partitions are balance-managed by compact/z-order.
+  *
+  * Scope: flat primitive schemas (long/int/double/float/boolean/
+  * string/binary/date/timestamp) — the warehouse fact-table shape;
+  * nested columns stay on the Scala API. The partition column surfaces
+  * as STRING (the manifest's own key form). */
+class GraftSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val root = GraftSource.rootOf(options)
+    GraftSource.inferredSchema(new Configuration(), root)
+  }
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftTable(properties.asScala.toMap, schema)
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object GraftSource {
+
+  private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).orElse(Option(options.get("paths")))
+    require(p.isDefined, "graft source needs a path (the AtomicTable root)")
+    p.get.stripPrefix("[\"").stripSuffix("\"]")
+  }
+
+  private[sources] def partitionColOf(m: AtomicTable.Manifest): String = {
+    val d = m.partitions.values.head
+    val seg = d.substring(d.lastIndexOf('/') + 1)
+    seg.substring(0, seg.indexOf('='))
+  }
+
+  /** Spark type for a flat parquet primitive (the supported scope). */
+  private def sparkType(t: PType): DataType = {
+    require(t.isPrimitive, s"graft source reads flat schemas; '${t.getName}' is nested")
+    val p = t.asPrimitiveType()
+    p.getPrimitiveTypeName match {
+      case BOOLEAN => BooleanType
+      case FLOAT => FloatType
+      case DOUBLE => DoubleType
+      case INT96 => TimestampType
+      case INT32 => p.getLogicalTypeAnnotation match {
+        case _: DateLogicalTypeAnnotation => DateType
+        case _ => IntegerType
+      }
+      case INT64 => p.getLogicalTypeAnnotation match {
+        case _: TimestampLogicalTypeAnnotation => TimestampType
+        case _ => LongType
+      }
+      case BINARY => p.getLogicalTypeAnnotation match {
+        case _: StringLogicalTypeAnnotation => StringType
+        case _ => BinaryType
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported parquet type $other for column ${t.getName}")
+    }
+  }
+
+  /** Schema = first data file's parquet schema + the partition column
+    * (STRING, the manifest key form) appended. */
+  private[sources] def inferredSchema(conf: Configuration, root: String): StructType = {
+    val m = AtomicTable.manifest(java.nio.file.Paths.get(root)).getOrElse(
+      throw new IllegalArgumentException(s"$root has no committed manifest"))
+    require(m.partitions.nonEmpty, s"$root is empty — no partitions committed")
+    val dir = new Path(s"$root/${m.partitions.values.toSeq.min}")
+    val fs = dir.getFileSystem(conf)
+    val first = fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).head
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(first, conf))
+    val msg = try footer.getFooter.getFileMetaData.getSchema finally footer.close()
+    StructType(msg.getFields.asScala.toSeq.map(f =>
+      StructField(f.getName, sparkType(f), nullable = true)) :+
+      StructField(partitionColOf(m), StringType, nullable = false))
+  }
+}
+
+private[sources] class GraftTable(props: Map[String, String],
+    schema0: StructType) extends Table with SupportsRead {
+  private val root = props.getOrElse("path",
+    throw new IllegalArgumentException("graft source needs a path"))
+  override def name(): String = s"graft:$root"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, schema0)
+}
+
+private[sources] class GraftScanBuilder(root: String, full: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // every filter stays a residual: pruning only skips work
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new GraftScan(root, full, required, pushed)
+}
+
+private[sources] class GraftScan(root: String, full: StructType,
+    required: StructType, filters: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft:$root pushed=[${filters.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = AtomicTable.manifest(java.nio.file.Paths.get(root)).getOrElse(
+      return Array.empty)
+    val partitionCol = GraftSource.partitionColOf(m)
+    val keyCols: Seq[String] = m.properties.get(AtomicTable.DeleteKeysProperty)
+      .map(_.split(",").toSeq).getOrElse(Nil)
+    val kept = prunePartitions(m, partitionCol)
+    val conf = new Configuration()
+    kept.toSeq.sortBy(_._1).map { case (part, dir) =>
+      val dataFiles = listParquet(conf, s"$root/$dir")
+      val vecFiles = m.deletes.getOrElse(part, Nil)
+        .flatMap(d => listParquet(conf, s"$root/$d"))
+      GraftInputPartition(part, dataFiles, vecFiles, keyCols)
+        : InputPartition
+    }.toArray
+  }
+
+  private def listParquet(conf: Configuration, dir: String): Seq[String] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+  }
+
+  /** Metadata pruning: partition-key predicates select by manifest key;
+    * zone-mapped column predicates drop partitions whose [min, max]
+    * cannot satisfy them. Conservative in every unknown case. */
+  private def prunePartitions(m: AtomicTable.Manifest,
+      partitionCol: String): Map[String, String] = {
+    def admits(part: String): Boolean = filters.forall {
+      case EqualTo(c, v) if c == partitionCol => part == String.valueOf(v)
+      case In(c, vs) if c == partitionCol => vs.map(String.valueOf).contains(part)
+      case GreaterThan(c, v) if c == partitionCol => part > String.valueOf(v)
+      case GreaterThanOrEqual(c, v) if c == partitionCol => part >= String.valueOf(v)
+      case LessThan(c, v) if c == partitionCol => part < String.valueOf(v)
+      case LessThanOrEqual(c, v) if c == partitionCol => part <= String.valueOf(v)
+      case f => zoneAdmits(m, part, f)
+    }
+    m.partitions.filter { case (p, _) => admits(p) }
+  }
+
+  private def zoneAdmits(m: AtomicTable.Manifest, part: String,
+      f: Filter): Boolean = {
+    def bounds(c: String): Option[(String, String, DataType)] =
+      if (!full.fieldNames.contains(c)) None
+      else m.stats.get(part).flatMap(s =>
+        (s.mins.get(c), s.maxs.get(c)) match {
+          case (Some(mn), Some(mx)) => Some((mn, mx, full(c).dataType))
+          case _ => None
+        })
+    def cmp(dt: DataType, a: String, b: Any): Int =
+      AtomicTable.statsOrder(dt, a, String.valueOf(b))
+    f match {
+      case EqualTo(c, v) => bounds(c).forall { case (mn, mx, dt) =>
+        cmp(dt, mn, v) <= 0 && cmp(dt, mx, v) >= 0 }
+      case GreaterThan(c, v) => bounds(c).forall { case (_, mx, dt) =>
+        cmp(dt, mx, v) > 0 }
+      case GreaterThanOrEqual(c, v) => bounds(c).forall { case (_, mx, dt) =>
+        cmp(dt, mx, v) >= 0 }
+      case LessThan(c, v) => bounds(c).forall { case (mn, _, dt) =>
+        cmp(dt, mn, v) < 0 }
+      case LessThanOrEqual(c, v) => bounds(c).forall { case (mn, _, dt) =>
+        cmp(dt, mn, v) <= 0 }
+      case In(c, vs) => bounds(c).forall { case (mn, mx, dt) =>
+        vs.exists(v => cmp(dt, mn, v) <= 0 && cmp(dt, mx, v) >= 0) }
+      case _ => true // unknown/compound filter: cannot prune on it
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
+}
+
+private[sources] final case class GraftInputPartition(partValue: String,
+    dataFiles: Seq[String], vectorFiles: Seq[String], keyCols: Seq[String])
+  extends InputPartition
+
+private[sources] class GraftReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required)
+}
+
+/** Streams one table partition's parquet rows, applying its deletion
+  * vectors from an in-memory key set (vectors are small by the
+  * maintenance contract — materializeDeletes folds them). */
+private[sources] class GraftPartitionReader(part: GraftInputPartition,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val partitionColIdx: Int = {
+    // the partition column is the field NOT present in the files; it is
+    // only ever the last inferred field, but resolve by name for safety
+    required.fieldNames.indexWhere(n => !fileHasColumn(n))
+  }
+  private def fileHasColumn(n: String): Boolean = fileSchemaNames.contains(n)
+  private lazy val fileSchemaNames: Set[String] = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.dataFiles.head), conf))
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally r.close()
+  }
+
+  // deleted-key set: tuples of the key columns' raw values
+  private val deleted: java.util.HashSet[Seq[Any]] = {
+    val s = new java.util.HashSet[Seq[Any]]()
+    for (vf <- part.vectorFiles)
+      readGroups(vf, part.keyCols.toSet) { (g, names) =>
+        s.add(part.keyCols.map(c => rawValue(g, names(c))))
+      }
+    s
+  }
+
+  // columns the parquet reader must materialize: the required file
+  // columns, plus key columns while vectors are outstanding; a fully
+  // column-pruned scan (count(*)) still projects ONE column so row
+  // multiplicity survives the reader
+  private val fileCols: Seq[String] = {
+    val req = required.fieldNames.filter(fileHasColumn).toSeq
+    val withKeys = if (deleted.isEmpty) req else (req ++ part.keyCols).distinct
+    if (withKeys.nonEmpty) withKeys else Seq(fileSchemaNames.min)
+  }
+
+  private val files = part.dataFiles.iterator
+  private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = _
+  private var fieldIdx: Map[String, Int] = Map.empty
+  private var current: InternalRow = _
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (!files.hasNext) return false
+    val path = new Path(files.next())
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
+      finally footer.close()
+    val projected = projectSchema(fileSchema, fileCols)
+    val c = new Configuration()
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), path).withConf(c).build()
+    fieldIdx = projected.getFields.asScala.zipWithIndex
+      .map { case (f, i) => f.getName -> i }.toMap
+    true
+  }
+
+  private def projectSchema(file: MessageType, cols: Seq[String]): MessageType = {
+    val kept = file.getFields.asScala.filter(f => cols.contains(f.getName))
+    new MessageType(file.getName, kept.asJava)
+  }
+
+  private def readGroups(file: String, cols: Set[String])(
+      f: (Group, Map[String, Int]) => Unit): Unit = {
+    val path = new Path(file)
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
+      finally footer.close()
+    val projected = projectSchema(fileSchema, cols.toSeq)
+    val c = new Configuration()
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    val idx = projected.getFields.asScala.zipWithIndex
+      .map { case (g, i) => g.getName -> i }.toMap
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), path).withConf(c).build()
+    try {
+      var g = r.read()
+      while (g != null) { f(g, idx); g = r.read() }
+    } finally r.close()
+  }
+
+  /** The raw comparable value of field `i` of `g` (null-safe): what the
+    * deleted-key tuples and the row-side probe both use. */
+  private def rawValue(g: Group, i: Int): Any = {
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    val t = g.getType.getType(i).asPrimitiveType()
+    t.getPrimitiveTypeName match {
+      case BOOLEAN => g.getBoolean(i, 0)
+      case INT32 => g.getInteger(i, 0)
+      case INT64 => g.getLong(i, 0)
+      case FLOAT => g.getFloat(i, 0)
+      case DOUBLE => g.getDouble(i, 0)
+      case BINARY | INT96 | FIXED_LEN_BYTE_ARRAY =>
+        new String(java.util.Base64.getEncoder.encode(
+          g.getBinary(i, 0).getBytes))
+      case other => throw new IllegalArgumentException(s"unsupported key type $other")
+    }
+  }
+
+  /** Catalyst value for required field `name` from the group. */
+  private def catalystValue(g: Group, name: String, dt: DataType): Any = {
+    val i = fieldIdx(name)
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    val t = g.getType.getType(i).asPrimitiveType()
+    (t.getPrimitiveTypeName, dt) match {
+      case (BOOLEAN, BooleanType) => g.getBoolean(i, 0)
+      case (INT32, DateType) => g.getInteger(i, 0)
+      case (INT32, IntegerType) => g.getInteger(i, 0)
+      case (INT64, TimestampType) =>
+        t.getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation
+            if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            g.getLong(i, 0) * 1000L
+          case _ => g.getLong(i, 0) // MICROS (Spark's default unit)
+        }
+      case (INT64, LongType) => g.getLong(i, 0)
+      case (FLOAT, FloatType) => g.getFloat(i, 0)
+      case (DOUBLE, DoubleType) => g.getDouble(i, 0)
+      case (INT96, TimestampType) =>
+        // 12-byte legacy: nanos-of-day little-endian + julian day
+        val b = java.nio.ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = b.getLong
+        val julianDay = b.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+      case (BINARY, StringType) =>
+        UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      case (BINARY, BinaryType) => g.getBinary(i, 0).getBytes
+      case (pt, st) => throw new IllegalArgumentException(
+        s"unsupported ($pt -> $st) for column $name")
+    }
+  }
+
+  private val partValueUtf8 = UTF8String.fromString(part.partValue)
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !openNext()) return false
+      val g = reader.read()
+      if (g == null) {
+        if (!openNext()) return false
+      } else {
+        val isDeleted = !deleted.isEmpty &&
+          deleted.contains(part.keyCols.map(c => rawValue(g, fieldIdx(c))))
+        if (!isDeleted) {
+          val row = new GenericInternalRow(required.length)
+          var j = 0
+          while (j < required.length) {
+            val f = required(j)
+            if (j == partitionColIdx) row.update(j, partValueUtf8)
+            else row.update(j, catalystValue(g, f.name, f.dataType))
+            j += 1
+          }
+          current = row
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (reader != null) reader.close()
+}
