@@ -287,6 +287,60 @@ object WarehouseQueries {
        |  AND strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1996-12'
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** The graft CHANGEFEED driven END-TO-END: the events table is
+    * committed to an AtomicTable as three epoch commits, then read back
+    * as a STREAM (`spark.readStream.format("graft")`, offsets =
+    * table versions, Trigger.AvailableNow) through the micro-batch
+    * manifest diff, drained to a buffer, and aggregated. Every pass
+    * uses a fresh checkpoint, so the drain deterministically replays
+    * the full feed — which for the append-only epoch commits is
+    * exactly the table — and the oracle replays the same aggregate
+    * over the raw parquet. A defect in offset bookkeeping, the diff,
+    * or the streaming reader path drops or doubles an epoch and fails
+    * the value compare. */
+  private[queries] def graftChangefeed(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("cdf:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-cdftbl").toString
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        concat(lit("e"), (col("user_id") % 3).cast("string")).as("epoch"))
+      for (i <- 0 until 3)
+        AtomicTable.replacePartitions(s, t,
+          ev.filter(col("user_id") % 3 === i).repartition(col("epoch")),
+          "epoch", retain = 10)
+      t
+    })
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String, Double)]()
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-cdfq-ckpt").toString
+    val q = s.readStream.format("graft").load(table)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("user_id", "event_id", "event_type", "value").collect()
+          .foreach { r =>
+            buf.add((r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+            ()
+          }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    buf.asScala.toSeq.toDF("user_id", "event_id", "event_type", "value")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_eid"),
+        dsum(col("value"), 6).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private[queries] val graftChangefeedSql =
+    s"""SELECT event_type, count(*) AS n_rows,
+       |  sum(event_id) AS sum_eid,
+       |  ${sqlDsum("value", 6)} AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val cdcSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("event_id", LongType),

@@ -139,7 +139,8 @@ private[sources] class GraftTable(props: Map[String, String],
   override def name(): String = s"graft:$root"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, schema0)
 }
@@ -239,6 +240,108 @@ private[sources] class GraftScan(root: String, full: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(root, required, filters)
+}
+
+/** `spark.readStream.format("graft")` — every AtomicTable is a
+  * STREAMING SOURCE whose offsets are table VERSIONS: each micro-batch
+  * is the manifest diff between two committed versions, i.e. exactly
+  * the partition dirs the commits in that range (re)referenced. For
+  * append-style tables — epoch-partitioned streaming sinks
+  * ([[graft.streaming.Streams.exactlyOnceBatchCommit]]), ingest-tagged
+  * corpora — that IS a row-level insert changefeed; a partition
+  * REWRITE re-emits the partition's new full contents (upsert-style
+  * changefeed, Delta-CDF without preimages), and a dropped partition
+  * emits nothing (no tombstones). The version column `_commit_version`
+  * is not added — consumers that need it should partition by epoch,
+  * which the exactly-once sinks already do.
+  *
+  * Exactly-once composition: offsets are versions, the diff is of the
+  * two ENDPOINT manifests only (intermediate versions may be GC'd),
+  * and restart resumes from the checkpointed version — which must
+  * still be inside the table's retention window (`retain` generously
+  * on changefeed sources; a too-small window fails loudly here rather
+  * than silently re-emitting the world). Pushed partition-key filters
+  * still prune the diff; deletion vectors do NOT apply (the feed
+  * carries what each commit staged — a vector delete stages no data). */
+private[sources] class GraftMicroBatchStream(root: String,
+    required: StructType, filters: Array[Filter])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class V(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+
+  private def currentV: Long =
+    AtomicTable.currentVersion(java.nio.file.Paths.get(root)).getOrElse(0L)
+
+  // Trigger.AvailableNow: pin the target version at trigger start so the
+  // run drains exactly the commits that existed then and stops
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCap = Some(currentV)
+  }
+
+  override def initialOffset(): Offset = V(0L)
+  override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+  override def latestOffset(): Offset =
+    V(availableNowCap.getOrElse(currentV))
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def reportLatestOffset(): Offset = V(currentV)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
+    if (e <= s) return Array.empty
+    val rootPath = java.nio.file.Paths.get(root)
+    val endM = AtomicTable.manifestAt(rootPath, e)
+    val startParts: Map[String, String] =
+      if (s == 0L) Map.empty
+      else try AtomicTable.manifestAt(rootPath, s).partitions
+      catch {
+        case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"changefeed resume version $s of $root is outside the " +
+              "retention window — recreate the stream (and write the " +
+              "source table with a larger `retain`)")
+      }
+    val partitionCol = GraftSource.partitionColOf(endM)
+    val changed = endM.partitions.filter { case (p, d) =>
+      !startParts.get(p).contains(d) && partitionFilterAdmits(p, partitionCol)
+    }
+    val conf = new Configuration()
+    changed.toSeq.sortBy(_._1).map { case (part, dir) =>
+      val p = new Path(s"$root/$dir")
+      val fs = p.getFileSystem(conf)
+      val files =
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+      GraftInputPartition(part, files, Nil, Nil): InputPartition
+    }.toArray
+  }
+
+  private def partitionFilterAdmits(part: String, partitionCol: String): Boolean =
+    filters.forall {
+      case EqualTo(c, v) if c == partitionCol => part == String.valueOf(v)
+      case In(c, vs) if c == partitionCol => vs.map(String.valueOf).contains(part)
+      case GreaterThan(c, v) if c == partitionCol => part > String.valueOf(v)
+      case GreaterThanOrEqual(c, v) if c == partitionCol => part >= String.valueOf(v)
+      case LessThan(c, v) if c == partitionCol => part < String.valueOf(v)
+      case LessThanOrEqual(c, v) if c == partitionCol => part <= String.valueOf(v)
+      case _ => true
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required)
 }
 
 private[sources] final case class GraftInputPartition(partValue: String,
@@ -258,7 +361,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     required: StructType) extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
-  private val partitionColIdx: Int = {
+  private lazy val partitionColIdx: Int = {
     // the partition column is the field NOT present in the files; it is
     // only ever the last inferred field, but resolve by name for safety
     required.fieldNames.indexWhere(n => !fileHasColumn(n))
@@ -286,7 +389,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   // columns, plus key columns while vectors are outstanding; a fully
   // column-pruned scan (count(*)) still projects ONE column so row
   // multiplicity survives the reader
-  private val fileCols: Seq[String] = {
+  private lazy val fileCols: Seq[String] = {
     val req = required.fieldNames.filter(fileHasColumn).toSeq
     val withKeys = if (deleted.isEmpty) req else (req ++ part.keyCols).distinct
     if (withKeys.nonEmpty) withKeys else Seq(fileSchemaNames.min)

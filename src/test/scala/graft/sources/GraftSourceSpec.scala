@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -99,6 +101,51 @@ class GraftSourceSpec extends SparkSuite {
       "SELECT p, count(*) AS n, sum(v) AS sv FROM graft_t GROUP BY p ORDER BY p")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set(("a", 1L, 20L), ("b", 1L, 30L), ("c", 1L, 40L)))
+  }
+
+  test("changefeed: the table is a streaming source, offsets are versions") {
+    val dir = Files.createTempDirectory("graft-cdf").toString
+    import spark.implicits._
+    def commit(part: String, ids: Long*): Unit = {
+      AtomicTable.replacePartitions(spark, dir,
+        ids.map(i => (i, i * 10L, part)).toDF("id", "v", "p"), "p", retain = 10)
+      ()
+    }
+    commit("b0", 1L, 2L)
+    commit("b1", 3L)
+    val checkpoint = Files.createTempDirectory("graft-cdf-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def drain(): Set[Long] = {
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream
+        .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => { seen.add(r.getLong(0)); () }))
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val out = seen.asScala.toSet
+      seen.clear()
+      out
+    }
+    assert(drain() === Set(1L, 2L, 3L),
+      "the first batch carries the whole current table (diff from v0)")
+    // two more commits while the stream is down: one append, one rewrite
+    commit("b2", 4L)
+    commit("b0", 1L, 2L, 9L)
+    assert(drain() === Set(1L, 2L, 4L, 9L),
+      "resume emits the appended partition plus the rewritten partition's " +
+        "new full contents — and nothing it already delivered")
+    assert(drain() === Set(), "no new commits, no re-emission")
+    // vector deletes stage no data: the feed stays silent
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("p", StringType)))
+    // retention is per-commit (the latest commit's retain wins), so a
+    // changefeed source needs EVERY writer to retain — the default
+    // retain=1 here would GC the checkpointed version's manifest
+    MergeInto.deleteKeysMor(spark, dir, sch,
+      Seq((3L, "b1")).toDF("id", "p"), Seq("id"), "p", retain = 10)
+    assert(drain() === Set(), "a vector delete references no new data dir")
   }
 
   test("column pruning survives outstanding vectors (keys read, not emitted)") {
