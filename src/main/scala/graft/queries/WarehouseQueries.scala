@@ -341,6 +341,43 @@ object WarehouseQueries {
        |  ${sqlDsum("value", 6)} AS total_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The graft WRITE path driven END-TO-END: orders written through
+    * `df.write.format("graft")` (task-side parquet staging into a
+    * fresh txn dir, driver-side manifest commit through the claim
+    * loop), then read back through `spark.read.format("graft")` and
+    * aggregated per month. Covers the writer's type encoding
+    * (timestamps as INT64 micros among them), the dynamic-partition
+    * commit, and the scan — any loss, duplication, or type skew fails
+    * the value oracle over the raw parquet. */
+  private[queries] def graftWriteRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("w:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-wtbl")
+        .resolve("orders").toString
+      Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+        .repartition(col("o_ym"))
+        .write.format("graft").option("partition", "o_ym")
+        .mode("append").save(t)
+      t
+    })
+    s.read.format("graft").load(table)
+      .groupBy("o_ym")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        countDistinct(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("n_days"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_ym")
+  }
+
+  private[queries] val graftWriteRoundtripSql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_ym,
+       |  count(*) AS n_rows, sum(o_orderkey) AS sum_okey,
+       |  count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_days,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val cdcSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("event_id", LongType),

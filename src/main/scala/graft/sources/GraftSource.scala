@@ -66,7 +66,12 @@ class GraftSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftSource.rootOf(options)
-    GraftSource.inferredSchema(new Configuration(), root)
+    // a table being CREATED by a write has no manifest yet: return an
+    // empty shape and let the write's own schema through
+    // (ACCEPT_ANY_SCHEMA); reads of the empty root still fail loudly
+    // at scan planning
+    if (AtomicTable.manifest(java.nio.file.Paths.get(root)).isEmpty) StructType(Nil)
+    else GraftSource.inferredSchema(new Configuration(), root)
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -102,7 +107,8 @@ object GraftSource {
         case _ => IntegerType
       }
       case INT64 => p.getLogicalTypeAnnotation match {
-        case _: TimestampLogicalTypeAnnotation => TimestampType
+        case ts: TimestampLogicalTypeAnnotation =>
+          if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
         case _ => LongType
       }
       case BINARY => p.getLogicalTypeAnnotation match {
@@ -133,16 +139,23 @@ object GraftSource {
 }
 
 private[sources] class GraftTable(props: Map[String, String],
-    schema0: StructType) extends Table with SupportsRead {
+    schema0: StructType) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val root = props.getOrElse("path",
     throw new IllegalArgumentException("graft source needs a path"))
   override def name(): String = s"graft:$root"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, schema0)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(root, info)
 }
 
 private[sources] class GraftScanBuilder(root: String, full: StructType)
@@ -470,7 +483,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       case (BOOLEAN, BooleanType) => g.getBoolean(i, 0)
       case (INT32, DateType) => g.getInteger(i, 0)
       case (INT32, IntegerType) => g.getInteger(i, 0)
-      case (INT64, TimestampType) =>
+      case (INT64, TimestampType) | (INT64, TimestampNTZType) =>
         t.getLogicalTypeAnnotation match {
           case ts: TimestampLogicalTypeAnnotation
             if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
@@ -525,4 +538,199 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+/** Write side of the graft format — `df.write.format("graft")
+  * .option("partition", "<col>").save(root)`:
+  *
+  *  - **append mode = dynamic partition replace** (the Hive/Delta
+  *    `partitionOverwriteMode=dynamic` contract, and exactly
+  *    [[AtomicTable.replacePartitions]]'s semantics): the partitions
+  *    present in the data are replaced, every other partition is
+  *    carried by reference.
+  *  - **overwrite mode** (truncate): one commit that lands the new
+  *    partitions AND drops every pre-existing partition not rewritten.
+  *  - Tasks stage parquet straight into a fresh `data/txn-*` dir (one
+  *    writer per partition value per task — pre-repartition by the
+  *    partition column for one file per partition), the driver commits
+  *    the manifest through the normal claim loop: atomic, optimistic,
+  *    crash-safe (an aborted write leaves only a vacuum-reclaimable
+  *    orphan txn dir). Truncate commits with `expectedVersion` so a
+  *    racing writer aborts the overwrite instead of surviving it.
+  *  - The `partition` option may be omitted when the table exists (the
+  *    column comes from the manifest). Flat primitive schemas, same
+  *    scope as the read side; timestamps write as INT64 micros. */
+private[sources] class GraftWriteBuilder(root: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        val partitionCol = Option(info.options.get("partition"))
+          .orElse(AtomicTable.manifest(java.nio.file.Paths.get(root))
+            .filter(_.partitions.nonEmpty).map(GraftSource.partitionColOf))
+          .getOrElse(throw new IllegalArgumentException(
+            "writing a new graft table needs .option(\"partition\", \"<col>\")"))
+        new GraftBatchWrite(root, info.schema(), partitionCol, doTruncate)
+      }
+    }
+}
+
+private[sources] final case class GraftCommitMessage(parts: Set[String])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class GraftBatchWrite(root: String, schema: StructType,
+    partitionCol: String, truncate: Boolean)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val txn = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+  private val readVersion =
+    AtomicTable.currentVersion(java.nio.file.Paths.get(root)).getOrElse(0L)
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new GraftWriterFactory(root, txn, schema, partitionCol)
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val written: Map[String, String] = messages.flatMap {
+      case GraftCommitMessage(ps) => ps
+      case _ => Nil
+    }.toSet[String].map { p =>
+      p -> (s"data/$txn/$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(p))
+    }.toMap
+    val rootPath = java.nio.file.Paths.get(root)
+    val drop: Set[String] =
+      if (!truncate) Set.empty
+      else AtomicTable.manifest(rootPath).map(_.partitions.keySet)
+        .getOrElse(Set.empty) -- written.keySet
+    AtomicTable.commitManifest(rootPath, written,
+      dropPartitions = drop,
+      expectedVersion = if (truncate) Some(readVersion) else None)
+    ()
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    // staged bytes become a never-committed orphan; reclaim eagerly
+    val dir = java.nio.file.Paths.get(root, "data", txn)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rm(dir)
+  }
+}
+
+private[sources] class GraftWriterFactory(root: String, txn: String,
+    schema: StructType, partitionCol: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(root, txn, schema, partitionCol, partitionId, taskId)
+}
+
+/** Task-side writer: one parquet file per partition VALUE this task
+  * sees (pre-repartition by the partition column upstream for the
+  * one-file-per-partition layout the maintenance operators keep). */
+private[sources] class GraftDataWriter(root: String, txn: String,
+    schema: StructType, partitionCol: String, partitionId: Int, taskId: Long)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+
+  private val partIdx = schema.fieldIndex(partitionCol)
+  private val dataFields = schema.fields.zipWithIndex.filter(_._1.name != partitionCol)
+  private val msgType: MessageType = {
+    import org.apache.parquet.schema.Types
+    val b = Types.buildMessage()
+    dataFields.foreach { case (f, _) =>
+      val t = f.dataType match {
+        case LongType => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case DoubleType => Types.optional(DOUBLE).named(f.name)
+        case FloatType => Types.optional(FLOAT).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType => Types.optional(BINARY).named(f.name)
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"unsupported write type $other for column ${f.name}")
+      }
+      b.addField(t)
+      ()
+    }
+    b.named("graft")
+  }
+  private val factory = new SimpleGroupFactory(msgType)
+  private val writers = mutable.Map.empty[String,
+    org.apache.parquet.hadoop.ParquetWriter[Group]]
+
+  private def writerFor(part: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
+    writers.getOrElseUpdate(part, {
+      val dir = s"$root/data/$txn/$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(part)
+      val file = new Path(s"$dir/part-$partitionId-$taskId.parquet")
+      ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+            file, new Configuration()))
+        .withType(msgType)
+        .withConf(new Configuration())
+        .build()
+    })
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(partIdx), s"null partition value for '$partitionCol'")
+    val partValue = schema(partIdx).dataType match {
+      case StringType => row.getUTF8String(partIdx).toString
+      case LongType => row.getLong(partIdx).toString
+      case IntegerType => row.getInt(partIdx).toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    }
+    val g = factory.newGroup()
+    dataFields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          g.add(f.name, row.getLong(i))
+        case IntegerType | DateType => g.add(f.name, row.getInt(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType => g.add(f.name, org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType => g.add(f.name, org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(row.getBinary(i)))
+        case _ => ()
+      }
+    }
+    writerFor(partValue).write(g)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    GraftCommitMessage(writers.keySet.toSet)
+  }
+  override def abort(): Unit = writers.values.foreach(_.close())
+  override def close(): Unit = ()
 }

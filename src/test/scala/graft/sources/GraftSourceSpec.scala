@@ -148,6 +148,66 @@ class GraftSourceSpec extends SparkSuite {
     assert(drain() === Set(), "a vector delete references no new data dir")
   }
 
+  test("writes: a new table via df.write.format(graft), every type faithful") {
+    val dir = Files.createTempDirectory("graft-w").resolve("t").toString
+    import spark.implicits._
+    val df = Seq(
+      (1L, 7, "x", 1.5, true, "2021-06-01 08:00:00", "2021-06-01", "a"),
+      (2L, 8, "y", 2.5, false, "2021-07-01 09:00:00", "2021-07-01", "b"))
+      .toDF("id", "n", "name", "score", "flag", "ts_s", "d_s", "p")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+      .withColumn("d", to_date(col("d_s")))
+      .select("id", "n", "name", "score", "flag", "ts", "d", "p")
+    df.repartition(col("p")).write.format("graft")
+      .option("partition", "p").mode("append").save(dir)
+    assert(AtomicTable.manifest(java.nio.file.Paths.get(dir)).get.partitions
+      .keySet === Set("a", "b"))
+    val back = spark.read.format("graft").load(dir)
+      .select("id", "n", "name", "score", "flag", "ts", "d", "p")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(3), r.getBoolean(4), r.getTimestamp(5).toString,
+        r.getDate(6).toString, r.getString(7))).toSet
+    assert(back === Set(
+      (1L, 7, "x", 1.5, true, "2021-06-01 08:00:00.0", "2021-06-01", "a"),
+      (2L, 8, "y", 2.5, false, "2021-07-01 09:00:00.0", "2021-07-01", "b")))
+  }
+
+  test("writes: append is dynamic partition replace, overwrite truncates") {
+    val dir = Files.createTempDirectory("graft-w2").resolve("t").toString
+    import spark.implicits._
+    def frame(rows: (Long, String)*) =
+      rows.toDF("id", "p").repartition(col("p"))
+    frame((1L, "a"), (2L, "b"), (3L, "c")).write.format("graft")
+      .option("partition", "p").mode("append").save(dir)
+    // append with partition b present: b replaced, a and c carried
+    val before = AtomicTable.manifest(java.nio.file.Paths.get(dir)).get.partitions
+    frame((20L, "b")).write.format("graft").mode("append").save(dir)
+    val after = AtomicTable.manifest(java.nio.file.Paths.get(dir)).get.partitions
+    assert(after("a") === before("a") && after("c") === before("c"))
+    assert(spark.read.format("graft").load(dir).select("id")
+      .as[Long].collect().toSet === Set(1L, 20L, 3L))
+    // overwrite: pre-existing partitions not rewritten must drop
+    frame((9L, "z")).write.format("graft").mode("overwrite").save(dir)
+    val m = AtomicTable.manifest(java.nio.file.Paths.get(dir)).get
+    assert(m.partitions.keySet === Set("z"))
+    assert(spark.read.format("graft").load(dir).select("id")
+      .as[Long].collect().toSet === Set(9L))
+  }
+
+  test("writes: the format round-trips with the Scala-API read and the changefeed") {
+    val dir = Files.createTempDirectory("graft-w3").resolve("t").toString
+    import spark.implicits._
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("id", "v", "p")
+      .repartition(col("p")).write.format("graft")
+      .option("partition", "p").mode("append").save(dir)
+    val sch = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("p", StringType)))
+    assert(AtomicTable.read(spark, dir, sch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet ===
+      Set((1L, 10L, "a"), (2L, 20L, "b")),
+      "a format-written table reads through the Scala API unchanged")
+  }
+
   test("column pruning survives outstanding vectors (keys read, not emitted)") {
     val dir = seed()
     import spark.implicits._
