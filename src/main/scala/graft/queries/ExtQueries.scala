@@ -77,6 +77,7 @@ object ExtQueries {
     "graft_source_scan" -> QueryDef(graftSourceScan, Some(graftSourceScanSql)),
     "graft_changefeed" -> QueryDef(graftChangefeed, Some(graftChangefeedSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),
+    "graft_stream_sink" -> QueryDef(graftStreamSink, Some(graftStreamSinkSql)),
     "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),

@@ -378,6 +378,54 @@ object WarehouseQueries {
        |  ${sqlDsum("o_totalprice", 2)} AS revenue
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** The graft STREAMING SINK driven END-TO-END: the events table
+    * flows as a file-source stream (3 micro-batches by event-id
+    * residue) through `writeStream.format("graft")` — each epoch one
+    * atomic dynamic-partition commit with the epoch riding the same
+    * manifest swap — then the sunk table is read back through the
+    * format and aggregated. The oracle replays the aggregate over the
+    * raw events: a lost epoch, a doubled replay, or a writer type skew
+    * fails the value compare. */
+  private[queries] def graftStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("sink:" + dir, { _ =>
+      val base = java.nio.file.Files.createTempDirectory("graft-sinkq")
+      val src = base.resolve("src")
+      val t = base.resolve("t").toString
+      val ev = Tables.events(s, dir).select(
+        col("user_id"), col("event_id"), col("event_type"), col("value"),
+        concat(lit("r"), (col("event_id") % 3).cast("string")).as("p"))
+      for (i <- 0 until 3) {
+        ev.filter(col("event_id") % 3 === i).coalesce(1)
+          .write.parquet(src.resolve(s"b$i").toString)
+        Thread.sleep(20)
+      }
+      val q = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString + "/*")
+        .writeStream.format("graft")
+        .option("partition", "p")
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(t)
+      try q.awaitTermination() finally q.stop()
+      t
+    })
+    s.read.format("graft").load(table)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("event_id")).as("sum_eid"),
+        count_distinct(col("p")).as("n_parts"),
+        dsum(col("value"), 6).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  private[queries] val graftStreamSinkSql =
+    s"""SELECT event_type, count(*) AS n_rows,
+       |  sum(event_id) AS sum_eid,
+       |  count(DISTINCT event_id % 3) AS n_parts,
+       |  ${sqlDsum("value", 6)} AS total_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   private val cdcSchema = StructType(Seq(
     StructField("user_id", LongType),
     StructField("event_id", LongType),

@@ -149,6 +149,7 @@ private[sources] class GraftTable(props: Map[String, String],
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, schema0)
@@ -570,20 +571,87 @@ private[sources] class GraftWriteBuilder(root: String,
     doTruncate = true; this
   }
 
+  private def resolvePartitionCol(): String =
+    Option(info.options.get("partition"))
+      .orElse(AtomicTable.manifest(java.nio.file.Paths.get(root))
+        .filter(_.partitions.nonEmpty).map(GraftSource.partitionColOf))
+      .getOrElse(throw new IllegalArgumentException(
+        "writing a new graft table needs .option(\"partition\", \"<col>\")"))
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
-      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
-        val partitionCol = Option(info.options.get("partition"))
-          .orElse(AtomicTable.manifest(java.nio.file.Paths.get(root))
-            .filter(_.partitions.nonEmpty).map(GraftSource.partitionColOf))
-          .getOrElse(throw new IllegalArgumentException(
-            "writing a new graft table needs .option(\"partition\", \"<col>\")"))
-        new GraftBatchWrite(root, info.schema(), partitionCol, doTruncate)
-      }
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new GraftBatchWrite(root, info.schema(), resolvePartitionCol(), doTruncate)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new GraftStreamingWrite(root, info.schema(), resolvePartitionCol(),
+          info.queryId())
     }
 }
 
-private[sources] final case class GraftCommitMessage(parts: Set[String])
+/** `df.writeStream.format("graft")` — the table is a native STREAMING
+  * SINK. Each epoch stages into its own deterministic
+  * `data/txn-st-<query>-e<epoch>` dir and commits as a dynamic
+  * partition replace; exactly-once comes from the epoch riding the
+  * SAME manifest swap as the data (property
+  * `graft.stream.<queryId>` — query-scoped, so several streams can
+  * feed one table), with a replayed epoch skipped before it commits.
+  * Combined with the changefeed source, tables chain into multi-hop
+  * streaming pipelines: sink a stream into table A, stream table A
+  * into table B, each hop transactional. Partition by an
+  * epoch-derived or event-time column for the append-only layout the
+  * changefeed reads incrementally. */
+private[sources] class GraftStreamingWrite(root: String, schema: StructType,
+    partitionCol: String, queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  // per-run nonce: a replay AFTER RESTART stages into a fresh dir, so a
+  // skipped (already-committed) epoch can never pollute the dir its
+  // original commit published; the fresh orphan ages out through vacuum
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private def txnFor(epochId: Long) =
+    GraftStreamingWriterFactory.txnFor(queryId, nonce, epochId)
+  private def epochProp = s"graft.stream.$queryId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(root, schema, partitionCol, queryId, nonce)
+
+  override def commit(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val rootPath = java.nio.file.Paths.get(root)
+    val last = AtomicTable.manifest(rootPath)
+      .flatMap(_.properties.get(epochProp)).map(_.toLong).getOrElse(-1L)
+    if (epochId <= last) return // replayed epoch: already committed
+    val written = GraftWriteCommit.pruneAndMap(root, txnFor(epochId),
+      partitionCol, messages)
+    AtomicTable.commitManifest(rootPath, written,
+      properties = Map(epochProp -> epochId.toString))
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(root, "data", txnFor(epochId))
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rm(dir)
+  }
+}
+
+/** partition value -> parquet file NAMES this committed task attempt
+  * wrote. Carrying exact files lets the driver prune the staging dir of
+  * any failed/zombie attempt's leftovers BEFORE the manifest commit —
+  * without it, a retried task would leave its dead attempt's file in
+  * the shared txn dir and the commit would double those rows. */
+private[sources] final case class GraftCommitMessage(
+    files: Map[String, Set[String]])
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class GraftBatchWrite(root: String, schema: StructType,
@@ -601,13 +669,7 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
-    val written: Map[String, String] = messages.flatMap {
-      case GraftCommitMessage(ps) => ps
-      case _ => Nil
-    }.toSet[String].map { p =>
-      p -> (s"data/$txn/$partitionCol=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(p))
-    }.toMap
+    val written = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
     val rootPath = java.nio.file.Paths.get(root)
     val drop: Set[String] =
       if (!truncate) Set.empty
@@ -632,6 +694,65 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
     }
     rm(dir)
   }
+}
+
+/** Driver-side half of a graft write commit, shared by batch and
+  * streaming: union the committed task attempts' file reports, prune
+  * the staging txn dir of anything no committed attempt wrote (a
+  * failed or zombie attempt's leftovers — Spark only passes messages
+  * from attempts it committed), and return the manifest's
+  * partition -> dir map. */
+private[sources] object GraftWriteCommit {
+  def pruneAndMap(root: String, txn: String, partitionCol: String,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Map[String, String] = {
+    val byPart = mutable.Map.empty[String, mutable.Set[String]]
+    messages.foreach {
+      case GraftCommitMessage(files) =>
+        files.foreach { case (pv, fs) =>
+          byPart.getOrElseUpdate(pv, mutable.Set.empty) ++= fs
+        }
+      case _ => ()
+    }
+    val conf = new Configuration()
+    val txnPath = new Path(s"$root/data/$txn")
+    val fs = txnPath.getFileSystem(conf)
+    if (fs.exists(txnPath)) fs.listStatus(txnPath).foreach { st =>
+      val dirName = st.getPath.getName
+      if (dirName.startsWith(s"$partitionCol=")) {
+        val part = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(dirName.substring(partitionCol.length + 1))
+        byPart.get(part) match {
+          case None => fs.delete(st.getPath, true); ()
+          case Some(keep) => fs.listStatus(st.getPath).foreach { f =>
+            val n = f.getPath.getName
+            if (n.endsWith(".parquet") && !keep.contains(n)) {
+              fs.delete(f.getPath, false); ()
+            }
+          }
+        }
+      }
+    }
+    byPart.keys.map { pv =>
+      pv -> (s"data/$txn/$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv))
+    }.toMap
+  }
+}
+
+private[sources] final case class GraftStreamingWriterFactory(root: String,
+    schema: StructType, partitionCol: String, queryId: String, nonce: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(root,
+      GraftStreamingWriterFactory.txnFor(queryId, nonce, epochId),
+      schema, partitionCol, partitionId, taskId)
+}
+
+private[sources] object GraftStreamingWriterFactory {
+  def txnFor(queryId: String, nonce: String, epochId: Long): String =
+    s"txn-st-${queryId.take(8)}-$nonce-e$epochId"
 }
 
 private[sources] class GraftWriterFactory(root: String, txn: String,
@@ -686,11 +807,14 @@ private[sources] class GraftDataWriter(root: String, txn: String,
   private val writers = mutable.Map.empty[String,
     org.apache.parquet.hadoop.ParquetWriter[Group]]
 
+  private[sources] def fileNameFor(): String =
+    s"part-$partitionId-$taskId.parquet"
+
   private def writerFor(part: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
     writers.getOrElseUpdate(part, {
       val dir = s"$root/data/$txn/$partitionCol=" +
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(part)
-      val file = new Path(s"$dir/part-$partitionId-$taskId.parquet")
+      val file = new Path(s"$dir/${fileNameFor()}")
       ExampleParquetWriter.builder(
           org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
             file, new Configuration()))
@@ -729,7 +853,8 @@ private[sources] class GraftDataWriter(root: String, txn: String,
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writers.values.foreach(_.close())
-    GraftCommitMessage(writers.keySet.toSet)
+    GraftCommitMessage(writers.keySet.toSeq
+      .map(p => p -> Set(fileNameFor())).toMap)
   }
   override def abort(): Unit = writers.values.foreach(_.close())
   override def close(): Unit = ()

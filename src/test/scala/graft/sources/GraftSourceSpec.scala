@@ -208,6 +208,52 @@ class GraftSourceSpec extends SparkSuite {
       "a format-written table reads through the Scala API unchanged")
   }
 
+  test("streaming writes: writeStream.format(graft) is an exactly-once epoch sink") {
+    val src = Files.createTempDirectory("graft-sw-src")
+    val dir = Files.createTempDirectory("graft-sw").resolve("t").toString
+    import spark.implicits._
+    // three files -> three micro-batches (distinct mtimes pin the order)
+    Seq((1L, "e0"), (2L, "e0")).toDF("id", "p").coalesce(1)
+      .write.parquet(src.resolve("b0").toString)
+    Thread.sleep(50)
+    Seq((3L, "e1")).toDF("id", "p").coalesce(1)
+      .write.parquet(src.resolve("b1").toString)
+    Thread.sleep(50)
+    Seq((4L, "e2")).toDF("id", "p").coalesce(1)
+      .write.parquet(src.resolve("b2").toString)
+    val keySchema = StructType(Seq(
+      StructField("id", LongType), StructField("p", StringType)))
+    val checkpoint = Files.createTempDirectory("graft-sw-ckpt").toString
+    def run(): Unit = {
+      val q = spark.readStream.schema(keySchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src.toString + "/*")
+        .writeStream.format("graft")
+        .option("partition", "p")
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dir)
+      try q.awaitTermination() finally q.stop()
+    }
+    run()
+    val m = AtomicTable.manifest(java.nio.file.Paths.get(dir)).get
+    assert(m.partitions.keySet === Set("e0", "e1", "e2"),
+      "each epoch commits its partitions")
+    assert(spark.read.format("graft").load(dir).select("id")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    // restart with nothing new: no version bump, no duplicate rows
+    val v = m.version
+    run()
+    assert(AtomicTable.currentVersion(java.nio.file.Paths.get(dir)).get === v)
+    assert(spark.read.format("graft").load(dir).count() === 4L)
+    // a late fourth batch continues the epoch chain
+    Seq((5L, "e3")).toDF("id", "p").coalesce(1)
+      .write.parquet(src.resolve("b3").toString)
+    run()
+    assert(spark.read.format("graft").load(dir).select("id")
+      .as[Long].collect().toSet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("column pruning survives outstanding vectors (keys read, not emitted)") {
     val dir = seed()
     import spark.implicits._
