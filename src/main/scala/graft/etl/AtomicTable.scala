@@ -79,7 +79,14 @@ object AtomicTable {
   final case class Manifest(version: Long, partitions: Map[String, String],
       properties: Map[String, String] = Map.empty,
       stats: Map[String, PartStats] = Map.empty,
-      deletes: Map[String, Seq[String]] = Map.empty)
+      deletes: Map[String, Seq[String]] = Map.empty,
+      tsMs: Long = 0L, operation: String = "write")
+
+  /** One line of a table's commit log ([[history]]): `rows` is the total
+    * from the per-partition zone maps when every partition carries one,
+    * None otherwise (row counts are stats, not a scan). */
+  final case class CommitInfo(version: Long, tsMs: Long, operation: String,
+      numPartitions: Int, rows: Option[Long])
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
@@ -144,12 +151,16 @@ object AtomicTable {
       e.getKey -> e.getValue.elements().asScala.map(_.asText).toSeq
     }.toMap).getOrElse(Map.empty[String, Seq[String]])
     Manifest(n.get("version").asLong,
-      strMap(n.get("partitions")), props, stats, deletes)
+      strMap(n.get("partitions")), props, stats, deletes,
+      Option(n.get("tsMs")).map(_.asLong).getOrElse(0L),
+      Option(n.get("operation")).map(_.asText).getOrElse("write"))
   }
 
   private def renderManifest(m: Manifest): String = {
     val node = mapper.createObjectNode()
     node.put("version", m.version)
+    if (m.tsMs > 0L) node.put("tsMs", m.tsMs)
+    node.put("operation", m.operation)
     val parts = node.putObject("partitions")
     m.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => parts.put(k, v) }
     val props = node.putObject("properties")
@@ -406,6 +417,90 @@ object AtomicTable {
     readManifest(spark, table, schema, manifestAt(root, version))
   }
 
+  /** The commit time of version `v` in epoch millis: the timestamp
+    * stamped into the manifest at commit (strictly monotonic per table —
+    * see [[commitManifest]]); for manifests predating the stamp, the
+    * manifest file's mtime (the hard-link publish carries the staged
+    * file's write time, i.e. commit time to within the link latency). */
+  def commitTimeMs(root: Path, v: Long): Long = {
+    val m = manifestAt(root, v)
+    if (m.tsMs > 0L) m.tsMs
+    else Files.getLastModifiedTime(manifestFile(root, v)).toMillis
+  }
+
+  /** Every version still inside the retention window, ascending. */
+  private def retainedVersions(root: Path): Seq[Long] = {
+    val mDir = root.resolve("_manifests")
+    if (!Files.isDirectory(mDir)) Nil
+    else {
+      val s = Files.list(mDir)
+      try s.iterator.asScala.flatMap { f =>
+        val n = f.getFileName.toString
+        if (n.startsWith("v") && n.endsWith(".json"))
+          n.stripPrefix("v").stripSuffix(".json").toLongOption
+        else None
+      }.toSeq.sorted
+      finally s.close()
+    }
+  }
+
+  /** TIMESTAMP AS OF resolution: the latest retained version whose commit
+    * time is <= `tsMs` (commit timestamps are strictly monotonic, so the
+    * answer is unique), None when `tsMs` predates every retained commit. */
+  def versionAsOf(root: Path, tsMs: Long): Option[Long] =
+    retainedVersions(root).reverseIterator
+      .find(v => commitTimeMs(root, v) <= tsMs)
+
+  /** Read the table as of a wall-clock instant — [[readAt]] with the
+    * version resolved by [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, table: String, schema: StructType,
+      tsMs: Long): DataFrame = {
+    val root = Paths.get(table)
+    val v = versionAsOf(root, tsMs).getOrElse(throw new IllegalArgumentException(
+      s"no commit of $table at or before tsMs=$tsMs is inside the retention window"))
+    readAt(spark, table, schema, v)
+  }
+
+  /** The table's commit log over the retention window, newest first —
+    * `DESCRIBE HISTORY` from metadata only: version, commit time,
+    * operation tag, partition count, and the zone-map row total when
+    * every partition carries stats (no scan, ever). */
+  def history(root: Path): Seq[CommitInfo] =
+    retainedVersions(root).reverseIterator.map { v =>
+      val m = manifestAt(root, v)
+      val rows =
+        if (m.partitions.nonEmpty && m.partitions.keySet.subsetOf(m.stats.keySet))
+          Some(m.partitions.keysIterator.map(m.stats(_).rows).sum)
+        else None
+      CommitInfo(v, commitTimeMs(root, v), m.operation, m.partitions.size, rows)
+    }.toSeq
+
+  /** RESTORE TABLE TO VERSION AS OF: commit a NEW version whose
+    * partitions, stats, and delete vectors are exactly those of a
+    * retained `version` — time travel made durable. History is preserved
+    * (the bad commits stay readable inside retention; nothing is ever
+    * rewound in place) and the data move is zero bytes: the restored
+    * manifest references the old version's still-retained dirs, which the
+    * commit re-pins against GC. Table properties deliberately stay at
+    * CURRENT: they hold writer idempotence state (the streaming sink's
+    * last-committed epoch), and restoring data must not make a replayed
+    * epoch look unprocessed. Fails with ConcurrentModificationException
+    * if any writer lands between reading the head and publishing — a
+    * restore built on a stale premise must not clobber fresh commits. */
+  def restore(root: Path, version: Long, retain: Int = 2): Manifest = {
+    require(Files.exists(manifestFile(root, version)),
+      s"version $version is outside the retention window of $root")
+    val target = manifestAt(root, version)
+    val cur = manifest(root).getOrElse(
+      throw new IllegalStateException(s"$root has no commits"))
+    commitManifest(root, written = target.partitions,
+      newStats = target.stats,
+      properties = Map("graft.restore.of" -> version.toString),
+      dropPartitions = cur.partitions.keySet -- target.partitions.keySet,
+      expectedVersion = Some(cur.version), retain = retain,
+      newDeletes = target.deletes, operation = s"restore(v$version)")
+  }
+
   private def readManifest(spark: SparkSession, table: String,
       schema: StructType, m: Manifest): DataFrame = {
     // one scan per txn dir (its basePath restores the partition column
@@ -547,7 +642,8 @@ object AtomicTable {
       dropPartitions: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None, retain: Int = 1,
       beforeCommit: () => Unit = () => (),
-      newDeletes: Map[String, Seq[String]] = Map.empty): Manifest =
+      newDeletes: Map[String, Seq[String]] = Map.empty,
+      operation: String = "write"): Manifest =
     commitLock(root).synchronized {
       var hookRan = false
       var committed: Manifest = null
@@ -564,13 +660,21 @@ object AtomicTable {
         // stale vector would re-delete a key the rewrite re-inserted)
         val delBase = prev.map(_.deletes).getOrElse(Map.empty) --
           dropPartitions -- written.keys
+        // commit time, STRICTLY monotonic per table: two commits landing
+        // inside one clock millisecond (or under clock skew between
+        // processes) still order by timestamp exactly as they order by
+        // version, so TIMESTAMP AS OF resolves to one unambiguous
+        // version (Delta's commit-timestamp monotonicity adjustment)
+        val ts = math.max(System.currentTimeMillis(),
+          prev.map(_.tsMs + 1L).getOrElse(1L))
         val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
           (prev.map(_.partitions).getOrElse(Map.empty) -- dropPartitions) ++ written,
           prev.map(_.properties).getOrElse(Map.empty) ++ properties,
           (prev.map(_.stats).getOrElse(Map.empty)
             -- dropPartitions -- written.keys) ++ newStats,
           delBase ++ newDeletes.map { case (p, ds) =>
-            p -> (delBase.getOrElse(p, Nil) ++ ds) })
+            p -> (delBase.getOrElse(p, Nil) ++ ds) },
+          ts, operation)
         if (!hookRan) { beforeCommit(); hookRan = true }
         // the commit point: atomically claim the version slot; a lost
         // claim means another PROCESS committed meanwhile (threads are
@@ -616,7 +720,8 @@ object AtomicTable {
       properties: Map[String, String] = Map.empty, retain: Int = 1,
       statsColumns: Seq[String] = Nil,
       dropPartitions: Set[String] = Set.empty,
-      expectedVersion: Option[Long] = None): Manifest = {
+      expectedVersion: Option[Long] = None,
+      operation: String = "write"): Manifest = {
     require(!statsColumns.contains(partitionCol),
       s"statsColumns must not include the partition column '$partitionCol': " +
         "partition pruning already handles it, and the staged files do " +
@@ -690,7 +795,7 @@ object AtomicTable {
           }.toMap
       }
     commitManifest(root, written, newStats, properties, dropPartitions,
-      expectedVersion, retain, beforeCommit)
+      expectedVersion, retain, beforeCommit, operation = operation)
   }
 
   /** Bin-pack the table's files: rewrite every partition with one task per
@@ -707,7 +812,8 @@ object AtomicTable {
     * file (pass `filesPerPartition > 1` to spread very large partitions —
     * repartitions on (partitionCol, random-ish split) instead). */
   def compact(spark: SparkSession, table: String, schema: StructType,
-      partitionCol: String, filesPerPartition: Int = 1): Manifest = {
+      partitionCol: String, filesPerPartition: Int = 1,
+      retain: Int = 1): Manifest = {
     val root = Paths.get(table)
     val m = manifest(root).getOrElse(return Manifest(0L, Map.empty))
     // fold any merge-on-read delete vectors into the rewrite: the commit
@@ -722,8 +828,14 @@ object AtomicTable {
         pmod(xxhash64(schema.fieldNames.map(col): _*), lit(filesPerPartition.toLong)))
     // pinned read + optimistic commit: deriving the rewrite from version
     // m and committing over a concurrent writer would clobber it
+    // carry the zone maps through the rewrite: a compaction that drops
+    // the table's skipping stats silently degrades every later pruned
+    // read — recompute them for the tracked columns already in force
+    val trackedCols = m.stats.values
+      .flatMap(st => st.mins.keySet ++ st.maxs.keySet).toSeq.distinct.sorted
     replacePartitions(spark, table, packed, partitionCol,
-      dropPartitions = m.partitions.keySet, expectedVersion = Some(m.version))
+      dropPartitions = m.partitions.keySet, expectedVersion = Some(m.version),
+      operation = "compact", retain = retain, statsColumns = trackedCols)
   }
 
   /** Targeted compaction: rewrite ONLY the partitions whose file count
@@ -770,7 +882,7 @@ object AtomicTable {
     // meanwhile, committing would clobber it — abort instead
     replacePartitions(spark, table, rows, partitionCol,
       statsColumns = statsColumns, dropPartitions = fragmented,
-      expectedVersion = Some(m.version))
+      expectedVersion = Some(m.version), operation = "compact")
   }
 
   /** Number of data files the current manifest references — the metric a

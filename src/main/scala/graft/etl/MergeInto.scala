@@ -103,7 +103,8 @@ object MergeInto {
     AtomicTable.replacePartitions(spark, table,
       survivors.unionByName(upd), partitionCol,
       statsColumns = statsColumns, retain = retain,
-      expectedVersion = Some(readVersion), beforeCommit = beforeCommit)
+      expectedVersion = Some(readVersion), beforeCommit = beforeCommit,
+      operation = "merge")
   }
 
   /** CDC batch apply: one atomic commit for a change batch that mixes
@@ -149,7 +150,8 @@ object MergeInto {
     AtomicTable.replacePartitions(spark, table, merged, partitionCol,
       retain = retain, dropPartitions = affected -- stillThere,
       properties = properties,
-      expectedVersion = Some(readVersion), beforeCommit = beforeCommit)
+      expectedVersion = Some(readVersion), beforeCommit = beforeCommit,
+      operation = "cdc")
   }
 
   /** DELETE by key: remove every current row matching a row of `keys`
@@ -186,7 +188,8 @@ object MergeInto {
     AtomicTable.replacePartitions(spark, table, survivors, partitionCol,
       statsColumns = statsColumns, retain = retain,
       dropPartitions = affected -- stillThere,
-      expectedVersion = Some(readVersion), beforeCommit = beforeCommit)
+      expectedVersion = Some(readVersion), beforeCommit = beforeCommit,
+      operation = "delete")
   }
 
   /** UPDATE ... SET: rewrite every current row matching `condition`
@@ -223,7 +226,7 @@ object MergeInto {
     }: _*)
     AtomicTable.replacePartitions(spark, table, rewritten, partitionCol,
       statsColumns = statsColumns, retain = retain,
-      expectedVersion = Some(readVersion))
+      expectedVersion = Some(readVersion), operation = "update")
   }
 
   // ---------------------------------------------------------------- MOR
@@ -289,7 +292,7 @@ object MergeInto {
     AtomicTable.commitManifest(root, Map.empty,
       properties = properties +
         (AtomicTable.DeleteKeysProperty -> keyCols.mkString(",")),
-      retain = retain, newDeletes = written)
+      retain = retain, newDeletes = written, operation = "delete-vector")
   }
 
   /** Merge-on-read DELETE WHERE: vector-delete every current row
@@ -346,6 +349,6 @@ object MergeInto {
       survivors.repartition(col(partitionCol)), partitionCol,
       statsColumns = statsColumns,
       dropPartitions = affected -- stillThere,
-      expectedVersion = Some(m.version))
+      expectedVersion = Some(m.version), operation = "delete")
   }
 }

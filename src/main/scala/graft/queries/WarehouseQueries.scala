@@ -504,4 +504,75 @@ object WarehouseQueries {
        |SELECT o_ym, count(*) AS n_rows,
        |  ${sqlDsum("o_totalprice", 2)} AS revenue
        |FROM final GROUP BY o_ym ORDER BY o_ym""".stripMargin
+
+  private val ttSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_year", StringType)))
+
+  private val ttStaged = new ConcurrentHashMap[String, String]()
+
+  /** Time travel + RESTORE driven end-to-end through the commit log:
+    * seed a year-partitioned orders table over three commits (years up
+    * to 1997; then 1998-1999; then a bad reprice of 1996 — a ONE-partition
+    * revision, everything else carried in the manifest by reference),
+    * RESTORE to the pre-reprice version, and aggregate four snapshots:
+    * `readAt` v1, TIMESTAMP AS OF v2's commit instant (strict
+    * commit-time monotonicity makes the resolution unambiguous), `readAt`
+    * the bad v3 (history is never rewound — the bad commit stays
+    * auditable inside retention), and the restored current. The oracle
+    * replays each snapshot's algebra over the raw parquet, so a defect
+    * anywhere — timestamp resolution off by one version, restore losing
+    * or doubling a partition, the v3 reprice leaking into the restored
+    * head — shifts a count or sum and fails the value gate. */
+  private[queries] def whTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val table = ttStaged.computeIfAbsent(dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-tttbl").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      def commit(rows: DataFrame): Unit = {
+        AtomicTable.replacePartitions(s, t, rows.repartition(col("o_year")),
+          "o_year", retain = 10, statsColumns = Seq("o_orderkey"))
+        ()
+      }
+      commit(base.filter(col("o_year") <= "1997"))            // v1
+      commit(base.filter(col("o_year").isin("1998", "1999"))) // v2
+      commit(base.filter(col("o_year") === "1996")            // v3: bad reprice
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0)))
+      AtomicTable.restore(java.nio.file.Paths.get(t), 2L, retain = 10) // v4
+      t
+    })
+    val root = java.nio.file.Paths.get(table)
+    def snap(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("revenue"))
+        .select(lit(label).as("snap"), col("n_rows"), col("revenue"))
+    snap("v1", AtomicTable.readAt(s, table, ttSchema, 1L))
+      .unionByName(snap("v2_ts", AtomicTable.readAsOf(s, table, ttSchema,
+        AtomicTable.commitTimeMs(root, 2L))))
+      .unionByName(snap("v3", AtomicTable.readAt(s, table, ttSchema, 3L)))
+      .unionByName(snap("current", AtomicTable.read(s, table, ttSchema)))
+      .orderBy("snap")
+  }
+
+  private[queries] val whTimeTravelSql =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y') AS y
+       |  FROM orders),
+       |upto97 AS (SELECT * FROM o WHERE y <= '1997'),
+       |upto99 AS (SELECT * FROM o WHERE y <= '1999')
+       |SELECT * FROM (
+       |  SELECT 'v1' AS snap, count(*) AS n_rows,
+       |    ${sqlDsum("o_totalprice", 2)} AS revenue FROM upto97
+       |  UNION ALL
+       |  SELECT 'v2_ts' AS snap, count(*) AS n_rows,
+       |    ${sqlDsum("o_totalprice", 2)} AS revenue FROM upto99
+       |  UNION ALL
+       |  SELECT 'v3' AS snap, count(*) AS n_rows,
+       |    ${sqlDsum("CASE WHEN y = '1996' THEN o_totalprice + 100.0 " +
+            "ELSE o_totalprice END", 2)} AS revenue FROM upto99
+       |  UNION ALL
+       |  SELECT 'current' AS snap, count(*) AS n_rows,
+       |    ${sqlDsum("o_totalprice", 2)} AS revenue FROM upto99
+       |) ORDER BY snap""".stripMargin
 }
