@@ -56,6 +56,11 @@ import graft.etl.AtomicTable
   *    layout the writers maintain (one file per partition after
   *    compaction), the right granularity for a fact table whose
   *    partitions are balance-managed by compact/z-order.
+  *  - **Time travel as read options**: `.option("versionAsOf", n)` /
+  *    `.option("timestampAsOf", ts)` pin the scan (and its schema,
+  *    zone maps, and deletion vectors) to a retained snapshot — the
+  *    Delta read-option surface, SQL-reachable through view OPTIONS;
+  *    a pinned handle is read-only and refuses writes/streams.
   *
   * Scope: flat primitive schemas (long/int/double/float/boolean/
   * string/binary/date/timestamp) — the warehouse fact-table shape;
@@ -65,12 +70,14 @@ class GraftSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val root = GraftSource.rootOf(options)
+    val pin = GraftSource.pinnedVersion(k => Option(options.get(k)), root)
     // a table being CREATED by a write has no manifest yet: return an
     // empty shape and let the write's own schema through
     // (ACCEPT_ANY_SCHEMA); reads of the empty root still fail loudly
     // at scan planning
-    if (AtomicTable.manifest(java.nio.file.Paths.get(root)).isEmpty) StructType(Nil)
-    else GraftSource.inferredSchema(new Configuration(), root)
+    if (pin.isEmpty &&
+      AtomicTable.manifest(java.nio.file.Paths.get(root)).isEmpty) StructType(Nil)
+    else GraftSource.inferredSchema(new Configuration(), root, pin)
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -84,6 +91,54 @@ object GraftSource {
     val p = Option(options.get("path")).orElse(Option(options.get("paths")))
     require(p.isDefined, "graft source needs a path (the AtomicTable root)")
     p.get.stripPrefix("[\"").stripSuffix("\"]")
+  }
+
+  /** Time-travel read pin (Delta's read-option surface): `versionAsOf`
+    * names a retained version directly; `timestampAsOf` resolves through
+    * [[AtomicTable.versionAsOf]] (latest commit at or before the
+    * instant — epoch millis, ISO-8601 instant, or `yyyy-MM-dd HH:mm:ss`
+    * UTC wall time). `get` abstracts over the two option carriers Spark
+    * hands a TableProvider (CaseInsensitiveStringMap vs the getTable
+    * properties map), so both resolve identically. */
+  private[sources] def pinnedVersion(get: String => Option[String],
+      root: String): Option[Long] = {
+    val byV = get("versionAsOf").map(_.trim.toLong)
+    val byTs = get("timestampAsOf").map(parseTsMs)
+    require(byV.isEmpty || byTs.isEmpty,
+      "graft time travel takes versionAsOf OR timestampAsOf, not both")
+    byV.orElse(byTs.map { ts =>
+      AtomicTable.versionAsOf(java.nio.file.Paths.get(root), ts).getOrElse(
+        throw new IllegalArgumentException(s"no commit of $root at or " +
+          s"before timestampAsOf=$ts is inside the retention window"))
+    })
+  }
+
+  private def parseTsMs(s: String): Long = {
+    val t = s.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else try java.time.Instant.parse(t).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.time.LocalDateTime
+          .parse(t.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
+
+  /** The manifest a read plans against: the pinned snapshot, or the head. */
+  private[sources] def manifestFor(root: String, pin: Option[Long])
+      : Option[AtomicTable.Manifest] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    pin match {
+      case None => AtomicTable.manifest(rootPath)
+      case Some(v) =>
+        try Some(AtomicTable.manifestAt(rootPath, v))
+        catch {
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(
+              s"versionAsOf=$v of $root is outside the retention window")
+        }
+    }
   }
 
   private[sources] def partitionColOf(m: AtomicTable.Manifest): String = {
@@ -120,9 +175,12 @@ object GraftSource {
   }
 
   /** Schema = first data file's parquet schema + the partition column
-    * (STRING, the manifest key form) appended. */
-  private[sources] def inferredSchema(conf: Configuration, root: String): StructType = {
-    val m = AtomicTable.manifest(java.nio.file.Paths.get(root)).getOrElse(
+    * (STRING, the manifest key form) appended — of the PINNED version's
+    * files when time-traveling, so a snapshot from before a schema
+    * evolution reads with its own (narrower) shape. */
+  private[sources] def inferredSchema(conf: Configuration, root: String,
+      pin: Option[Long] = None): StructType = {
+    val m = manifestFor(root, pin).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed manifest"))
     require(m.partitions.nonEmpty, s"$root is empty — no partitions committed")
     val dir = new Path(s"$root/${m.partitions.values.toSeq.min}")
@@ -140,25 +198,37 @@ object GraftSource {
 private[sources] class GraftTable(props: Map[String, String],
     schema0: StructType) extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  private val root = props.getOrElse("path",
+  private val lower = props.map { case (k, v) => k.toLowerCase -> v }
+  private val root = lower.getOrElse("path",
     throw new IllegalArgumentException("graft source needs a path"))
-  override def name(): String = s"graft:$root"
+  // resolve the time-travel pin ONCE, here: a timestampAsOf landing
+  // between planning calls must not resolve to two different versions
+  private val pinned: Option[Long] =
+    GraftSource.pinnedVersion(k => lower.get(k.toLowerCase), root)
+  override def name(): String =
+    s"graft:$root${pinned.map(v => s"@v$v").getOrElse("")}"
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (pinned.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, schema0)
+    new GraftScanBuilder(root, schema0, pinned,
+      Option(options.get("startingVersion")).map(_.trim.toLong))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(pinned.isEmpty,
+      "cannot write through a time-travel read (versionAsOf/timestampAsOf)")
     new GraftWriteBuilder(root, info)
+  }
 }
 
-private[sources] class GraftScanBuilder(root: String, full: StructType)
+private[sources] class GraftScanBuilder(root: String, full: StructType,
+    pinned: Option[Long], startingVersion: Option[Long])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -171,18 +241,22 @@ private[sources] class GraftScanBuilder(root: String, full: StructType)
     filters // every filter stays a residual: pruning only skips work
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new GraftScan(root, full, required, pushed)
+  override def build(): Scan =
+    new GraftScan(root, full, required, pushed, pinned, startingVersion)
 }
 
 private[sources] class GraftScan(root: String, full: StructType,
-    required: StructType, filters: Array[Filter]) extends Scan with Batch {
+    required: StructType, filters: Array[Filter],
+    pinned: Option[Long] = None, startingVersion: Option[Long] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft:$root pushed=[${filters.mkString(", ")}]"
+    s"graft:$root${pinned.map(v => s"@v$v").getOrElse("")} " +
+      s"pushed=[${filters.mkString(", ")}]"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val m = AtomicTable.manifest(java.nio.file.Paths.get(root)).getOrElse(
+    val m = GraftSource.manifestFor(root, pinned).getOrElse(
       return Array.empty)
     val partitionCol = GraftSource.partitionColOf(m)
     val keyCols: Seq[String] = m.properties.get(AtomicTable.DeleteKeysProperty)
@@ -256,7 +330,7 @@ private[sources] class GraftScan(root: String, full: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(root, required, filters)
+    new GraftMicroBatchStream(root, required, filters, startingVersion)
 }
 
 /** `spark.readStream.format("graft")` — every AtomicTable is a
@@ -281,7 +355,8 @@ private[sources] class GraftScan(root: String, full: StructType,
   * still prune the diff; deletion vectors do NOT apply (the feed
   * carries what each commit staged — a vector delete stages no data). */
 private[sources] class GraftMicroBatchStream(root: String,
-    required: StructType, filters: Array[Filter])
+    required: StructType, filters: Array[Filter],
+    startingVersion: Option[Long] = None)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -300,7 +375,12 @@ private[sources] class GraftMicroBatchStream(root: String,
     availableNowCap = Some(currentV)
   }
 
-  override def initialOffset(): Offset = V(0L)
+  // `startingVersion` (Delta-CDF's knob): emit commits FROM that version
+  // onward — the first micro-batch diffs against version N-1's manifest,
+  // which must still be retained (same retention contract as resume);
+  // the default V(0) replays the table from its first commit
+  override def initialOffset(): Offset =
+    V(startingVersion.map(v => math.max(v - 1L, 0L)).getOrElse(0L))
   override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
   override def latestOffset(): Offset =
     V(availableNowCap.getOrElse(currentV))

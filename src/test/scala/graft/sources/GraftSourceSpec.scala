@@ -263,4 +263,108 @@ class GraftSourceSpec extends SparkSuite {
       .select("name").as[String].collect().toSet
     assert(got === Set("one", "two", "four"))
   }
+
+  test("time travel: versionAsOf and timestampAsOf pin the scanned snapshot") {
+    val dir = Files.createTempDirectory("graft-tt-dsv2").toString
+    import spark.implicits._
+    def commit(part: String, ids: Long*): Unit = {
+      AtomicTable.replacePartitions(spark, dir,
+        ids.map(i => (i, i * 10L, part)).toDF("id", "v", "p"), "p", retain = 10)
+      ()
+    }
+    commit("a", 1L, 2L)       // v1
+    commit("b", 3L)           // v2
+    commit("a", 7L)           // v3 rewrites a
+    def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("id").as[Long].collect().toSet
+
+    assert(idsOf(spark.read.format("graft")
+      .option("versionAsOf", "1").load(dir)) === Set(1L, 2L))
+    assert(idsOf(spark.read.format("graft")
+      .option("versionAsOf", "2").load(dir)) === Set(1L, 2L, 3L))
+    assert(idsOf(spark.read.format("graft").load(dir)) === Set(3L, 7L))
+
+    // timestampAsOf at v2's exact commit instant (epoch millis form)
+    val root = java.nio.file.Paths.get(dir)
+    val t2 = AtomicTable.commitTimeMs(root, 2L)
+    assert(idsOf(spark.read.format("graft")
+      .option("timestampAsOf", t2.toString).load(dir)) === Set(1L, 2L, 3L))
+    // ISO instant form, between v1 and v2 -> resolves to v1
+    val isoBefore2 = java.time.Instant
+      .ofEpochMilli(AtomicTable.commitTimeMs(root, 2L) - 1).toString
+    assert(idsOf(spark.read.format("graft")
+      .option("timestampAsOf", isoBefore2).load(dir)) === Set(1L, 2L))
+
+    // SQL surface: the pin rides the view options
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tt_v2 USING graft " +
+      s"OPTIONS (path '$dir', versionAsOf '2')")
+    assert(spark.sql("SELECT count(*) AS n FROM tt_v2").as[Long].head() === 3L)
+
+    // errors: both pins, write-through, pre-history timestamp
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("timestampAsOf", t2.toString).load(dir).collect()
+    }
+    intercept[Exception] {
+      Seq((9L, 90L, "z")).toDF("id", "v", "p").write.format("graft")
+        .option("versionAsOf", "1").mode("append").save(dir)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft")
+        .option("timestampAsOf", (AtomicTable.commitTimeMs(root, 1L) - 1).toString)
+        .load(dir).collect()
+    }
+  }
+
+  test("time travel: manifest pruning and vectors come from the pinned snapshot") {
+    val dir = seed()
+    import spark.implicits._
+    MergeInto.deleteKeysMor(spark, dir, schema,
+      Seq((3L, "b")).toDF("id", "p"), Seq("id"), "p", retain = 10)  // v2
+    AtomicTable.replacePartitions(spark, dir,
+      Seq((8L, 80L, "eight", 8.5, true,
+        new java.sql.Timestamp(0L), new java.sql.Date(0L), "b"))
+        .toDF("id", "v", "name", "score", "flag", "ts", "d", "p"),
+      "p", retain = 10, statsColumns = Seq("id"))                    // v3
+    // v1 predates the vector: id=3 visible; v2 applies it; head has the rewrite
+    def names(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select("name").as[String].collect().toSet
+    assert(names(spark.read.format("graft").option("versionAsOf", "1").load(dir))
+      === Set("one", "two", "three", "four"))
+    assert(names(spark.read.format("graft").option("versionAsOf", "2").load(dir))
+      === Set("one", "two", "four"))
+    // zone-map pruning against the PINNED stats: id >= 3 at v1 keeps
+    // partitions b and c only (a's committed max is 2)
+    val pruned = spark.read.format("graft").option("versionAsOf", "1").load(dir)
+      .filter(col("id") >= 3L)
+    assert(pruned.rdd.getNumPartitions === 2)
+    assert(names(pruned) === Set("three", "four"))
+  }
+
+  test("changefeed: startingVersion skips the snapshot and feeds from a commit") {
+    val dir = Files.createTempDirectory("graft-cdf-sv").toString
+    import spark.implicits._
+    def commit(part: String, ids: Long*): Unit = {
+      AtomicTable.replacePartitions(spark, dir,
+        ids.map(i => (i, i * 10L, part)).toDF("id", "v", "p"), "p", retain = 10)
+      ()
+    }
+    commit("b0", 1L, 2L)   // v1
+    commit("b1", 3L)       // v2
+    commit("b2", 4L)       // v3
+    val checkpoint = Files.createTempDirectory("graft-cdf-sv-ckpt").toString
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "3").load(dir)
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").collect().foreach(r => { seen.add(r.getLong(0)); () }))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    assert(seen.asScala.toSet === Set(4L),
+      "the feed starts at v3's commit — v1/v2 partitions unchanged since " +
+        "v2 are not re-emitted")
+  }
 }
