@@ -80,6 +80,7 @@ object ExtQueries {
     "graft_stream_sink" -> QueryDef(graftStreamSink, Some(graftStreamSinkSql)),
     "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),
     "wh_time_travel" -> QueryDef(whTimeTravel, Some(whTimeTravelSql)),
+    "wh_sql_catalog" -> QueryDef(whSqlCatalog, Some(whSqlCatalogSql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
     "warc_roundtrip" -> QueryDef(warcRoundtrip, Some(warcRoundtripSql)),

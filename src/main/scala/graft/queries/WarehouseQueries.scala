@@ -555,6 +555,73 @@ object WarehouseQueries {
       .orderBy("snap")
   }
 
+  /** warehouse dir → (catalog name, warehouse root) — one SQL-DDL'd
+    * catalog per input dir per JVM. */
+  private val catStaged = new ConcurrentHashMap[String, (String, String)]()
+
+  /** The SQL catalog driven END-TO-END from pure SQL: register a
+    * [[graft.sources.GraftCatalog]], CREATE TABLE ... PARTITIONED BY
+    * with a retention TBLPROPERTY, fill it over three INSERT commits
+    * (years to 1997; 1998-1999; a bad reprice of 1996 — the format's
+    * append IS dynamic partition replace), then aggregate three
+    * snapshots resolved by Spark's OWN time-travel syntax: VERSION AS
+    * OF 1, TIMESTAMP AS OF v2's commit instant, and the head. The
+    * oracle replays each snapshot's algebra over the raw parquet; a
+    * defect in catalog resolution, the declared-schema insert path, the
+    * retention plumbing, or version/timestamp resolution shifts a count
+    * or sum and fails the value gate. */
+  private[queries] def whSqlCatalog(s: SparkSession, dir: String): DataFrame = {
+    val (cat, w) = catStaged.computeIfAbsent(dir, { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-catq").toString
+      val cat = "gq" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .createOrReplaceTempView(s"orders_src_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
+        "PARTITIONED BY (o_year) TBLPROPERTIES ('retain'='10')")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_src_$cat " +
+        "WHERE o_year <= '1997'")                                      // v1
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_src_$cat " +
+        "WHERE o_year IN ('1998', '1999')")                            // v2
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT o_orderkey, " +        // v3
+        s"o_totalprice + 100.0, o_year FROM orders_src_$cat WHERE o_year = '1996'")
+      (cat, w)
+    })
+    val t2 = AtomicTable.commitTimeMs(
+      java.nio.file.Paths.get(w, "wh", "orders"), 2L)
+    def snap(label: String, from: String): DataFrame =
+      s.sql(s"SELECT o_totalprice FROM $from")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("revenue"))
+        .select(lit(label).as("snap"), col("n_rows"), col("revenue"))
+    snap("v1", s"$cat.wh.orders VERSION AS OF 1")
+      .unionByName(snap("v2_ts", s"$cat.wh.orders TIMESTAMP AS OF timestamp_millis($t2)"))
+      .unionByName(snap("current", s"$cat.wh.orders"))
+      .orderBy("snap")
+  }
+
+  private[queries] val whSqlCatalogSql =
+    s"""WITH o AS (
+       |  SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y') AS y
+       |  FROM orders),
+       |upto97 AS (SELECT * FROM o WHERE y <= '1997'),
+       |upto99 AS (SELECT * FROM o WHERE y <= '1999')
+       |SELECT * FROM (
+       |  SELECT 'v1' AS snap, count(*) AS n_rows,
+       |    ${sqlDsum("o_totalprice", 2)} AS revenue FROM upto97
+       |  UNION ALL
+       |  SELECT 'v2_ts' AS snap, count(*) AS n_rows,
+       |    ${sqlDsum("o_totalprice", 2)} AS revenue FROM upto99
+       |  UNION ALL
+       |  SELECT 'current' AS snap, count(*) AS n_rows,
+       |    ${sqlDsum("CASE WHEN y = '1996' THEN o_totalprice + 100.0 " +
+            "ELSE o_totalprice END", 2)} AS revenue FROM upto99
+       |) ORDER BY snap""".stripMargin
+
   private[queries] val whTimeTravelSql =
     s"""WITH o AS (
        |  SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y') AS y

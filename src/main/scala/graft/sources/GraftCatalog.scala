@@ -1,0 +1,278 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.AtomicTable
+
+/** A DataSource V2 [[TableCatalog]] over a warehouse DIRECTORY of
+  * [[AtomicTable]]s — the piece that makes the whole table format
+  * reachable from PURE SQL, no paths in queries:
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.root = /warehouse
+  *
+  * CREATE TABLE graft.db.t (id BIGINT, v DOUBLE, p STRING) PARTITIONED BY (p)
+  * INSERT INTO graft.db.t SELECT ...
+  * SELECT * FROM graft.db.t VERSION AS OF 2          -- native SQL time travel
+  * SELECT * FROM graft.db.t TIMESTAMP AS OF '...'    -- via the commit clock
+  * }}}
+  *
+  * Layout is filesystem-native and matches what a 1000-executor cluster
+  * wants from an object store: a namespace is a directory level, a table
+  * is an [[AtomicTable]] root under it, and ALL state lives in the
+  * table's own manifests — the catalog holds no mutable metadata of its
+  * own beyond a per-table `_table.json` (declared schema + partition
+  * column, written once at CREATE so an empty table is loadable before
+  * its first commit). Concurrency therefore inherits the manifest
+  * claim-loop guarantees: two INSERTs race at the table's commit point,
+  * not in the catalog.
+  *
+  * Scope decisions:
+  *  - exactly ONE identity partition transform (the AtomicTable model);
+  *  - `VERSION AS OF` resolves through `loadTable(ident, version)`,
+  *    `TIMESTAMP AS OF` through `loadTable(ident, micros)` against the
+  *    strictly-monotonic commit clock — both return a READ-ONLY pinned
+  *    handle;
+  *  - CTAS works through Spark's non-atomic create-then-write path (a
+  *    failed CTAS leaves an empty creatable-over table, same as the
+  *    built-in file catalogs without staging);
+  *  - `alterTable` supports property changes only — column evolution
+  *    stays on the Scala API where its read-side contract lives. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  import GraftCatalog.DefaultRetain
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name' needs spark.sql.catalog.$name.root=<warehouse dir>"))
+    root = Paths.get(r)
+    Files.createDirectories(root)
+    ()
+  }
+  override def name(): String = catalogName
+
+  private def nsDir(ns: Array[String]): Path =
+    ns.foldLeft(root)((p, s) => p.resolve(s))
+  private def tableDir(ident: Identifier): Path =
+    nsDir(ident.namespace()).resolve(ident.name())
+  private def metaFile(dir: Path): Path = dir.resolve("_table.json")
+  private def isTable(dir: Path): Boolean =
+    Files.exists(metaFile(dir)) || Files.isDirectory(dir.resolve("_manifests"))
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val dir = nsDir(ns)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(ns)
+    val s = Files.list(dir)
+    try s.iterator.asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(ns, p.getFileName.toString)).toArray
+    finally s.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = loadPinned(ident, None)
+
+  /** `VERSION AS OF <v>` — Spark hands the SQL literal through verbatim. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, Some(version.trim.toLong))
+
+  /** `TIMESTAMP AS OF <ts>` — Spark resolves the literal to epoch MICROS;
+    * the commit clock is millis. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val v = AtomicTable.versionAsOf(dir, timestampMicros / 1000L).getOrElse(
+      throw new IllegalArgumentException(s"no commit of $ident at or before " +
+        s"timestamp ${timestampMicros / 1000L}ms is inside the retention window"))
+    loadPinned(ident, Some(v))
+  }
+
+  private def loadPinned(ident: Identifier, version: Option[Long]): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val meta = readMeta(dir)
+    // declared schema wins while the table is empty (nothing to infer
+    // from); once committed, the PINNED version's own files are the
+    // truth — a pre-evolution snapshot reads with its own shape
+    val hasData = AtomicTable.manifest(dir).exists(_.partitions.nonEmpty) ||
+      version.isDefined
+    val schema =
+      if (hasData) GraftSource.inferredSchema(new Configuration(), dir.toString, version)
+      else meta.map(_._1).getOrElse(throw new NoSuchTableException(ident))
+    val props = Map("path" -> dir.toString,
+      "retain" -> meta.map(_._3).getOrElse(DefaultRetain).toString) ++
+      meta.map("partition" -> _._2) ++
+      version.map("versionasof" -> _.toString)
+    new GraftTable(props, schema, validateWrites = true)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (!Files.isDirectory(dir.getParent))
+      throw new NoSuchNamespaceException(ident.namespace())
+    val partCol = partitions.toSeq match {
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new IllegalArgumentException(
+        "graft tables take exactly one PARTITIONED BY (<col>) identity " +
+          s"column, got [${other.mkString(", ")}]")
+    }
+    require(schema.fieldNames.contains(partCol),
+      s"partition column '$partCol' is not in the table schema")
+    // retention is what makes SQL time travel WORK on this table: every
+    // catalog-routed commit carries it (TBLPROPERTIES ('retain'='N') to
+    // size the window; manifests are tiny, but retained manifests pin
+    // their data dirs against GC — that is the disk cost being chosen)
+    val retain = Option(properties.get("retain"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "retain")))
+      .map(_.trim.toInt).getOrElse(DefaultRetain)
+    Files.createDirectories(dir)
+    writeMeta(dir, schema, partCol, retain)
+    new GraftTable(Map("path" -> dir.toString, "partition" -> partCol,
+      "retain" -> retain.toString), schema, validateWrites = true)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    changes.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog does not support ALTER ${other.getClass.getSimpleName}" +
+          " — schema evolution lives on the Scala API")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) false
+    else { deleteRecursively(dir); true }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!isTable(tableDir(from))) throw new NoSuchTableException(from)
+    if (isTable(tableDir(to))) throw new TableAlreadyExistsException(to)
+    if (!Files.isDirectory(tableDir(to).getParent))
+      throw new NoSuchNamespaceException(to.namespace())
+    Files.move(tableDir(from), tableDir(to))
+    ()
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    val dir = nsDir(ns)
+    if (!Files.isDirectory(dir)) throw new NoSuchNamespaceException(ns)
+    val s = Files.list(dir)
+    try s.iterator.asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p) &&
+        !p.getFileName.toString.startsWith("_"))
+      .map(p => ns :+ p.getFileName.toString).toArray
+    finally s.close()
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || (Files.isDirectory(nsDir(ns)) && !isTable(nsDir(ns)))
+
+  override def loadNamespaceMetadata(ns: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map("location" -> nsDir(ns).toString).asJava
+  }
+
+  override def createNamespace(ns: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    Files.createDirectories(nsDir(ns))
+    ()
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsDir(ns)
+    if (!namespaceExists(ns) || ns.isEmpty) false
+    else {
+      if (!cascade) {
+        val s = Files.list(dir)
+        val empty = try !s.iterator.hasNext finally s.close()
+        require(empty, s"namespace ${ns.mkString(".")} is not empty")
+      }
+      deleteRecursively(dir)
+      true
+    }
+  }
+
+  // ------------------------------------------------------------- metas
+
+  /** `_table.json`: the declared schema (Spark's own JSON form), the
+    * partition column, and the retention window — written once at
+    * CREATE, never mutated. */
+  private def writeMeta(dir: Path, schema: StructType, partCol: String,
+      retain: Int): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("schema", schema.json)
+    node.put("partition", partCol)
+    node.put("retain", retain)
+    Files.write(metaFile(dir),
+      node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def readMeta(dir: Path): Option[(StructType, String, Int)] = {
+    val f = metaFile(dir)
+    if (!Files.exists(f)) None
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = mapper.readTree(Files.readAllBytes(f))
+      Some((DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType],
+        n.get("partition").asText,
+        Option(n.get("retain")).map(_.asInt).getOrElse(DefaultRetain)))
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator.asScala.toSeq.foreach(deleteRecursively)
+      finally s.close()
+    }
+    Files.deleteIfExists(p)
+    ()
+  }
+}
+
+object GraftCatalog {
+  /** Default commit-retention for catalog tables: deep enough that
+    * VERSION AS OF and changefeed restarts have a real window out of the
+    * box, small enough that GC still reclaims (Delta defaults to ~30
+    * days of log for the same reason). Override per table with
+    * TBLPROPERTIES ('retain'='N'). */
+  val DefaultRetain = 8
+}
+
+/** Compile-time anchor for [[Expressions]] (identity transforms built by
+  * Spark's parser are matched structurally above). */
+private object GraftCatalogTransforms {
+  def identity(col: String): Transform = Expressions.identity(col)
+}

@@ -196,7 +196,8 @@ object GraftSource {
 }
 
 private[sources] class GraftTable(props: Map[String, String],
-    schema0: StructType) extends Table with SupportsRead
+    schema0: StructType, validateWrites: Boolean = false)
+    extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val lower = props.map { case (k, v) => k.toLowerCase -> v }
   private val root = lower.getOrElse("path",
@@ -210,6 +211,13 @@ private[sources] class GraftTable(props: Map[String, String],
   override def schema(): StructType = schema0
   override def capabilities(): java.util.Set[TableCapability] =
     if (pinned.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // catalog tables have a DECLARED schema, so writes resolve against it
+    // (INSERT by position/name both work); pathwise tables accept the
+    // query's own schema (new tables have no shape to validate against)
+    else if (validateWrites) java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -223,7 +231,10 @@ private[sources] class GraftTable(props: Map[String, String],
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     require(pinned.isEmpty,
       "cannot write through a time-travel read (versionAsOf/timestampAsOf)")
-    new GraftWriteBuilder(root, info)
+    // catalog-declared partition column and retention ride the props, so
+    // INSERT INTO a catalog table needs no per-write options
+    new GraftWriteBuilder(root, info, lower.get("partition"),
+      lower.get("retain").map(_.toInt))
   }
 }
 
@@ -641,7 +652,9 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   *    column comes from the manifest). Flat primitive schemas, same
   *    scope as the read side; timestamps write as INT64 micros. */
 private[sources] class GraftWriteBuilder(root: String,
-    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    declaredPartition: Option[String] = None,
+    declaredRetain: Option[Int] = None)
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -654,17 +667,26 @@ private[sources] class GraftWriteBuilder(root: String,
     Option(info.options.get("partition"))
       .orElse(AtomicTable.manifest(java.nio.file.Paths.get(root))
         .filter(_.partitions.nonEmpty).map(GraftSource.partitionColOf))
+      .orElse(declaredPartition)
       .getOrElse(throw new IllegalArgumentException(
         "writing a new graft table needs .option(\"partition\", \"<col>\")"))
+
+  // retention is per-commit (the latest commit's retain wins), so time
+  // travel / changefeed consumers need every write path to carry it —
+  // a per-write option wins over the table's declared setting
+  private def resolveRetain(): Int =
+    Option(info.options.get("retain")).map(_.trim.toInt)
+      .orElse(declaredRetain).getOrElse(1)
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new GraftBatchWrite(root, info.schema(), resolvePartitionCol(), doTruncate)
+        new GraftBatchWrite(root, info.schema(), resolvePartitionCol(),
+          doTruncate, resolveRetain())
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
         new GraftStreamingWrite(root, info.schema(), resolvePartitionCol(),
-          info.queryId())
+          info.queryId(), resolveRetain())
     }
 }
 
@@ -681,7 +703,7 @@ private[sources] class GraftWriteBuilder(root: String,
   * epoch-derived or event-time column for the append-only layout the
   * changefeed reads incrementally. */
 private[sources] class GraftStreamingWrite(root: String, schema: StructType,
-    partitionCol: String, queryId: String)
+    partitionCol: String, queryId: String, retain: Int = 1)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   // per-run nonce: a replay AFTER RESTART stages into a fresh dir, so a
@@ -706,7 +728,7 @@ private[sources] class GraftStreamingWrite(root: String, schema: StructType,
     val written = GraftWriteCommit.pruneAndMap(root, txnFor(epochId),
       partitionCol, messages)
     AtomicTable.commitManifest(rootPath, written,
-      properties = Map(epochProp -> epochId.toString))
+      properties = Map(epochProp -> epochId.toString), retain = retain)
     ()
   }
 
@@ -734,7 +756,7 @@ private[sources] final case class GraftCommitMessage(
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class GraftBatchWrite(root: String, schema: StructType,
-    partitionCol: String, truncate: Boolean)
+    partitionCol: String, truncate: Boolean, retain: Int = 1)
   extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val txn = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -755,7 +777,7 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
       else AtomicTable.manifest(rootPath).map(_.partitions.keySet)
         .getOrElse(Set.empty) -- written.keySet
     AtomicTable.commitManifest(rootPath, written,
-      dropPartitions = drop,
+      dropPartitions = drop, retain = retain,
       expectedVersion = if (truncate) Some(readVersion) else None)
     ()
   }
