@@ -87,7 +87,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
 
-  override def loadTable(ident: Identifier): Table = loadPinned(ident, None)
+  override def loadTable(ident: Identifier): Table = ident.name() match {
+    // Iceberg-style metadata table: SELECT * FROM cat.db.`t$history` is
+    // DESCRIBE HISTORY — the commit log (version, commit time, operation,
+    // partition count, zone-map row total) from manifests only, no scan
+    case HistoryName(base) =>
+      val dir = nsDir(ident.namespace()).resolve(base)
+      if (!isTable(dir)) throw new NoSuchTableException(ident)
+      new GraftHistoryTable(s"$catalogName:${ident.toString}",
+        AtomicTable.history(dir))
+    case _ => loadPinned(ident, None)
+  }
+
+  private val HistoryName = "(.+)\\$history".r
 
   /** `VERSION AS OF <v>` — Spark hands the SQL literal through verbatim. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -260,6 +272,72 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.deleteIfExists(p)
     ()
   }
+}
+
+/** The `$history` metadata table: one row per retained commit, newest
+  * first, materialized from the manifests at load time (a handful of
+  * tiny JSON reads — deliberately NOT distributed). */
+private[sources] class GraftHistoryTable(tableName: String,
+    commits: Seq[AtomicTable.CommitInfo])
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types._
+
+  override def name(): String = tableName
+  override def schema(): StructType = GraftHistoryTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = GraftHistoryTable.Schema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftHistoryPartition(commits))
+        override def createReaderFactory(): PartitionReaderFactory =
+          GraftHistoryReaderFactory
+      }
+    }
+}
+
+private[sources] object GraftHistoryTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("version", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("num_partitions", IntegerType, nullable = false),
+    StructField("num_rows", LongType, nullable = true)))
+}
+
+private[sources] final case class GraftHistoryPartition(
+    commits: Seq[AtomicTable.CommitInfo])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] object GraftHistoryReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[GraftHistoryPartition].commits.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val c = it.next()
+        cur = new GenericInternalRow(Array[Any](c.version, c.tsMs * 1000L,
+          UTF8String.fromString(c.operation), c.numPartitions,
+          c.rows.map(Long.box).orNull))
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
 }
 
 object GraftCatalog {

@@ -108,6 +108,21 @@ class GraftCatalogSpec extends SparkSuite {
       .as[Long].collect().toSet === Set(1L, 2L))
   }
 
+  test("$history metadata table is DESCRIBE HISTORY from pure SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.h (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.h VALUES (1, 'a')")
+    spark.sql("INSERT INTO gcat.db.h VALUES (2, 'b')")
+    val h = spark.sql("SELECT version, operation, num_partitions " +
+      "FROM gcat.db.`h$history` ORDER BY version DESC")
+      .as[(Long, String, Int)].collect().toSeq
+    assert(h === Seq((2L, "write", 2), (1L, "write", 1)))
+    val ts = spark.sql("SELECT unix_millis(timestamp) FROM gcat.db.`h$history`")
+      .as[Long].collect().toSeq
+    assert(ts === ts.sorted.reverse && ts.distinct.size === 2,
+      "newest first, strictly monotonic commit clock")
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
