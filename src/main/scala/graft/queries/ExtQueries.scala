@@ -81,6 +81,7 @@ object ExtQueries {
     "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),
     "wh_time_travel" -> QueryDef(whTimeTravel, Some(whTimeTravelSql)),
     "wh_sql_catalog" -> QueryDef(whSqlCatalog, Some(whSqlCatalogSql)),
+    "wh_sql_merge" -> QueryDef(whSqlMerge, Some(whSqlMergeSql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
     "warc_roundtrip" -> QueryDef(warcRoundtrip, Some(warcRoundtripSql)),

@@ -622,6 +622,71 @@ object WarehouseQueries {
             "ELSE o_totalprice END", 2)} AS revenue FROM upto99
        |) ORDER BY snap""".stripMargin
 
+  private val mergeStaged = new ConcurrentHashMap[String, String]()
+
+  /** SQL row-level operations driven END-TO-END: seed a year-partitioned
+    * catalog table from orders, then mutate it purely in SQL — MERGE
+    * INTO (reprice every 97th order, insert a year-2000 copy of every
+    * 101st under key+3e6), row-level DELETE (every 991-divisible key,
+    * inserted copies included), metadata-only DELETE (year 1992 — one
+    * manifest commit, zero bytes scanned), and UPDATE (+1 on every
+    * 500-divisible key). The oracle replays the same four steps as
+    * relational algebra over the raw parquet, so a defect in the MERGE
+    * rewrite, the group-replace commit, partition-granular runtime
+    * filtering, or the metadata-delete short-circuit shifts a per-year
+    * count or sum and fails the value gate. */
+  private[queries] def whSqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir, { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-mrgq").toString
+      val cat = "gm" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .createOrReplaceTempView(s"orders_msrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
+        "PARTITIONED BY (o_year)")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_msrc_$cat")
+      s.sql(s"""MERGE INTO $cat.wh.orders t USING (
+        SELECT o_orderkey AS k, o_totalprice AS tp, o_year AS y
+        FROM orders_msrc_$cat WHERE o_orderkey % 97 = 0
+        UNION ALL
+        SELECT o_orderkey + 3000000 AS k, o_totalprice AS tp, '2000' AS y
+        FROM orders_msrc_$cat WHERE o_orderkey % 101 = 0
+      ) s ON t.o_orderkey = s.k
+      WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 10.0
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_year)
+        VALUES (s.k, s.tp, s.y)""")
+      s.sql(s"DELETE FROM $cat.wh.orders WHERE o_orderkey % 991 = 0")
+      s.sql(s"DELETE FROM $cat.wh.orders WHERE o_year = '1992'")
+      s.sql(s"UPDATE $cat.wh.orders SET o_totalprice = o_totalprice + 1.0 " +
+        "WHERE o_orderkey % 500 = 0")
+      cat
+    })
+    s.sql(s"SELECT o_year, o_totalprice FROM $cat.wh.orders")
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_year")
+  }
+
+  private[queries] val whSqlMergeSql =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS tp,
+       |    strftime(o_orderdate, '%Y') AS y FROM orders),
+       |merged AS (
+       |  SELECT k, CASE WHEN k % 97 = 0 THEN tp + 10.0 ELSE tp END AS tp, y FROM o
+       |  UNION ALL
+       |  SELECT k + 3000000 AS k, tp, '2000' AS y FROM o WHERE k % 101 = 0),
+       |d1 AS (SELECT * FROM merged WHERE k % 991 <> 0),
+       |d2 AS (SELECT * FROM d1 WHERE y <> '1992'),
+       |u AS (SELECT k, CASE WHEN k % 500 = 0 THEN tp + 1.0 ELSE tp END AS tp, y
+       |  FROM d2)
+       |SELECT y AS o_year, count(*) AS n_rows, ${sqlDsum("tp", 2)} AS revenue
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val whTimeTravelSql =
     s"""WITH o AS (
        |  SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y') AS y

@@ -1,0 +1,280 @@
+package graft.sources
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{InputPartition, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.etl.AtomicTable
+
+/** SQL `DELETE FROM` / `UPDATE` / `MERGE INTO` over graft tables — the
+  * GROUP-BASED row-level operation protocol (Spark's copy-on-write
+  * shape, the one Iceberg uses), with the PARTITION as the group:
+  *
+  *  1. the operation's scan pins the manifest version it planned
+  *     against and records exactly which partitions it read;
+  *  2. Spark recomputes those partitions' surviving/updated rows
+  *     (`ReplaceData`) and hands them to the operation's write;
+  *  3. the write commits ONE atomic manifest swap that replaces the
+  *     rewritten partitions and drops the scanned-but-now-empty ones,
+  *     with `expectedVersion` making a racing writer abort the rewrite
+  *     rather than be clobbered by it.
+  *
+  * Runtime group filtering ([[SupportsRuntimeV2Filtering]]) narrows the
+  * rewrite to the partitions that can actually match the condition — a
+  * `DELETE ... WHERE p = 'x' AND f(q)` rewrites ONE partition, not the
+  * table — for DELETE and UPDATE only: group replace requires every
+  * output row to land in a scanned (or brand-new) partition, and MERGE
+  * may INSERT anywhere, so MERGE scans everything. An UPDATE that moves
+  * rows into an existing unscanned partition is refused at commit (it
+  * would silently drop that partition's other rows); metadata-only
+  * partition deletes short-circuit this whole path via
+  * [[GraftTable]]'s `SupportsDeleteV2`. */
+private[sources] class GraftRowLevelOperation(root: String, full: StructType,
+    partitionCol: String, retain: Int, cmd: Command)
+  extends RowLevelOperation {
+
+  /** Shared between this operation's scan and write: which snapshot the
+    * rewrite was derived from, and which groups it covers. */
+  private[sources] val state = new GraftGroupState
+
+  override def command(): Command = cmd
+  override def description(): String = s"graft ${cmd.name.toLowerCase}:$root"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftRowLevelScanBuilder(root, full, partitionCol, cmd, state)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new GraftGroupReplaceWrite(
+          root, info.schema(), partitionCol, retain, cmd, state)
+      }
+    }
+}
+
+private[sources] class GraftGroupState {
+  @volatile var readVersion: Long = 0L
+  @volatile var scanned: Set[String] = Set.empty
+}
+
+private[sources] class GraftRowLevelScanBuilder(root: String,
+    full: StructType, partitionCol: String, cmd: Command,
+    state: GraftGroupState)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new GraftRowLevelScan(root, full, required, pushed, partitionCol, cmd, state)
+}
+
+private[sources] class GraftRowLevelScan(root: String, full: StructType,
+    required: StructType, filters: Array[Filter], partitionCol: String,
+    cmd: Command, state: GraftGroupState)
+    extends GraftScan(root, full, required, filters)
+    with SupportsRuntimeV2Filtering {
+
+  private var runtimeKeep: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (cmd == Command.MERGE) Array.empty
+    else Array(Expressions.column(partitionCol))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    // conjunctive narrowing: every extractable predicate intersects the
+    // keep-set; anything unextractable is simply not used to narrow
+    // (pruning can only skip groups the condition cannot touch)
+    val sets = predicates.flatMap(GraftV2Predicates.valuesFor(_, partitionCol))
+    if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = GraftSource.manifestFor(root, None).getOrElse {
+      state.readVersion = 0L
+      state.scanned = Set.empty
+      return Array.empty
+    }
+    val base = planFromManifest(m).map(_.asInstanceOf[GraftInputPartition])
+    val kept = runtimeKeep match {
+      case Some(vs) => base.filter(p => vs.contains(p.partValue))
+      case None => base
+    }
+    state.readVersion = m.version
+    state.scanned = kept.map(_.partValue).toSet
+    kept.map(p => p: InputPartition)
+  }
+}
+
+/** The write half of a group replace: land the recomputed rows of the
+  * scanned partitions, drop the scanned partitions that came back empty,
+  * all in one optimistic commit against the version the scan read. */
+private[sources] class GraftGroupReplaceWrite(root: String,
+    schema: StructType, partitionCol: String, retain: Int, cmd: Command,
+    state: GraftGroupState) extends BatchWrite {
+
+  private val txn = s"txn-rl-${java.util.UUID.randomUUID().toString.take(12)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new GraftRowLevelWriterFactory(root, txn, schema, partitionCol)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val written = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
+    val rootPath = Paths.get(root)
+    val existedAtRead: Set[String] =
+      if (state.readVersion == 0L) Set.empty
+      else try AtomicTable.manifestAt(rootPath, state.readVersion).partitions.keySet
+      catch {
+        case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+          throw new java.util.ConcurrentModificationException(
+            s"version ${state.readVersion} this rewrite read aged out of " +
+              s"$root's retention window before it could commit")
+      }
+    // an output row landing in an existing partition the scan did NOT
+    // read means the op moved rows across partitions (UPDATE SET on the
+    // partition column): replacing that partition from only the moved
+    // rows would lose its other rows — refuse. Brand-new partition
+    // values (MERGE inserts, moves to fresh keys) are safe: nothing
+    // there to lose.
+    val lossy = written.keySet.filter(p => !state.scanned(p) && existedAtRead(p))
+    require(lossy.isEmpty,
+      s"${cmd.name} moved rows into existing partitions it did not scan " +
+        s"(${lossy.toSeq.sorted.mkString(", ")}); a partition-granular " +
+        "rewrite cannot merge into them — update the partition column via " +
+        "the Scala API's cdcApply, or DELETE + INSERT")
+    AtomicTable.commitManifest(rootPath, written,
+      dropPartitions = state.scanned -- written.keySet,
+      retain = retain, expectedVersion = Some(state.readVersion),
+      operation = cmd.name.toLowerCase)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(root, "data", txn)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rm(dir)
+  }
+}
+
+/** Task-side adapter for the ReplaceData row shape: when the operation
+  * declares no metadata attributes, Spark 4 hands the writer the RAW
+  * query output with the `__row_operation` metrics column PREPENDED
+  * (the projecting task only engages for writers with metadata
+  * projections — verified against the analyzed UPDATE/MERGE plans:
+  * `Project [N AS __row_operation, <table columns>]`). Strip it before
+  * the real writer; anything else shape-wise is a loud error, never a
+  * misaligned write. */
+private[sources] class GraftRowLevelWriterFactory(root: String, txn: String,
+    schema: StructType, partitionCol: String)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val inner = new GraftDataWriter(root, txn, schema, partitionCol,
+      partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private val strip = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, 1 to schema.length)
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == schema.length) inner.write(row)
+        else if (row.numFields == schema.length + 1) {
+          strip.project(row)
+          inner.write(strip)
+        } else throw new IllegalStateException(
+          s"row-level write row has ${row.numFields} fields for a " +
+            s"${schema.length}-column table — unexpected ReplaceData shape")
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** V2-predicate → partition-key-set extraction, shared by the runtime
+  * group filter and [[GraftTable]]'s metadata-only `SupportsDeleteV2`. */
+private[sources] object GraftV2Predicates {
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+    case _ => None
+  }
+  private def litOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case l: Literal[_] => Some(String.valueOf(l.value))
+    case _ => None
+  }
+
+  /** The explicit partition values predicate `p` pins `partitionCol` to
+    * (=, IN, OR-of-those), None when it constrains anything else — in
+    * which case it cannot be used to narrow, or (for metadata deletes)
+    * the delete is not metadata-only. */
+  def valuesFor(p: Predicate, partitionCol: String): Option[Set[String]] =
+    p.name() match {
+      case "=" | "<=>" => p.children() match {
+        case Array(a, b) =>
+          (fieldOf(a), litOf(b), litOf(a), fieldOf(b)) match {
+            case (Some(c), Some(v), _, _) if c == partitionCol => Some(Set(v))
+            case (_, _, Some(v), Some(c)) if c == partitionCol => Some(Set(v))
+            case _ => None
+          }
+        case _ => None
+      }
+      case "IN" => p.children().toSeq match {
+        case (head +: tail) if fieldOf(head).contains(partitionCol) =>
+          val vs = tail.flatMap(litOf)
+          if (vs.length == tail.length) Some(vs.toSet) else None
+        case _ => None
+      }
+      case "OR" => p.children() match {
+        case Array(a: Predicate, b: Predicate) =>
+          for (x <- valuesFor(a, partitionCol); y <- valuesFor(b, partitionCol))
+            yield x union y
+        case _ => None
+      }
+      case "AND" => p.children() match {
+        case Array(a: Predicate, b: Predicate) =>
+          for (x <- valuesFor(a, partitionCol); y <- valuesFor(b, partitionCol))
+            yield x intersect y
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** Partition keys of `keys` a conjunction of predicates matches, when
+    * EVERY predicate is expressible over the partition column alone
+    * (ALWAYS_TRUE allowed — that is TRUNCATE): the metadata-only DELETE
+    * contract. None → not metadata-only, fall to the row-level path. */
+  def partitionsFor(predicates: Array[Predicate], partitionCol: String,
+      keys: Set[String]): Option[Set[String]] =
+    predicates.foldLeft(Option(keys)) { (acc, p) =>
+      for {
+        a <- acc
+        s <- if (p.name() == "ALWAYS_TRUE") Some(keys)
+             else valuesFor(p, partitionCol)
+      } yield a intersect s
+    }
+}

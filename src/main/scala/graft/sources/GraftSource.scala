@@ -198,7 +198,9 @@ object GraftSource {
 private[sources] class GraftTable(props: Map[String, String],
     schema0: StructType, validateWrites: Boolean = false)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private val lower = props.map { case (k, v) => k.toLowerCase -> v }
   private val root = lower.getOrElse("path",
     throw new IllegalArgumentException("graft source needs a path"))
@@ -236,6 +238,61 @@ private[sources] class GraftTable(props: Map[String, String],
     new GraftWriteBuilder(root, info, lower.get("partition"),
       lower.get("retain").map(_.toInt))
   }
+
+  private def retainN: Int = lower.get("retain").map(_.toInt).getOrElse(1)
+  private def partitionColNow: Option[String] =
+    lower.get("partition").orElse(
+      AtomicTable.manifest(java.nio.file.Paths.get(root))
+        .filter(_.partitions.nonEmpty).map(GraftSource.partitionColOf))
+
+  /** Metadata-only SQL DELETE: when every predicate pins only the
+    * partition column, `DELETE FROM t WHERE p = 'x'` (and TRUNCATE) is
+    * ONE manifest commit that drops partitions — zero bytes scanned or
+    * moved, the same class of operation as the Scala API's
+    * dropPartitions. Anything finer falls through `canDeleteWhere =
+    * false` to the row-level rewrite below. */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinned.isEmpty && {
+      AtomicTable.manifest(java.nio.file.Paths.get(root)) match {
+        case None => true // nothing committed: any delete is a no-op
+        case Some(m) => partitionColNow.exists(pc =>
+          GraftV2Predicates.partitionsFor(predicates, pc, m.partitions.keySet)
+            .isDefined)
+      }
+    }
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    require(pinned.isEmpty, "cannot DELETE through a time-travel read")
+    val rootPath = java.nio.file.Paths.get(root)
+    AtomicTable.manifest(rootPath).foreach { m =>
+      val pc = partitionColNow.getOrElse(return)
+      val drop = GraftV2Predicates.partitionsFor(predicates, pc,
+        m.partitions.keySet).getOrElse(throw new IllegalArgumentException(
+        s"predicates [${predicates.mkString(", ")}] are not metadata-only " +
+          s"on partition column '$pc'"))
+      if (drop.nonEmpty) {
+        AtomicTable.commitManifest(rootPath, Map.empty,
+          dropPartitions = drop, retain = retainN,
+          expectedVersion = Some(m.version), operation = "delete")
+        ()
+      }
+    }
+  }
+
+  /** SQL DELETE/UPDATE/MERGE as partition-granular copy-on-write — see
+    * [[GraftRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot ${info.command} through a time-travel read")
+    val pc = partitionColNow.getOrElse(throw new IllegalArgumentException(
+      s"$root has no partition column on record — commit data or declare " +
+        "the table through the catalog first"))
+    () => new GraftRowLevelOperation(root, schema0, pc, retainN, info.command)
+  }
 }
 
 private[sources] class GraftScanBuilder(root: String, full: StructType,
@@ -269,6 +326,15 @@ private[sources] class GraftScan(root: String, full: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val m = GraftSource.manifestFor(root, pinned).getOrElse(
       return Array.empty)
+    planFromManifest(m)
+  }
+
+  /** The scan plan for one specific manifest — split out so the
+    * row-level scan can pin the manifest it planned against. A manifest
+    * can be empty (every partition deleted) and still be a real table. */
+  private[sources] def planFromManifest(m: AtomicTable.Manifest)
+      : Array[InputPartition] = {
+    if (m.partitions.isEmpty) return Array.empty
     val partitionCol = GraftSource.partitionColOf(m)
     val keyCols: Seq[String] = m.properties.get(AtomicTable.DeleteKeysProperty)
       .map(_.split(",").toSeq).getOrElse(Nil)
