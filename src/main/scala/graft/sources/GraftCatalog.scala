@@ -47,8 +47,9 @@ import graft.etl.AtomicTable
   *  - CTAS works through Spark's non-atomic create-then-write path (a
   *    failed CTAS leaves an empty creatable-over table, same as the
   *    built-in file catalogs without staging);
-  *  - `alterTable` supports property changes only — column evolution
-  *    stays on the Scala API where its read-side contract lives. */
+  *  - `alterTable` supports property changes and appended nullable
+  *    ADD COLUMNS (metadata-only schema evolution, null-filled reads);
+  *    rename/drop are rewrites and stay on the Scala API. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   import GraftCatalog.DefaultRetain
 
@@ -120,14 +121,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val meta = readMeta(dir)
-    // declared schema wins while the table is empty (nothing to infer
-    // from); once committed, the PINNED version's own files are the
-    // truth — a pre-evolution snapshot reads with its own shape
+    // the DECLARED schema is the truth for catalog tables (it is what
+    // CREATE + ALTER ADD COLUMNS agreed to; pre-evolution partitions
+    // null-fill in the reader); a PINNED version instead reads with its
+    // own snapshot shape, and undeclared tables (written by path into
+    // the warehouse dir) fall back to file inference
     val hasData = AtomicTable.manifest(dir).exists(_.partitions.nonEmpty) ||
       version.isDefined
     val schema =
-      if (hasData) GraftSource.inferredSchema(new Configuration(), dir.toString, version)
-      else meta.map(_._1).getOrElse(throw new NoSuchTableException(ident))
+      if (version.isDefined)
+        GraftSource.inferredSchema(new Configuration(), dir.toString, version)
+      else meta.map(_._1).getOrElse {
+        if (hasData) GraftSource.inferredSchema(new Configuration(), dir.toString)
+        else throw new NoSuchTableException(ident)
+      }
     val props = Map("path" -> dir.toString,
       "retain" -> meta.map(_._3).getOrElse(DefaultRetain).toString) ++
       meta.map("partition" -> _._2) ++
@@ -163,12 +170,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       "retain" -> retain.toString), schema, validateWrites = true)
   }
 
+  /** `ALTER TABLE ... ADD COLUMNS (...)`: a METADATA-ONLY evolution —
+    * the declared schema in `_table.json` grows, no file is rewritten,
+    * and partitions written before the column existed read it as NULL
+    * (the `AtomicTable.readEvolved` contract, applied inside the DSv2
+    * reader). Appended top-level nullable columns only; rename/drop are
+    * rewrites, not evolutions, and stay off this path. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
     changes.foreach {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case _: TableChange.AddColumn => ()
       case other => throw new UnsupportedOperationException(
         s"graft catalog does not support ALTER ${other.getClass.getSimpleName}" +
-          " — schema evolution lives on the Scala API")
+          " — rename/drop are rewrites, use the Scala API")
+    }
+    if (adds.nonEmpty) {
+      adds.foreach { a =>
+        require(a.fieldNames.length == 1,
+          s"nested column '${a.fieldNames.mkString(".")}' not supported")
+        require(a.position() == null,
+          "positioned ADD COLUMNS not supported — columns append")
+        require(a.isNullable,
+          s"added column '${a.fieldNames.head}' must be nullable: existing " +
+            "partitions read it as NULL")
+      }
+      // evolve the declared schema; undeclared (path-written) tables get
+      // their meta materialized from inference first
+      val (schema0, partCol, retain) = readMeta(dir).getOrElse {
+        val inferred = GraftSource.inferredSchema(new Configuration(), dir.toString)
+        val pc = AtomicTable.manifest(dir).filter(_.partitions.nonEmpty)
+          .map(GraftSource.partitionColOf).getOrElse(
+            throw new IllegalArgumentException(s"$ident has no partition column"))
+        (inferred, pc, DefaultRetain)
+      }
+      val taken = schema0.fieldNames.toSet
+      val added = adds.map { a =>
+        require(!taken.contains(a.fieldNames.head),
+          s"column '${a.fieldNames.head}' already exists")
+        org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
+          nullable = true)
+      }
+      writeMeta(dir, StructType(schema0.fields ++ added), partCol, retain)
     }
     loadTable(ident)
   }

@@ -344,7 +344,7 @@ private[sources] class GraftScan(root: String, full: StructType,
       val dataFiles = listParquet(conf, s"$root/$dir")
       val vecFiles = m.deletes.getOrElse(part, Nil)
         .flatMap(d => listParquet(conf, s"$root/$d"))
-      GraftInputPartition(part, dataFiles, vecFiles, keyCols)
+      GraftInputPartition(part, dataFiles, vecFiles, keyCols, partitionCol)
         : InputPartition
     }.toArray
   }
@@ -495,7 +495,7 @@ private[sources] class GraftMicroBatchStream(root: String,
         if (!fs.exists(p)) Nil
         else fs.listStatus(p).map(_.getPath)
           .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
-      GraftInputPartition(part, files, Nil, Nil): InputPartition
+      GraftInputPartition(part, files, Nil, Nil, partitionCol): InputPartition
     }.toArray
   }
 
@@ -515,7 +515,8 @@ private[sources] class GraftMicroBatchStream(root: String,
 }
 
 private[sources] final case class GraftInputPartition(partValue: String,
-    dataFiles: Seq[String], vectorFiles: Seq[String], keyCols: Seq[String])
+    dataFiles: Seq[String], vectorFiles: Seq[String], keyCols: Seq[String],
+    partitionCol: String)
   extends InputPartition
 
 private[sources] class GraftReaderFactory(required: StructType)
@@ -531,11 +532,11 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     required: StructType) extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
-  private lazy val partitionColIdx: Int = {
-    // the partition column is the field NOT present in the files; it is
-    // only ever the last inferred field, but resolve by name for safety
-    required.fieldNames.indexWhere(n => !fileHasColumn(n))
-  }
+  // resolved by NAME from the manifest's own key form: with schema
+  // evolution, "not present in the files" no longer identifies it —
+  // evolved columns are also absent from pre-evolution files
+  private lazy val partitionColIdx: Int =
+    required.fieldNames.indexOf(part.partitionCol)
   private def fileHasColumn(n: String): Boolean = fileSchemaNames.contains(n)
   private lazy val fileSchemaNames: Set[String] = {
     val r = ParquetFileReader.open(
@@ -640,6 +641,9 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       case (BOOLEAN, BooleanType) => g.getBoolean(i, 0)
       case (INT32, DateType) => g.getInteger(i, 0)
       case (INT32, IntegerType) => g.getInteger(i, 0)
+      // the parquet-compatible widenings (readEvolved's cast contract)
+      case (INT32, LongType) => g.getInteger(i, 0).toLong
+      case (FLOAT, DoubleType) => g.getFloat(i, 0).toDouble
       case (INT64, TimestampType) | (INT64, TimestampNTZType) =>
         t.getLogicalTypeAnnotation match {
           case ts: TimestampLogicalTypeAnnotation
@@ -682,6 +686,9 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
           while (j < required.length) {
             val f = required(j)
             if (j == partitionColIdx) row.update(j, partValueUtf8)
+            // schema evolution: a required column this partition's files
+            // predate reads as NULL (the readEvolved contract)
+            else if (!fieldIdx.contains(f.name)) row.update(j, null)
             else row.update(j, catalystValue(g, f.name, f.dataType))
             j += 1
           }

@@ -123,6 +123,37 @@ class GraftCatalogSpec extends SparkSuite {
       "newest first, strictly monotonic commit clock")
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only evolution, old partitions null-fill") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ev (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.ev VALUES (1, 'a'), (2, 'b')")       // pre-evolution
+    val vBefore = AtomicTable.currentVersion(
+      Paths.get(warehouse, "db", "ev")).get
+    spark.sql("ALTER TABLE gcat.db.ev ADD COLUMNS (score DOUBLE, tag STRING)")
+    assert(AtomicTable.currentVersion(Paths.get(warehouse, "db", "ev"))
+      .contains(vBefore), "evolution is metadata-only: no table commit")
+    spark.sql("INSERT INTO gcat.db.ev VALUES (3, 'c', 3.5, 'new')")     // post-evolution
+    val got = spark.sql("SELECT id, p, score, tag FROM gcat.db.ev ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getDouble(2).toString,
+        r.getString(3))).toSeq
+    assert(got === Seq((1L, "a", null, null), (2L, "b", null, null),
+      (3L, "c", "3.5", "new")))
+    // filters on the evolved column work across old and new partitions
+    assert(spark.sql("SELECT id FROM gcat.db.ev WHERE score IS NULL ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // time travel to the pre-evolution version reads the OLD shape
+    assert(spark.sql(s"SELECT * FROM gcat.db.ev VERSION AS OF $vBefore")
+      .schema.fieldNames.toSeq === Seq("id", "p"))
+    // guard rails: duplicate and non-appended adds are refused
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.ev ADD COLUMNS (id BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.db.ev ADD COLUMNS (x INT AFTER id)")
+    }
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
