@@ -154,6 +154,33 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("streaming by table name: readStream.table + writeStream.toTable chain") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.src (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("CREATE TABLE gcat.db.dst (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.src VALUES (1, 'a'), (2, 'b')")
+    val ckpt = Files.createTempDirectory("graft-cat-st").toString
+    // one hop: changefeed of src -> exactly-once sink into dst, both by NAME
+    val q = spark.readStream.table("gcat.db.src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gcat.db.dst")
+    try q.awaitTermination() finally q.stop()
+    assert(spark.sql("SELECT id FROM gcat.db.dst").as[Long].collect().toSet
+      === Set(1L, 2L))
+    // new commit on src; restart drains only the delta
+    spark.sql("INSERT INTO gcat.db.src VALUES (3, 'c')")
+    val q2 = spark.readStream.table("gcat.db.src")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("gcat.db.dst")
+    try q2.awaitTermination() finally q2.stop()
+    assert(spark.sql("SELECT id FROM gcat.db.dst").as[Long].collect().toSet
+      === Set(1L, 2L, 3L))
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
