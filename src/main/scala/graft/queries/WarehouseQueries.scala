@@ -583,7 +583,8 @@ object WarehouseQueries {
         .createOrReplaceTempView(s"orders_src_$cat")
       s.sql(s"CREATE TABLE $cat.wh.orders " +
         "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
-        "PARTITIONED BY (o_year) TBLPROPERTIES ('retain'='10')")
+        "PARTITIONED BY (o_year) " +
+        "TBLPROPERTIES ('retain'='10', 'stats_columns'='o_orderkey')")
       s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_src_$cat " +
         "WHERE o_year <= '1997'")                                      // v1
       s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_src_$cat " +
@@ -648,7 +649,7 @@ object WarehouseQueries {
         .createOrReplaceTempView(s"orders_msrc_$cat")
       s.sql(s"CREATE TABLE $cat.wh.orders " +
         "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
-        "PARTITIONED BY (o_year)")
+        "PARTITIONED BY (o_year) TBLPROPERTIES ('stats_columns'='o_orderkey')")
       s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_msrc_$cat")
       s.sql(s"""MERGE INTO $cat.wh.orders t USING (
         SELECT o_orderkey AS k, o_totalprice AS tp, o_year AS y

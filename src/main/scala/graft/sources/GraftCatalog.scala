@@ -138,6 +138,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val props = Map("path" -> dir.toString,
       "retain" -> meta.map(_._3).getOrElse(DefaultRetain).toString) ++
       meta.map("partition" -> _._2) ++
+      meta.map(m => "stats_columns" -> m._4.mkString(","))
+        .filter(_._2.nonEmpty) ++
       version.map("versionasof" -> _.toString)
     new GraftTable(props, schema, validateWrites = true)
   }
@@ -164,10 +166,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val retain = Option(properties.get("retain"))
       .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "retain")))
       .map(_.trim.toInt).getOrElse(DefaultRetain)
+    // zone-map columns: TBLPROPERTIES ('stats_columns'='a,b') makes every
+    // catalog-routed write (INSERT, MERGE, UPDATE rewrites) commit
+    // per-partition min/max, so pruned reads work on SQL-owned tables
+    val statsCols = Option(properties.get("stats_columns"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "stats_columns")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    statsCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"stats column '$c' not in schema")
+      require(c != partCol, "stats_columns must not include the partition column")
+    }
     Files.createDirectories(dir)
-    writeMeta(dir, schema, partCol, retain)
+    writeMeta(dir, schema, partCol, retain, statsCols)
     new GraftTable(Map("path" -> dir.toString, "partition" -> partCol,
-      "retain" -> retain.toString), schema, validateWrites = true)
+      "retain" -> retain.toString) ++
+      (if (statsCols.nonEmpty) Map("stats_columns" -> statsCols.mkString(","))
+       else Map.empty), schema, validateWrites = true)
   }
 
   /** `ALTER TABLE ... ADD COLUMNS (...)`: a METADATA-ONLY evolution —
@@ -199,12 +213,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
       // evolve the declared schema; undeclared (path-written) tables get
       // their meta materialized from inference first
-      val (schema0, partCol, retain) = readMeta(dir).getOrElse {
+      val (schema0, partCol, retain, statsCols) = readMeta(dir).getOrElse {
         val inferred = GraftSource.inferredSchema(new Configuration(), dir.toString)
         val pc = AtomicTable.manifest(dir).filter(_.partitions.nonEmpty)
           .map(GraftSource.partitionColOf).getOrElse(
             throw new IllegalArgumentException(s"$ident has no partition column"))
-        (inferred, pc, DefaultRetain)
+        (inferred, pc, DefaultRetain, Nil)
       }
       val taken = schema0.fieldNames.toSet
       val added = adds.map { a =>
@@ -213,7 +227,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
           nullable = true)
       }
-      writeMeta(dir, StructType(schema0.fields ++ added), partCol, retain)
+      writeMeta(dir, StructType(schema0.fields ++ added), partCol, retain,
+        statsCols)
     }
     loadTable(ident)
   }
@@ -282,21 +297,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   // ------------------------------------------------------------- metas
 
   /** `_table.json`: the declared schema (Spark's own JSON form), the
-    * partition column, and the retention window — written once at
-    * CREATE, never mutated. */
+    * partition column, the retention window, and the zone-map columns —
+    * written at CREATE, evolved only by ALTER ADD COLUMNS. */
   private def writeMeta(dir: Path, schema: StructType, partCol: String,
-      retain: Int): Unit = {
+      retain: Int, statsCols: Seq[String] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("schema", schema.json)
     node.put("partition", partCol)
     node.put("retain", retain)
+    if (statsCols.nonEmpty) node.put("stats", statsCols.mkString(","))
     Files.write(metaFile(dir),
       node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     ()
   }
 
-  private def readMeta(dir: Path): Option[(StructType, String, Int)] = {
+  private def readMeta(dir: Path): Option[(StructType, String, Int, Seq[String])] = {
     val f = metaFile(dir)
     if (!Files.exists(f)) None
     else {
@@ -304,7 +320,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val n = mapper.readTree(Files.readAllBytes(f))
       Some((DataType.fromJson(n.get("schema").asText).asInstanceOf[StructType],
         n.get("partition").asText,
-        Option(n.get("retain")).map(_.asInt).getOrElse(DefaultRetain)))
+        Option(n.get("retain")).map(_.asInt).getOrElse(DefaultRetain),
+        Option(n.get("stats")).map(_.asText.split(",").toSeq).getOrElse(Nil)))
     }
   }
 

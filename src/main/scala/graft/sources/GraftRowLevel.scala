@@ -37,7 +37,8 @@ import graft.etl.AtomicTable
   * partition deletes short-circuit this whole path via
   * [[GraftTable]]'s `SupportsDeleteV2`. */
 private[sources] class GraftRowLevelOperation(root: String, full: StructType,
-    partitionCol: String, retain: Int, cmd: Command)
+    partitionCol: String, retain: Int, cmd: Command,
+    statsColumns: Seq[String] = Nil)
   extends RowLevelOperation {
 
   /** Shared between this operation's scan and write: which snapshot the
@@ -54,7 +55,8 @@ private[sources] class GraftRowLevelOperation(root: String, full: StructType,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftGroupReplaceWrite(
-          root, info.schema(), partitionCol, retain, cmd, state)
+          root, info.schema(), partitionCol, retain, cmd, state,
+          statsColumns.filter(info.schema().fieldNames.contains))
       }
     }
 }
@@ -125,13 +127,14 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
   * all in one optimistic commit against the version the scan read. */
 private[sources] class GraftGroupReplaceWrite(root: String,
     schema: StructType, partitionCol: String, retain: Int, cmd: Command,
-    state: GraftGroupState) extends BatchWrite {
+    state: GraftGroupState, statsColumns: Seq[String] = Nil)
+    extends BatchWrite {
 
   private val txn = s"txn-rl-${java.util.UUID.randomUUID().toString.take(12)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new GraftRowLevelWriterFactory(root, txn, schema, partitionCol)
+    new GraftRowLevelWriterFactory(root, txn, schema, partitionCol, statsColumns)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val written = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
@@ -158,6 +161,7 @@ private[sources] class GraftGroupReplaceWrite(root: String,
         "rewrite cannot merge into them — update the partition column via " +
         "the Scala API's cdcApply, or DELETE + INSERT")
     AtomicTable.commitManifest(rootPath, written,
+      newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
       dropPartitions = state.scanned -- written.keySet,
       retain = retain, expectedVersion = Some(state.readVersion),
       operation = cmd.name.toLowerCase)
@@ -186,14 +190,14 @@ private[sources] class GraftGroupReplaceWrite(root: String,
   * the real writer; anything else shape-wise is a loud error, never a
   * misaligned write. */
 private[sources] class GraftRowLevelWriterFactory(root: String, txn: String,
-    schema: StructType, partitionCol: String)
+    schema: StructType, partitionCol: String, statsColumns: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] = {
     val inner = new GraftDataWriter(root, txn, schema, partitionCol,
-      partitionId, taskId)
+      partitionId, taskId, statsColumns)
     new org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] {
       private val strip = org.apache.spark.sql.catalyst.ProjectingInternalRow(

@@ -236,8 +236,12 @@ private[sources] class GraftTable(props: Map[String, String],
     // catalog-declared partition column and retention ride the props, so
     // INSERT INTO a catalog table needs no per-write options
     new GraftWriteBuilder(root, info, lower.get("partition"),
-      lower.get("retain").map(_.toInt))
+      lower.get("retain").map(_.toInt), declaredStatsCols)
   }
+
+  private def declaredStatsCols: Seq[String] =
+    lower.get("stats_columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
 
   private def retainN: Int = lower.get("retain").map(_.toInt).getOrElse(1)
   private def partitionColNow: Option[String] =
@@ -291,7 +295,8 @@ private[sources] class GraftTable(props: Map[String, String],
     val pc = partitionColNow.getOrElse(throw new IllegalArgumentException(
       s"$root has no partition column on record — commit data or declare " +
         "the table through the catalog first"))
-    () => new GraftRowLevelOperation(root, schema0, pc, retainN, info.command)
+    () => new GraftRowLevelOperation(root, schema0, pc, retainN, info.command,
+      declaredStatsCols.filter(schema0.fieldNames.contains))
   }
 }
 
@@ -727,7 +732,8 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
 private[sources] class GraftWriteBuilder(root: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
     declaredPartition: Option[String] = None,
-    declaredRetain: Option[Int] = None)
+    declaredRetain: Option[Int] = None,
+    declaredStats: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -751,15 +757,38 @@ private[sources] class GraftWriteBuilder(root: String,
     Option(info.options.get("retain")).map(_.trim.toInt)
       .orElse(declaredRetain).getOrElse(1)
 
+  /** Zone-map columns for this write: a per-write `stats_columns` option
+    * wins over the table's declared setting. Collected IN the writer
+    * tasks as rows stream through, so a tracked table pays no second
+    * pass and every SQL INSERT keeps its partitions prunable. */
+  private def resolveStats(partitionCol: String): Seq[String] = {
+    val cols = Option(info.options.get("stats_columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(declaredStats)
+    cols.foreach { c =>
+      require(c != partitionCol,
+        s"stats_columns must not include the partition column '$c'")
+      require(info.schema().fieldNames.contains(c),
+        s"stats column '$c' is not in the write schema")
+      require(GraftWriteStats.supported(info.schema()(c).dataType),
+        s"stats column '$c' has unsupported type ${info.schema()(c).dataType}")
+    }
+    cols
+  }
+
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.Write {
-      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
-        new GraftBatchWrite(root, info.schema(), resolvePartitionCol(),
-          doTruncate, resolveRetain())
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        val pc = resolvePartitionCol()
+        new GraftBatchWrite(root, info.schema(), pc,
+          doTruncate, resolveRetain(), resolveStats(pc))
+      }
       override def toStreaming
-          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-        new GraftStreamingWrite(root, info.schema(), resolvePartitionCol(),
-          info.queryId(), resolveRetain())
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        val pc = resolvePartitionCol()
+        new GraftStreamingWrite(root, info.schema(), pc,
+          info.queryId(), resolveRetain(), resolveStats(pc))
+      }
     }
 }
 
@@ -776,7 +805,8 @@ private[sources] class GraftWriteBuilder(root: String,
   * epoch-derived or event-time column for the append-only layout the
   * changefeed reads incrementally. */
 private[sources] class GraftStreamingWrite(root: String, schema: StructType,
-    partitionCol: String, queryId: String, retain: Int = 1)
+    partitionCol: String, queryId: String, retain: Int = 1,
+    statsColumns: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   // per-run nonce: a replay AFTER RESTART stages into a fresh dir, so a
@@ -790,7 +820,8 @@ private[sources] class GraftStreamingWrite(root: String, schema: StructType,
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    GraftStreamingWriterFactory(root, schema, partitionCol, queryId, nonce)
+    GraftStreamingWriterFactory(root, schema, partitionCol, queryId, nonce,
+      statsColumns)
 
   override def commit(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -801,6 +832,7 @@ private[sources] class GraftStreamingWrite(root: String, schema: StructType,
     val written = GraftWriteCommit.pruneAndMap(root, txnFor(epochId),
       partitionCol, messages)
     AtomicTable.commitManifest(rootPath, written,
+      newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
       properties = Map(epochProp -> epochId.toString), retain = retain)
     ()
   }
@@ -825,11 +857,101 @@ private[sources] class GraftStreamingWrite(root: String, schema: StructType,
   * without it, a retried task would leave its dead attempt's file in
   * the shared txn dir and the commit would double those rows. */
 private[sources] final case class GraftCommitMessage(
-    files: Map[String, Set[String]])
+    files: Map[String, Set[String]],
+    stats: Map[String, GraftTaskStats] = Map.empty)
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
+/** Per-partition zone-map fragment ONE task observed while writing: row
+  * count plus min/max of the tracked columns, already rendered in the
+  * manifest's string encoding (the `cast(col as string)` form the Scala
+  * API commits, so one table can mix both writers' stats). Collected AS
+  * the rows stream through the writer — stats always bound exactly the
+  * staged files, never a re-execution of the input plan. */
+private[sources] final case class GraftTaskStats(rows: Long,
+    mins: Map[String, String], maxs: Map[String, String])
+
+/** Typed track-and-render for writer-side zone maps, shared by batch,
+  * streaming, and row-level writes. */
+private[sources] object GraftWriteStats {
+
+  /** Supported stats column types (everything statsOrder can compare). */
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** The raw comparable value of stats field `i`, null when SQL-null. */
+  def valueAt(row: InternalRow, i: Int, dt: DataType): Any =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case IntegerType | DateType => row.getInt(i)
+      case DoubleType => row.getDouble(i)
+      case FloatType => row.getFloat(i)
+      case BooleanType => row.getBoolean(i)
+      case StringType => row.getUTF8String(i).toString
+      case other => throw new IllegalArgumentException(s"stats type $other")
+    }
+
+  /** a < b in the zone-map order (same order statsOrder applies on the
+    * rendered strings — strings compare as java Strings, timestamps as
+    * micros, numerics numerically). */
+  def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case IntegerType | DateType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]) < 0
+    case FloatType =>
+      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float]) < 0
+    case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+    case other => throw new IllegalArgumentException(s"stats type $other")
+  }
+
+  /** Render in the manifest's `cast(col as string)` encoding. */
+  def render(dt: DataType, v: Any): String = dt match {
+    case DateType => java.time.LocalDate.ofEpochDay(
+      v.asInstanceOf[Int].toLong).toString
+    case TimestampType | TimestampNTZType =>
+      val us = v.asInstanceOf[Long]
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      val base = "%04d-%02d-%02d %02d:%02d:%02d".format(ldt.getYear,
+        ldt.getMonthValue, ldt.getDayOfMonth, ldt.getHour, ldt.getMinute,
+        ldt.getSecond)
+      val frac = Math.floorMod(us, 1000000L)
+      if (frac == 0L) base
+      else base + "." + "%06d".format(frac).reverse.dropWhile(_ == '0').reverse
+    case _ => String.valueOf(v)
+  }
+
+  /** Driver-side merge of the committed tasks' fragments into the
+    * manifest's [[AtomicTable.PartStats]], bounds compared by the SAME
+    * comparator the pruned reads use. */
+  def merge(schema: StructType, statsColumns: Seq[String],
+      messages: Seq[GraftTaskStats]): AtomicTable.PartStats = {
+    val rows = messages.map(_.rows).sum
+    var mins = Map.empty[String, String]
+    var maxs = Map.empty[String, String]
+    statsColumns.foreach { c =>
+      val dt = schema(c).dataType
+      val lo = messages.flatMap(_.mins.get(c))
+        .reduceOption((a, b) => if (AtomicTable.statsOrder(dt, a, b) <= 0) a else b)
+      val hi = messages.flatMap(_.maxs.get(c))
+        .reduceOption((a, b) => if (AtomicTable.statsOrder(dt, a, b) >= 0) a else b)
+      lo.foreach(v => mins += c -> v)
+      hi.foreach(v => maxs += c -> v)
+    }
+    AtomicTable.PartStats(rows, mins, maxs)
+  }
+}
+
 private[sources] class GraftBatchWrite(root: String, schema: StructType,
-    partitionCol: String, truncate: Boolean, retain: Int = 1)
+    partitionCol: String, truncate: Boolean, retain: Int = 1,
+    statsColumns: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val txn = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -839,7 +961,7 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new GraftWriterFactory(root, txn, schema, partitionCol)
+    new GraftWriterFactory(root, txn, schema, partitionCol, statsColumns)
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -850,6 +972,7 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
       else AtomicTable.manifest(rootPath).map(_.partitions.keySet)
         .getOrElse(Set.empty) -- written.keySet
     AtomicTable.commitManifest(rootPath, written,
+      newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
       dropPartitions = drop, retain = retain,
       expectedVersion = if (truncate) Some(readVersion) else None)
     ()
@@ -882,7 +1005,7 @@ private[sources] object GraftWriteCommit {
       : Map[String, String] = {
     val byPart = mutable.Map.empty[String, mutable.Set[String]]
     messages.foreach {
-      case GraftCommitMessage(files) =>
+      case GraftCommitMessage(files, _) =>
         files.foreach { case (pv, fs) =>
           byPart.getOrElseUpdate(pv, mutable.Set.empty) ++= fs
         }
@@ -912,16 +1035,36 @@ private[sources] object GraftWriteCommit {
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv))
     }.toMap
   }
+
+  /** Merge the committed tasks' per-partition stats fragments into the
+    * manifest's zone maps (empty when stats aren't tracked). */
+  def mergedStats(schema: StructType, statsColumns: Seq[String],
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Map[String, AtomicTable.PartStats] = {
+    if (statsColumns.isEmpty) return Map.empty
+    val frags = mutable.Map.empty[String, mutable.Buffer[GraftTaskStats]]
+    messages.foreach {
+      case GraftCommitMessage(_, stats) =>
+        stats.foreach { case (pv, st) =>
+          frags.getOrElseUpdate(pv, mutable.Buffer.empty) += st
+        }
+      case _ => ()
+    }
+    frags.map { case (pv, sts) =>
+      pv -> GraftWriteStats.merge(schema, statsColumns, sts.toSeq)
+    }.toMap
+  }
 }
 
 private[sources] final case class GraftStreamingWriterFactory(root: String,
-    schema: StructType, partitionCol: String, queryId: String, nonce: String)
+    schema: StructType, partitionCol: String, queryId: String, nonce: String,
+    statsColumns: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftDataWriter(root,
       GraftStreamingWriterFactory.txnFor(queryId, nonce, epochId),
-      schema, partitionCol, partitionId, taskId)
+      schema, partitionCol, partitionId, taskId, statsColumns)
 }
 
 private[sources] object GraftStreamingWriterFactory {
@@ -930,23 +1073,34 @@ private[sources] object GraftStreamingWriterFactory {
 }
 
 private[sources] class GraftWriterFactory(root: String, txn: String,
-    schema: StructType, partitionCol: String)
+    schema: StructType, partitionCol: String, statsColumns: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new GraftDataWriter(root, txn, schema, partitionCol, partitionId, taskId)
+    new GraftDataWriter(root, txn, schema, partitionCol, partitionId, taskId,
+      statsColumns)
 }
 
 /** Task-side writer: one parquet file per partition VALUE this task
   * sees (pre-repartition by the partition column upstream for the
   * one-file-per-partition layout the maintenance operators keep). */
 private[sources] class GraftDataWriter(root: String, txn: String,
-    schema: StructType, partitionCol: String, partitionId: Int, taskId: Long)
+    schema: StructType, partitionCol: String, partitionId: Int, taskId: Long,
+    statsColumns: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
 
   private val partIdx = schema.fieldIndex(partitionCol)
+  private val statsFields: Array[(String, Int, DataType)] =
+    statsColumns.map(c => (c, schema.fieldIndex(c), schema(c).dataType)).toArray
+  // per partition VALUE: row count + typed running min/max per stats col
+  private final class StatsAcc {
+    var rows = 0L
+    val mins = new Array[Any](statsFields.length)
+    val maxs = new Array[Any](statsFields.length)
+  }
+  private val statsAcc = mutable.Map.empty[String, StatsAcc]
   private val dataFields = schema.fields.zipWithIndex.filter(_._1.name != partitionCol)
   private val msgType: MessageType = {
     import org.apache.parquet.schema.Types
@@ -1023,12 +1177,35 @@ private[sources] class GraftDataWriter(root: String, txn: String,
       }
     }
     writerFor(partValue).write(g)
+    if (statsFields.nonEmpty) {
+      val acc = statsAcc.getOrElseUpdate(partValue, new StatsAcc)
+      acc.rows += 1L
+      var k = 0
+      while (k < statsFields.length) {
+        val (_, i, dt) = statsFields(k)
+        val v = GraftWriteStats.valueAt(row, i, dt)
+        if (v != null) {
+          if (acc.mins(k) == null || GraftWriteStats.lt(dt, v, acc.mins(k)))
+            acc.mins(k) = v
+          if (acc.maxs(k) == null || GraftWriteStats.lt(dt, acc.maxs(k), v))
+            acc.maxs(k) = v
+        }
+        k += 1
+      }
+    }
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writers.values.foreach(_.close())
+    val stats = statsAcc.map { case (part, acc) =>
+      part -> GraftTaskStats(acc.rows,
+        statsFields.zipWithIndex.flatMap { case ((c, _, dt), k) =>
+          Option(acc.mins(k)).map(v => c -> GraftWriteStats.render(dt, v)) }.toMap,
+        statsFields.zipWithIndex.flatMap { case ((c, _, dt), k) =>
+          Option(acc.maxs(k)).map(v => c -> GraftWriteStats.render(dt, v)) }.toMap)
+    }.toMap
     GraftCommitMessage(writers.keySet.toSeq
-      .map(p => p -> Set(fileNameFor())).toMap)
+      .map(p => p -> Set(fileNameFor())).toMap, stats)
   }
   override def abort(): Unit = writers.values.foreach(_.close())
   override def close(): Unit = ()

@@ -181,6 +181,42 @@ class GraftCatalogSpec extends SparkSuite {
       === Set(1L, 2L, 3L))
   }
 
+  test("stats_columns: catalog INSERTs commit zone maps, reads prune on them") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.zm (id BIGINT, ts TIMESTAMP, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('stats_columns' = 'id,ts')")
+    spark.sql("INSERT INTO gcat.db.zm VALUES " +
+      "(1, TIMESTAMP '2020-01-05 10:00:00', 'a'), " +
+      "(9, TIMESTAMP '2020-01-07 10:00:00', 'a'), " +
+      "(100, TIMESTAMP '2021-06-01 00:00:00', 'b'), " +
+      "(200, TIMESTAMP '2022-06-01 00:00:00', 'c')")
+    val dir = Paths.get(warehouse, "db", "zm")
+    val m = AtomicTable.manifest(dir).get
+    assert(m.stats.keySet === Set("a", "b", "c"),
+      "every written partition carries a zone map")
+    assert(m.stats("a").rows === 2L)
+    assert(m.stats("a").mins("id") === "1" && m.stats("a").maxs("id") === "9")
+    assert(m.stats("a").mins("ts") === "2020-01-05 10:00:00")
+    // metadata skipping: id >= 150 keeps only partition c
+    val pruned = spark.sql("SELECT id FROM gcat.db.zm WHERE id >= 150")
+    assert(pruned.rdd.getNumPartitions === 1)
+    assert(pruned.as[Long].collect().toSeq === Seq(200L))
+    // timestamp bounds prune too
+    val tsPruned = spark.sql(
+      "SELECT id FROM gcat.db.zm WHERE ts >= TIMESTAMP '2022-01-01 00:00:00'")
+    assert(tsPruned.rdd.getNumPartitions === 1)
+    assert(tsPruned.as[Long].collect().toSeq === Seq(200L))
+    // a row-level SQL UPDATE recomputes the rewritten partition's map
+    spark.sql("UPDATE gcat.db.zm SET id = id + 1000 WHERE p = 'a'")
+    val m2 = AtomicTable.manifest(dir).get
+    assert(m2.stats("a").mins("id") === "1001" &&
+      m2.stats("a").maxs("id") === "1009")
+    assert(m2.stats("b").mins("id") === "100",
+      "untouched partition's map carried by reference")
+    // history row totals come from the maps
+    assert(AtomicTable.history(dir).head.rows === Some(4L))
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
