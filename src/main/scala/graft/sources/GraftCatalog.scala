@@ -89,18 +89,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean = isTable(tableDir(ident))
 
   override def loadTable(ident: Identifier): Table = ident.name() match {
-    // Iceberg-style metadata table: SELECT * FROM cat.db.`t$history` is
-    // DESCRIBE HISTORY — the commit log (version, commit time, operation,
-    // partition count, zone-map row total) from manifests only, no scan
+    // Iceberg-style metadata tables, all from manifests only, no scan:
+    // `t$history` is DESCRIBE HISTORY (the commit log); `t$partitions`
+    // is the current layout — partition key, data dir, row count, and
+    // the zone-map bounds per tracked column, i.e. exactly what the
+    // pruned reads consult, now auditable from SQL
     case HistoryName(base) =>
       val dir = nsDir(ident.namespace()).resolve(base)
       if (!isTable(dir)) throw new NoSuchTableException(ident)
       new GraftHistoryTable(s"$catalogName:${ident.toString}",
         AtomicTable.history(dir))
+    case PartitionsName(base) =>
+      val dir = nsDir(ident.namespace()).resolve(base)
+      if (!isTable(dir)) throw new NoSuchTableException(ident)
+      val m = AtomicTable.manifest(dir).getOrElse(
+        AtomicTable.Manifest(0L, Map.empty))
+      val rows = m.partitions.toSeq.sortBy(_._1).map { case (k, d) =>
+        val st = m.stats.get(k)
+        GraftPartitionsRow(k, d, st.map(_.rows),
+          st.map(_.mins).getOrElse(Map.empty),
+          st.map(_.maxs).getOrElse(Map.empty),
+          m.deletes.getOrElse(k, Nil).size)
+      }
+      new GraftPartitionsTable(s"$catalogName:${ident.toString}", rows)
     case _ => loadPinned(ident, None)
   }
 
   private val HistoryName = "(.+)\\$history".r
+  private val PartitionsName = "(.+)\\$partitions".r
 
   /** `VERSION AS OF <v>` — Spark hands the SQL literal through verbatim. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -177,7 +193,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       require(c != partCol, "stats_columns must not include the partition column")
     }
     Files.createDirectories(dir)
-    writeMeta(dir, schema, partCol, retain, statsCols)
+    // the catalog's only commit point: O_EXCL create-new of _table.json
+    // linearizes two processes racing the same CREATE (same primitive
+    // the manifest claim loop uses)
+    try writeMeta(dir, schema, partCol, retain, statsCols, createNew = true)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
     new GraftTable(Map("path" -> dir.toString, "partition" -> partCol,
       "retain" -> retain.toString) ++
       (if (statsCols.nonEmpty) Map("stats_columns" -> statsCols.mkString(","))
@@ -300,15 +323,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * partition column, the retention window, and the zone-map columns —
     * written at CREATE, evolved only by ALTER ADD COLUMNS. */
   private def writeMeta(dir: Path, schema: StructType, partCol: String,
-      retain: Int, statsCols: Seq[String] = Nil): Unit = {
+      retain: Int, statsCols: Seq[String] = Nil,
+      createNew: Boolean = false): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("schema", schema.json)
     node.put("partition", partCol)
     node.put("retain", retain)
     if (statsCols.nonEmpty) node.put("stats", statsCols.mkString(","))
-    Files.write(metaFile(dir),
-      node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (createNew)
+      Files.write(metaFile(dir), bytes,
+        java.nio.file.StandardOpenOption.CREATE_NEW,
+        java.nio.file.StandardOpenOption.WRITE)
+    else Files.write(metaFile(dir), bytes)
     ()
   }
 
@@ -395,6 +423,87 @@ private[sources] object GraftHistoryReaderFactory
         cur = new GenericInternalRow(Array[Any](c.version, c.tsMs * 1000L,
           UTF8String.fromString(c.operation), c.numPartitions,
           c.rows.map(Long.box).orNull))
+        true
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] final case class GraftPartitionsRow(partition: String,
+    dir: String, rows: Option[Long], mins: Map[String, String],
+    maxs: Map[String, String], deleteVectors: Int)
+
+/** The `$partitions` metadata table: the current manifest's layout and
+  * zone maps, one row per partition — what the pruned reads consult. */
+private[sources] class GraftPartitionsTable(tableName: String,
+    parts: Seq[GraftPartitionsRow])
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types._
+
+  override def name(): String = tableName
+  override def schema(): StructType = GraftPartitionsTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = GraftPartitionsTable.Schema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftPartitionsPartition(parts))
+        override def createReaderFactory(): PartitionReaderFactory =
+          GraftPartitionsReaderFactory
+      }
+    }
+}
+
+private[sources] object GraftPartitionsTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("dir", StringType, nullable = false),
+    StructField("num_rows", LongType, nullable = true),
+    StructField("mins", MapType(StringType, StringType), nullable = false),
+    StructField("maxs", MapType(StringType, StringType), nullable = false),
+    StructField("delete_vectors", IntegerType, nullable = false)))
+}
+
+private[sources] final case class GraftPartitionsPartition(
+    parts: Seq[GraftPartitionsRow])
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] object GraftPartitionsReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def mapData(m: Map[String, String])
+      : org.apache.spark.sql.catalyst.util.MapData = {
+    val ks = m.keys.toSeq.sorted
+    new ArrayBasedMapData(
+      new GenericArrayData(ks.map(UTF8String.fromString).toArray[Any]),
+      new GenericArrayData(ks.map(k => UTF8String.fromString(m(k))).toArray[Any]))
+  }
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private val it = p.asInstanceOf[GraftPartitionsPartition].parts.iterator
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val r = it.next()
+        cur = new GenericInternalRow(Array[Any](
+          UTF8String.fromString(r.partition), UTF8String.fromString(r.dir),
+          r.rows.map(Long.box).orNull, mapData(r.mins), mapData(r.maxs),
+          r.deleteVectors))
         true
       }
       override def get(): InternalRow = cur

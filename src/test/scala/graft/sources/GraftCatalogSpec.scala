@@ -217,6 +217,18 @@ class GraftCatalogSpec extends SparkSuite {
     assert(AtomicTable.history(dir).head.rows === Some(4L))
   }
 
+  test("$partitions metadata table exposes the layout and zone maps to SQL") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.pm (id BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('stats_columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.pm VALUES (1, 'a'), (2, 'a'), (50, 'b')")
+    val got = spark.sql("SELECT partition, num_rows, mins['id'], maxs['id'], " +
+      "delete_vectors FROM gcat.db.`pm$partitions` ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getInt(4))).toSeq
+    assert(got === Seq(("a", 2L, "1", "2", 0), ("b", 1L, "50", "50", 0)))
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
