@@ -501,6 +501,49 @@ object AtomicTable {
       newDeletes = target.deletes, operation = s"restore(v$version)")
   }
 
+  /** CLONE TABLE: materialize a retained snapshot of `src` as a brand-new
+    * independent table at `dst` — zero data bytes COPIED on a local
+    * filesystem, because every referenced parquet file is HARD-LINKED
+    * into the clone's own dir tree (`link(2)` shares the immutable bytes;
+    * the committed files are never mutated in place by any writer path,
+    * so shared extents are safe). Unlike Delta's shallow clone, the
+    * result has an INDEPENDENT lifetime: the clone's manifest references
+    * only clone-local dirs, so GC/vacuum/retention on either table can
+    * never invalidate the other. Filesystems without cross-link support
+    * (or a cross-device dst) fall back to a per-file copy. Stats, delete
+    * vectors, and properties (incl. the vector key contract) carry over;
+    * the clone starts at version 1 with a `graft.clone.of` marker. On an
+    * object store the link step becomes the store's server-side copy —
+    * still no bytes through the client. */
+  def cloneTable(src: Path, dst: Path, version: Option[Long] = None,
+      retain: Int = 2): Manifest = {
+    val m = version.map(v => manifestAt(src, v)).orElse(manifest(src))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$src has no committed manifest to clone"))
+    require(currentVersion(dst).isEmpty, s"$dst already has commits")
+    val dirs = (m.partitions.values ++ m.deletes.values.flatten).toSet
+    dirs.foreach { rel =>
+      val from = src.resolve(rel)
+      val to = dst.resolve(rel)
+      Files.createDirectories(to)
+      val s = Files.list(from)
+      try s.iterator.asScala.filter(f => Files.isRegularFile(f)).foreach { f =>
+        val t = to.resolve(f.getFileName.toString)
+        try { Files.createLink(t, f); () }
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+            Files.copy(f, t, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            ()
+        }
+      } finally s.close()
+    }
+    commitManifest(dst, written = m.partitions, newStats = m.stats,
+      properties = m.properties +
+        ("graft.clone.of" -> s"${src.toAbsolutePath}@v${m.version}"),
+      newDeletes = m.deletes, retain = retain,
+      operation = s"clone(v${m.version})")
+  }
+
   private def readManifest(spark: SparkSession, table: String,
       schema: StructType, m: Manifest): DataFrame = {
     // one scan per txn dir (its basePath restores the partition column
