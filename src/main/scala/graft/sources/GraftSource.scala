@@ -211,6 +211,12 @@ private[sources] class GraftTable(props: Map[String, String],
   override def name(): String =
     s"graft:$root${pinned.map(v => s"@v$v").getOrElse("")}"
   override def schema(): StructType = schema0
+  // surfacing the partitioning is what lets Spark accept a static
+  // `PARTITION (p='x')` spec on INSERT OVERWRITE
+  override def partitioning(): Array[Transform] =
+    partitionColNow.map(pc =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
+      .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     if (pinned.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
     // catalog tables have a DECLARED schema, so writes resolve against it
@@ -219,10 +225,12 @@ private[sources] class GraftTable(props: Map[String, String],
     else if (validateWrites) java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -735,11 +743,34 @@ private[sources] class GraftWriteBuilder(root: String,
     declaredRetain: Option[Int] = None,
     declaredStats: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.WriteBuilder
-  with org.apache.spark.sql.connector.write.SupportsTruncate {
+  with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
 
-  private var doTruncate = false
-  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
-    doTruncate = true; this
+  // None = append (which for this format IS dynamic partition replace);
+  // Some(preds) = INSERT OVERWRITE scoped to the partitions the
+  // predicates select (ALWAYS_TRUE = truncate, via the default
+  // truncate() -> overwrite(alwaysTrue) path)
+  private var overwritePreds: Option[Array[Predicate]] = None
+
+  /** Accept only predicates resolvable to partition keys from metadata —
+    * a static `PARTITION (p='x')` spec, IN/OR combinations, or the
+    * always-true truncate. Anything finer is not an overwrite this
+    * format can scope, and must be an UPDATE/MERGE instead. */
+  override def canOverwrite(predicates: Array[Predicate]): Boolean =
+    predicates.forall(pr => pr.name() == "ALWAYS_TRUE" ||
+      GraftV2Predicates.valuesFor(pr, resolvePartitionCol()).isDefined)
+
+  override def overwrite(predicates: Array[Predicate])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwritePreds = Some(predicates); this
+  }
+
+  /** Hive's `partitionOverwriteMode=dynamic` contract — exactly this
+    * format's append semantics. */
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwritePreds = None; this
   }
 
   private def resolvePartitionCol(): String =
@@ -781,7 +812,7 @@ private[sources] class GraftWriteBuilder(root: String,
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
         val pc = resolvePartitionCol()
         new GraftBatchWrite(root, info.schema(), pc,
-          doTruncate, resolveRetain(), resolveStats(pc))
+          overwritePreds, resolveRetain(), resolveStats(pc))
       }
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -950,7 +981,9 @@ private[sources] object GraftWriteStats {
 }
 
 private[sources] class GraftBatchWrite(root: String, schema: StructType,
-    partitionCol: String, truncate: Boolean, retain: Int = 1,
+    partitionCol: String,
+    overwrite: Option[Array[org.apache.spark.sql.connector.expressions.filter.Predicate]],
+    retain: Int = 1,
     statsColumns: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.BatchWrite {
 
@@ -967,14 +1000,23 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val written = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
     val rootPath = java.nio.file.Paths.get(root)
-    val drop: Set[String] =
-      if (!truncate) Set.empty
-      else AtomicTable.manifest(rootPath).map(_.partitions.keySet)
-        .getOrElse(Set.empty) -- written.keySet
+    // overwrite scope: the partitions the predicates select from the
+    // CURRENT manifest (ALWAYS_TRUE selects all = truncate); append
+    // drops nothing — partitions present in the data replace themselves
+    val drop: Set[String] = overwrite match {
+      case None => Set.empty
+      case Some(preds) =>
+        val keys = AtomicTable.manifest(rootPath).map(_.partitions.keySet)
+          .getOrElse(Set.empty)
+        GraftV2Predicates.partitionsFor(preds, partitionCol, keys)
+          .getOrElse(throw new IllegalArgumentException(
+            s"INSERT OVERWRITE predicates [${preds.mkString(", ")}] do not " +
+              s"resolve to partitions of '$partitionCol'")) -- written.keySet
+    }
     AtomicTable.commitManifest(rootPath, written,
       newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
       dropPartitions = drop, retain = retain,
-      expectedVersion = if (truncate) Some(readVersion) else None)
+      expectedVersion = if (overwrite.isDefined) Some(readVersion) else None)
     ()
   }
 

@@ -229,6 +229,44 @@ class GraftCatalogSpec extends SparkSuite {
     assert(got === Seq(("a", 2L, "1", "2", 0), ("b", 1L, "50", "50", 0)))
   }
 
+  test("INSERT OVERWRITE PARTITION replaces exactly the named partition") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ow (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.ow VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    val dir = Paths.get(warehouse, "db", "ow")
+    val before = AtomicTable.manifest(dir).get
+    spark.sql("INSERT OVERWRITE gcat.db.ow PARTITION (p = 'a') SELECT 9 AS id")
+    val got = spark.sql("SELECT id, p FROM gcat.db.ow ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got === Seq((3L, "b"), (9L, "a")))
+    assert(AtomicTable.manifest(dir).get.partitions("b")
+      === before.partitions("b"), "unnamed partition carried by reference")
+    // overwriting an emptied partition spec drops it even with no new rows
+    spark.sql("INSERT OVERWRITE gcat.db.ow PARTITION (p = 'b') " +
+      "SELECT id FROM gcat.db.ow WHERE false")
+    assert(spark.sql("SELECT p FROM gcat.db.ow").as[String].collect().toSeq
+      === Seq("a"))
+  }
+
+  test("dynamic partitionOverwriteMode: only partitions in the data replace") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.dyn (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.dyn VALUES (1, 'a'), (3, 'b')")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try
+      spark.sql("INSERT OVERWRITE gcat.db.dyn VALUES (8, 'a'), (9, 'c')")
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(spark.sql("SELECT id, p FROM gcat.db.dyn ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((3L, "b"), (8L, "a"), (9L, "c")),
+      "a replaced, b untouched, c added")
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
