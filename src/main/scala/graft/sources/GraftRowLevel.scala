@@ -93,6 +93,13 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
 
   private var runtimeKeep: Option[Set[String]] = None
 
+  // runtime group filtering mutates the partition set after planning, so
+  // the key-grouped report the base scan makes could disagree with the
+  // partitions actually planned — don't report one here
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+
   override def filterAttributes(): Array[NamedReference] =
     if (cmd == Command.MERGE) Array.empty
     else Array(Expressions.column(partitionCol))

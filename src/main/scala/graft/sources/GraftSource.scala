@@ -329,18 +329,40 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
 private[sources] class GraftScan(root: String, full: StructType,
     required: StructType, filters: Array[Filter],
     pinned: Option[Long] = None, startingVersion: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft:$root${pinned.map(v => s"@v$v").getOrElse("")} " +
       s"pushed=[${filters.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val m = GraftSource.manifestFor(root, pinned).getOrElse(
-      return Array.empty)
-    planFromManifest(m)
-  }
+  // the scan is key-grouped by the partition column BY CONSTRUCTION
+  // (one input partition per table partition, each tagged with its
+  // key): reporting it lets Spark elide the shuffle for aggregations
+  // and joins already clustered on the column — the storage-partitioned
+  // join path (spark.sql.sources.v2.bucketing.enabled). Planned ONCE
+  // and cached so the reported numPartitions and the planned partitions
+  // can never disagree.
+  private lazy val planned: Array[InputPartition] =
+    GraftSource.manifestFor(root, pinned) match {
+      case None => Array.empty
+      case Some(m) => planFromManifest(m)
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    GraftSource.manifestFor(root, pinned)
+      .filter(_.partitions.nonEmpty)
+      .map { m =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(GraftSource.partitionColOf(m))), planned.length)
+          : org.apache.spark.sql.connector.read.partitioning.Partitioning
+      }.getOrElse(
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0))
+
+  override def planInputPartitions(): Array[InputPartition] = planned
 
   /** The scan plan for one specific manifest — split out so the
     * row-level scan can pin the manifest it planned against. A manifest
@@ -531,6 +553,10 @@ private[sources] final case class GraftInputPartition(partValue: String,
     dataFiles: Seq[String], vectorFiles: Seq[String], keyCols: Seq[String],
     partitionCol: String)
   extends InputPartition
+  with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(partValue)))
+}
 
 private[sources] class GraftReaderFactory(required: StructType)
     extends PartitionReaderFactory {
@@ -808,7 +834,23 @@ private[sources] class GraftWriteBuilder(root: String,
   }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new org.apache.spark.sql.connector.write.Write {
+    new org.apache.spark.sql.connector.write.Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      // cluster incoming rows by the partition column BEFORE the write:
+      // without it, T upstream tasks x K partition values = T*K staged
+      // files per commit — the fan-out that kills object-store listings
+      // at 1000 executors. With it, each partition value lands in one
+      // task = one file, the layout compaction maintains. An input
+      // already hash-partitioned on the column satisfies the
+      // distribution, so pre-repartitioned writers pay no extra shuffle.
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(resolvePartitionCol())))
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
         val pc = resolvePartitionCol()
         new GraftBatchWrite(root, info.schema(), pc,

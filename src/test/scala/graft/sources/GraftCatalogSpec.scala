@@ -267,6 +267,59 @@ class GraftCatalogSpec extends SparkSuite {
       "a replaced, b untouched, c added")
   }
 
+  test("writes cluster by the partition column: one file per partition") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.files (id BIGINT, p STRING) PARTITIONED BY (p)")
+    // rows deliberately spread over many input tasks (no pre-repartition)
+    spark.range(0, 1000, 1, 8)
+      .selectExpr("id", "CAST(id % 3 AS STRING) AS p")
+      .createOrReplaceTempView("files_src")
+    spark.sql("INSERT INTO gcat.db.files SELECT * FROM files_src")
+    val m = AtomicTable.manifest(Paths.get(warehouse, "db", "files")).get
+    m.partitions.values.foreach { d =>
+      val dir = Paths.get(warehouse, "db", "files").resolve(d)
+      val s = Files.list(dir)
+      val n = try s.filter(f => f.toString.endsWith(".parquet")).count()
+        finally s.close()
+      assert(n === 1L,
+        s"required distribution must yield ONE file per partition, got $n in $d")
+    }
+    assert(spark.sql("SELECT count(*) FROM gcat.db.files").as[Long].head()
+      === 1000L)
+  }
+
+  test("key-grouped scan report: co-partitioned join and agg skip the shuffle") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.spj1 (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("CREATE TABLE gcat.db.spj2 (v BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.spj1 VALUES (1,'a'),(2,'b'),(3,'c')")
+    spark.sql("INSERT INTO gcat.db.spj2 VALUES (10,'a'),(20,'b'),(30,'c')")
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // aggregation clustered on the partition column: no exchange
+      val agg = spark.sql(
+        "SELECT p, count(*) AS n FROM gcat.db.spj1 GROUP BY p")
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"agg on the partition column must not shuffle:\n${agg.queryExecution.executedPlan}")
+      assert(agg.collect().length === 3)
+      // storage-partitioned join: both sides key-grouped on p, no exchange
+      val j = spark.sql("SELECT t1.id, t2.v FROM gcat.db.spj1 t1 " +
+        "JOIN gcat.db.spj2 t2 ON t1.p = t2.p")
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        s"co-partitioned join must not shuffle:\n${j.queryExecution.executedPlan}")
+      assert(j.collect().length === 3)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
