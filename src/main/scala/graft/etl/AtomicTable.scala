@@ -233,6 +233,7 @@ object AtomicTable {
       case Some(m) => readManifest(spark, table, schema, m)
     }
 
+
   /** Decode %XX escape sequences only — RFC-3986 percent decoding of
     * UTF-8 bytes, with none of URLDecoder's form semantics ('+' stays a
     * literal '+'). Malformed sequences pass through verbatim. */

@@ -97,6 +97,7 @@ object ExtQueries {
     "sim_ivf_topk" -> QueryDef(simIvf, Some(simIvfSql)),
     "sim_ivf_recall" -> QueryDef(simIvfRecall, Some(simRecallSql)),
     "sim_ivf_kmeans_recall" -> QueryDef(simIvfKMeansRecall, Some(simRecallSql)),
+    "sim_index_recall" -> QueryDef(simIndexRecall, Some(simRecallSql)),
     "sim_rplsh_topk" -> QueryDef(simRpLsh, None),
     "sim_rplsh_recall" -> QueryDef(simRpLshRecall, Some(simRecallSql)),
     "sim_quantized_recall" -> QueryDef(simQuantizedRecall, Some(simRecallSql)),

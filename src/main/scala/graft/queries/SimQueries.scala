@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Stable.{dsum, sqlDsum}
-import graft.ops.{Chunking, Curation, Dedup, DedupIndex, EventWindows, Export, Multimodal, Salting, Sampling, Similarity, TextStats}
+import graft.ops.{Chunking, Curation, Dedup, DedupIndex, EventWindows, Export, Multimodal, Salting, Sampling, Similarity, TextStats, VectorIndex}
 import graft.streaming.Streams
 
 /** Similarity-search and embedding query builders (registry order lives in [[ExtQueries]]). */
@@ -143,6 +143,28 @@ object SimQueries {
   /** Same planted-recall contract through the Lloyd-refined IVF index:
     * two k-means iterations on top of the label-mean init, then the same
     * probe/search. */
+  /** dir -> persisted-index root (built once per JVM). */
+  private val indexStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The PERSISTENT IVF index (ops/VectorIndex): train + materialize the
+    * bucket-partitioned postings and centroid tables once, then answer
+    * the recall panel by probing nprobe inverted lists — only those
+    * partitions are read ([[graft.etl.AtomicTable.readPartitions]]).
+    * Same planted-twin recall contract as `sim_ivf_kmeans_recall`, so a
+    * regression anywhere in build/assign/persist/prune/probe drops a
+    * planted neighbor and fails the oracle. */
+  private[queries] def simIndexRecall(s: SparkSession, dir: String): DataFrame = {
+    val root = indexStaged.computeIfAbsent(dir, { _ =>
+      val r = java.nio.file.Files.createTempDirectory("graft-vindex").toString
+      VectorIndex.build(s, r,
+        withPlantedNearDups(Tables.embeddings(s, dir), 100), iters = 2)
+      r
+    })
+    foundPlanted(VectorIndex.query(s, root,
+      recallPanel(Tables.embeddings(s, dir)), k = 5, nprobe = 2))
+      .orderBy("query_id")
+  }
+
   private[queries] def simIvfKMeansRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
