@@ -26,7 +26,8 @@ object Verify {
     "w2_window_running", "zorder_value", "scd2_history",
     "dedup_cluster_planted", "dedup_minhash_pairs", "dedup_index_planted",
     "dedup_exact_hash", "dedup_minhash_planted", "bloom_prune_join",
-    "sim_ivf_kmeans_recall", "sim_ivf_topk", "mm_av_features", "text_lm_score",
+    "sim_ivf_kmeans_recall", "sim_ivf_topk", "sim_index_recall",
+    "mm_av_features", "text_lm_score",
     "sim_semdedup_planted", "text_bm25", "text_substring_dedup",
     "export_tokenbin_roundtrip")
 
