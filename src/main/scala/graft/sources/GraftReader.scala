@@ -1,0 +1,204 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+private[sources] class GraftReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required)
+}
+
+/** Streams one table partition's parquet rows, applying its deletion
+  * vectors from an in-memory key set (vectors are small by the
+  * maintenance contract — materializeDeletes folds them). */
+private[sources] class GraftPartitionReader(part: GraftInputPartition,
+    required: StructType) extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  // resolved by NAME from the manifest's own key form: with schema
+  // evolution, "not present in the files" no longer identifies it —
+  // evolved columns are also absent from pre-evolution files
+  private lazy val partitionColIdx: Int =
+    required.fieldNames.indexOf(part.partitionCol)
+  private def fileHasColumn(n: String): Boolean = fileSchemaNames.contains(n)
+  private lazy val fileSchemaNames: Set[String] = {
+    val r = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(part.dataFiles.head), conf))
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(_.getName).toSet
+    finally r.close()
+  }
+
+  // deleted-key set: tuples of the key columns' raw values
+  private val deleted: java.util.HashSet[Seq[Any]] = {
+    val s = new java.util.HashSet[Seq[Any]]()
+    for (vf <- part.vectorFiles)
+      readGroups(vf, part.keyCols.toSet) { (g, names) =>
+        s.add(part.keyCols.map(c => rawValue(g, names(c))))
+      }
+    s
+  }
+
+  // columns the parquet reader must materialize: the required file
+  // columns, plus key columns while vectors are outstanding; a fully
+  // column-pruned scan (count(*)) still projects ONE column so row
+  // multiplicity survives the reader
+  private lazy val fileCols: Seq[String] = {
+    val req = required.fieldNames.filter(fileHasColumn).toSeq
+    val withKeys = if (deleted.isEmpty) req else (req ++ part.keyCols).distinct
+    if (withKeys.nonEmpty) withKeys else Seq(fileSchemaNames.min)
+  }
+
+  private val files = part.dataFiles.iterator
+  private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = _
+  private var fieldIdx: Map[String, Int] = Map.empty
+  private var current: InternalRow = _
+
+  private def openNext(): Boolean = {
+    if (reader != null) { reader.close(); reader = null }
+    if (!files.hasNext) return false
+    val path = new Path(files.next())
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
+      finally footer.close()
+    val projected = projectSchema(fileSchema, fileCols)
+    val c = new Configuration()
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    reader = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), path).withConf(c).build()
+    fieldIdx = projected.getFields.asScala.zipWithIndex
+      .map { case (f, i) => f.getName -> i }.toMap
+    true
+  }
+
+  private def projectSchema(file: MessageType, cols: Seq[String]): MessageType = {
+    val kept = file.getFields.asScala.filter(f => cols.contains(f.getName))
+    new MessageType(file.getName, kept.asJava)
+  }
+
+  private def readGroups(file: String, cols: Set[String])(
+      f: (Group, Map[String, Int]) => Unit): Unit = {
+    val path = new Path(file)
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
+      finally footer.close()
+    val projected = projectSchema(fileSchema, cols.toSeq)
+    val c = new Configuration()
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    val idx = projected.getFields.asScala.zipWithIndex
+      .map { case (g, i) => g.getName -> i }.toMap
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), path).withConf(c).build()
+    try {
+      var g = r.read()
+      while (g != null) { f(g, idx); g = r.read() }
+    } finally r.close()
+  }
+
+  /** The raw comparable value of field `i` of `g` (null-safe): what the
+    * deleted-key tuples and the row-side probe both use. */
+  private def rawValue(g: Group, i: Int): Any = {
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    val t = g.getType.getType(i).asPrimitiveType()
+    t.getPrimitiveTypeName match {
+      case BOOLEAN => g.getBoolean(i, 0)
+      case INT32 => g.getInteger(i, 0)
+      case INT64 => g.getLong(i, 0)
+      case FLOAT => g.getFloat(i, 0)
+      case DOUBLE => g.getDouble(i, 0)
+      case BINARY | INT96 | FIXED_LEN_BYTE_ARRAY =>
+        new String(java.util.Base64.getEncoder.encode(
+          g.getBinary(i, 0).getBytes))
+      case other => throw new IllegalArgumentException(s"unsupported key type $other")
+    }
+  }
+
+  /** Catalyst value for required field `name` from the group. */
+  private def catalystValue(g: Group, name: String, dt: DataType): Any = {
+    val i = fieldIdx(name)
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    val t = g.getType.getType(i).asPrimitiveType()
+    (t.getPrimitiveTypeName, dt) match {
+      case (BOOLEAN, BooleanType) => g.getBoolean(i, 0)
+      case (INT32, DateType) => g.getInteger(i, 0)
+      case (INT32, IntegerType) => g.getInteger(i, 0)
+      // the parquet-compatible widenings (readEvolved's cast contract)
+      case (INT32, LongType) => g.getInteger(i, 0).toLong
+      case (FLOAT, DoubleType) => g.getFloat(i, 0).toDouble
+      case (INT64, TimestampType) | (INT64, TimestampNTZType) =>
+        t.getLogicalTypeAnnotation match {
+          case ts: TimestampLogicalTypeAnnotation
+            if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            g.getLong(i, 0) * 1000L
+          case _ => g.getLong(i, 0) // MICROS (Spark's default unit)
+        }
+      case (INT64, LongType) => g.getLong(i, 0)
+      case (FLOAT, FloatType) => g.getFloat(i, 0)
+      case (DOUBLE, DoubleType) => g.getDouble(i, 0)
+      case (INT96, TimestampType) =>
+        // 12-byte legacy: nanos-of-day little-endian + julian day
+        val b = java.nio.ByteBuffer.wrap(g.getInt96(i, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanosOfDay = b.getLong
+        val julianDay = b.getInt
+        (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+      case (BINARY, StringType) =>
+        UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+      case (BINARY, BinaryType) => g.getBinary(i, 0).getBytes
+      case (pt, st) => throw new IllegalArgumentException(
+        s"unsupported ($pt -> $st) for column $name")
+    }
+  }
+
+  private val partValueUtf8 = UTF8String.fromString(part.partValue)
+
+  override def next(): Boolean = {
+    while (true) {
+      if (reader == null && !openNext()) return false
+      val g = reader.read()
+      if (g == null) {
+        if (!openNext()) return false
+      } else {
+        val isDeleted = !deleted.isEmpty &&
+          deleted.contains(part.keyCols.map(c => rawValue(g, fieldIdx(c))))
+        if (!isDeleted) {
+          val row = new GenericInternalRow(required.length)
+          var j = 0
+          while (j < required.length) {
+            val f = required(j)
+            if (j == partitionColIdx) row.update(j, partValueUtf8)
+            // schema evolution: a required column this partition's files
+            // predate reads as NULL (the readEvolved contract)
+            else if (!fieldIdx.contains(f.name)) row.update(j, null)
+            else row.update(j, catalystValue(g, f.name, f.dataType))
+            j += 1
+          }
+          current = row
+          return true
+        }
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = if (reader != null) reader.close()
+}
+

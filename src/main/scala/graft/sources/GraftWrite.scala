@@ -1,0 +1,567 @@
+package graft.sources
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+import graft.etl.AtomicTable
+
+/** Write side of the graft format — `df.write.format("graft")
+  * .option("partition", "<col>").save(root)`:
+  *
+  *  - **append mode = dynamic partition replace** (the Hive/Delta
+  *    `partitionOverwriteMode=dynamic` contract, and exactly
+  *    [[AtomicTable.replacePartitions]]'s semantics): the partitions
+  *    present in the data are replaced, every other partition is
+  *    carried by reference.
+  *  - **overwrite mode** (truncate): one commit that lands the new
+  *    partitions AND drops every pre-existing partition not rewritten.
+  *  - Tasks stage parquet straight into a fresh `data/txn-*` dir (one
+  *    writer per partition value per task — pre-repartition by the
+  *    partition column for one file per partition), the driver commits
+  *    the manifest through the normal claim loop: atomic, optimistic,
+  *    crash-safe (an aborted write leaves only a vacuum-reclaimable
+  *    orphan txn dir). Truncate commits with `expectedVersion` so a
+  *    racing writer aborts the overwrite instead of surviving it.
+  *  - The `partition` option may be omitted when the table exists (the
+  *    column comes from the manifest). Flat primitive schemas, same
+  *    scope as the read side; timestamps write as INT64 micros. */
+private[sources] class GraftWriteBuilder(root: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    declaredPartition: Option[String] = None,
+    declaredRetain: Option[Int] = None,
+    declaredStats: Seq[String] = Nil)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsOverwriteV2
+  with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  // None = append (which for this format IS dynamic partition replace);
+  // Some(preds) = INSERT OVERWRITE scoped to the partitions the
+  // predicates select (ALWAYS_TRUE = truncate, via the default
+  // truncate() -> overwrite(alwaysTrue) path)
+  private var overwritePreds: Option[Array[Predicate]] = None
+
+  /** Accept only predicates resolvable to partition keys from metadata —
+    * a static `PARTITION (p='x')` spec, IN/OR combinations, or the
+    * always-true truncate. Anything finer is not an overwrite this
+    * format can scope, and must be an UPDATE/MERGE instead. */
+  override def canOverwrite(predicates: Array[Predicate]): Boolean =
+    predicates.forall(pr => pr.name() == "ALWAYS_TRUE" ||
+      GraftV2Predicates.valuesFor(pr, resolvePartitionCol()).isDefined)
+
+  override def overwrite(predicates: Array[Predicate])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwritePreds = Some(predicates); this
+  }
+
+  /** Hive's `partitionOverwriteMode=dynamic` contract — exactly this
+    * format's append semantics. */
+  override def overwriteDynamicPartitions()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwritePreds = None; this
+  }
+
+  private def resolvePartitionCol(): String =
+    Option(info.options.get("partition"))
+      .orElse(AtomicTable.manifest(java.nio.file.Paths.get(root))
+        .filter(_.partitions.nonEmpty).map(GraftSource.partitionColOf))
+      .orElse(declaredPartition)
+      .getOrElse(throw new IllegalArgumentException(
+        "writing a new graft table needs .option(\"partition\", \"<col>\")"))
+
+  // retention is per-commit (the latest commit's retain wins), so time
+  // travel / changefeed consumers need every write path to carry it —
+  // a per-write option wins over the table's declared setting
+  private def resolveRetain(): Int =
+    Option(info.options.get("retain")).map(_.trim.toInt)
+      .orElse(declaredRetain).getOrElse(1)
+
+  /** Zone-map columns for this write: a per-write `stats_columns` option
+    * wins over the table's declared setting. Collected IN the writer
+    * tasks as rows stream through, so a tracked table pays no second
+    * pass and every SQL INSERT keeps its partitions prunable. */
+  private def resolveStats(partitionCol: String): Seq[String] = {
+    val cols = Option(info.options.get("stats_columns"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(declaredStats)
+    cols.foreach { c =>
+      require(c != partitionCol,
+        s"stats_columns must not include the partition column '$c'")
+      require(info.schema().fieldNames.contains(c),
+        s"stats column '$c' is not in the write schema")
+      require(GraftWriteStats.supported(info.schema()(c).dataType),
+        s"stats column '$c' has unsupported type ${info.schema()(c).dataType}")
+    }
+    cols
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+      // cluster incoming rows by the partition column BEFORE the write:
+      // without it, T upstream tasks x K partition values = T*K staged
+      // files per commit — the fan-out that kills object-store listings
+      // at 1000 executors. With it, each partition value lands in one
+      // task = one file, the layout compaction maintains. An input
+      // already hash-partitioned on the column satisfies the
+      // distribution, so pre-repartitioned writers pay no extra shuffle.
+      override def requiredDistribution()
+          : org.apache.spark.sql.connector.distributions.Distribution =
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity(resolvePartitionCol())))
+      override def requiredOrdering()
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+        Array.empty
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
+        val pc = resolvePartitionCol()
+        new GraftBatchWrite(root, info.schema(), pc,
+          overwritePreds, resolveRetain(), resolveStats(pc))
+      }
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        val pc = resolvePartitionCol()
+        new GraftStreamingWrite(root, info.schema(), pc,
+          info.queryId(), resolveRetain(), resolveStats(pc))
+      }
+    }
+}
+
+/** `df.writeStream.format("graft")` — the table is a native STREAMING
+  * SINK. Each epoch stages into its own deterministic
+  * `data/txn-st-<query>-e<epoch>` dir and commits as a dynamic
+  * partition replace; exactly-once comes from the epoch riding the
+  * SAME manifest swap as the data (property
+  * `graft.stream.<queryId>` — query-scoped, so several streams can
+  * feed one table), with a replayed epoch skipped before it commits.
+  * Combined with the changefeed source, tables chain into multi-hop
+  * streaming pipelines: sink a stream into table A, stream table A
+  * into table B, each hop transactional. Partition by an
+  * epoch-derived or event-time column for the append-only layout the
+  * changefeed reads incrementally. */
+private[sources] class GraftStreamingWrite(root: String, schema: StructType,
+    partitionCol: String, queryId: String, retain: Int = 1,
+    statsColumns: Seq[String] = Nil)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  // per-run nonce: a replay AFTER RESTART stages into a fresh dir, so a
+  // skipped (already-committed) epoch can never pollute the dir its
+  // original commit published; the fresh orphan ages out through vacuum
+  private val nonce = java.util.UUID.randomUUID().toString.take(8)
+  private def txnFor(epochId: Long) =
+    GraftStreamingWriterFactory.txnFor(queryId, nonce, epochId)
+  private def epochProp = s"graft.stream.$queryId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(root, schema, partitionCol, queryId, nonce,
+      statsColumns)
+
+  override def commit(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val rootPath = java.nio.file.Paths.get(root)
+    val last = AtomicTable.manifest(rootPath)
+      .flatMap(_.properties.get(epochProp)).map(_.toLong).getOrElse(-1L)
+    if (epochId <= last) return // replayed epoch: already committed
+    val written = GraftWriteCommit.pruneAndMap(root, txnFor(epochId),
+      partitionCol, messages)
+    AtomicTable.commitManifest(rootPath, written,
+      newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
+      properties = Map(epochProp -> epochId.toString), retain = retain)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dir = java.nio.file.Paths.get(root, "data", txnFor(epochId))
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rm(dir)
+  }
+}
+
+/** partition value -> parquet file NAMES this committed task attempt
+  * wrote. Carrying exact files lets the driver prune the staging dir of
+  * any failed/zombie attempt's leftovers BEFORE the manifest commit —
+  * without it, a retried task would leave its dead attempt's file in
+  * the shared txn dir and the commit would double those rows. */
+private[sources] final case class GraftCommitMessage(
+    files: Map[String, Set[String]],
+    stats: Map[String, GraftTaskStats] = Map.empty)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Per-partition zone-map fragment ONE task observed while writing: row
+  * count plus min/max of the tracked columns, already rendered in the
+  * manifest's string encoding (the `cast(col as string)` form the Scala
+  * API commits, so one table can mix both writers' stats). Collected AS
+  * the rows stream through the writer — stats always bound exactly the
+  * staged files, never a re-execution of the input plan. */
+private[sources] final case class GraftTaskStats(rows: Long,
+    mins: Map[String, String], maxs: Map[String, String])
+
+/** Typed track-and-render for writer-side zone maps, shared by batch,
+  * streaming, and row-level writes. */
+private[sources] object GraftWriteStats {
+
+  /** Supported stats column types (everything statsOrder can compare). */
+  def supported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | BooleanType |
+         StringType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** The raw comparable value of stats field `i`, null when SQL-null. */
+  def valueAt(row: InternalRow, i: Int, dt: DataType): Any =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => row.getLong(i)
+      case IntegerType | DateType => row.getInt(i)
+      case DoubleType => row.getDouble(i)
+      case FloatType => row.getFloat(i)
+      case BooleanType => row.getBoolean(i)
+      case StringType => row.getUTF8String(i).toString
+      case other => throw new IllegalArgumentException(s"stats type $other")
+    }
+
+  /** a < b in the zone-map order (same order statsOrder applies on the
+    * rendered strings — strings compare as java Strings, timestamps as
+    * micros, numerics numerically). */
+  def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case IntegerType | DateType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    case DoubleType =>
+      java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]) < 0
+    case FloatType =>
+      java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float]) < 0
+    case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
+    case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+    case other => throw new IllegalArgumentException(s"stats type $other")
+  }
+
+  /** Render in the manifest's `cast(col as string)` encoding. */
+  def render(dt: DataType, v: Any): String = dt match {
+    case DateType => java.time.LocalDate.ofEpochDay(
+      v.asInstanceOf[Int].toLong).toString
+    case TimestampType | TimestampNTZType =>
+      val us = v.asInstanceOf[Long]
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+      val base = "%04d-%02d-%02d %02d:%02d:%02d".format(ldt.getYear,
+        ldt.getMonthValue, ldt.getDayOfMonth, ldt.getHour, ldt.getMinute,
+        ldt.getSecond)
+      val frac = Math.floorMod(us, 1000000L)
+      if (frac == 0L) base
+      else base + "." + "%06d".format(frac).reverse.dropWhile(_ == '0').reverse
+    case _ => String.valueOf(v)
+  }
+
+  /** Driver-side merge of the committed tasks' fragments into the
+    * manifest's [[AtomicTable.PartStats]], bounds compared by the SAME
+    * comparator the pruned reads use. */
+  def merge(schema: StructType, statsColumns: Seq[String],
+      messages: Seq[GraftTaskStats]): AtomicTable.PartStats = {
+    val rows = messages.map(_.rows).sum
+    var mins = Map.empty[String, String]
+    var maxs = Map.empty[String, String]
+    statsColumns.foreach { c =>
+      val dt = schema(c).dataType
+      val lo = messages.flatMap(_.mins.get(c))
+        .reduceOption((a, b) => if (AtomicTable.statsOrder(dt, a, b) <= 0) a else b)
+      val hi = messages.flatMap(_.maxs.get(c))
+        .reduceOption((a, b) => if (AtomicTable.statsOrder(dt, a, b) >= 0) a else b)
+      lo.foreach(v => mins += c -> v)
+      hi.foreach(v => maxs += c -> v)
+    }
+    AtomicTable.PartStats(rows, mins, maxs)
+  }
+}
+
+private[sources] class GraftBatchWrite(root: String, schema: StructType,
+    partitionCol: String,
+    overwrite: Option[Array[org.apache.spark.sql.connector.expressions.filter.Predicate]],
+    retain: Int = 1,
+    statsColumns: Seq[String] = Nil)
+  extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val txn = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
+  private val readVersion =
+    AtomicTable.currentVersion(java.nio.file.Paths.get(root)).getOrElse(0L)
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory =
+    new GraftWriterFactory(root, txn, schema, partitionCol, statsColumns)
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val written = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
+    val rootPath = java.nio.file.Paths.get(root)
+    // overwrite scope: the partitions the predicates select from the
+    // CURRENT manifest (ALWAYS_TRUE selects all = truncate); append
+    // drops nothing — partitions present in the data replace themselves
+    val drop: Set[String] = overwrite match {
+      case None => Set.empty
+      case Some(preds) =>
+        val keys = AtomicTable.manifest(rootPath).map(_.partitions.keySet)
+          .getOrElse(Set.empty)
+        GraftV2Predicates.partitionsFor(preds, partitionCol, keys)
+          .getOrElse(throw new IllegalArgumentException(
+            s"INSERT OVERWRITE predicates [${preds.mkString(", ")}] do not " +
+              s"resolve to partitions of '$partitionCol'")) -- written.keySet
+    }
+    AtomicTable.commitManifest(rootPath, written,
+      newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
+      dropPartitions = drop, retain = retain,
+      expectedVersion = if (overwrite.isDefined) Some(readVersion) else None)
+    ()
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    // staged bytes become a never-committed orphan; reclaim eagerly
+    val dir = java.nio.file.Paths.get(root, "data", txn)
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(rm(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    }
+    rm(dir)
+  }
+}
+
+/** Driver-side half of a graft write commit, shared by batch and
+  * streaming: union the committed task attempts' file reports, prune
+  * the staging txn dir of anything no committed attempt wrote (a
+  * failed or zombie attempt's leftovers — Spark only passes messages
+  * from attempts it committed), and return the manifest's
+  * partition -> dir map. */
+private[sources] object GraftWriteCommit {
+  def pruneAndMap(root: String, txn: String, partitionCol: String,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Map[String, String] = {
+    val byPart = mutable.Map.empty[String, mutable.Set[String]]
+    messages.foreach {
+      case GraftCommitMessage(files, _) =>
+        files.foreach { case (pv, fs) =>
+          byPart.getOrElseUpdate(pv, mutable.Set.empty) ++= fs
+        }
+      case _ => ()
+    }
+    val conf = new Configuration()
+    val txnPath = new Path(s"$root/data/$txn")
+    val fs = txnPath.getFileSystem(conf)
+    if (fs.exists(txnPath)) fs.listStatus(txnPath).foreach { st =>
+      val dirName = st.getPath.getName
+      if (dirName.startsWith(s"$partitionCol=")) {
+        val part = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(dirName.substring(partitionCol.length + 1))
+        byPart.get(part) match {
+          case None => fs.delete(st.getPath, true); ()
+          case Some(keep) => fs.listStatus(st.getPath).foreach { f =>
+            val n = f.getPath.getName
+            if (n.endsWith(".parquet") && !keep.contains(n)) {
+              fs.delete(f.getPath, false); ()
+            }
+          }
+        }
+      }
+    }
+    byPart.keys.map { pv =>
+      pv -> (s"data/$txn/$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv))
+    }.toMap
+  }
+
+  /** Merge the committed tasks' per-partition stats fragments into the
+    * manifest's zone maps (empty when stats aren't tracked). */
+  def mergedStats(schema: StructType, statsColumns: Seq[String],
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Map[String, AtomicTable.PartStats] = {
+    if (statsColumns.isEmpty) return Map.empty
+    val frags = mutable.Map.empty[String, mutable.Buffer[GraftTaskStats]]
+    messages.foreach {
+      case GraftCommitMessage(_, stats) =>
+        stats.foreach { case (pv, st) =>
+          frags.getOrElseUpdate(pv, mutable.Buffer.empty) += st
+        }
+      case _ => ()
+    }
+    frags.map { case (pv, sts) =>
+      pv -> GraftWriteStats.merge(schema, statsColumns, sts.toSeq)
+    }.toMap
+  }
+}
+
+private[sources] final case class GraftStreamingWriterFactory(root: String,
+    schema: StructType, partitionCol: String, queryId: String, nonce: String,
+    statsColumns: Seq[String] = Nil)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(root,
+      GraftStreamingWriterFactory.txnFor(queryId, nonce, epochId),
+      schema, partitionCol, partitionId, taskId, statsColumns)
+}
+
+private[sources] object GraftStreamingWriterFactory {
+  def txnFor(queryId: String, nonce: String, epochId: Long): String =
+    s"txn-st-${queryId.take(8)}-$nonce-e$epochId"
+}
+
+private[sources] class GraftWriterFactory(root: String, txn: String,
+    schema: StructType, partitionCol: String, statsColumns: Seq[String] = Nil)
+  extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(root, txn, schema, partitionCol, partitionId, taskId,
+      statsColumns)
+}
+
+/** Task-side writer: one parquet file per partition VALUE this task
+  * sees (pre-repartition by the partition column upstream for the
+  * one-file-per-partition layout the maintenance operators keep). */
+private[sources] class GraftDataWriter(root: String, txn: String,
+    schema: StructType, partitionCol: String, partitionId: Int, taskId: Long,
+    statsColumns: Seq[String] = Nil)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+
+  private val partIdx = schema.fieldIndex(partitionCol)
+  private val statsFields: Array[(String, Int, DataType)] =
+    statsColumns.map(c => (c, schema.fieldIndex(c), schema(c).dataType)).toArray
+  // per partition VALUE: row count + typed running min/max per stats col
+  private final class StatsAcc {
+    var rows = 0L
+    val mins = new Array[Any](statsFields.length)
+    val maxs = new Array[Any](statsFields.length)
+  }
+  private val statsAcc = mutable.Map.empty[String, StatsAcc]
+  private val dataFields = schema.fields.zipWithIndex.filter(_._1.name != partitionCol)
+  private val msgType: MessageType = {
+    import org.apache.parquet.schema.Types
+    val b = Types.buildMessage()
+    dataFields.foreach { case (f, _) =>
+      val t = f.dataType match {
+        case LongType => Types.optional(INT64).named(f.name)
+        case IntegerType => Types.optional(INT32).named(f.name)
+        case DoubleType => Types.optional(DOUBLE).named(f.name)
+        case FloatType => Types.optional(FLOAT).named(f.name)
+        case BooleanType => Types.optional(BOOLEAN).named(f.name)
+        case StringType => Types.optional(BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType => Types.optional(BINARY).named(f.name)
+        case TimestampType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(true,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case TimestampNTZType => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.timestampType(false,
+            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
+        case DateType => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"unsupported write type $other for column ${f.name}")
+      }
+      b.addField(t)
+      ()
+    }
+    b.named("graft")
+  }
+  private val factory = new SimpleGroupFactory(msgType)
+  private val writers = mutable.Map.empty[String,
+    org.apache.parquet.hadoop.ParquetWriter[Group]]
+
+  private[sources] def fileNameFor(): String =
+    s"part-$partitionId-$taskId.parquet"
+
+  private def writerFor(part: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
+    writers.getOrElseUpdate(part, {
+      val dir = s"$root/data/$txn/$partitionCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(part)
+      val file = new Path(s"$dir/${fileNameFor()}")
+      ExampleParquetWriter.builder(
+          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
+            file, new Configuration()))
+        .withType(msgType)
+        .withConf(new Configuration())
+        .build()
+    })
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(partIdx), s"null partition value for '$partitionCol'")
+    val partValue = schema(partIdx).dataType match {
+      case StringType => row.getUTF8String(partIdx).toString
+      case LongType => row.getLong(partIdx).toString
+      case IntegerType => row.getInt(partIdx).toString
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    }
+    val g = factory.newGroup()
+    dataFields.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType | TimestampType | TimestampNTZType =>
+          g.add(f.name, row.getLong(i))
+        case IntegerType | DateType => g.add(f.name, row.getInt(i))
+        case DoubleType => g.add(f.name, row.getDouble(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
+        case BooleanType => g.add(f.name, row.getBoolean(i))
+        case StringType => g.add(f.name, org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(row.getUTF8String(i).getBytes))
+        case BinaryType => g.add(f.name, org.apache.parquet.io.api.Binary
+          .fromConstantByteArray(row.getBinary(i)))
+        case _ => ()
+      }
+    }
+    writerFor(partValue).write(g)
+    if (statsFields.nonEmpty) {
+      val acc = statsAcc.getOrElseUpdate(partValue, new StatsAcc)
+      acc.rows += 1L
+      var k = 0
+      while (k < statsFields.length) {
+        val (_, i, dt) = statsFields(k)
+        val v = GraftWriteStats.valueAt(row, i, dt)
+        if (v != null) {
+          if (acc.mins(k) == null || GraftWriteStats.lt(dt, v, acc.mins(k)))
+            acc.mins(k) = v
+          if (acc.maxs(k) == null || GraftWriteStats.lt(dt, acc.maxs(k), v))
+            acc.maxs(k) = v
+        }
+        k += 1
+      }
+    }
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    writers.values.foreach(_.close())
+    val stats = statsAcc.map { case (part, acc) =>
+      part -> GraftTaskStats(acc.rows,
+        statsFields.zipWithIndex.flatMap { case ((c, _, dt), k) =>
+          Option(acc.mins(k)).map(v => c -> GraftWriteStats.render(dt, v)) }.toMap,
+        statsFields.zipWithIndex.flatMap { case ((c, _, dt), k) =>
+          Option(acc.maxs(k)).map(v => c -> GraftWriteStats.render(dt, v)) }.toMap)
+    }.toMap
+    GraftCommitMessage(writers.keySet.toSeq
+      .map(p => p -> Set(fileNameFor())).toMap, stats)
+  }
+  override def abort(): Unit = writers.values.foreach(_.close())
+  override def close(): Unit = ()
+}
+
