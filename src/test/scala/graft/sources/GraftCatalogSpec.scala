@@ -314,6 +314,11 @@ class GraftCatalogSpec extends SparkSuite {
       assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
         s"co-partitioned join must not shuffle:\n${j.queryExecution.executedPlan}")
       assert(j.collect().length === 3)
+      // a scan that prunes the partition column OUT of its output must
+      // still plan (the key-grouped report references p by name)
+      assert(spark.sql("SELECT id FROM gcat.db.spj1").collect().length === 3)
+      assert(spark.sql("SELECT sum(id) FROM gcat.db.spj1 WHERE id > 0")
+        .as[Long].head() === 6L)
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
