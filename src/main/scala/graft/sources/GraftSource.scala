@@ -233,9 +233,13 @@ private[sources] class GraftTable(props: Map[String, String],
       TableCapability.OVERWRITE_BY_FILTER, TableCapability.OVERWRITE_DYNAMIC,
       TableCapability.STREAMING_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, schema0, pinned,
-      Option(options.get("startingVersion")).map(_.trim.toLong))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val startingV = Option(options.get("startingVersion")).map(_.trim.toLong)
+    require(pinned.isEmpty || startingV.isEmpty,
+      "versionAsOf/timestampAsOf and startingVersion are mutually exclusive")
+    new GraftScanBuilder(root, schema0, pinned, startingV,
+      Option(options.get("endingVersion")).map(_.trim.toLong))
+  }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -309,7 +313,8 @@ private[sources] class GraftTable(props: Map[String, String],
 }
 
 private[sources] class GraftScanBuilder(root: String, full: StructType,
-    pinned: Option[Long], startingVersion: Option[Long])
+    pinned: Option[Long], startingVersion: Option[Long],
+    endingVersion: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -323,12 +328,14 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new GraftScan(root, full, required, pushed, pinned, startingVersion)
+    new GraftScan(root, full, required, pushed, pinned, startingVersion,
+      endingVersion)
 }
 
 private[sources] class GraftScan(root: String, full: StructType,
     required: StructType, filters: Array[Filter],
-    pinned: Option[Long] = None, startingVersion: Option[Long] = None)
+    pinned: Option[Long] = None, startingVersion: Option[Long] = None,
+    endingVersion: Option[Long] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -345,9 +352,40 @@ private[sources] class GraftScan(root: String, full: StructType,
   // and cached so the reported numPartitions and the planned partitions
   // can never disagree.
   private lazy val planned: Array[InputPartition] =
-    GraftSource.manifestFor(root, pinned) match {
-      case None => Array.empty
-      case Some(m) => planFromManifest(m)
+    startingVersion match {
+      // batch change feed (Delta CDF's batch form): the manifest diff
+      // between version startingVersion-1 and endingVersion (default
+      // head) — exactly the partition dirs the commits in that range
+      // (re)referenced, same contract as the streaming changefeed
+      // (rewrites re-emit new contents, drops emit nothing, vectors do
+      // not apply — a vector delete stages no data)
+      case Some(from) =>
+        val rootPath = java.nio.file.Paths.get(root)
+        AtomicTable.currentVersion(rootPath) match {
+          case None => Array.empty
+          case Some(head) =>
+            val to = endingVersion.getOrElse(head)
+            require(to <= head, s"endingVersion=$to is beyond v$head of $root")
+            val endM = AtomicTable.manifestAt(rootPath, to)
+            val startParts: Map[String, String] =
+              if (from <= 1L) Map.empty
+              else try AtomicTable.manifestAt(rootPath, from - 1L).partitions
+              catch {
+                case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+                  throw new IllegalArgumentException(
+                    s"startingVersion=$from needs version ${from - 1} of $root, " +
+                      "which is outside the retention window")
+              }
+            val changed = endM.partitions.filter { case (p, d) =>
+              !startParts.get(p).contains(d) }
+            planFromManifest(endM.copy(partitions = changed,
+              deletes = Map.empty))
+        }
+      case None =>
+        GraftSource.manifestFor(root, pinned) match {
+          case None => Array.empty
+          case Some(m) => planFromManifest(m)
+        }
     }
 
   override def outputPartitioning()

@@ -341,6 +341,40 @@ class GraftSourceSpec extends SparkSuite {
     assert(names(pruned) === Set("three", "four"))
   }
 
+  test("batch change feed: startingVersion/endingVersion read the manifest diff") {
+    val dir = Files.createTempDirectory("graft-cdf-batch").toString
+    import spark.implicits._
+    def commit(part: String, ids: Long*): Unit = {
+      AtomicTable.replacePartitions(spark, dir,
+        ids.map(i => (i, i * 10L, part)).toDF("id", "v", "p"), "p", retain = 10)
+      ()
+    }
+    commit("b0", 1L, 2L)       // v1
+    commit("b1", 3L)           // v2
+    commit("b0", 1L, 2L, 9L)   // v3 rewrites b0
+    def ids(opts: (String, String)*): Set[Long] = {
+      val r = opts.foldLeft(spark.read.format("graft")) {
+        case (rd, (k, v)) => rd.option(k, v)
+      }
+      r.load(dir).select("id").as[Long].collect().toSet
+    }
+    assert(ids("startingVersion" -> "1") === Set(1L, 2L, 3L, 9L),
+      "from v1: every current partition (b0 at its REWRITTEN contents)")
+    assert(ids("startingVersion" -> "2") === Set(1L, 2L, 3L, 9L),
+      "v2 added b1, v3 rewrote b0")
+    assert(ids("startingVersion" -> "3") === Set(1L, 2L, 9L),
+      "only b0 changed in v3")
+    assert(ids("startingVersion" -> "2", "endingVersion" -> "2") === Set(3L),
+      "bounded: v2 touched only b1 (b0 still at its v1 dir then)")
+    intercept[Exception] {
+      ids("startingVersion" -> "2", "endingVersion" -> "99")
+    }
+    intercept[Exception] {
+      spark.read.format("graft").option("startingVersion", "2")
+        .option("versionAsOf", "1").load(dir).collect()
+    }
+  }
+
   test("changefeed: startingVersion skips the snapshot and feeds from a commit") {
     val dir = Files.createTempDirectory("graft-cdf-sv").toString
     import spark.implicits._
