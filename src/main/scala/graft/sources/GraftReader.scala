@@ -167,7 +167,20 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     }
   }
 
-  private val partValueUtf8 = UTF8String.fromString(part.partValue)
+  // the manifest key is a string; the DECLARED schema may type the
+  // partition column (catalog tables can PARTITION BY a BIGINT) — emit
+  // the catalyst value of the declared type
+  private lazy val partValueTyped: Any = {
+    val i = required.fieldNames.indexOf(part.partitionCol)
+    if (i < 0) null
+    else required(i).dataType match {
+      case StringType => UTF8String.fromString(part.partValue)
+      case LongType => part.partValue.toLong
+      case IntegerType => part.partValue.toInt
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition column type $other")
+    }
+  }
 
   override def next(): Boolean = {
     while (true) {
@@ -183,7 +196,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
           var j = 0
           while (j < required.length) {
             val f = required(j)
-            if (j == partitionColIdx) row.update(j, partValueUtf8)
+            if (j == partitionColIdx) row.update(j, partValueTyped)
             // schema evolution: a required column this partition's files
             // predate reads as NULL (the readEvolved contract)
             else if (!fieldIdx.contains(f.name)) row.update(j, null)

@@ -417,7 +417,9 @@ private[sources] class GraftScan(root: String, full: StructType,
       val dataFiles = listParquet(conf, s"$root/$dir")
       val vecFiles = m.deletes.getOrElse(part, Nil)
         .flatMap(d => listParquet(conf, s"$root/$d"))
-      GraftInputPartition(part, dataFiles, vecFiles, keyCols, partitionCol)
+      GraftInputPartition(part, dataFiles, vecFiles, keyCols, partitionCol,
+        if (full.fieldNames.contains(partitionCol))
+          full(partitionCol).dataType.typeName else "string")
         : InputPartition
     }.toArray
   }
@@ -435,13 +437,21 @@ private[sources] class GraftScan(root: String, full: StructType,
     * cannot satisfy them. Conservative in every unknown case. */
   private def prunePartitions(m: AtomicTable.Manifest,
       partitionCol: String): Map[String, String] = {
+    // compare in the DECLARED type's order (a catalog table can
+    // PARTITION BY a BIGINT, where the lexicographic "10" < "9" would
+    // wrongly prune and LOSE rows) — same comparator as the zone maps
+    def cmpKey(part: String, v: Any): Int = {
+      val dt = if (full.fieldNames.contains(partitionCol))
+        full(partitionCol).dataType else StringType
+      AtomicTable.statsOrder(dt, part, String.valueOf(v))
+    }
     def admits(part: String): Boolean = filters.forall {
-      case EqualTo(c, v) if c == partitionCol => part == String.valueOf(v)
-      case In(c, vs) if c == partitionCol => vs.map(String.valueOf).contains(part)
-      case GreaterThan(c, v) if c == partitionCol => part > String.valueOf(v)
-      case GreaterThanOrEqual(c, v) if c == partitionCol => part >= String.valueOf(v)
-      case LessThan(c, v) if c == partitionCol => part < String.valueOf(v)
-      case LessThanOrEqual(c, v) if c == partitionCol => part <= String.valueOf(v)
+      case EqualTo(c, v) if c == partitionCol => cmpKey(part, v) == 0
+      case In(c, vs) if c == partitionCol => vs.exists(v => cmpKey(part, v) == 0)
+      case GreaterThan(c, v) if c == partitionCol => cmpKey(part, v) > 0
+      case GreaterThanOrEqual(c, v) if c == partitionCol => cmpKey(part, v) >= 0
+      case LessThan(c, v) if c == partitionCol => cmpKey(part, v) < 0
+      case LessThanOrEqual(c, v) if c == partitionCol => cmpKey(part, v) <= 0
       case f => zoneAdmits(m, part, f)
     }
     m.partitions.filter { case (p, _) => admits(p) }
@@ -589,9 +599,15 @@ private[sources] class GraftMicroBatchStream(root: String,
 
 private[sources] final case class GraftInputPartition(partValue: String,
     dataFiles: Seq[String], vectorFiles: Seq[String], keyCols: Seq[String],
-    partitionCol: String)
+    partitionCol: String, partitionColType: String = "string")
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
+  // the key row must carry the DECLARED key type: Spark sorts/groups
+  // input partitions by it whenever the scan reports key-grouping
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](UTF8String.fromString(partValue)))
+    new GenericInternalRow(Array[Any](partitionColType match {
+      case "long" => partValue.toLong
+      case "integer" => partValue.toInt
+      case _ => UTF8String.fromString(partValue)
+    }))
 }

@@ -325,6 +325,21 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("a BIGINT partition column reads typed and prunes numerically") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.np (id BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.np VALUES (1, 9), (2, 10), (3, 100)")
+    // typed read-back: p comes out as BIGINT values, not strings
+    assert(spark.sql("SELECT id, p FROM gcat.db.np ORDER BY p")
+      .as[(Long, Long)].collect().toSeq === Seq((1L, 9L), (2L, 10L), (3L, 100L)))
+    // numeric pruning: lexicographic "10" < "9" must NOT lose rows
+    val gt = spark.sql("SELECT id FROM gcat.db.np WHERE p > 9")
+    assert(gt.as[Long].collect().toSet === Set(2L, 3L))
+    assert(gt.rdd.getNumPartitions === 2, "p=9 pruned from metadata")
+    assert(spark.sql("SELECT id FROM gcat.db.np WHERE p = 10")
+      .as[Long].collect().toSeq === Seq(2L))
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
