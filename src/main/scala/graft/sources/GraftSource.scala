@@ -582,16 +582,27 @@ private[sources] class GraftMicroBatchStream(root: String,
     }.toArray
   }
 
-  private def partitionFilterAdmits(part: String, partitionCol: String): Boolean =
+  private def partitionFilterAdmits(part: String, partitionCol: String): Boolean = {
+    // typed comparisons, like the batch scan's pruning: a numeric
+    // partition column must not be range-pruned lexicographically.
+    // Equality is representation-safe; for ranges, prune only when the
+    // column's declared type is visible in the read schema — otherwise
+    // admit (pruning may only skip work, never rows)
+    lazy val dt: Option[DataType] =
+      if (required.fieldNames.contains(partitionCol))
+        Some(required(partitionCol).dataType) else None
+    def cmp(v: Any)(ok: Int => Boolean): Boolean =
+      dt.forall(t => ok(AtomicTable.statsOrder(t, part, String.valueOf(v))))
     filters.forall {
       case EqualTo(c, v) if c == partitionCol => part == String.valueOf(v)
       case In(c, vs) if c == partitionCol => vs.map(String.valueOf).contains(part)
-      case GreaterThan(c, v) if c == partitionCol => part > String.valueOf(v)
-      case GreaterThanOrEqual(c, v) if c == partitionCol => part >= String.valueOf(v)
-      case LessThan(c, v) if c == partitionCol => part < String.valueOf(v)
-      case LessThanOrEqual(c, v) if c == partitionCol => part <= String.valueOf(v)
+      case GreaterThan(c, v) if c == partitionCol => cmp(v)(_ > 0)
+      case GreaterThanOrEqual(c, v) if c == partitionCol => cmp(v)(_ >= 0)
+      case LessThan(c, v) if c == partitionCol => cmp(v)(_ < 0)
+      case LessThanOrEqual(c, v) if c == partitionCol => cmp(v)(_ <= 0)
       case _ => true
     }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
