@@ -99,6 +99,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (!isTable(dir)) throw new NoSuchTableException(ident)
       new GraftHistoryTable(s"$catalogName:${ident.toString}",
         AtomicTable.history(dir))
+    case DetailName(base) =>
+      val dir = nsDir(ident.namespace()).resolve(base)
+      if (!isTable(dir)) throw new NoSuchTableException(ident)
+      val m = AtomicTable.manifest(dir)
+      val meta = readMeta(dir)
+      new GraftDetailTable(s"$catalogName:${ident.toString}", GraftDetailRow(
+        dir.toString,
+        m.map(_.version).getOrElse(0L),
+        m.map(_.partitions.size).getOrElse(0),
+        m.map(x => AtomicTable.history(dir).headOption.flatMap(_.rows)).flatten,
+        m.map(_.deletes.values.map(_.size).sum).getOrElse(0),
+        meta.map(_._2).orElse(m.filter(_.partitions.nonEmpty)
+          .map(GraftSource.partitionColOf)).getOrElse(""),
+        meta.map(_._3).getOrElse(GraftCatalog.DefaultRetain),
+        meta.map(_._4.mkString(",")).getOrElse("")))
     case PartitionsName(base) =>
       val dir = nsDir(ident.namespace()).resolve(base)
       if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -117,6 +132,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private val HistoryName = "(.+)\\$history".r
   private val PartitionsName = "(.+)\\$partitions".r
+  private val DetailName = "(.+)\\$detail".r
 
   /** `VERSION AS OF <v>` — Spark hands the SQL literal through verbatim. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -426,6 +442,75 @@ private[sources] object GraftHistoryReaderFactory
         true
       }
       override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+}
+
+private[sources] final case class GraftDetailRow(location: String,
+    version: Long, numPartitions: Int, numRows: Option[Long],
+    deleteVectors: Int, partitionColumn: String, retain: Int,
+    statsColumns: String)
+
+/** The `$detail` metadata table: one row of table-level facts (DESCRIBE
+  * DETAIL) — current version, partition count, zone-map row total, the
+  * declared partition/retention/stats contract. Manifest-only. */
+private[sources] class GraftDetailTable(tableName: String, row: GraftDetailRow)
+    extends org.apache.spark.sql.connector.catalog.Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.types._
+
+  override def name(): String = tableName
+  override def schema(): StructType = GraftDetailTable.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan with Batch {
+        override def readSchema(): StructType = GraftDetailTable.Schema
+        override def toBatch: Batch = this
+        override def planInputPartitions(): Array[InputPartition] =
+          Array(GraftDetailPartition(row))
+        override def createReaderFactory(): PartitionReaderFactory =
+          GraftDetailReaderFactory
+      }
+    }
+}
+
+private[sources] object GraftDetailTable {
+  import org.apache.spark.sql.types._
+  val Schema: StructType = StructType(Seq(
+    StructField("location", StringType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("num_partitions", IntegerType, nullable = false),
+    StructField("num_rows", LongType, nullable = true),
+    StructField("delete_vectors", IntegerType, nullable = false),
+    StructField("partition_column", StringType, nullable = false),
+    StructField("retain", IntegerType, nullable = false),
+    StructField("stats_columns", StringType, nullable = false)))
+}
+
+private[sources] final case class GraftDetailPartition(row: GraftDetailRow)
+  extends org.apache.spark.sql.connector.read.InputPartition
+
+private[sources] object GraftDetailReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var done = false
+      private val r = p.asInstanceOf[GraftDetailPartition].row
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(r.location), r.version, r.numPartitions,
+        r.numRows.map(Long.box).orNull, r.deleteVectors,
+        UTF8String.fromString(r.partitionColumn), r.retain,
+        UTF8String.fromString(r.statsColumns)))
       override def close(): Unit = ()
     }
 }

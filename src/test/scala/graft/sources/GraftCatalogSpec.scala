@@ -340,6 +340,22 @@ class GraftCatalogSpec extends SparkSuite {
       .as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("$detail metadata table and catalog batch change feed") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.dt (id BIGINT, p STRING) PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('stats_columns' = 'id', 'retain' = '6')")
+    spark.sql("INSERT INTO gcat.db.dt VALUES (1, 'a'), (2, 'b')")  // v1
+    spark.sql("INSERT INTO gcat.db.dt VALUES (3, 'c')")            // v2
+    val d = spark.sql("SELECT version, num_partitions, num_rows, " +
+      "partition_column, retain, stats_columns FROM gcat.db.`dt$detail`")
+      .collect().head
+    assert((d.getLong(0), d.getInt(1), d.getLong(2), d.getString(3),
+      d.getInt(4), d.getString(5)) === ((2L, 3, 3L, "p", 6, "id")))
+    // batch CDF through the catalog name: read options reach the scan
+    assert(spark.read.option("startingVersion", "2").table("gcat.db.dt")
+      .select("id").as[Long].collect().toSeq === Seq(3L))
+  }
+
   test("empty created table is loadable with its declared schema") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.empty (x INT, s STRING, p STRING) " +
