@@ -112,8 +112,15 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
     if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
   }
 
+  // the manifest is pinned at FIRST planning: Spark may re-plan after the
+  // runtime filter fires, and a concurrent commit between the two calls
+  // must not let the rewrite read one version while the commit's
+  // expectedVersion guard checks another
+  private lazy val pinnedManifest: Option[AtomicTable.Manifest] =
+    GraftSource.manifestFor(root, None)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val m = GraftSource.manifestFor(root, None).getOrElse {
+    val m = pinnedManifest.getOrElse {
       state.readVersion = 0L
       state.scanned = Set.empty
       return Array.empty
