@@ -242,7 +242,10 @@ private[sources] object GraftV2Predicates {
   }
   private def litOf(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[String] = e match {
-    case l: Literal[_] => Some(String.valueOf(l.value))
+    // a NULL literal must NOT extract: String.valueOf(null) is the text
+    // "null", which would wrongly match a partition whose value IS that
+    // text — unextractable falls to the row-level path, always safe
+    case l: Literal[_] if l.value != null => Some(String.valueOf(l.value))
     case _ => None
   }
 

@@ -120,6 +120,16 @@ class GraftRowLevelSpec extends SparkSuite {
     assert(rows("m2") === Set((2L, 20L, "a"), (4L, 40L, "b"), (5L, 50L, "c")))
   }
 
+  test("a NULL-literal predicate never metadata-matches the text 'null'") {
+    warehouse
+    spark.sql("CREATE TABLE rl.db.nul (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO rl.db.nul VALUES (1, 'null'), (2, 'a')")
+    spark.sql("DELETE FROM rl.db.nul WHERE p <=> NULL") // matches nothing
+    assert(spark.sql("SELECT p FROM rl.db.nul ORDER BY p")
+      .as[String].collect().toSeq === Seq("a", "null"),
+      "the partition whose VALUE is the text 'null' must survive")
+  }
+
   test("TRUNCATE TABLE drops every partition in one metadata commit") {
     val dir = mk("t1")
     spark.sql("TRUNCATE TABLE rl.db.t1")
