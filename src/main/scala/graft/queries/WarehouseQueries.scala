@@ -164,7 +164,7 @@ object WarehouseQueries {
        |         strftime(o_orderdate, '%Y-%m') AS o_ym
        |  FROM orders)
        |SELECT o_ym, count(*) AS n_rows,
-       |  sum(CASE WHEN o_orderstatus = 'H' THEN 1 ELSE 0 END) AS n_high,
+       |  CAST(sum(CASE WHEN o_orderstatus = 'H' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
        |  ${sqlDsum("o_totalprice", 2)} AS revenue
        |FROM base GROUP BY o_ym ORDER BY o_ym""".stripMargin
 
@@ -218,7 +218,7 @@ object WarehouseQueries {
       |              ELSE NULL END AS o_seg
       |  FROM base)
       |SELECT o_ym, count(*) AS n_rows,
-      |  sum(CASE WHEN o_seg IS NOT NULL THEN 1 ELSE 0 END) AS n_tagged,
+      |  CAST(sum(CASE WHEN o_seg IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tagged,
       |  count(DISTINCT o_seg) AS n_segs
       |FROM evolved GROUP BY o_ym ORDER BY o_ym""".stripMargin
 
@@ -280,7 +280,7 @@ object WarehouseQueries {
 
   private[queries] val graftSourceScanSql =
     s"""SELECT o_orderstatus, count(*) AS n_rows,
-       |  sum(o_orderkey) AS sum_okey,
+       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
        |  ${sqlDsum("o_totalprice", 2)} AS revenue
        |FROM orders
        |WHERE o_orderkey % 83 <> 0
@@ -337,7 +337,7 @@ object WarehouseQueries {
 
   private[queries] val graftChangefeedSql =
     s"""SELECT event_type, count(*) AS n_rows,
-       |  sum(event_id) AS sum_eid,
+       |  CAST(sum(event_id) AS BIGINT) AS sum_eid,
        |  ${sqlDsum("value", 6)} AS total_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -373,7 +373,7 @@ object WarehouseQueries {
 
   private[queries] val graftWriteRoundtripSql =
     s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_ym,
-       |  count(*) AS n_rows, sum(o_orderkey) AS sum_okey,
+       |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
        |  count(DISTINCT strftime(o_orderdate, '%Y-%m-%d')) AS n_days,
        |  ${sqlDsum("o_totalprice", 2)} AS revenue
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
@@ -421,7 +421,7 @@ object WarehouseQueries {
 
   private[queries] val graftStreamSinkSql =
     s"""SELECT event_type, count(*) AS n_rows,
-       |  sum(event_id) AS sum_eid,
+       |  CAST(sum(event_id) AS BIGINT) AS sum_eid,
        |  count(DISTINCT event_id % 3) AS n_parts,
        |  ${sqlDsum("value", 6)} AS total_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin

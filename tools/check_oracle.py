@@ -19,6 +19,14 @@ def norm(v):
         return str(v)
     return v
 
+def type_token(t):
+    """Canonical token per DuckDB type so only representation-changing skews
+    flag (HUGEINT vs BIGINT, DECIMAL vs DOUBLE), not alias spellings."""
+    t = t.upper()
+    if t.startswith("DECIMAL"):
+        return t  # precision/scale matter to the hash
+    return {"VARCHAR": "STRING", "TEXT": "STRING", "CHAR": "STRING"}.get(t, t)
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -45,6 +53,17 @@ def main(sf_dir, out_dir):
         gcols, wcols = sorted(got.columns), sorted(want.columns)
         if [c.lower() for c in gcols] != [c.lower() for c in wcols]:
             print(f"FAIL {name}: columns {gcols} vs {wcols}")
+            n_fail += 1
+            continue
+        # Type parity: the driver's hash is representation-sensitive, so a
+        # HUGEINT-vs-BIGINT or DECIMAL-vs-DOUBLE skew fails there even when
+        # every value is equal. Catch it here.
+        gtypes = {c.lower(): t for c, t in zip(got.columns, map(str, got.types))}
+        wtypes = {c.lower(): t for c, t in zip(want.columns, map(str, want.types))}
+        skew = [(c, gtypes[c], wtypes[c]) for c in gtypes
+                if type_token(gtypes[c]) != type_token(wtypes[c])]
+        if skew:
+            print(f"FAIL {name}: TYPE-SKEW {skew}")
             n_fail += 1
             continue
         grows = [tuple(norm(v) for v in r) for r in got.select(', '.join(f'"{c}"' for c in gcols)).fetchall()]
