@@ -61,12 +61,24 @@ object AtomicTable {
   final case class PartStats(rows: Long, mins: Map[String, String],
       maxs: Map[String, String])
 
-  /** partitions: partition value -> data dir relative to the table root.
+  /** partitions: partition value -> ORDERED data dirs relative to the
+    * table root, in append order. A replace commit installs a fresh
+    * single-dir list; an APPEND commit ([[commitManifest]] with
+    * `append = true`) extends the list — INSERT INTO adds a dir and
+    * never touches existing bytes, so two concurrent appends into the
+    * same partition both survive (they merge at the list level), which
+    * is the standard SQL/Delta/Iceberg append contract.
     * properties: small KV payload committed ATOMICALLY with the data — the
     * streaming sink stores its last batch epoch here, which is what makes
     * foreachBatch replay idempotent (see graft.streaming.Streams).
     * stats: optional per-partition zone maps ([[PartStats]]); partitions
     * without an entry are simply never pruned.
+    * files: optional dir -> committed parquet file names. When present
+    * for a dir, readers open EXACTLY those files instead of listing the
+    * dir — a zombie/speculative task attempt that drops a straggler file
+    * into the dir after commit is never read (the file list is built
+    * from the commit messages of attempts the driver actually
+    * committed). Dirs without an entry are listed as before.
     * deletes: per-partition DELETE VECTORS (merge-on-read): partition
     * value -> ordered list of delete-key dirs (each a small parquet of
     * deleted key tuples, staged like data under `data/txn-*`). A
@@ -75,12 +87,19 @@ object AtomicTable {
     * keys at read time. Replacing or dropping a partition clears its
     * vectors in the same commit (the rewrite already folded them; a
     * stale vector would wrongly re-delete a key the rewrite
-    * re-inserted). */
-  final case class Manifest(version: Long, partitions: Map[String, String],
+    * re-inserted). Appending to a partition with outstanding vectors is
+    * REFUSED (the key-scoped vectors would wrongly re-delete appended
+    * rows that reuse a deleted key) — fold first, see
+    * [[MergeInto.materializeDeletes]]. */
+  final case class Manifest(version: Long, partitions: Map[String, Seq[String]],
       properties: Map[String, String] = Map.empty,
       stats: Map[String, PartStats] = Map.empty,
       deletes: Map[String, Seq[String]] = Map.empty,
-      tsMs: Long = 0L, operation: String = "write")
+      tsMs: Long = 0L, operation: String = "write",
+      files: Map[String, Seq[String]] = Map.empty) {
+    /** Every data dir the manifest references, in stable order. */
+    def allDirs: Seq[String] = partitions.values.flatten.toSeq.sorted
+  }
 
   /** One line of a table's commit log ([[history]]): `rows` is the total
     * from the per-partition zone maps when every partition carries one,
@@ -147,13 +166,24 @@ object AtomicTable {
         Option(e.getValue.get("mins")).map(strMap).getOrElse(Map.empty),
         Option(e.getValue.get("maxs")).map(strMap).getOrElse(Map.empty))
     }.toMap).getOrElse(Map.empty)
-    val deletes = Option(n.get("deletes")).map(_.fields().asScala.map { e =>
-      e.getKey -> e.getValue.elements().asScala.map(_.asText).toSeq
-    }.toMap).getOrElse(Map.empty[String, Seq[String]])
+    def strListMap(node: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, Seq[String]] =
+      node.fields().asScala.map { e =>
+        // a plain string is a legacy single-dir entry; an array is the
+        // current ordered-list form
+        e.getKey -> (if (e.getValue.isArray)
+          e.getValue.elements().asScala.map(_.asText).toSeq
+        else Seq(e.getValue.asText))
+      }.toMap
+    val deletes = Option(n.get("deletes")).map(strListMap)
+      .getOrElse(Map.empty[String, Seq[String]])
+    val files = Option(n.get("files")).map(strListMap)
+      .getOrElse(Map.empty[String, Seq[String]])
     Manifest(n.get("version").asLong,
-      strMap(n.get("partitions")), props, stats, deletes,
+      strListMap(n.get("partitions")), props, stats, deletes,
       Option(n.get("tsMs")).map(_.asLong).getOrElse(0L),
-      Option(n.get("operation")).map(_.asText).getOrElse("write"))
+      Option(n.get("operation")).map(_.asText).getOrElse("write"),
+      files)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -162,7 +192,10 @@ object AtomicTable {
     if (m.tsMs > 0L) node.put("tsMs", m.tsMs)
     node.put("operation", m.operation)
     val parts = node.putObject("partitions")
-    m.partitions.toSeq.sortBy(_._1).foreach { case (k, v) => parts.put(k, v) }
+    m.partitions.toSeq.sortBy(_._1).foreach { case (k, dirs) =>
+      val a = parts.putArray(k)
+      dirs.foreach(a.add)
+    }
     val props = node.putObject("properties")
     m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
     if (m.stats.nonEmpty) {
@@ -181,6 +214,13 @@ object AtomicTable {
       m.deletes.toSeq.sortBy(_._1).foreach { case (part, dirs) =>
         val a = del.putArray(part)
         dirs.foreach(a.add)
+      }
+    }
+    if (m.files.nonEmpty) {
+      val fl = node.putObject("files")
+      m.files.toSeq.sortBy(_._1).foreach { case (dir, names) =>
+        val a = fl.putArray(dir)
+        names.foreach(a.add)
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
@@ -499,7 +539,8 @@ object AtomicTable {
       properties = Map("graft.restore.of" -> version.toString),
       dropPartitions = cur.partitions.keySet -- target.partitions.keySet,
       expectedVersion = Some(cur.version), retain = retain,
-      newDeletes = target.deletes, operation = s"restore(v$version)")
+      newDeletes = target.deletes, operation = s"restore(v$version)",
+      newFiles = target.files)
   }
 
   /** CLONE TABLE: materialize a retained snapshot of `src` as a brand-new
@@ -522,13 +563,17 @@ object AtomicTable {
       .getOrElse(throw new IllegalArgumentException(
         s"$src has no committed manifest to clone"))
     require(currentVersion(dst).isEmpty, s"$dst already has commits")
-    val dirs = (m.partitions.values ++ m.deletes.values.flatten).toSet
+    val dirs = (m.allDirs ++ m.deletes.values.flatten).toSet
     dirs.foreach { rel =>
       val from = src.resolve(rel)
       val to = dst.resolve(rel)
       Files.createDirectories(to)
+      // clone only the COMMITTED files when the manifest lists them —
+      // a zombie attempt's straggler stays behind in the source
+      val committedOnly = m.files.get(rel).map(_.toSet)
       val s = Files.list(from)
-      try s.iterator.asScala.filter(f => Files.isRegularFile(f)).foreach { f =>
+      try s.iterator.asScala.filter(f => Files.isRegularFile(f) &&
+        committedOnly.forall(_(f.getFileName.toString))).foreach { f =>
         val t = to.resolve(f.getFileName.toString)
         try { Files.createLink(t, f); () }
         catch {
@@ -542,20 +587,31 @@ object AtomicTable {
       properties = m.properties +
         ("graft.clone.of" -> s"${src.toAbsolutePath}@v${m.version}"),
       newDeletes = m.deletes, retain = retain,
-      operation = s"clone(v${m.version})")
+      operation = s"clone(v${m.version})", newFiles = m.files)
+  }
+
+  /** One scan per txn dir over the manifest's data dirs (basePath
+    * restores the partition column from the dir names; a filter on it
+    * pushes through the union into each scan's PartitionFilters). Dirs
+    * with a committed-file list are read as exactly those files — a
+    * zombie task attempt's straggler never enters the scan. */
+  private def txnScans(spark: SparkSession, table: String,
+      m: Manifest): Seq[DataFrame] = {
+    val byTxn = m.allDirs.groupBy(d => d.substring(0, d.lastIndexOf('/')))
+    byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
+      val paths = dirs.flatMap { d =>
+        m.files.get(d) match {
+          case Some(names) => names.sorted.map(n => s"$table/$d/$n")
+          case None => Seq(s"$table/$d")
+        }
+      }
+      spark.read.option("basePath", s"$table/$txnDir").parquet(paths: _*)
+    }
   }
 
   private def readManifest(spark: SparkSession, table: String,
       schema: StructType, m: Manifest): DataFrame = {
-    // one scan per txn dir (its basePath restores the partition column
-    // from the dir names), unioned; a filter on the partition column
-    // pushes through the union into each scan's PartitionFilters
-    val byTxn = m.partitions.values.toSeq.sorted
-      .groupBy(d => d.substring(0, d.lastIndexOf('/')))
-    val df = byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
-      spark.read.option("basePath", s"$table/$txnDir")
-        .parquet(dirs.map(d => s"$table/$d"): _*)
-    }.reduce(_.unionByName(_))
+    val df = txnScans(spark, table, m).reduce(_.unionByName(_))
     // the partition column comes back TYPE-INFERRED from dir names (an
     // all-numeric value like "2" reads as int); cast any column whose
     // read type differs from the caller's declared schema — compared by
@@ -585,12 +641,7 @@ object AtomicTable {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(m) =>
-        val byTxn = m.partitions.values.toSeq.sorted
-          .groupBy(d => d.substring(0, d.lastIndexOf('/')))
-        val scans = byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
-          spark.read.option("basePath", s"$table/$txnDir")
-            .parquet(dirs.map(d => s"$table/$d"): _*)
-        }
+        val scans = txnScans(spark, table, m)
         // per-scan: project to the target schema, null-filling columns
         // this txn predates and casting the rest — BEFORE the union, so
         // every branch has identical shape (allowMissingColumns would
@@ -680,14 +731,18 @@ object AtomicTable {
     * manifest is computed but before any claim attempt — throwing there
     * simulates a crash at the worst moment and must leave the table
     * unchanged. */
-  def commitManifest(root: Path, written: Map[String, String],
+  def commitManifest(root: Path, written: Map[String, Seq[String]],
       newStats: Map[String, PartStats] = Map.empty,
       properties: Map[String, String] = Map.empty,
       dropPartitions: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None, retain: Int = 1,
       beforeCommit: () => Unit = () => (),
       newDeletes: Map[String, Seq[String]] = Map.empty,
-      operation: String = "write"): Manifest =
+      operation: String = "write",
+      append: Boolean = false,
+      appendSet: Set[String] = Set.empty,
+      statsSchema: Option[StructType] = None,
+      newFiles: Map[String, Seq[String]] = Map.empty): Manifest =
     commitLock(root).synchronized {
       var hookRan = false
       var committed: Manifest = null
@@ -699,11 +754,50 @@ object AtomicTable {
             s"$root moved to v$cur since this rewrite read v$v; " +
               "staged data left as a vacuum-reclaimable orphan")
         }
+        val prevParts = prev.map(_.partitions).getOrElse(Map.empty)
+        val prevStats = prev.map(_.stats).getOrElse(Map.empty)
+        val prevDels = prev.map(_.deletes).getOrElse(Map.empty)
+        // `append` appends every written partition; `appendSet` appends
+        // a subset while the rest replace (the row-level rewrite's
+        // cross-partition row moves: scanned partitions replace, move
+        // targets append)
+        def appends(p: String): Boolean = append || appendSet(p)
+        val blocked = written.keySet
+          .filter(p => appends(p) && prevDels.get(p).exists(_.nonEmpty))
+        if (blocked.nonEmpty) throw new IllegalStateException(
+          // appended rows that reuse a vector-deleted key would be
+          // wrongly re-deleted by the partition-scoped key vectors —
+          // refuse loudly; the SQL write path folds the vectors first
+          s"cannot append into partitions with outstanding delete " +
+            s"vectors ${blocked.toSeq.sorted.mkString("[", ", ", "]")} " +
+            s"of $root — fold them first (MergeInto.materializeDeletes)")
+        val nextParts = (prevParts -- dropPartitions) ++ written.map {
+          case (p, ds) =>
+            p -> (if (appends(p)) prevParts.getOrElse(p, Nil) ++ ds else ds)
+        }
+        // zone maps: a replace installs the fresh stats; an append MERGES
+        // (rows add, bounds widen) — but only when the column types are
+        // known and BOTH sides carry the bound; otherwise the entry is
+        // dropped so a partial zone map can never wrongly prune
+        val nextStats = {
+          val base = prevStats -- dropPartitions
+          base -- written.keys ++ written.keys.flatMap { p =>
+            val hadDirs = prevParts.get(p).exists(_.nonEmpty)
+            (if (!appends(p) || !hadDirs) newStats.get(p)
+             else (base.get(p), newStats.get(p), statsSchema) match {
+              case (Some(a), Some(b), Some(sch)) =>
+                Some(mergeStats(sch, a, b))
+              case _ => None
+            }).map(p -> _)
+          }
+        }
         // delete vectors APPEND per partition; replacing or dropping a
         // partition clears its vectors (the rewrite folded them — a
-        // stale vector would re-delete a key the rewrite re-inserted)
-        val delBase = prev.map(_.deletes).getOrElse(Map.empty) --
-          dropPartitions -- written.keys
+        // stale vector would re-delete a key the rewrite re-inserted);
+        // a data APPEND leaves its partitions' vectors alone (they were
+        // proven vector-free above)
+        val delBase = prevDels -- dropPartitions --
+          written.keys.filterNot(appends)
         // commit time, STRICTLY monotonic per table: two commits landing
         // inside one clock millisecond (or under clock skew between
         // processes) still order by timestamp exactly as they order by
@@ -711,14 +805,18 @@ object AtomicTable {
         // version (Delta's commit-timestamp monotonicity adjustment)
         val ts = math.max(System.currentTimeMillis(),
           prev.map(_.tsMs + 1L).getOrElse(1L))
+        // committed-file lists follow their dirs: keep entries whose dir
+        // the next manifest still references, add this commit's
+        val liveDirs = nextParts.values.flatten.toSet
+        val nextFiles = (prev.map(_.files).getOrElse(Map.empty)
+          .filter { case (d, _) => liveDirs(d) }) ++ newFiles
         val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
-          (prev.map(_.partitions).getOrElse(Map.empty) -- dropPartitions) ++ written,
+          nextParts,
           prev.map(_.properties).getOrElse(Map.empty) ++ properties,
-          (prev.map(_.stats).getOrElse(Map.empty)
-            -- dropPartitions -- written.keys) ++ newStats,
+          nextStats,
           delBase ++ newDeletes.map { case (p, ds) =>
             p -> (delBase.getOrElse(p, Nil) ++ ds) },
-          ts, operation)
+          ts, operation, nextFiles)
         if (!hookRan) { beforeCommit(); hookRan = true }
         // the commit point: atomically claim the version slot; a lost
         // claim means another PROCESS committed meanwhile (threads are
@@ -729,6 +827,23 @@ object AtomicTable {
       gc(root, committed, retain)
       committed
     }
+
+  /** Widen two zone-map fragments of one partition (append merge): rows
+    * add; a column's merged bound exists only when BOTH fragments bound
+    * it (an unbounded side means the union is unbounded). */
+  private def mergeStats(schema: StructType, a: PartStats,
+      b: PartStats): PartStats = {
+    def bound(x: Map[String, String], y: Map[String, String],
+        takeMin: Boolean): Map[String, String] =
+      x.keySet.intersect(y.keySet).flatMap { c =>
+        schema.fields.find(_.name == c).map { f =>
+          val cmp = statsCompare(f.dataType, x(c), y(c))
+          c -> (if ((cmp <= 0) == takeMin) x(c) else y(c))
+        }
+      }.toMap
+    PartStats(a.rows + b.rows, bound(a.mins, b.mins, takeMin = true),
+      bound(a.maxs, b.maxs, takeMin = false))
+  }
 
   /** Atomically replace the partitions present in `rows` (values of
     * `partitionCol`), leaving all other partitions at their current data
@@ -765,7 +880,8 @@ object AtomicTable {
       statsColumns: Seq[String] = Nil,
       dropPartitions: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None,
-      operation: String = "write"): Manifest = {
+      operation: String = "write",
+      append: Boolean = false): Manifest = {
     require(!statsColumns.contains(partitionCol),
       s"statsColumns must not include the partition column '$partitionCol': " +
         "partition pruning already handles it, and the staged files do " +
@@ -780,7 +896,7 @@ object AtomicTable {
       .filter(_.startsWith(s"$partitionCol="))
       .map { n =>
         ExternalCatalogUtils.unescapePathName(
-          n.substring(partitionCol.length + 1)) -> s"data/$txn/$n"
+          n.substring(partitionCol.length + 1)) -> Seq(s"data/$txn/$n")
       }.toMap
     val newStats: Map[String, PartStats] =
       if (statsColumns.isEmpty || written.isEmpty) Map.empty
@@ -839,8 +955,24 @@ object AtomicTable {
           }.toMap
       }
     commitManifest(root, written, newStats, properties, dropPartitions,
-      expectedVersion, retain, beforeCommit, operation = operation)
+      expectedVersion, retain, beforeCommit, operation = operation,
+      append = append, statsSchema = if (append) Some(rows.schema) else None)
   }
+
+  /** Stage `rows` and APPEND them to their partitions — INSERT INTO:
+    * existing data dirs are untouched, each touched partition's dir
+    * list grows by one, zone maps merge (bounds widen, rows add).
+    * Concurrent appends into the same partition both survive: each
+    * lands its own dir and the manifest merge is list-level. Refused
+    * when a touched partition has outstanding delete vectors (fold
+    * them first — see [[commitManifest]]). */
+  def appendPartitions(spark: SparkSession, table: String, rows: DataFrame,
+      partitionCol: String, properties: Map[String, String] = Map.empty,
+      retain: Int = 1, statsColumns: Seq[String] = Nil,
+      operation: String = "append"): Manifest =
+    replacePartitions(spark, table, rows, partitionCol,
+      properties = properties, retain = retain,
+      statsColumns = statsColumns, operation = operation, append = true)
 
   /** Bin-pack the table's files: rewrite every partition with one task per
     * partition value, committed through the same atomic protocol. Many
@@ -896,14 +1028,19 @@ object AtomicTable {
     val root = Paths.get(table)
     val m = manifest(root).getOrElse(
       return Manifest(0L, Map.empty))
-    val fragmented = m.partitions.filter { case (_, d) =>
-      val dir = root.resolve(d)
-      Files.isDirectory(dir) && {
-        val s = Files.list(dir)
-        try s.iterator.asScala.count(
-          _.getFileName.toString.endsWith(".parquet")) >= minFiles
-        finally s.close()
-      }
+    val fragmented = m.partitions.filter { case (_, dirs) =>
+      dirs.map { d =>
+        m.files.get(d).map(_.size).getOrElse {
+          val dir = root.resolve(d)
+          if (!Files.isDirectory(dir)) 0
+          else {
+            val s = Files.list(dir)
+            try s.iterator.asScala.count(
+              _.getFileName.toString.endsWith(".parquet"))
+            finally s.close()
+          }
+        }
+      }.sum >= minFiles
     }.keySet
     if (fragmented.isEmpty) return m
     // read ONLY the fragmented partitions' dirs, selected by manifest
@@ -934,14 +1071,16 @@ object AtomicTable {
   def dataFileCount(root: Path): Long = manifest(root) match {
     case None => 0L
     case Some(m) =>
-      m.partitions.values.toSeq.map { d =>
-        val dir = root.resolve(d)
-        if (!Files.isDirectory(dir)) 0L
-        else {
-          val s = Files.list(dir)
-          try s.iterator.asScala.count(p =>
-            p.getFileName.toString.endsWith(".parquet")).toLong
-          finally s.close()
+      m.allDirs.map { d =>
+        m.files.get(d).map(_.size.toLong).getOrElse {
+          val dir = root.resolve(d)
+          if (!Files.isDirectory(dir)) 0L
+          else {
+            val s = Files.list(dir)
+            try s.iterator.asScala.count(p =>
+              p.getFileName.toString.endsWith(".parquet")).toLong
+            finally s.close()
+          }
         }
       }.sum
   }
@@ -978,7 +1117,7 @@ object AtomicTable {
     def partsOf(v: Long): Seq[String] =
       try {
         val m = manifestAt(root, v)
-        m.partitions.values.toSeq ++ m.deletes.values.flatten
+        m.allDirs ++ m.deletes.values.flatten
       }
       catch { case _: java.nio.file.NoSuchFileException |
                    _: java.io.FileNotFoundException => Nil }
@@ -1032,7 +1171,7 @@ object AtomicTable {
             .toLongOption.toList.flatMap { v =>
               try {
                 val m = manifestAt(root, v)
-                m.partitions.values ++ m.deletes.values.flatten
+                m.allDirs ++ m.deletes.values.flatten
               }
               catch { case _: java.nio.file.NoSuchFileException |
                            _: java.io.FileNotFoundException => Nil }

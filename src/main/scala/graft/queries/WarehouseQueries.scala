@@ -561,9 +561,9 @@ object WarehouseQueries {
 
   /** The SQL catalog driven END-TO-END from pure SQL: register a
     * [[graft.sources.GraftCatalog]], CREATE TABLE ... PARTITIONED BY
-    * with a retention TBLPROPERTY, fill it over three INSERT commits
-    * (years to 1997; 1998-1999; a bad reprice of 1996 — the format's
-    * append IS dynamic partition replace), then aggregate three
+    * with a retention TBLPROPERTY, fill it over three commits
+    * (years to 1997; 1998-1999; a bad reprice of 1996 via INSERT
+    * OVERWRITE PARTITION — plain INSERT appends), then aggregate three
     * snapshots resolved by Spark's OWN time-travel syntax: VERSION AS
     * OF 1, TIMESTAMP AS OF v2's commit instant, and the head. The
     * oracle replays each snapshot's algebra over the raw parquet; a
@@ -589,8 +589,9 @@ object WarehouseQueries {
         "WHERE o_year <= '1997'")                                      // v1
       s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_src_$cat " +
         "WHERE o_year IN ('1998', '1999')")                            // v2
-      s.sql(s"INSERT INTO $cat.wh.orders SELECT o_orderkey, " +        // v3
-        s"o_totalprice + 100.0, o_year FROM orders_src_$cat WHERE o_year = '1996'")
+      s.sql(s"INSERT OVERWRITE $cat.wh.orders PARTITION (o_year = '1996') " + // v3
+        s"SELECT o_orderkey, o_totalprice + 100.0 " +
+        s"FROM orders_src_$cat WHERE o_year = '1996'")
       (cat, w)
     })
     val t2 = AtomicTable.commitTimeMs(

@@ -121,7 +121,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         AtomicTable.Manifest(0L, Map.empty))
       val rows = m.partitions.toSeq.sortBy(_._1).map { case (k, d) =>
         val st = m.stats.get(k)
-        GraftPartitionsRow(k, d, st.map(_.rows),
+        GraftPartitionsRow(k, d.mkString(","), d.size, st.map(_.rows),
           st.map(_.mins).getOrElse(Map.empty),
           st.map(_.maxs).getOrElse(Map.empty),
           m.deletes.getOrElse(k, Nil).size)
@@ -516,7 +516,7 @@ private[sources] object GraftDetailReaderFactory
 }
 
 private[sources] final case class GraftPartitionsRow(partition: String,
-    dir: String, rows: Option[Long], mins: Map[String, String],
+    dir: String, numDirs: Int, rows: Option[Long], mins: Map[String, String],
     maxs: Map[String, String], deleteVectors: Int)
 
 /** The `$partitions` metadata table: the current manifest's layout and
@@ -551,6 +551,7 @@ private[sources] object GraftPartitionsTable {
   val Schema: StructType = StructType(Seq(
     StructField("partition", StringType, nullable = false),
     StructField("dir", StringType, nullable = false),
+    StructField("num_dirs", IntegerType, nullable = false),
     StructField("num_rows", LongType, nullable = true),
     StructField("mins", MapType(StringType, StringType), nullable = false),
     StructField("maxs", MapType(StringType, StringType), nullable = false),
@@ -587,8 +588,8 @@ private[sources] object GraftPartitionsReaderFactory
         val r = it.next()
         cur = new GenericInternalRow(Array[Any](
           UTF8String.fromString(r.partition), UTF8String.fromString(r.dir),
-          r.rows.map(Long.box).orNull, mapData(r.mins), mapData(r.maxs),
-          r.deleteVectors))
+          r.numDirs, r.rows.map(Long.box).orNull, mapData(r.mins),
+          mapData(r.maxs), r.deleteVectors))
         true
       }
       override def get(): InternalRow = cur

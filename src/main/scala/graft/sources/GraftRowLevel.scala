@@ -151,7 +151,7 @@ private[sources] class GraftGroupReplaceWrite(root: String,
     new GraftRowLevelWriterFactory(root, txn, schema, partitionCol, statsColumns)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val written = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
+    val staged = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
     val rootPath = Paths.get(root)
     val existedAtRead: Set[String] =
       if (state.readVersion == 0L) Set.empty
@@ -164,21 +164,21 @@ private[sources] class GraftGroupReplaceWrite(root: String,
       }
     // an output row landing in an existing partition the scan did NOT
     // read means the op moved rows across partitions (UPDATE SET on the
-    // partition column): replacing that partition from only the moved
-    // rows would lose its other rows — refuse. Brand-new partition
-    // values (MERGE inserts, moves to fresh keys) are safe: nothing
-    // there to lose.
-    val lossy = written.keySet.filter(p => !state.scanned(p) && existedAtRead(p))
-    require(lossy.isEmpty,
-      s"${cmd.name} moved rows into existing partitions it did not scan " +
-        s"(${lossy.toSeq.sorted.mkString(", ")}); a partition-granular " +
-        "rewrite cannot merge into them — update the partition column via " +
-        "the Scala API's cdcApply, or DELETE + INSERT")
-    AtomicTable.commitManifest(rootPath, written,
+    // partition column): those partitions must keep their current rows,
+    // so the moved rows APPEND (the partition's dir list grows) while
+    // the scanned partitions replace — one atomic commit, optimistic
+    // against the version the scan read, so no concurrent writer's work
+    // on the move targets can be clobbered. Brand-new partition values
+    // (MERGE inserts, moves to fresh keys) land as plain writes.
+    val moved = staged.written.keySet
+      .filter(p => !state.scanned(p) && existedAtRead(p))
+    AtomicTable.commitManifest(rootPath, staged.written,
       newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
-      dropPartitions = state.scanned -- written.keySet,
+      dropPartitions = state.scanned -- staged.written.keySet,
       retain = retain, expectedVersion = Some(state.readVersion),
-      operation = cmd.name.toLowerCase)
+      operation = cmd.name.toLowerCase,
+      appendSet = moved, statsSchema = Some(schema),
+      newFiles = staged.files)
     ()
   }
 

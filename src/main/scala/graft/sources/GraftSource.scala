@@ -142,10 +142,59 @@ object GraftSource {
   }
 
   private[sources] def partitionColOf(m: AtomicTable.Manifest): String = {
-    val d = m.partitions.values.head
+    val d = m.allDirs.head
     val seg = d.substring(d.lastIndexOf('/') + 1)
     seg.substring(0, seg.indexOf('='))
   }
+
+  /** A data dir's committed parquet paths: exactly the manifest's file
+    * list when recorded (zombie attempts' stragglers excluded), else a
+    * listing. */
+  private[sources] def committedFiles(m: AtomicTable.Manifest,
+      conf: Configuration, root: String, dir: String): Seq[String] =
+    m.files.get(dir) match {
+      case Some(names) => names.sorted.map(n => s"$root/$dir/$n")
+      case None =>
+        val p = new Path(s"$root/$dir")
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    }
+
+  /** Render a pushed-filter value in the zone-map string encoding.
+    * Timestamp-like values MUST go through an explicit UTC conversion:
+    * `String.valueOf` on java.sql.Timestamp renders in the JVM default
+    * timezone while zone-map bounds are UTC wall time — on a non-UTC
+    * host that skew would prune partitions that contain matching rows. */
+  private[sources] def filterValueString(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+        .toString.replace('T', ' ')
+    case i: java.time.Instant =>
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+        .toString.replace('T', ' ')
+    case ldt: java.time.LocalDateTime => ldt.toString.replace('T', ' ')
+    case other => String.valueOf(other)
+  }
+
+  /** The changefeed's manifest diff: per partition, the dirs a consumer
+    * of `start -> end` must read. A brand-new partition emits all its
+    * dirs; an APPENDED partition (start's list is a strict prefix)
+    * emits only the appended dirs — row-level insert granularity; a
+    * REWRITTEN partition (list not a prefix) re-emits its full new
+    * contents (upsert-style, no preimages). Dropped partitions emit
+    * nothing. */
+  private[sources] def changedDirs(startParts: Map[String, Seq[String]],
+      end: Map[String, Seq[String]]): Map[String, Seq[String]] =
+    end.flatMap { case (p, ds) =>
+      startParts.get(p) match {
+        case None => Some(p -> ds)
+        case Some(prev) if ds.startsWith(prev) =>
+          if (ds.size == prev.size) None else Some(p -> ds.drop(prev.size))
+        case Some(_) => Some(p -> ds)
+      }
+    }
 
   /** Spark type for a flat parquet primitive (the supported scope). */
   private def sparkType(t: PType): DataType = {
@@ -183,7 +232,7 @@ object GraftSource {
     val m = manifestFor(root, pin).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed manifest"))
     require(m.partitions.nonEmpty, s"$root is empty — no partitions committed")
-    val dir = new Path(s"$root/${m.partitions.values.toSeq.min}")
+    val dir = new Path(s"$root/${m.allDirs.head}")
     val fs = dir.getFileSystem(conf)
     val first = fs.listStatus(dir).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).head
@@ -366,8 +415,10 @@ private[sources] class GraftScan(root: String, full: StructType,
           case Some(head) =>
             val to = endingVersion.getOrElse(head)
             require(to <= head, s"endingVersion=$to is beyond v$head of $root")
+            require(from <= to + 1L,
+              s"startingVersion=$from is after endingVersion=$to of $root")
             val endM = AtomicTable.manifestAt(rootPath, to)
-            val startParts: Map[String, String] =
+            val startParts: Map[String, Seq[String]] =
               if (from <= 1L) Map.empty
               else try AtomicTable.manifestAt(rootPath, from - 1L).partitions
               catch {
@@ -376,9 +427,8 @@ private[sources] class GraftScan(root: String, full: StructType,
                     s"startingVersion=$from needs version ${from - 1} of $root, " +
                       "which is outside the retention window")
               }
-            val changed = endM.partitions.filter { case (p, d) =>
-              !startParts.get(p).contains(d) }
-            planFromManifest(endM.copy(partitions = changed,
+            planFromManifest(endM.copy(
+              partitions = GraftSource.changedDirs(startParts, endM.partitions),
               deletes = Map.empty))
         }
       case None =>
@@ -413,8 +463,9 @@ private[sources] class GraftScan(root: String, full: StructType,
       .map(_.split(",").toSeq).getOrElse(Nil)
     val kept = prunePartitions(m, partitionCol)
     val conf = new Configuration()
-    kept.toSeq.sortBy(_._1).map { case (part, dir) =>
-      val dataFiles = listParquet(conf, s"$root/$dir")
+    kept.toSeq.sortBy(_._1).map { case (part, dirs) =>
+      val dataFiles = dirs.flatMap(d =>
+        GraftSource.committedFiles(m, conf, root, d))
       val vecFiles = m.deletes.getOrElse(part, Nil)
         .flatMap(d => listParquet(conf, s"$root/$d"))
       GraftInputPartition(part, dataFiles, vecFiles, keyCols, partitionCol,
@@ -436,14 +487,14 @@ private[sources] class GraftScan(root: String, full: StructType,
     * zone-mapped column predicates drop partitions whose [min, max]
     * cannot satisfy them. Conservative in every unknown case. */
   private def prunePartitions(m: AtomicTable.Manifest,
-      partitionCol: String): Map[String, String] = {
+      partitionCol: String): Map[String, Seq[String]] = {
     // compare in the DECLARED type's order (a catalog table can
     // PARTITION BY a BIGINT, where the lexicographic "10" < "9" would
     // wrongly prune and LOSE rows) — same comparator as the zone maps
     def cmpKey(part: String, v: Any): Int = {
       val dt = if (full.fieldNames.contains(partitionCol))
         full(partitionCol).dataType else StringType
-      AtomicTable.statsOrder(dt, part, String.valueOf(v))
+      AtomicTable.statsOrder(dt, part, GraftSource.filterValueString(v))
     }
     def admits(part: String): Boolean = filters.forall {
       case EqualTo(c, v) if c == partitionCol => cmpKey(part, v) == 0
@@ -467,7 +518,7 @@ private[sources] class GraftScan(root: String, full: StructType,
           case _ => None
         })
     def cmp(dt: DataType, a: String, b: Any): Int =
-      AtomicTable.statsOrder(dt, a, String.valueOf(b))
+      AtomicTable.statsOrder(dt, a, GraftSource.filterValueString(b))
     f match {
       case EqualTo(c, v) => bounds(c).forall { case (mn, mx, dt) =>
         cmp(dt, mn, v) <= 0 && cmp(dt, mx, v) >= 0 }
@@ -556,7 +607,7 @@ private[sources] class GraftMicroBatchStream(root: String,
     if (e <= s) return Array.empty
     val rootPath = java.nio.file.Paths.get(root)
     val endM = AtomicTable.manifestAt(rootPath, e)
-    val startParts: Map[String, String] =
+    val startParts: Map[String, Seq[String]] =
       if (s == 0L) Map.empty
       else try AtomicTable.manifestAt(rootPath, s).partitions
       catch {
@@ -567,17 +618,12 @@ private[sources] class GraftMicroBatchStream(root: String,
               "source table with a larger `retain`)")
       }
     val partitionCol = GraftSource.partitionColOf(endM)
-    val changed = endM.partitions.filter { case (p, d) =>
-      !startParts.get(p).contains(d) && partitionFilterAdmits(p, partitionCol)
-    }
+    val changed = GraftSource.changedDirs(startParts, endM.partitions)
+      .filter { case (p, _) => partitionFilterAdmits(p, partitionCol) }
     val conf = new Configuration()
-    changed.toSeq.sortBy(_._1).map { case (part, dir) =>
-      val p = new Path(s"$root/$dir")
-      val fs = p.getFileSystem(conf)
-      val files =
-        if (!fs.exists(p)) Nil
-        else fs.listStatus(p).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
+    changed.toSeq.sortBy(_._1).map { case (part, dirs) =>
+      val files = dirs.flatMap(d =>
+        GraftSource.committedFiles(endM, conf, root, d))
       GraftInputPartition(part, files, Nil, Nil, partitionCol): InputPartition
     }.toArray
   }
@@ -592,10 +638,13 @@ private[sources] class GraftMicroBatchStream(root: String,
       if (required.fieldNames.contains(partitionCol))
         Some(required(partitionCol).dataType) else None
     def cmp(v: Any)(ok: Int => Boolean): Boolean =
-      dt.forall(t => ok(AtomicTable.statsOrder(t, part, String.valueOf(v))))
+      dt.forall(t => ok(AtomicTable.statsOrder(t, part,
+        GraftSource.filterValueString(v))))
     filters.forall {
-      case EqualTo(c, v) if c == partitionCol => part == String.valueOf(v)
-      case In(c, vs) if c == partitionCol => vs.map(String.valueOf).contains(part)
+      case EqualTo(c, v) if c == partitionCol =>
+        part == GraftSource.filterValueString(v)
+      case In(c, vs) if c == partitionCol =>
+        vs.map(GraftSource.filterValueString).contains(part)
       case GreaterThan(c, v) if c == partitionCol => cmp(v)(_ > 0)
       case GreaterThanOrEqual(c, v) if c == partitionCol => cmp(v)(_ >= 0)
       case LessThan(c, v) if c == partitionCol => cmp(v)(_ < 0)

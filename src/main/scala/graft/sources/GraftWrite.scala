@@ -43,11 +43,15 @@ private[sources] class GraftWriteBuilder(root: String,
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
-  // None = append (which for this format IS dynamic partition replace);
-  // Some(preds) = INSERT OVERWRITE scoped to the partitions the
-  // predicates select (ALWAYS_TRUE = truncate, via the default
-  // truncate() -> overwrite(alwaysTrue) path)
+  // None + !dynamic = plain append (INSERT INTO: existing partition
+  // contents are KEPT, the new dir joins the partition's list);
+  // None + dynamic = dynamic partition replace (INSERT OVERWRITE with
+  // partitionOverwriteMode=dynamic: partitions present in the data
+  // replace themselves); Some(preds) = INSERT OVERWRITE scoped to the
+  // partitions the predicates select (ALWAYS_TRUE = truncate, via the
+  // default truncate() -> overwrite(alwaysTrue) path)
   private var overwritePreds: Option[Array[Predicate]] = None
+  private var dynamicOverwrite = false
 
   /** Accept only predicates resolvable to partition keys from metadata —
     * a static `PARTITION (p='x')` spec, IN/OR combinations, or the
@@ -62,11 +66,12 @@ private[sources] class GraftWriteBuilder(root: String,
     overwritePreds = Some(predicates); this
   }
 
-  /** Hive's `partitionOverwriteMode=dynamic` contract — exactly this
-    * format's append semantics. */
+  /** Hive's `partitionOverwriteMode=dynamic` contract: the partitions
+    * present in the data replace themselves. Distinct from plain
+    * append, which keeps existing partition contents. */
   override def overwriteDynamicPartitions()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    overwritePreds = None; this
+    overwritePreds = None; dynamicOverwrite = true; this
   }
 
   private def resolvePartitionCol(): String =
@@ -124,7 +129,8 @@ private[sources] class GraftWriteBuilder(root: String,
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
         val pc = resolvePartitionCol()
         new GraftBatchWrite(root, info.schema(), pc,
-          overwritePreds, resolveRetain(), resolveStats(pc))
+          overwritePreds, resolveRetain(), resolveStats(pc),
+          dynamicOverwrite)
       }
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -172,11 +178,12 @@ private[sources] class GraftStreamingWrite(root: String, schema: StructType,
     val last = AtomicTable.manifest(rootPath)
       .flatMap(_.properties.get(epochProp)).map(_.toLong).getOrElse(-1L)
     if (epochId <= last) return // replayed epoch: already committed
-    val written = GraftWriteCommit.pruneAndMap(root, txnFor(epochId),
+    val staged = GraftWriteCommit.pruneAndMap(root, txnFor(epochId),
       partitionCol, messages)
-    AtomicTable.commitManifest(rootPath, written,
+    AtomicTable.commitManifest(rootPath, staged.written,
       newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
-      properties = Map(epochProp -> epochId.toString), retain = retain)
+      properties = Map(epochProp -> epochId.toString), retain = retain,
+      newFiles = staged.files)
     ()
   }
 
@@ -296,7 +303,8 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
     partitionCol: String,
     overwrite: Option[Array[org.apache.spark.sql.connector.expressions.filter.Predicate]],
     retain: Int = 1,
-    statsColumns: Seq[String] = Nil)
+    statsColumns: Seq[String] = Nil,
+    dynamicOverwrite: Boolean = false)
   extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val txn = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
@@ -310,25 +318,49 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
-    val written = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
+    val staged = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
     val rootPath = java.nio.file.Paths.get(root)
+    val newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages)
     // overwrite scope: the partitions the predicates select from the
-    // CURRENT manifest (ALWAYS_TRUE selects all = truncate); append
-    // drops nothing — partitions present in the data replace themselves
-    val drop: Set[String] = overwrite match {
-      case None => Set.empty
+    // CURRENT manifest (ALWAYS_TRUE selects all = truncate); dynamic
+    // overwrite replaces exactly the partitions present in the data;
+    // plain append (INSERT INTO) keeps existing contents and EXTENDS
+    // each touched partition's dir list — concurrent INSERTs into one
+    // partition both survive (list-level manifest merge)
+    overwrite match {
       case Some(preds) =>
         val keys = AtomicTable.manifest(rootPath).map(_.partitions.keySet)
           .getOrElse(Set.empty)
-        GraftV2Predicates.partitionsFor(preds, partitionCol, keys)
+        val drop = GraftV2Predicates.partitionsFor(preds, partitionCol, keys)
           .getOrElse(throw new IllegalArgumentException(
             s"INSERT OVERWRITE predicates [${preds.mkString(", ")}] do not " +
-              s"resolve to partitions of '$partitionCol'")) -- written.keySet
+              s"resolve to partitions of '$partitionCol'")) -- staged.written.keySet
+        AtomicTable.commitManifest(rootPath, staged.written,
+          newStats = newStats, dropPartitions = drop, retain = retain,
+          expectedVersion = Some(readVersion), newFiles = staged.files)
+      case None if dynamicOverwrite =>
+        AtomicTable.commitManifest(rootPath, staged.written,
+          newStats = newStats, retain = retain, newFiles = staged.files)
+      case None =>
+        try AtomicTable.commitManifest(rootPath, staged.written,
+          newStats = newStats, retain = retain, newFiles = staged.files,
+          append = true, statsSchema = Some(schema),
+          operation = "append")
+        catch {
+          case _: IllegalStateException =>
+            // a touched partition has outstanding delete vectors: fold
+            // them (partition-bounded rewrite, optimistic), then retry
+            // the append — appended rows reusing a deleted key must not
+            // be re-deleted by a stale vector
+            graft.etl.MergeInto.materializeDeletes(
+              org.apache.spark.sql.SparkSession.active, root, schema,
+              partitionCol, statsColumns)
+            AtomicTable.commitManifest(rootPath, staged.written,
+              newStats = newStats, retain = retain, newFiles = staged.files,
+              append = true, statsSchema = Some(schema),
+              operation = "append")
+        }
     }
-    AtomicTable.commitManifest(rootPath, written,
-      newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
-      dropPartitions = drop, retain = retain,
-      expectedVersion = if (overwrite.isDefined) Some(readVersion) else None)
     ()
   }
 
@@ -354,9 +386,18 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
   * from attempts it committed), and return the manifest's
   * partition -> dir map. */
 private[sources] object GraftWriteCommit {
+
+  /** The driver-side view of a staged write: `written` maps each
+    * partition value to its (single) staged dir; `files` records the
+    * exact parquet names the committed attempts wrote per dir, for the
+    * manifest's committed-file list (readers then never pick up a
+    * zombie attempt's post-prune straggler). */
+  final case class Staged(written: Map[String, Seq[String]],
+      files: Map[String, Seq[String]])
+
   def pruneAndMap(root: String, txn: String, partitionCol: String,
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
-      : Map[String, String] = {
+      : Staged = {
     val byPart = mutable.Map.empty[String, mutable.Set[String]]
     messages.foreach {
       case GraftCommitMessage(files, _) =>
@@ -384,10 +425,12 @@ private[sources] object GraftWriteCommit {
         }
       }
     }
-    byPart.keys.map { pv =>
+    val dirOf = byPart.keys.map { pv =>
       pv -> (s"data/$txn/$partitionCol=" +
         org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv))
     }.toMap
+    Staged(dirOf.map { case (pv, d) => pv -> Seq(d) },
+      dirOf.map { case (pv, d) => d -> byPart(pv).toSeq.sorted })
   }
 
   /** Merge the committed tasks' per-partition stats fragments into the

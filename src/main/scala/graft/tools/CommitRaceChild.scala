@@ -27,7 +27,7 @@ object CommitRaceChild {
         Files.createDirectories(dir)
         Files.writeString(dir.resolve("marker.parquet"), s"$tag $k")
         AtomicTable.commitManifest(root,
-          written = Map(part -> s"data/txn-$tag-$k/part=$part"),
+          written = Map(part -> Seq(s"data/txn-$tag-$k/part=$part")),
           properties = Map(s"last_$tag" -> k.toString),
           retain = retain)
         ()

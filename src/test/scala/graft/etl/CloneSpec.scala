@@ -32,8 +32,8 @@ class CloneSpec extends SparkSuite {
     val df = AtomicTable.read(spark, dst.toString, schema)
     assert(df.count() === 15)
     // zero-copy: the cloned file shares its inode with the source file
-    val srcFile = Paths.get(src).resolve(m.partitions("a"))
-    val lnk = Files.list(dst.resolve(m.partitions("a")))
+    val srcFile = Paths.get(src).resolve(m.partitions("a").head)
+    val lnk = Files.list(dst.resolve(m.partitions("a").head))
     val linked = try lnk.iterator().next() finally lnk.close()
     assert(Files.getAttribute(linked, "unix:ino") ===
       Files.getAttribute(srcFile.resolve(linked.getFileName.toString), "unix:ino"))

@@ -46,7 +46,7 @@ class CrossProcessCommitSpec extends AnyFunSuite {
           Files.createDirectories(dir)
           Files.writeString(dir.resolve("marker.parquet"), s"p $k")
           AtomicTable.commitManifest(root,
-            written = Map(part -> s"data/txn-p-$k/part=$part"),
+            written = Map(part -> Seq(s"data/txn-p-$k/part=$part")),
             properties = Map("last_p" -> k.toString), retain = retain)
           ()
         }
@@ -82,7 +82,7 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     }
     // every data dir each manifest references exists on disk (no GC ran
     // inside the retention window)
-    assert(m.partitions.values.forall(d => Files.isDirectory(root.resolve(d))))
+    assert(m.partitions.values.flatten.forall(d => Files.isDirectory(root.resolve(d))))
   }
 
   test("the version pointer is advisory: a stale or missing cache never " +
@@ -93,7 +93,7 @@ class CrossProcessCommitSpec extends AnyFunSuite {
       Files.createDirectories(dir)
       Files.writeString(dir.resolve("marker.parquet"), k.toString)
       AtomicTable.commitManifest(root,
-        written = Map(s"x$k" -> s"data/txn-$k/part=x$k"), retain = 1000)
+        written = Map(s"x$k" -> Seq(s"data/txn-$k/part=x$k")), retain = 1000)
       ()
     }
     assert(AtomicTable.currentVersion(root) === Some(3L))
@@ -108,7 +108,7 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     Files.createDirectories(dir)
     Files.writeString(dir.resolve("marker.parquet"), "4")
     val m = AtomicTable.commitManifest(root,
-      written = Map("x4" -> "data/txn-4/part=x4"), retain = 1000)
+      written = Map("x4" -> Seq("data/txn-4/part=x4")), retain = 1000)
     assert(m.version === 4L)
   }
 

@@ -98,7 +98,7 @@ class PipelineSpec extends SparkSuite {
     Pipeline.run(spark, src, layout, fredSeries, Fixtures.blsSeriesMap, today, now)
     def partFiles(source: String): Map[String, Long] = {
       val root = java.nio.file.Paths.get(layout.factPath)
-      val dir = root.resolve(AtomicTable.manifest(root).get.partitions(source))
+      val dir = root.resolve(AtomicTable.manifest(root).get.partitions(source).head)
       Files.list(dir).toArray.map(_.asInstanceOf[java.nio.file.Path])
         .filter(_.toString.endsWith(".parquet"))
         .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
@@ -148,7 +148,7 @@ class PipelineSpec extends SparkSuite {
     assert(after.filter("source = 'BLS'").count() === 6, "BLS partition untouched")
     val root = java.nio.file.Paths.get(layout.factPath)
     AtomicTable.vacuum(root, olderThanMs = 0L)
-    val referenced = AtomicTable.manifest(root).get.partitions.values.toSet
+    val referenced = AtomicTable.manifest(root).get.partitions.values.flatten.toSet
     val onDisk = Files.list(root.resolve("data")).toArray
       .map(_.asInstanceOf[java.nio.file.Path])
       .flatMap(t => Files.list(t).toArray.map(_.asInstanceOf[java.nio.file.Path])

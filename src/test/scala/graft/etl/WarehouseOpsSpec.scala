@@ -216,7 +216,7 @@ class WarehouseOpsSpec extends SparkSuite {
       "healthy partition must be carried forward by reference, not rewritten")
     assert(m2.partitions("p2") !== m.partitions("p2"))
     // p2 now one file; total data identical
-    val p2Files = Files.list(root.resolve(m2.partitions("p2")))
+    val p2Files = Files.list(root.resolve(m2.partitions("p2").head))
     try assert(p2Files.filter(_.getFileName.toString.endsWith(".parquet"))
       .count() === 1L)
     finally p2Files.close()

@@ -28,7 +28,7 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sql("SELECT id, v, p FROM gcat.db.t1 ORDER BY id")
       .as[(Long, Double, String)].collect().toSeq ===
       Seq((1L, 1.5, "a"), (2L, 2.5, "b")))
-    // append semantics of the format: partitions present replace
+    // plain INSERT INTO appends (existing partitions keep their rows)
     spark.sql("INSERT INTO gcat.db.t1 VALUES (3, 3.5, 'c')")
     assert(spark.sql("SELECT count(*) FROM gcat.db.t1").as[Long].head() === 3L)
     // by-name insert resolves against the declared schema
@@ -42,10 +42,10 @@ class GraftCatalogSpec extends SparkSuite {
     spark.sql("CREATE TABLE gcat.db.tt (id BIGINT, p STRING) PARTITIONED BY (p)")
     spark.sql("INSERT INTO gcat.db.tt VALUES (1, 'a'), (2, 'a')")  // v1
     spark.sql("INSERT INTO gcat.db.tt VALUES (3, 'b')")            // v2
-    spark.sql("INSERT INTO gcat.db.tt VALUES (7, 'a')")            // v3 replaces a
+    spark.sql("INSERT INTO gcat.db.tt VALUES (7, 'a')")            // v3 appends to a
     def ids(sql: String): Set[Long] =
       spark.sql(sql).as[Long].collect().toSet
-    assert(ids("SELECT id FROM gcat.db.tt") === Set(3L, 7L))
+    assert(ids("SELECT id FROM gcat.db.tt") === Set(1L, 2L, 3L, 7L))
     assert(ids("SELECT id FROM gcat.db.tt VERSION AS OF 1") === Set(1L, 2L))
     assert(ids("SELECT id FROM gcat.db.tt VERSION AS OF 2") === Set(1L, 2L, 3L))
     val t2 = AtomicTable.commitTimeMs(
@@ -53,8 +53,8 @@ class GraftCatalogSpec extends SparkSuite {
     assert(ids(s"SELECT id FROM gcat.db.tt TIMESTAMP AS OF timestamp_millis($t2)")
       === Set(1L, 2L, 3L))
     assert(ids(s"SELECT id FROM gcat.db.tt TIMESTAMP AS OF " +
-      s"timestamp_millis(${t2 + 100000})") === Set(1L, 2L, 3L, 7L) -- Set(1L, 2L),
-      "past v3, partition a holds only id=7")
+      s"timestamp_millis(${t2 + 100000})") === Set(1L, 2L, 3L, 7L),
+      "past v3, partition a holds its appended row too")
   }
 
   test("INSERT OVERWRITE truncates; CTAS creates and fills in one statement") {
@@ -116,7 +116,7 @@ class GraftCatalogSpec extends SparkSuite {
     val h = spark.sql("SELECT version, operation, num_partitions " +
       "FROM gcat.db.`h$history` ORDER BY version DESC")
       .as[(Long, String, Int)].collect().toSeq
-    assert(h === Seq((2L, "write", 2), (1L, "write", 1)))
+    assert(h === Seq((2L, "append", 2), (1L, "append", 1)))
     val ts = spark.sql("SELECT unix_millis(timestamp) FROM gcat.db.`h$history`")
       .as[Long].collect().toSeq
     assert(ts === ts.sorted.reverse && ts.distinct.size === 2,
@@ -276,7 +276,7 @@ class GraftCatalogSpec extends SparkSuite {
       .createOrReplaceTempView("files_src")
     spark.sql("INSERT INTO gcat.db.files SELECT * FROM files_src")
     val m = AtomicTable.manifest(Paths.get(warehouse, "db", "files")).get
-    m.partitions.values.foreach { d =>
+    m.partitions.values.flatten.foreach { d =>
       val dir = Paths.get(warehouse, "db", "files").resolve(d)
       val s = Files.list(dir)
       val n = try s.filter(f => f.toString.endsWith(".parquet")).count()

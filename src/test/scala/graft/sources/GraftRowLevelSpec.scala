@@ -81,15 +81,18 @@ class GraftRowLevelSpec extends SparkSuite {
     assert(AtomicTable.history(Paths.get(dir)).head.operation === "update")
   }
 
-  test("UPDATE that moves rows into an existing partition is refused") {
-    mk("u2")
-    val e = intercept[Exception] {
-      spark.sql("UPDATE rl.db.u2 SET p = 'c' WHERE id = 1")
-    }
-    assert(e.getMessage != null)
-    // table unchanged: the guard aborted before the manifest swap
-    assert(rows("u2") === Set((1L, 10L, "a"), (2L, 20L, "a"),
+  test("UPDATE moving rows into an existing partition appends, never clobbers") {
+    val dir = mk("u2")
+    spark.sql("UPDATE rl.db.u2 SET p = 'c' WHERE id = 1")
+    // the moved row landed in c AND c kept its pre-move rows: the move
+    // target was not scanned, so the rewrite appended a dir to its list
+    // in the same atomic commit that replaced the scanned partition a
+    assert(rows("u2") === Set((1L, 10L, "c"), (2L, 20L, "a"),
       (3L, 30L, "b"), (4L, 40L, "b"), (5L, 50L, "c")))
+    val m = AtomicTable.manifest(Paths.get(dir)).get
+    assert(m.partitions("c").size === 2,
+      "move target gained a dir; its original dir is untouched")
+    assert(AtomicTable.history(Paths.get(dir)).head.operation === "update")
   }
 
   test("UPDATE may move rows into a brand-new partition value") {

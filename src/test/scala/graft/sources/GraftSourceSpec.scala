@@ -172,20 +172,23 @@ class GraftSourceSpec extends SparkSuite {
       (2L, 8, "y", 2.5, false, "2021-07-01 09:00:00.0", "2021-07-01", "b")))
   }
 
-  test("writes: append is dynamic partition replace, overwrite truncates") {
+  test("writes: append keeps existing partition contents, overwrite truncates") {
     val dir = Files.createTempDirectory("graft-w2").resolve("t").toString
     import spark.implicits._
     def frame(rows: (Long, String)*) =
       rows.toDF("id", "p").repartition(col("p"))
     frame((1L, "a"), (2L, "b"), (3L, "c")).write.format("graft")
       .option("partition", "p").mode("append").save(dir)
-    // append with partition b present: b replaced, a and c carried
+    // append with partition b present: b KEEPS its rows and gains a dir
+    // (the standard SQL INSERT INTO contract); a and c carried untouched
     val before = AtomicTable.manifest(java.nio.file.Paths.get(dir)).get.partitions
     frame((20L, "b")).write.format("graft").mode("append").save(dir)
     val after = AtomicTable.manifest(java.nio.file.Paths.get(dir)).get.partitions
     assert(after("a") === before("a") && after("c") === before("c"))
+    assert(after("b").size === 2 && after("b").head === before("b").head,
+      "append extends the partition's dir list, never replaces it")
     assert(spark.read.format("graft").load(dir).select("id")
-      .as[Long].collect().toSet === Set(1L, 20L, 3L))
+      .as[Long].collect().toSet === Set(1L, 2L, 20L, 3L))
     // overwrite: pre-existing partitions not rewritten must drop
     frame((9L, "z")).write.format("graft").mode("overwrite").save(dir)
     val m = AtomicTable.manifest(java.nio.file.Paths.get(dir)).get
