@@ -189,8 +189,13 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       if (g == null) {
         if (!openNext()) return false
       } else {
+        // key columns probe through `get` with a null fill: a vector
+        // keyed on a column ADDED after this partition's files were
+        // written must compare that key as null (the same contract the
+        // data columns use below), not crash on Map.apply
         val isDeleted = !deleted.isEmpty &&
-          deleted.contains(part.keyCols.map(c => rawValue(g, fieldIdx(c))))
+          deleted.contains(part.keyCols.map(c =>
+            fieldIdx.get(c).map(rawValue(g, _)).orNull))
         if (!isDeleted) {
           val row = new GenericInternalRow(required.length)
           var j = 0

@@ -21,7 +21,11 @@ object SqlInsertRaceChild {
       .getOrCreate()
     try {
       for (k <- 1 to nStr.toInt) {
-        spark.sql(s"INSERT INTO $cat.db.race VALUES ($k, '${tag}_$k')")
+        // two rows per statement: one in the writer's own partition and
+        // one in the SHARED 'hot' partition — concurrent appends into
+        // one partition must all survive (list-level manifest merge)
+        spark.sql(s"INSERT INTO $cat.db.race VALUES ($k, '${tag}_$k'), " +
+          s"(${1000 + k}, 'hot')")
         ()
       }
     } finally spark.stop()

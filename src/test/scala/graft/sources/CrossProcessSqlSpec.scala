@@ -40,7 +40,8 @@ class CrossProcessSqlSpec extends SparkSuite {
     var parentFailure: Option[Throwable] = None
     val parent = new Thread(() => {
       try for (k <- 1 to perWriter) {
-        spark.sql(s"INSERT INTO rcat.db.race VALUES ($k, 'c_$k')")
+        spark.sql(s"INSERT INTO rcat.db.race VALUES ($k, 'c_$k'), " +
+          s"(${1000 + k}, 'hot')")
         ()
       } catch { case t: Throwable => parentFailure = Some(t) }
     })
@@ -54,12 +55,20 @@ class CrossProcessSqlSpec extends SparkSuite {
 
     val total = 3 * perWriter
     assert(spark.sql("SELECT count(*) FROM rcat.db.race").as[Long].head()
-      === total.toLong, "no INSERT may be lost")
+      === 2L * total, "no INSERT may be lost")
     val got = spark.sql("SELECT p FROM rcat.db.race").as[String].collect().toSet
     val expected = (1 to perWriter)
-      .flatMap(k => Seq(s"a_$k", s"b_$k", s"c_$k")).toSet
+      .flatMap(k => Seq(s"a_$k", s"b_$k", s"c_$k")).toSet + "hot"
     assert(got === expected,
       "a lost read-modify-write would drop another process's partitions")
+    // the SHARED partition holds every process's appends: the old
+    // replace-on-insert semantics would have kept only the last writer's
+    assert(spark.sql("SELECT count(*) FROM rcat.db.race WHERE p = 'hot'")
+      .as[Long].head() === total.toLong,
+      "concurrent INSERTs into one partition must all survive")
+    assert(AtomicTable.manifest(Paths.get(warehouse, "db", "race")).get
+      .partitions("hot").size === total,
+      "each INSERT appended its own dir to the hot partition's list")
     // every INSERT claimed its own version — the commit log shows all 15
     val root = Paths.get(warehouse, "db", "race")
     assert(AtomicTable.currentVersion(root) === Some(total.toLong))
