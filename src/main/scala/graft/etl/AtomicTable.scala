@@ -609,7 +609,7 @@ object AtomicTable {
     }
   }
 
-  private def readManifest(spark: SparkSession, table: String,
+  private[etl] def readManifest(spark: SparkSession, table: String,
       schema: StructType, m: Manifest): DataFrame = {
     val df = txnScans(spark, table, m).reduce(_.unionByName(_))
     // the partition column comes back TYPE-INFERRED from dir names (an

@@ -76,6 +76,7 @@ object ExtQueries {
     "wh_expect_drop" -> QueryDef(whExpectDrop, Some(whExpectDropSql)),
     "graft_source_scan" -> QueryDef(graftSourceScan, Some(graftSourceScanSql)),
     "graft_changefeed" -> QueryDef(graftChangefeed, Some(graftChangefeedSql)),
+    "graft_cdf_merge" -> QueryDef(graftCdfMerge, Some(graftCdfMergeSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),
     "graft_stream_sink" -> QueryDef(graftStreamSink, Some(graftStreamSinkSql)),
     "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),

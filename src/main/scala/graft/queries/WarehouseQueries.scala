@@ -709,4 +709,88 @@ object WarehouseQueries {
        |  SELECT 'current' AS snap, count(*) AS n_rows,
        |    ${sqlDsum("o_totalprice", 2)} AS revenue FROM upto99
        |) ORDER BY snap""".stripMargin
+
+  /** Row-level CHANGE-DATA-CAPTURE over a MERGE + DELETE history
+    * (etl/ChangeFeed): seed the month-partitioned orders table (v1),
+    * MERGE-upsert a repriced copy of every 97th order plus a brand-new
+    * copy of every 101st (v2 — a partition REWRITE the feed must diff
+    * by key into update_preimage/update_postimage/insert, with
+    * untouched rows emitting NOTHING), then DELETE every 991-divisible
+    * customer's orders (v3 — copy-on-write rewrites plus same-commit
+    * drops of emptied partitions, both classifying as delete with the
+    * POST-MERGE preimage). The feed is derived purely from retained
+    * manifests — no change files exist — and the oracle replays the
+    * same change algebra over the raw parquet; a mislabeled class,
+    * lost preimage, doubled row, or a spurious row from an untouched
+    * partition shifts a group and fails the value compare. */
+  private[queries] def graftCdfMerge(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("cdfm:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-cdfmtbl").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      AtomicTable.replacePartitions(s, t,
+        base.repartition(col("o_ym")), "o_ym", retain = 10)          // v1
+      val upd = base.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .withColumn("o_orderstatus", lit("U"))
+      val ins = base.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      MergeInto.upsert(s, t, ordSchema,
+        upd.unionByName(ins).repartition(col("o_ym")),
+        Seq("o_orderkey"), "o_ym", retain = 10)                      // v2
+      val gone = AtomicTable.read(s, t, ordSchema)
+        .filter(col("o_custkey") % 991 === 0)
+        .select("o_orderkey", "o_ym")
+      MergeInto.deleteKeys(s, t, ordSchema, gone,
+        Seq("o_orderkey"), "o_ym", retain = 10)                      // v3
+      t
+    })
+    val head = AtomicTable.currentVersion(java.nio.file.Paths.get(table)).get
+    graft.etl.ChangeFeed
+      .changes(s, table, ordSchema, 2L, head, keyCols = Seq("o_orderkey"))
+      .groupBy(col(graft.etl.ChangeFeed.ChangeTypeCol).as("change_type"),
+        col(graft.etl.ChangeFeed.CommitVersionCol).as("commit_version"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        dsum(col("o_totalprice"), 2).as("price_sum"))
+      .orderBy("change_type", "commit_version")
+  }
+
+  private[queries] val graftCdfMergeSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       |         strftime(o_orderdate, '%Y-%m') AS o_ym
+       |  FROM orders),
+       |upd AS (
+       |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       |         o_totalprice + 1000.0 AS o_totalprice, o_ym
+       |  FROM base WHERE o_orderkey % 97 = 0),
+       |ins AS (
+       |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+       |         'N' AS o_orderstatus, o_totalprice, o_ym
+       |  FROM base WHERE o_orderkey % 101 = 0),
+       |merged AS (
+       |  SELECT * FROM base
+       |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+       |  UNION ALL SELECT * FROM upd
+       |  UNION ALL SELECT * FROM ins),
+       |chg AS (
+       |  SELECT 'update_preimage' AS change_type, 2 AS commit_version,
+       |         o_orderkey, o_totalprice
+       |  FROM base WHERE o_orderkey % 97 = 0
+       |  UNION ALL
+       |  SELECT 'update_postimage', 2, o_orderkey, o_totalprice FROM upd
+       |  UNION ALL
+       |  SELECT 'insert', 2, o_orderkey, o_totalprice FROM ins
+       |  UNION ALL
+       |  SELECT 'delete', 3, o_orderkey, o_totalprice
+       |  FROM merged WHERE o_custkey % 991 = 0)
+       |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+       |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+       |  ${sqlDsum("o_totalprice", 2)} AS price_sum
+       |FROM chg GROUP BY change_type, commit_version
+       |ORDER BY change_type, commit_version""".stripMargin
 }

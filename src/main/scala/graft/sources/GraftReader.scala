@@ -202,10 +202,19 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
           while (j < required.length) {
             val f = required(j)
             if (j == partitionColIdx) row.update(j, partValueTyped)
+            else if (fieldIdx.contains(f.name))
+              row.update(j, catalystValue(g, f.name, f.dataType))
+            // change-feed scans surface per-commit constants
+            else if (part.changeVersion.isDefined &&
+                f.name == graft.etl.ChangeFeed.ChangeTypeCol)
+              row.update(j, org.apache.spark.unsafe.types.UTF8String
+                .fromString("insert"))
+            else if (part.changeVersion.isDefined &&
+                f.name == graft.etl.ChangeFeed.CommitVersionCol)
+              row.update(j, part.changeVersion.get)
             // schema evolution: a required column this partition's files
             // predate reads as NULL (the readEvolved contract)
-            else if (!fieldIdx.contains(f.name)) row.update(j, null)
-            else row.update(j, catalystValue(g, f.name, f.dataType))
+            else row.update(j, null)
             j += 1
           }
           current = row

@@ -77,7 +77,16 @@ class GraftSource extends TableProvider with DataSourceRegister {
     // at scan planning
     if (pin.isEmpty &&
       AtomicTable.manifest(java.nio.file.Paths.get(root)).isEmpty) StructType(Nil)
-    else GraftSource.inferredSchema(new Configuration(), root, pin)
+    else {
+      val base = GraftSource.inferredSchema(new Configuration(), root, pin)
+      if (options.getBoolean("readChangeFeed", false))
+        StructType(base.fields.toSeq :+
+          StructField(graft.etl.ChangeFeed.ChangeTypeCol, StringType,
+            nullable = false) :+
+          StructField(graft.etl.ChangeFeed.CommitVersionCol, LongType,
+            nullable = false))
+      else base
+    }
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
@@ -141,7 +150,7 @@ object GraftSource {
     }
   }
 
-  private[sources] def partitionColOf(m: AtomicTable.Manifest): String = {
+  private[graft] def partitionColOf(m: AtomicTable.Manifest): String = {
     val d = m.allDirs.head
     val seg = d.substring(d.lastIndexOf('/') + 1)
     seg.substring(0, seg.indexOf('='))
@@ -286,8 +295,11 @@ private[sources] class GraftTable(props: Map[String, String],
     val startingV = Option(options.get("startingVersion")).map(_.trim.toLong)
     require(pinned.isEmpty || startingV.isEmpty,
       "versionAsOf/timestampAsOf and startingVersion are mutually exclusive")
+    val cdf = options.getBoolean("readChangeFeed", false)
+    require(!cdf || startingV.isDefined,
+      "readChangeFeed needs a startingVersion")
     new GraftScanBuilder(root, schema0, pinned, startingV,
-      Option(options.get("endingVersion")).map(_.trim.toLong))
+      Option(options.get("endingVersion")).map(_.trim.toLong), cdf)
   }
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -363,7 +375,7 @@ private[sources] class GraftTable(props: Map[String, String],
 
 private[sources] class GraftScanBuilder(root: String, full: StructType,
     pinned: Option[Long], startingVersion: Option[Long],
-    endingVersion: Option[Long] = None)
+    endingVersion: Option[Long] = None, changeFeed: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = full
@@ -378,13 +390,13 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
     new GraftScan(root, full, required, pushed, pinned, startingVersion,
-      endingVersion)
+      endingVersion, changeFeed)
 }
 
 private[sources] class GraftScan(root: String, full: StructType,
     required: StructType, filters: Array[Filter],
     pinned: Option[Long] = None, startingVersion: Option[Long] = None,
-    endingVersion: Option[Long] = None)
+    endingVersion: Option[Long] = None, changeFeed: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -401,7 +413,8 @@ private[sources] class GraftScan(root: String, full: StructType,
   // and cached so the reported numPartitions and the planned partitions
   // can never disagree.
   private lazy val planned: Array[InputPartition] =
-    startingVersion match {
+    if (changeFeed) planChangeFeed()
+    else startingVersion match {
       // batch change feed (Delta CDF's batch form): the manifest diff
       // between version startingVersion-1 and endingVersion (default
       // head) — exactly the partition dirs the commits in that range
@@ -438,8 +451,65 @@ private[sources] class GraftScan(root: String, full: StructType,
         }
     }
 
+  /** `readChangeFeed=true`: one input partition per (commit version,
+    * partition) with the appended dirs only, each row surfacing as
+    * `_change_type = 'insert'` / `_commit_version = v` — row-level CDF
+    * for the append-only history shape (streaming-sink epochs, ingest
+    * tags). A commit in the range that REWRITES a partition, changes
+    * its delete vectors, or DROPS it has change rows a plain scan
+    * cannot express (preimages need a join) — fail loudly and point at
+    * the full-fidelity [[graft.etl.ChangeFeed.changes]] instead of
+    * silently mislabeling a rewrite as inserts. */
+  private def planChangeFeed(): Array[InputPartition] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    val head = AtomicTable.currentVersion(rootPath).getOrElse(return Array.empty)
+    val from = math.max(startingVersion.get, 1L)
+    val to = endingVersion.getOrElse(head)
+    require(to <= head, s"endingVersion=$to is beyond v$head of $root")
+    require(from <= to + 1L,
+      s"startingVersion=$from is after endingVersion=$to of $root")
+    def failRowLevel(v: Long, what: String): Nothing =
+      throw new IllegalStateException(
+        s"readChangeFeed: version $v of $root $what — those change rows " +
+          "are not expressible as a scan; use " +
+          "graft.etl.ChangeFeed.changes (full _change_type fidelity, " +
+          "preimages included) over this range")
+    (from to to).flatMap { v =>
+      val cur = AtomicTable.manifestAt(rootPath, v)
+      val prev =
+        if (v == 1L) AtomicTable.Manifest(0L, Map.empty)
+        else try AtomicTable.manifestAt(rootPath, v - 1L)
+        catch {
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(
+              s"startingVersion=$from needs version ${v - 1} of $root, " +
+                "which is outside the retention window")
+        }
+      if ((prev.partitions.keySet -- cur.partitions.keySet).nonEmpty)
+        failRowLevel(v, "drops partitions")
+      if (cur.deletes != prev.deletes)
+        failRowLevel(v, "changes delete vectors")
+      val appended = cur.partitions.flatMap { case (p, ds) =>
+        prev.partitions.get(p) match {
+          case None => Some(p -> ds)
+          case Some(pds) if ds.startsWith(pds) =>
+            if (ds.size == pds.size) None else Some(p -> ds.drop(pds.size))
+          case Some(_) => failRowLevel(v, s"rewrites partition '$p'")
+        }
+      }
+      planFromManifest(cur.copy(partitions = appended, deletes = Map.empty))
+        .map(_.asInstanceOf[GraftInputPartition]
+          .copy(changeVersion = Some(v)): InputPartition)
+    }.toArray
+  }
+
   override def outputPartitioning()
-      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    // CDF scans can plan several input partitions with the SAME key
+    // (one per commit) — do not report key-grouping there
+    if (changeFeed)
+      return new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
     GraftSource.manifestFor(root, pinned)
       .filter(_.partitions.nonEmpty)
       .map { m =>
@@ -449,6 +519,7 @@ private[sources] class GraftScan(root: String, full: StructType,
           : org.apache.spark.sql.connector.read.partitioning.Partitioning
       }.getOrElse(
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0))
+  }
 
   override def planInputPartitions(): Array[InputPartition] = planned
 
@@ -659,7 +730,8 @@ private[sources] class GraftMicroBatchStream(root: String,
 
 private[sources] final case class GraftInputPartition(partValue: String,
     dataFiles: Seq[String], vectorFiles: Seq[String], keyCols: Seq[String],
-    partitionCol: String, partitionColType: String = "string")
+    partitionCol: String, partitionColType: String = "string",
+    changeVersion: Option[Long] = None)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
   // the key row must carry the DECLARED key type: Spark sorts/groups
