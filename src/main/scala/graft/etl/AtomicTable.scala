@@ -299,6 +299,86 @@ object AtomicTable {
     new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  // ---- multi-level partitioning -------------------------------------
+  // A table may be partitioned by SEVERAL identity columns. The spec is
+  // the comma-joined column list ("o_ym,o_orderstatus" — every
+  // `partitionCol` parameter accepts it), a partition's data dirs nest
+  // one Hive-style level per column ("data/txn-x/o_ym=1995-01/
+  // o_orderstatus=F"), and its MANIFEST KEY is:
+  //  - one level: the unescaped value (the historical key format,
+  //    unchanged — existing tables read as before);
+  //  - multiple levels: the HIVE-ESCAPED per-level values joined with
+  //    '/' (escaping removes '/', so the join is unambiguous).
+
+  /** The column list a partition spec names, in level order. */
+  def partCols(spec: String): Seq[String] =
+    spec.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The staging txn prefix of a manifest-relative dir
+    * ("data/txn-x/c1=a/c2=b" -> "data/txn-x"): the `basePath` that
+    * makes a parquet scan restore EVERY partition level from the dir
+    * names. Never the parent dir, which under multi-level layouts
+    * would silently drop the outer levels from the scan. */
+  private[graft] def txnDirOf(d: String): String = {
+    val i = d.indexOf('/')
+    val j = if (i < 0) -1 else d.indexOf('/', i + 1)
+    if (j < 0) d else d.substring(0, j)
+  }
+
+  /** The partition columns a manifest-relative data dir encodes, in
+    * level order ("data/txn-x/c1=a/c2=b" -> Seq(c1, c2)). */
+  private[graft] def partColsOfDir(d: String): Seq[String] =
+    d.split('/').iterator.drop(2).map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0, s"'$d' is not a partitioned data dir")
+      seg.substring(0, i)
+    }.toSeq
+
+  /** Build the manifest key of one partition's per-level values. */
+  private[graft] def partKey(values: Seq[String]): String =
+    if (values.lengthCompare(1) == 0) values.head
+    else values.map(ExternalCatalogUtils.escapePathName).mkString("/")
+
+  /** Recover the per-level values of a manifest key (`n` = number of
+    * partition columns). A single-level key is NEVER split — its value
+    * may legitimately contain '/'. */
+  private[graft] def partKeyValues(key: String, n: Int): Seq[String] =
+    if (n <= 1) Seq(key)
+    else {
+      val segs = key.split("/", -1)
+      require(segs.length == n,
+        s"partition key '$key' has ${segs.length} levels, expected $n")
+      segs.iterator.map(ExternalCatalogUtils.unescapePathName).toSeq
+    }
+
+  /** The dir-name suffix of a partition key ("c1=e1/c2=e2"). */
+  private[graft] def partDirSuffix(cols: Seq[String], key: String): String =
+    cols.zip(partKeyValues(key, cols.size))
+      .map { case (c, v) => s"$c=${ExternalCatalogUtils.escapePathName(v)}" }
+      .mkString("/")
+
+  /** Map the partition dirs a `partitionBy(cols)` write staged under
+    * `table/data/<txn>` to manifest entries (key -> relative dir),
+    * walking one nested level per column. Shared by every staging
+    * writer (data commits and delete-vector commits alike). */
+  private[graft] def stagedPartitionDirs(txnDir: Path, txn: String,
+      pcols: Seq[String]): Map[String, Seq[String]] = {
+    def level(dirs: Seq[Path], c: String): Seq[Path] = dirs.flatMap { d =>
+      val s = Files.list(d)
+      try s.iterator.asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$c=")).toSeq
+      finally s.close()
+    }
+    pcols.foldLeft(Seq(txnDir))(level).map { leaf =>
+      val segs = txnDir.relativize(leaf).toString.replace('\\', '/')
+      val values = segs.split('/').iterator.zip(pcols.iterator).map {
+        case (seg, c) => ExternalCatalogUtils.unescapePathName(
+          seg.substring(c.length + 1))
+      }.toSeq
+      partKey(values) -> Seq(s"data/$txn/$segs")
+    }.toMap
+  }
+
   /** Order-preserving comparison of two zone-map strings under the
     * column's type: numerics compare numerically; dates/timestamps and
     * strings compare as text (their cast-to-string form is sortable). */
@@ -597,7 +677,7 @@ object AtomicTable {
     * zombie task attempt's straggler never enters the scan. */
   private def txnScans(spark: SparkSession, table: String,
       m: Manifest): Seq[DataFrame] = {
-    val byTxn = m.allDirs.groupBy(d => d.substring(0, d.lastIndexOf('/')))
+    val byTxn = m.allDirs.groupBy(txnDirOf)
     byTxn.toSeq.sortBy(_._1).map { case (txnDir, dirs) =>
       val paths = dirs.flatMap { d =>
         m.files.get(d) match {
@@ -679,18 +759,16 @@ object AtomicTable {
     val sel = parts.fold(m.deletes)(p => m.deletes.filter { case (k, _) => p(k) })
     if (sel.isEmpty) return rows
     val keyCols = m.properties(DeleteKeysProperty).split(",").toSeq
-    // the partition column name is in every vector dir name
-    // (`data/txn-x/<col>=<val>`), same as the data dirs
-    val first = sel.valuesIterator.next().head
-    val seg = first.substring(first.lastIndexOf('/') + 1)
-    val partitionCol = seg.substring(0, seg.indexOf('='))
+    // the partition column names are in every vector dir name
+    // (`data/txn-x/<col>=<val>` per level), same as the data dirs
+    val partitionCols = partColsOfDir(sel.valuesIterator.next().head)
     val dirs = sel.values.flatten.toSeq.sorted
-    val byTxn = dirs.groupBy(d => d.substring(0, d.lastIndexOf('/')))
+    val byTxn = dirs.groupBy(txnDirOf)
     val dv = byTxn.toSeq.sortBy(_._1).map { case (txnDir, ds) =>
       spark.read.option("basePath", s"$table/$txnDir")
         .parquet(ds.map(d => s"$table/$d"): _*)
     }.reduce(_.unionByName(_))
-    val joinCols = keyCols :+ partitionCol
+    val joinCols = keyCols ++ partitionCols
     val dvKeys = dv.select(joinCols.map { c =>
       val dt = schema(c).dataType
       (if (dv.schema(c).dataType.catalogString == dt.catalogString) col(c)
@@ -882,22 +960,18 @@ object AtomicTable {
       expectedVersion: Option[Long] = None,
       operation: String = "write",
       append: Boolean = false): Manifest = {
-    require(!statsColumns.contains(partitionCol),
-      s"statsColumns must not include the partition column '$partitionCol': " +
+    val pcols = partCols(partitionCol)
+    require(pcols.nonEmpty, "replacePartitions needs a partition column")
+    pcols.foreach(c => require(!statsColumns.contains(c),
+      s"statsColumns must not include the partition column '$c': " +
         "partition pruning already handles it, and the staged files do " +
         "not physically carry it (its inferred stand-in could record " +
-        "bounds under the wrong type and mis-prune)")
+        "bounds under the wrong type and mis-prune)"))
     val root = Paths.get(table)
     val txn = s"txn-${UUID.randomUUID().toString.take(12)}"
-    rows.write.partitionBy(partitionCol).parquet(root.resolve("data").resolve(txn).toString)
+    rows.write.partitionBy(pcols: _*).parquet(root.resolve("data").resolve(txn).toString)
     val txnDir = root.resolve("data").resolve(txn)
-    val written = Files.list(txnDir).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith(s"$partitionCol="))
-      .map { n =>
-        ExternalCatalogUtils.unescapePathName(
-          n.substring(partitionCol.length + 1)) -> Seq(s"data/$txn/$n")
-      }.toMap
+    val written = stagedPartitionDirs(txnDir, txn, pcols)
     val newStats: Map[String, PartStats] =
       if (statsColumns.isEmpty || written.isEmpty) Map.empty
       else {
@@ -915,19 +989,26 @@ object AtomicTable {
         // 123 and orphan or cross-wire its stats. Only the stats columns
         // are scanned, thanks to parquet column pruning.
         val dirToKey: Map[String, String] = written.keys.map(k =>
-          ExternalCatalogUtils.escapePathName(k) -> k).toMap
-        // anchored to the SECOND-TO-LAST path segment (greedy .* takes
-        // the last occurrence): a table rooted under an ancestor dir that
-        // itself contains "<partitionCol>=" must not hijack the key
+          partKeyValues(k, pcols.size)
+            .map(ExternalCatalogUtils.escapePathName).mkString("/") -> k).toMap
+        // anchored to the trailing path segments (greedy .* takes the
+        // last occurrence): a table rooted under an ancestor dir that
+        // itself contains "<partitionCol>=" must not hijack the key;
+        // one capture group per partition level, re-joined with '/'
         val dirPattern =
-          ".*/" + java.util.regex.Pattern.quote(s"$partitionCol=") +
-            "([^/]+)/[^/]*$"
+          ".*/" + pcols.map(c =>
+            java.util.regex.Pattern.quote(s"$c=") + "([^/]+)").mkString("/") +
+            "/[^/]*$"
+        val fname = org.apache.spark.sql.functions.input_file_name()
+        val dirExpr =
+          if (pcols.size == 1)
+            org.apache.spark.sql.functions.regexp_extract(fname, dirPattern, 1)
+          else org.apache.spark.sql.functions.concat_ws("/",
+            pcols.indices.map(g => org.apache.spark.sql.functions
+              .regexp_extract(fname, dirPattern, g + 1)): _*)
         val staged = spark.read.option("basePath", txnDir.toString)
           .parquet(txnDir.toString)
-          .select(statsColumns.map(col) :+
-            org.apache.spark.sql.functions.regexp_extract(
-              org.apache.spark.sql.functions.input_file_name(),
-              dirPattern, 1).as("_dir"): _*)
+          .select(statsColumns.map(col) :+ dirExpr.as("_dir"): _*)
         val aggs = Seq(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("_rows")) ++
           statsColumns.flatMap(c => Seq(
@@ -944,9 +1025,14 @@ object AtomicTable {
             // '+' in a partition value into a space and could collapse
             // two distinct partitions onto one stats key)
             val raw = r.getString(0)
+            // per-level decoding: each captured segment is '/'-free, so
+            // the joined form splits back unambiguously at every level
+            def perSeg(s: String)(f: String => String): String =
+              s.split("/", -1).iterator.map(f).mkString("/")
             val key = dirToKey.getOrElse(raw,
-              dirToKey.getOrElse(percentDecode(raw),
-                ExternalCatalogUtils.unescapePathName(percentDecode(raw))))
+              dirToKey.getOrElse(perSeg(raw)(percentDecode),
+                partKey(perSeg(raw)(percentDecode).split("/", -1).toSeq
+                  .map(ExternalCatalogUtils.unescapePathName))))
             key -> PartStats(r.getLong(1),
               statsColumns.zipWithIndex.flatMap { case (c, i) =>
                 Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
@@ -998,10 +1084,11 @@ object AtomicTable {
     // the fold, the rewrite would resurrect every vector-deleted key
     val current = subtractDeletes(spark, table, schema, m,
       readManifest(spark, table, schema, m))
+    val pcolExprs = partCols(partitionCol).map(col)
     val packed =
-      if (filesPerPartition <= 1) current.repartition(col(partitionCol))
-      else current.repartition(col(partitionCol),
-        pmod(xxhash64(schema.fieldNames.map(col): _*), lit(filesPerPartition.toLong)))
+      if (filesPerPartition <= 1) current.repartition(pcolExprs: _*)
+      else current.repartition(pcolExprs :+
+        pmod(xxhash64(schema.fieldNames.map(col): _*), lit(filesPerPartition.toLong)): _*)
     // pinned read + optimistic commit: deriving the rewrite from version
     // m and committing over a concurrent writer would clobber it
     // carry the zone maps through the rewrite: a compaction that drops
@@ -1057,7 +1144,7 @@ object AtomicTable {
         readManifest(spark, table, schema,
           m.copy(partitions = m.partitions.filter { case (k, _) => fragmented(k) })),
         Some(fragmented))
-      .repartition(col(partitionCol))
+      .repartition(partCols(partitionCol).map(col): _*)
     // pinned read + optimistic commit: the rewrite was derived from
     // version m; if another writer replaced one of these partitions
     // meanwhile, committing would clobber it — abort instead
@@ -1127,12 +1214,26 @@ object AtomicTable {
     for (rel <- prunedDirs -- keptDirs) {
       val p = root.resolve(rel)
       if (Files.isDirectory(p)) deleteRecursively(p)
-      val txn = p.getParent
+      // climb from the leaf toward the txn dir, clearing the now-empty
+      // intermediate value dirs a multi-level layout leaves behind
+      val txn = root.resolve(txnDirOf(rel))
+      var cur = p.getParent
+      while (cur != null && cur != txn && cur.startsWith(txn) &&
+          Files.isDirectory(cur) && {
+            val s = Files.list(cur)
+            try !s.iterator.asScala.hasNext finally s.close()
+          }) {
+        Files.deleteIfExists(cur)
+        cur = cur.getParent
+      }
       if (Files.isDirectory(txn)) {
         val left = Files.list(txn)
-        try { if (!left.iterator.asScala.exists(q =>
-          Files.isDirectory(q) || !q.getFileName.toString.startsWith("_")))
-          deleteRecursively(txn) }
+        // '_' and '.' prefixes are the Hadoop hidden-file convention:
+        // _SUCCESS markers and their .crc shadows must not pin the husk
+        try { if (!left.iterator.asScala.exists { q =>
+          val n = q.getFileName.toString
+          Files.isDirectory(q) || !(n.startsWith("_") || n.startsWith("."))
+        }) deleteRecursively(txn) }
         finally left.close()
       }
     }

@@ -36,11 +36,16 @@ import org.apache.spark.sql.types.StructType
   * overwrites require. */
 object MergeInto {
 
-  /** Distinct partition values of `rows`, as the manifest's string form
-    * (one bounded collect — values, not rows). */
-  private def partitionValues(rows: DataFrame, partitionCol: String): Set[String] =
-    rows.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSet
+  /** Distinct partition keys of `rows`, as the manifest's string form
+    * (one bounded collect — values, not rows; multi-level specs build
+    * the composite key). */
+  private def partitionValues(rows: DataFrame, partitionCol: String): Set[String] = {
+    val pcols = AtomicTable.partCols(partitionCol)
+    rows.select(pcols.map(c => col(c).cast("string")): _*).distinct()
+      .collect()
+      .map(r => AtomicTable.partKey(pcols.indices.map(r.getString)))
+      .toSet
+  }
 
   /** The current merged state of the listed partitions: the data files
     * minus their delete vectors — what every copy-on-write rewrite here
@@ -169,11 +174,13 @@ object MergeInto {
       beforeCommit: () => Unit = () => ()): AtomicTable.Manifest = {
     val root = java.nio.file.Paths.get(table)
     val readVersion = AtomicTable.currentVersion(root).getOrElse(0L)
+    val pcols = AtomicTable.partCols(partitionCol)
+    val hasPartCols = pcols.forall(keys.columns.contains)
     val keyFrame = keys.select(
-      (if (keys.columns.contains(partitionCol)) keyCols :+ partitionCol
+      (if (hasPartCols) keyCols ++ pcols
        else keyCols).distinct.map(col): _*).distinct()
     val affected: Set[String] =
-      if (keys.columns.contains(partitionCol))
+      if (hasPartCols)
         partitionValues(keyFrame, partitionCol)
       else partitionValues(
         locateFrame(spark, table, schema, keyFrame, keyCols)
@@ -205,9 +212,9 @@ object MergeInto {
       condition: org.apache.spark.sql.Column, set: Map[String, org.apache.spark.sql.Column],
       partitionCol: String, statsColumns: Seq[String] = Nil,
       retain: Int = 1): AtomicTable.Manifest = {
-    require(!set.contains(partitionCol),
-      s"UPDATE may not assign the partition column '$partitionCol' " +
-        "(moving a row between partitions is a delete + insert)")
+    AtomicTable.partCols(partitionCol).foreach(c => require(!set.contains(c),
+      s"UPDATE may not assign the partition column '$c' " +
+        "(moving a row between partitions is a delete + insert)"))
     val unknown = set.keySet -- schema.fieldNames
     require(unknown.isEmpty, s"SET columns absent from the schema: $unknown")
     val root = java.nio.file.Paths.get(table)
@@ -262,13 +269,14 @@ object MergeInto {
             s"a vector keyed by (${keyCols.mkString(",")}) would not compose")
       }
     }
+    val pcols = AtomicTable.partCols(partitionCol)
     val keyFrame: DataFrame =
-      if (keys.columns.contains(partitionCol))
-        keys.select((keyCols :+ partitionCol).distinct.map(col): _*).distinct()
+      if (pcols.forall(keys.columns.contains))
+        keys.select((keyCols ++ pcols).distinct.map(col): _*).distinct()
       else locateFrame(spark, table, schema, keys, keyCols)
         .join(broadcast(keys.select(keyCols.map(col): _*).distinct()),
           keyCols, "left_semi")
-        .select((keyCols :+ partitionCol).map(col): _*).distinct()
+        .select((keyCols ++ pcols).distinct.map(col): _*).distinct()
     // stage the vector exactly like data (immutable parquet under a
     // fresh txn dir, partitioned so each partition's vector is its own
     // small file set), then commit it as a vector append
@@ -276,17 +284,9 @@ object MergeInto {
     val txnDir = root.resolve("data").resolve(txn)
     // one vector file per partition (repartition, not coalesce — a
     // coalesce(1) would also strangle the locate scan upstream of it)
-    keyFrame.repartition(col(partitionCol))
-      .write.partitionBy(partitionCol).parquet(txnDir.toString)
-    import scala.jdk.CollectionConverters._
-    val written = java.nio.file.Files.list(txnDir).iterator.asScala
-      .map(_.getFileName.toString)
-      .filter(_.startsWith(s"$partitionCol="))
-      .map { n =>
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(n.substring(partitionCol.length + 1)) ->
-          Seq(s"data/$txn/$n")
-      }.toMap
+    keyFrame.repartition(pcols.map(col): _*)
+      .write.partitionBy(pcols: _*).parquet(txnDir.toString)
+    val written = AtomicTable.stagedPartitionDirs(txnDir, txn, pcols)
     if (written.isEmpty) // nothing matched: no version burned
       return AtomicTable.manifest(root).getOrElse(AtomicTable.Manifest(0L, Map.empty))
     AtomicTable.commitManifest(root, Map.empty,
@@ -302,7 +302,8 @@ object MergeInto {
       partitionCol: String): AtomicTable.Manifest =
     deleteKeysMor(spark, table, schema,
       readMerged(spark, table, schema).filter(condition)
-        .select((keyCols :+ partitionCol).map(col): _*),
+        .select((keyCols ++ AtomicTable.partCols(partitionCol))
+          .distinct.map(col): _*),
       keyCols, partitionCol)
 
   /** The table's current MERGED state: data files minus delete vectors.
@@ -346,7 +347,8 @@ object MergeInto {
       Some(affected))
     val stillThere = partitionValues(survivors, partitionCol)
     AtomicTable.replacePartitions(spark, table,
-      survivors.repartition(col(partitionCol)), partitionCol,
+      survivors.repartition(AtomicTable.partCols(partitionCol).map(col): _*),
+      partitionCol,
       statsColumns = statsColumns,
       dropPartitions = affected -- stillThere,
       expectedVersion = Some(m.version), operation = "delete")
