@@ -74,7 +74,7 @@ object ChangeFeed {
             s"version ${v - 1} of $table is outside the retention window — " +
               "the change feed needs every manifest in the diffed range")
       }
-    val partitionCol = graft.sources.GraftSource.partitionColOf(
+    val partitionCols = graft.sources.GraftSource.partitionColsOf(
       if (cur.partitions.nonEmpty) cur else prev)
 
     def tag(df: DataFrame, tpe: String): DataFrame =
@@ -128,22 +128,22 @@ object ChangeFeed {
       // the full preimages with one broadcast semi-join against the
       // pre-commit contents of exactly the affected partitions
       val newKeys = vectorKeys(spark, table, dvGrownVecs.result())
-      val dvKeyCols = cur.properties(AtomicTable.DeleteKeysProperty)
-        .split(",").toSeq :+ partitionCol
+      val dvKeyCols = (cur.properties(AtomicTable.DeleteKeysProperty)
+        .split(",").toSeq ++ partitionCols).distinct
       out += tag(merged(prev, dvParts).join(broadcast(newKeys),
         dvKeyCols, "left_semi"), "delete")
     }
     val rw = rewritten.result()
     if (rw.nonEmpty)
       out += rewriteDiff(merged(prev, rw), merged(cur, rw),
-        keyCols, partitionCol, schema, tag)
+        keyCols, partitionCols, schema, tag)
     out.result().foldLeft(empty)(_.unionByName(_))
   }
 
   /** The key tuples of specific vector dirs, cast to the table's types. */
   private def vectorKeys(spark: SparkSession, table: String,
       dirs: Seq[String]): DataFrame = {
-    val byTxn = dirs.sorted.groupBy(d => d.substring(0, d.lastIndexOf('/')))
+    val byTxn = dirs.sorted.groupBy(AtomicTable.txnDirOf)
     byTxn.toSeq.sortBy(_._1).map { case (txnDir, ds) =>
       spark.read.option("basePath", s"$table/$txnDir")
         .parquet(ds.map(d => s"$table/$d"): _*)
@@ -157,13 +157,13 @@ object ChangeFeed {
     * shapes are bounded by the REWRITTEN partitions' rows — the change
     * volume — never the table. */
   private def rewriteDiff(old: DataFrame, nw: DataFrame,
-      keyCols0: Seq[String], partitionCol: String, schema: StructType,
+      keyCols0: Seq[String], partitionCols: Seq[String], schema: StructType,
       tag: (DataFrame, String) => DataFrame): DataFrame = {
     if (keyCols0.isEmpty) {
       tag(old.exceptAll(nw), "delete")
         .unionByName(tag(nw.exceptAll(old), "insert"))
     } else {
-      val keyCols = (keyCols0 :+ partitionCol).distinct
+      val keyCols = (keyCols0 ++ partitionCols).distinct
       val payload = schema.fieldNames.filterNot(keyCols.contains).toSeq
       val o = old.select(schema.fieldNames.map(c => col(c).as(s"_o_$c")): _*)
       val n = nw.select(schema.fieldNames.map(c => col(c).as(s"_n_$c")): _*)

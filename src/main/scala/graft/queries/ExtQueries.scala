@@ -77,6 +77,7 @@ object ExtQueries {
     "graft_source_scan" -> QueryDef(graftSourceScan, Some(graftSourceScanSql)),
     "graft_changefeed" -> QueryDef(graftChangefeed, Some(graftChangefeedSql)),
     "graft_cdf_merge" -> QueryDef(graftCdfMerge, Some(graftCdfMergeSql)),
+    "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),
     "graft_stream_sink" -> QueryDef(graftStreamSink, Some(graftStreamSinkSql)),
     "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),

@@ -666,6 +666,12 @@ object WarehouseQueries {
       s.sql(s"DELETE FROM $cat.wh.orders WHERE o_year = '1992'")
       s.sql(s"UPDATE $cat.wh.orders SET o_totalprice = o_totalprice + 1.0 " +
         "WHERE o_orderkey % 500 = 0")
+      // cross-partition row move: the UPDATE changes the partition key,
+      // so matched rows DELETE from their year and APPEND into the
+      // existing '2000' partition (whose prior rows must survive) in
+      // one atomic commit — the delete+insert rewrite path
+      s.sql(s"UPDATE $cat.wh.orders SET o_year = '2000' " +
+        "WHERE o_orderkey % 499 = 0")
       cat
     })
     s.sql(s"SELECT o_year, o_totalprice FROM $cat.wh.orders")
@@ -685,9 +691,11 @@ object WarehouseQueries {
        |d1 AS (SELECT * FROM merged WHERE k % 991 <> 0),
        |d2 AS (SELECT * FROM d1 WHERE y <> '1992'),
        |u AS (SELECT k, CASE WHEN k % 500 = 0 THEN tp + 1.0 ELSE tp END AS tp, y
-       |  FROM d2)
+       |  FROM d2),
+       |mv AS (SELECT k, tp,
+       |  CASE WHEN k % 499 = 0 THEN '2000' ELSE y END AS y FROM u)
        |SELECT y AS o_year, count(*) AS n_rows, ${sqlDsum("tp", 2)} AS revenue
-       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM mv GROUP BY 1 ORDER BY 1""".stripMargin
 
   private[queries] val whTimeTravelSql =
     s"""WITH o AS (
@@ -758,6 +766,48 @@ object WarehouseQueries {
         dsum(col("o_totalprice"), 2).as("price_sum"))
       .orderBy("change_type", "commit_version")
   }
+
+  /** Multi-level partitioning driven END-TO-END through the DSv2
+    * writer and scan: orders land in a TWO-LEVEL (month, status)
+    * graft table (`.option("partition", "o_ym,o_orderstatus")` —
+    * nested `o_ym=…/o_orderstatus=…` dirs, composite manifest keys),
+    * then the read filters on BOTH levels (a month range plus a
+    * status equality — each prunes its own level of the composite key
+    * from metadata) and aggregates per month. The oracle replays the
+    * same filter over the raw parquet: a mis-parsed composite key, a
+    * level swapped or dropped in the scan's restore, or over-pruning
+    * on either level shifts a group and fails the value compare. */
+  private[queries] def graftTwoLevel(s: SparkSession, dir: String): DataFrame = {
+    val table = staged.computeIfAbsent("2lvl:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-2lvl")
+        .resolve("orders").toString
+      Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+          col("o_orderstatus"))
+        .repartition(col("o_ym"), col("o_orderstatus"))
+        .write.format("graft").mode("append")
+        .option("partition", "o_ym,o_orderstatus").save(t)
+      t
+    })
+    s.read.format("graft").load(table)
+      .filter(col("o_ym") >= "1995-01" && col("o_ym") <= "1995-12" &&
+        col("o_orderstatus") === "F")
+      .groupBy("o_ym")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_ym")
+  }
+
+  private[queries] val graftTwoLevelSql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_ym, count(*) AS n_rows,
+       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
+       |  AND o_orderstatus = 'F'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private[queries] val graftCdfMergeSql =
     s"""WITH base AS (

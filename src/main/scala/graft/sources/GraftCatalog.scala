@@ -182,15 +182,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     if (!Files.isDirectory(dir.getParent))
       throw new NoSuchNamespaceException(ident.namespace())
-    val partCol = partitions.toSeq match {
-      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+    val partColList = partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
       case other => throw new IllegalArgumentException(
-        "graft tables take exactly one PARTITIONED BY (<col>) identity " +
-          s"column, got [${other.mkString(", ")}]")
+        "graft tables take PARTITIONED BY (<col>[, <col>...]) identity " +
+          s"columns only, got [$other]")
     }
-    require(schema.fieldNames.contains(partCol),
-      s"partition column '$partCol' is not in the table schema")
+    require(partColList.nonEmpty,
+      "graft tables take at least one PARTITIONED BY (<col>) identity column")
+    require(partColList.distinct == partColList,
+      s"duplicate PARTITIONED BY columns: [${partColList.mkString(", ")}]")
+    partColList.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
+    // stored and threaded everywhere as the comma-joined spec
+    val partCol = partColList.mkString(",")
     // retention is what makes SQL time travel WORK on this table: every
     // catalog-routed commit carries it (TBLPROPERTIES ('retain'='N') to
     // size the window; manifests are tiny, but retained manifests pin
@@ -206,7 +212,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     statsCols.foreach { c =>
       require(schema.fieldNames.contains(c), s"stats column '$c' not in schema")
-      require(c != partCol, "stats_columns must not include the partition column")
+      require(!partColList.contains(c),
+        "stats_columns must not include a partition column")
     }
     Files.createDirectories(dir)
     // the catalog's only commit point: O_EXCL create-new of _table.json

@@ -32,9 +32,22 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   private val conf = new Configuration()
   // resolved by NAME from the manifest's own key form: with schema
   // evolution, "not present in the files" no longer identifies it —
-  // evolved columns are also absent from pre-evolution files
-  private lazy val partitionColIdx: Int =
-    required.fieldNames.indexOf(part.partitionCol)
+  // evolved columns are also absent from pre-evolution files. One
+  // typed constant per partition LEVEL present in the read schema.
+  private lazy val partValueAt: Map[Int, Any] = {
+    val values = part.partValues
+    part.partitionCols.zipWithIndex.flatMap { case (c, lvl) =>
+      val i = required.fieldNames.indexOf(c)
+      if (i < 0) None
+      else Some(i -> (required(i).dataType match {
+        case StringType => UTF8String.fromString(values(lvl))
+        case LongType => values(lvl).toLong
+        case IntegerType => values(lvl).toInt
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition column type $other")
+      }))
+    }.toMap
+  }
   private def fileHasColumn(n: String): Boolean = fileSchemaNames.contains(n)
   private lazy val fileSchemaNames: Set[String] = {
     val r = ParquetFileReader.open(
@@ -167,21 +180,6 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     }
   }
 
-  // the manifest key is a string; the DECLARED schema may type the
-  // partition column (catalog tables can PARTITION BY a BIGINT) — emit
-  // the catalyst value of the declared type
-  private lazy val partValueTyped: Any = {
-    val i = required.fieldNames.indexOf(part.partitionCol)
-    if (i < 0) null
-    else required(i).dataType match {
-      case StringType => UTF8String.fromString(part.partValue)
-      case LongType => part.partValue.toLong
-      case IntegerType => part.partValue.toInt
-      case other => throw new IllegalArgumentException(
-        s"unsupported partition column type $other")
-    }
-  }
-
   override def next(): Boolean = {
     while (true) {
       if (reader == null && !openNext()) return false
@@ -201,7 +199,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
           var j = 0
           while (j < required.length) {
             val f = required(j)
-            if (j == partitionColIdx) row.update(j, partValueTyped)
+            if (partValueAt.contains(j)) row.update(j, partValueAt(j))
             else if (fieldIdx.contains(f.name))
               row.update(j, catalystValue(g, f.name, f.dataType))
             // change-feed scans surface per-commit constants

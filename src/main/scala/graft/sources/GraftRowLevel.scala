@@ -91,7 +91,9 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
     extends GraftScan(root, full, required, filters)
     with SupportsRuntimeV2Filtering {
 
-  private var runtimeKeep: Option[Set[String]] = None
+  private val pcols = AtomicTable.partCols(partitionCol)
+  // per-level runtime narrowing: level index -> admitted segment values
+  private var runtimeKeep: Option[Map[Int, Set[String]]] = None
 
   // runtime group filtering mutates the partition set after planning, so
   // the key-grouped report the base scan makes could disagree with the
@@ -102,14 +104,19 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
 
   override def filterAttributes(): Array[NamedReference] =
     if (cmd == Command.MERGE) Array.empty
-    else Array(Expressions.column(partitionCol))
+    else pcols.toArray.map(Expressions.column)
 
   override def filter(predicates: Array[Predicate]): Unit = {
-    // conjunctive narrowing: every extractable predicate intersects the
-    // keep-set; anything unextractable is simply not used to narrow
-    // (pruning can only skip groups the condition cannot touch)
-    val sets = predicates.flatMap(GraftV2Predicates.valuesFor(_, partitionCol))
-    if (sets.nonEmpty) runtimeKeep = Some(sets.reduce(_ intersect _))
+    // conjunctive narrowing: every extractable predicate intersects its
+    // level's keep-set; anything unextractable is simply not used to
+    // narrow (pruning can only skip groups the condition cannot touch)
+    val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
+    for {
+      p <- predicates
+      (c, i) <- pcols.zipWithIndex
+      vs <- GraftV2Predicates.valuesFor(p, c)
+    } acc(i) = acc.get(i).fold(vs)(_ intersect vs)
+    if (acc.nonEmpty) runtimeKeep = Some(acc.toMap)
   }
 
   // the manifest is pinned at FIRST planning: Spark may re-plan after the
@@ -127,7 +134,10 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
     }
     val base = planFromManifest(m).map(_.asInstanceOf[GraftInputPartition])
     val kept = runtimeKeep match {
-      case Some(vs) => base.filter(p => vs.contains(p.partValue))
+      case Some(byLevel) => base.filter { p =>
+        val segs = p.partValues
+        byLevel.forall { case (i, vs) => vs.contains(segs(i)) }
+      }
       case None => base
     }
     state.readVersion = m.version
@@ -285,17 +295,31 @@ private[sources] object GraftV2Predicates {
       case _ => None
     }
 
-  /** Partition keys of `keys` a conjunction of predicates matches, when
-    * EVERY predicate is expressible over the partition column alone
-    * (ALWAYS_TRUE allowed — that is TRUNCATE): the metadata-only DELETE
-    * contract. None → not metadata-only, fall to the row-level path. */
-  def partitionsFor(predicates: Array[Predicate], partitionCol: String,
+  /** The manifest keys of `keys` predicate `p` admits when it pins ONE
+    * of the partition columns — tested against that column's segment of
+    * the composite key. None when `p` constrains anything else. */
+  private def keysMatching(p: Predicate, pcols: Seq[String],
       keys: Set[String]): Option[Set[String]] =
+    pcols.zipWithIndex.view.flatMap { case (c, i) =>
+      valuesFor(p, c).map(vs => keys.filter(k =>
+        vs.contains(graft.etl.AtomicTable.partKeyValues(k, pcols.size)(i))))
+    }.headOption
+
+  /** Partition keys of `keys` a conjunction of predicates matches, when
+    * EVERY predicate is expressible over one partition column alone
+    * (ALWAYS_TRUE allowed — that is TRUNCATE): the metadata-only DELETE
+    * contract, per level on multi-level tables (`DELETE WHERE ym='x'`
+    * drops every composite with that ym segment). None → not
+    * metadata-only, fall to the row-level path. */
+  def partitionsFor(predicates: Array[Predicate], partitionCol: String,
+      keys: Set[String]): Option[Set[String]] = {
+    val pcols = graft.etl.AtomicTable.partCols(partitionCol)
     predicates.foldLeft(Option(keys)) { (acc, p) =>
       for {
         a <- acc
         s <- if (p.name() == "ALWAYS_TRUE") Some(keys)
-             else valuesFor(p, partitionCol)
+             else keysMatching(p, pcols, keys)
       } yield a intersect s
     }
+  }
 }

@@ -150,11 +150,15 @@ object GraftSource {
     }
   }
 
-  private[graft] def partitionColOf(m: AtomicTable.Manifest): String = {
-    val d = m.allDirs.head
-    val seg = d.substring(d.lastIndexOf('/') + 1)
-    seg.substring(0, seg.indexOf('='))
-  }
+  /** The partition columns a manifest's layout encodes, in level order
+    * (from the dir names — the layout is self-describing). */
+  private[graft] def partitionColsOf(m: AtomicTable.Manifest): Seq[String] =
+    AtomicTable.partColsOfDir(m.allDirs.head)
+
+  /** The comma-joined partition SPEC of a manifest's layout — the form
+    * every `partitionCol` parameter accepts. */
+  private[graft] def partitionColOf(m: AtomicTable.Manifest): String =
+    partitionColsOf(m).mkString(",")
 
   /** A data dir's committed parquet paths: exactly the manifest's file
     * list when recorded (zombie attempts' stragglers excluded), else a
@@ -248,8 +252,9 @@ object GraftSource {
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(first, conf))
     val msg = try footer.getFooter.getFileMetaData.getSchema finally footer.close()
     StructType(msg.getFields.asScala.toSeq.map(f =>
-      StructField(f.getName, sparkType(f), nullable = true)) :+
-      StructField(partitionColOf(m), StringType, nullable = false))
+      StructField(f.getName, sparkType(f), nullable = true)) ++
+      partitionColsOf(m).map(c =>
+        StructField(c, StringType, nullable = false)))
   }
 }
 
@@ -272,8 +277,8 @@ private[sources] class GraftTable(props: Map[String, String],
   // surfacing the partitioning is what lets Spark accept a static
   // `PARTITION (p='x')` spec on INSERT OVERWRITE
   override def partitioning(): Array[Transform] =
-    partitionColNow.map(pc =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
+    partitionColNow.toSeq.flatMap(AtomicTable.partCols).map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
       .toArray
   override def capabilities(): java.util.Set[TableCapability] =
     if (pinned.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
@@ -514,8 +519,10 @@ private[sources] class GraftScan(root: String, full: StructType,
       .filter(_.partitions.nonEmpty)
       .map { m =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(GraftSource.partitionColOf(m))), planned.length)
+          GraftSource.partitionColsOf(m).toArray.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression),
+          planned.length)
           : org.apache.spark.sql.connector.read.partitioning.Partitioning
       }.getOrElse(
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0))
@@ -529,19 +536,19 @@ private[sources] class GraftScan(root: String, full: StructType,
   private[sources] def planFromManifest(m: AtomicTable.Manifest)
       : Array[InputPartition] = {
     if (m.partitions.isEmpty) return Array.empty
-    val partitionCol = GraftSource.partitionColOf(m)
+    val pcols = GraftSource.partitionColsOf(m)
     val keyCols: Seq[String] = m.properties.get(AtomicTable.DeleteKeysProperty)
       .map(_.split(",").toSeq).getOrElse(Nil)
-    val kept = prunePartitions(m, partitionCol)
+    val ptypes = pcols.map(c =>
+      if (full.fieldNames.contains(c)) full(c).dataType.typeName else "string")
+    val kept = prunePartitions(m, pcols)
     val conf = new Configuration()
     kept.toSeq.sortBy(_._1).map { case (part, dirs) =>
       val dataFiles = dirs.flatMap(d =>
         GraftSource.committedFiles(m, conf, root, d))
       val vecFiles = m.deletes.getOrElse(part, Nil)
         .flatMap(d => listParquet(conf, s"$root/$d"))
-      GraftInputPartition(part, dataFiles, vecFiles, keyCols, partitionCol,
-        if (full.fieldNames.contains(partitionCol))
-          full(partitionCol).dataType.typeName else "string")
+      GraftInputPartition(part, dataFiles, vecFiles, keyCols, pcols, ptypes)
         : InputPartition
     }.toArray
   }
@@ -558,22 +565,27 @@ private[sources] class GraftScan(root: String, full: StructType,
     * zone-mapped column predicates drop partitions whose [min, max]
     * cannot satisfy them. Conservative in every unknown case. */
   private def prunePartitions(m: AtomicTable.Manifest,
-      partitionCol: String): Map[String, Seq[String]] = {
+      pcols: Seq[String]): Map[String, Seq[String]] = {
     // compare in the DECLARED type's order (a catalog table can
     // PARTITION BY a BIGINT, where the lexicographic "10" < "9" would
-    // wrongly prune and LOSE rows) — same comparator as the zone maps
-    def cmpKey(part: String, v: Any): Int = {
-      val dt = if (full.fieldNames.contains(partitionCol))
-        full(partitionCol).dataType else StringType
-      AtomicTable.statsOrder(dt, part, GraftSource.filterValueString(v))
+    // wrongly prune and LOSE rows) — same comparator as the zone maps.
+    // Multi-level keys compare per LEVEL: a filter on any partition
+    // column tests that column's segment of the composite key.
+    val level: Map[String, Int] = pcols.zipWithIndex.toMap
+    def cmpKey(part: String, c: String, v: Any): Int = {
+      val dt = if (full.fieldNames.contains(c)) full(c).dataType
+        else StringType
+      val seg = AtomicTable.partKeyValues(part, pcols.size)(level(c))
+      AtomicTable.statsOrder(dt, seg, GraftSource.filterValueString(v))
     }
     def admits(part: String): Boolean = filters.forall {
-      case EqualTo(c, v) if c == partitionCol => cmpKey(part, v) == 0
-      case In(c, vs) if c == partitionCol => vs.exists(v => cmpKey(part, v) == 0)
-      case GreaterThan(c, v) if c == partitionCol => cmpKey(part, v) > 0
-      case GreaterThanOrEqual(c, v) if c == partitionCol => cmpKey(part, v) >= 0
-      case LessThan(c, v) if c == partitionCol => cmpKey(part, v) < 0
-      case LessThanOrEqual(c, v) if c == partitionCol => cmpKey(part, v) <= 0
+      case EqualTo(c, v) if level.contains(c) => cmpKey(part, c, v) == 0
+      case In(c, vs) if level.contains(c) =>
+        vs.exists(v => cmpKey(part, c, v) == 0)
+      case GreaterThan(c, v) if level.contains(c) => cmpKey(part, c, v) > 0
+      case GreaterThanOrEqual(c, v) if level.contains(c) => cmpKey(part, c, v) >= 0
+      case LessThan(c, v) if level.contains(c) => cmpKey(part, c, v) < 0
+      case LessThanOrEqual(c, v) if level.contains(c) => cmpKey(part, c, v) <= 0
       case f => zoneAdmits(m, part, f)
     }
     m.partitions.filter { case (p, _) => admits(p) }
@@ -688,38 +700,39 @@ private[sources] class GraftMicroBatchStream(root: String,
               "retention window — recreate the stream (and write the " +
               "source table with a larger `retain`)")
       }
-    val partitionCol = GraftSource.partitionColOf(endM)
+    val pcols = GraftSource.partitionColsOf(endM)
     val changed = GraftSource.changedDirs(startParts, endM.partitions)
-      .filter { case (p, _) => partitionFilterAdmits(p, partitionCol) }
+      .filter { case (p, _) => partitionFilterAdmits(p, pcols) }
     val conf = new Configuration()
     changed.toSeq.sortBy(_._1).map { case (part, dirs) =>
       val files = dirs.flatMap(d =>
         GraftSource.committedFiles(endM, conf, root, d))
-      GraftInputPartition(part, files, Nil, Nil, partitionCol): InputPartition
+      GraftInputPartition(part, files, Nil, Nil, pcols): InputPartition
     }.toArray
   }
 
-  private def partitionFilterAdmits(part: String, partitionCol: String): Boolean = {
+  private def partitionFilterAdmits(part: String, pcols: Seq[String]): Boolean = {
     // typed comparisons, like the batch scan's pruning: a numeric
     // partition column must not be range-pruned lexicographically.
     // Equality is representation-safe; for ranges, prune only when the
     // column's declared type is visible in the read schema — otherwise
     // admit (pruning may only skip work, never rows)
-    lazy val dt: Option[DataType] =
-      if (required.fieldNames.contains(partitionCol))
-        Some(required(partitionCol).dataType) else None
-    def cmp(v: Any)(ok: Int => Boolean): Boolean =
-      dt.forall(t => ok(AtomicTable.statsOrder(t, part,
+    val level: Map[String, Int] = pcols.zipWithIndex.toMap
+    def seg(c: String): String =
+      AtomicTable.partKeyValues(part, pcols.size)(level(c))
+    def cmp(c: String, v: Any)(ok: Int => Boolean): Boolean =
+      (if (required.fieldNames.contains(c)) Some(required(c).dataType)
+       else None).forall(t => ok(AtomicTable.statsOrder(t, seg(c),
         GraftSource.filterValueString(v))))
     filters.forall {
-      case EqualTo(c, v) if c == partitionCol =>
-        part == GraftSource.filterValueString(v)
-      case In(c, vs) if c == partitionCol =>
-        vs.map(GraftSource.filterValueString).contains(part)
-      case GreaterThan(c, v) if c == partitionCol => cmp(v)(_ > 0)
-      case GreaterThanOrEqual(c, v) if c == partitionCol => cmp(v)(_ >= 0)
-      case LessThan(c, v) if c == partitionCol => cmp(v)(_ < 0)
-      case LessThanOrEqual(c, v) if c == partitionCol => cmp(v)(_ <= 0)
+      case EqualTo(c, v) if level.contains(c) =>
+        seg(c) == GraftSource.filterValueString(v)
+      case In(c, vs) if level.contains(c) =>
+        vs.map(GraftSource.filterValueString).contains(seg(c))
+      case GreaterThan(c, v) if level.contains(c) => cmp(c, v)(_ > 0)
+      case GreaterThanOrEqual(c, v) if level.contains(c) => cmp(c, v)(_ >= 0)
+      case LessThan(c, v) if level.contains(c) => cmp(c, v)(_ < 0)
+      case LessThanOrEqual(c, v) if level.contains(c) => cmp(c, v)(_ <= 0)
       case _ => true
     }
   }
@@ -730,16 +743,23 @@ private[sources] class GraftMicroBatchStream(root: String,
 
 private[sources] final case class GraftInputPartition(partValue: String,
     dataFiles: Seq[String], vectorFiles: Seq[String], keyCols: Seq[String],
-    partitionCol: String, partitionColType: String = "string",
+    partitionCols: Seq[String], partitionColTypes: Seq[String] = Nil,
     changeVersion: Option[Long] = None)
   extends InputPartition
   with org.apache.spark.sql.connector.read.HasPartitionKey {
-  // the key row must carry the DECLARED key type: Spark sorts/groups
+  /** Per-level value strings of the composite manifest key. */
+  def partValues: Seq[String] =
+    AtomicTable.partKeyValues(partValue, partitionCols.size)
+  private def typeAt(i: Int): String =
+    if (i < partitionColTypes.size) partitionColTypes(i) else "string"
+  // the key row must carry the DECLARED key types: Spark sorts/groups
   // input partitions by it whenever the scan reports key-grouping
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](partitionColType match {
-      case "long" => partValue.toLong
-      case "integer" => partValue.toInt
-      case _ => UTF8String.fromString(partValue)
-    }))
+    new GenericInternalRow(partValues.zipWithIndex.map { case (v, i) =>
+      typeAt(i) match {
+        case "long" => v.toLong: Any
+        case "integer" => v.toInt: Any
+        case _ => UTF8String.fromString(v): Any
+      }
+    }.toArray)
 }

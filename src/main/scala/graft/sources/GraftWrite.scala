@@ -98,7 +98,7 @@ private[sources] class GraftWriteBuilder(root: String,
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(declaredStats)
     cols.foreach { c =>
-      require(c != partitionCol,
+      require(!graft.etl.AtomicTable.partCols(partitionCol).contains(c),
         s"stats_columns must not include the partition column '$c'")
       require(info.schema().fieldNames.contains(c),
         s"stats column '$c' is not in the write schema")
@@ -121,8 +121,9 @@ private[sources] class GraftWriteBuilder(root: String,
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
-          Array(org.apache.spark.sql.connector.expressions.Expressions
-            .identity(resolvePartitionCol())))
+          graft.etl.AtomicTable.partCols(resolvePartitionCol()).toArray.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression))
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
@@ -407,27 +408,34 @@ private[sources] object GraftWriteCommit {
       case _ => ()
     }
     val conf = new Configuration()
+    val pcols = graft.etl.AtomicTable.partCols(partitionCol)
     val txnPath = new Path(s"$root/data/$txn")
     val fs = txnPath.getFileSystem(conf)
-    if (fs.exists(txnPath)) fs.listStatus(txnPath).foreach { st =>
-      val dirName = st.getPath.getName
-      if (dirName.startsWith(s"$partitionCol=")) {
-        val part = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .unescapePathName(dirName.substring(partitionCol.length + 1))
-        byPart.get(part) match {
-          case None => fs.delete(st.getPath, true); ()
-          case Some(keep) => fs.listStatus(st.getPath).foreach { f =>
-            val n = f.getPath.getName
-            if (n.endsWith(".parquet") && !keep.contains(n)) {
-              fs.delete(f.getPath, false); ()
+    // walk one nested level per partition column to the staged leaves
+    def walk(dir: Path, cols: Seq[String], values: Seq[String]): Unit =
+      cols match {
+        case Nil =>
+          val part = graft.etl.AtomicTable.partKey(values)
+          byPart.get(part) match {
+            case None => fs.delete(dir, true); ()
+            case Some(keep) => fs.listStatus(dir).foreach { f =>
+              val n = f.getPath.getName
+              if (n.endsWith(".parquet") && !keep.contains(n)) {
+                fs.delete(f.getPath, false); ()
+              }
             }
           }
+        case c +: rest => fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (st.isDirectory && n.startsWith(s"$c="))
+            walk(st.getPath, rest,
+              values :+ org.apache.spark.sql.catalyst.catalog
+                .ExternalCatalogUtils.unescapePathName(n.substring(c.length + 1)))
         }
       }
-    }
+    if (fs.exists(txnPath)) walk(txnPath, pcols, Nil)
     val dirOf = byPart.keys.map { pv =>
-      pv -> (s"data/$txn/$partitionCol=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(pv))
+      pv -> s"data/$txn/${graft.etl.AtomicTable.partDirSuffix(pcols, pv)}"
     }.toMap
     Staged(dirOf.map { case (pv, d) => pv -> Seq(d) },
       dirOf.map { case (pv, d) => d -> byPart(pv).toSeq.sorted })
@@ -488,7 +496,8 @@ private[sources] class GraftDataWriter(root: String, txn: String,
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
 
-  private val partIdx = schema.fieldIndex(partitionCol)
+  private val pcols = graft.etl.AtomicTable.partCols(partitionCol)
+  private val partIdxs: Array[Int] = pcols.map(schema.fieldIndex).toArray
   private val statsFields: Array[(String, Int, DataType)] =
     statsColumns.map(c => (c, schema.fieldIndex(c), schema(c).dataType)).toArray
   // per partition VALUE: row count + typed running min/max per stats col
@@ -498,7 +507,8 @@ private[sources] class GraftDataWriter(root: String, txn: String,
     val maxs = new Array[Any](statsFields.length)
   }
   private val statsAcc = mutable.Map.empty[String, StatsAcc]
-  private val dataFields = schema.fields.zipWithIndex.filter(_._1.name != partitionCol)
+  private val dataFields =
+    schema.fields.zipWithIndex.filterNot(f => pcols.contains(f._1.name))
   private val msgType: MessageType = {
     import org.apache.parquet.schema.Types
     val b = Types.buildMessage()
@@ -537,8 +547,8 @@ private[sources] class GraftDataWriter(root: String, txn: String,
 
   private def writerFor(part: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
     writers.getOrElseUpdate(part, {
-      val dir = s"$root/data/$txn/$partitionCol=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(part)
+      val dir = s"$root/data/$txn/" +
+        graft.etl.AtomicTable.partDirSuffix(pcols, part)
       val file = new Path(s"$dir/${fileNameFor()}")
       ExampleParquetWriter.builder(
           org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
@@ -549,14 +559,17 @@ private[sources] class GraftDataWriter(root: String, txn: String,
     })
 
   override def write(row: InternalRow): Unit = {
-    require(!row.isNullAt(partIdx), s"null partition value for '$partitionCol'")
-    val partValue = schema(partIdx).dataType match {
-      case StringType => row.getUTF8String(partIdx).toString
-      case LongType => row.getLong(partIdx).toString
-      case IntegerType => row.getInt(partIdx).toString
-      case other => throw new IllegalArgumentException(
-        s"unsupported partition column type $other")
-    }
+    val partValue = graft.etl.AtomicTable.partKey(
+      partIdxs.toSeq.zip(pcols).map { case (i, c) =>
+        require(!row.isNullAt(i), s"null partition value for '$c'")
+        schema(i).dataType match {
+          case StringType => row.getUTF8String(i).toString
+          case LongType => row.getLong(i).toString
+          case IntegerType => row.getInt(i).toString
+          case other => throw new IllegalArgumentException(
+            s"unsupported partition column type $other")
+        }
+      })
     val g = factory.newGroup()
     dataFields.foreach { case (f, i) =>
       if (!row.isNullAt(i)) f.dataType match {

@@ -95,6 +95,32 @@ class ChangeFeedSpec extends SparkSuite {
       "bin-packing moved bytes but changed no row")
   }
 
+  test("two-level tables classify row-level changes per composite partition") {
+    val dir = Files.createTempDirectory("graft-cdc-ml").toString
+    val schema2 = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType),
+      StructField("ym", StringType), StructField("st", StringType)))
+    def df(rows: (Long, Long, String, String)*) =
+      rows.toDF("id", "v", "ym", "st")
+    AtomicTable.replacePartitions(spark, dir,
+      df((1L, 10L, "a", "F"), (2L, 20L, "a", "O"), (3L, 30L, "b", "F")),
+      "ym,st", retain = 100)                                        // v1
+    // v2: rewrite ONLY composite a/F — reprice id=1
+    AtomicTable.replacePartitions(spark, dir,
+      df((1L, 11L, "a", "F")), "ym,st", retain = 100,
+      expectedVersion = Some(1L))                                   // v2
+    // v3: vector-delete id=3 from b/F
+    MergeInto.deleteKeysMor(spark, dir, schema2,
+      df((3L, 0L, "b", "F")).select("id", "ym", "st"), Seq("id"), "ym,st",
+      retain = 100)                                                 // v3
+    val out = ChangeFeed.changes(spark, dir, schema2, 2, 3, Seq("id"))
+      .as[(Long, Long, String, String, String, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 10L, "a", "F", "update_preimage", 2L),
+      (1L, 11L, "a", "F", "update_postimage", 2L),
+      (3L, 30L, "b", "F", "delete", 3L)))
+  }
+
   test("readChangeFeed scan: inserts attributed per commit, loud on rewrites") {
     val dir = Files.createTempDirectory("graft-cdc5").toString
     AtomicTable.replacePartitions(spark, dir,

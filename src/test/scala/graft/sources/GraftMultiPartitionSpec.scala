@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.etl.AtomicTable
+
+/** Multi-level `PARTITIONED BY (c1, c2)` through the SQL surface: the
+  * catalog's DDL, INSERT paths, metadata tables, metadata-only DELETE,
+  * row-level UPDATE/MERGE, pruned scans and the DSv2 path writer. */
+class GraftMultiPartitionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-mcat").toString
+    spark.conf.set("spark.sql.catalog.mcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mcat.root", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mcat.db")
+    w
+  }
+
+  private def seed(table: String): Unit = {
+    spark.sql(s"CREATE TABLE $table (id BIGINT, v DOUBLE, ym STRING, " +
+      "status STRING) PARTITIONED BY (ym, status)")
+    spark.sql(s"INSERT INTO $table VALUES " +
+      "(1, 1.5, '1995-01', 'F'), (2, 2.5, '1995-01', 'O'), " +
+      "(3, 3.5, '1995-02', 'F'), (4, 4.5, '1995-02', 'O'), " +
+      "(5, 5.5, '1995-03', 'F'), (6, 6.5, '1995-03', 'O')")
+  }
+
+  test("CREATE + INSERT + SELECT on a two-level table; scans prune per level") {
+    warehouse
+    seed("mcat.db.m1")
+    assert(spark.sql("SELECT sum(id) FROM mcat.db.m1").as[Long].head() === 21L)
+    // manifest keys are composite, dirs nest both levels
+    val m = AtomicTable.manifest(Paths.get(warehouse, "db", "m1")).get
+    assert(m.partitions.keySet === Set(
+      "1995-01/F", "1995-01/O", "1995-02/F", "1995-02/O",
+      "1995-03/F", "1995-03/O"))
+    m.allDirs.foreach(d => assert(
+      d.matches("data/txn-[^/]+/ym=[^/]+/status=[^/]+"), d))
+    // a filter on EITHER level prunes from metadata: input partition
+    // count drops before any file is opened
+    val byYm = spark.sql("SELECT id FROM mcat.db.m1 WHERE ym = '1995-02'")
+    assert(byYm.rdd.getNumPartitions === 2)
+    assert(byYm.as[Long].collect().toSet === Set(3L, 4L))
+    val byStatus = spark.sql("SELECT id FROM mcat.db.m1 WHERE status = 'F'")
+    assert(byStatus.rdd.getNumPartitions === 3)
+    assert(byStatus.as[Long].collect().toSet === Set(1L, 3L, 5L))
+    val byBoth = spark.sql(
+      "SELECT id FROM mcat.db.m1 WHERE ym = '1995-03' AND status = 'O'")
+    assert(byBoth.rdd.getNumPartitions === 1)
+    assert(byBoth.as[Long].collect().toSet === Set(6L))
+  }
+
+  test("$partitions and $detail expose both levels") {
+    warehouse
+    seed("mcat.db.m2")
+    val parts = spark.sql(
+      "SELECT partition FROM mcat.db.`m2$partitions` ORDER BY partition")
+      .as[String].collect().toSeq
+    assert(parts === Seq("1995-01/F", "1995-01/O", "1995-02/F",
+      "1995-02/O", "1995-03/F", "1995-03/O"))
+    assert(spark.sql("SELECT partition_column FROM mcat.db.`m2$detail`")
+      .as[String].head() === "ym,status")
+  }
+
+  test("metadata-only DELETE on one level drops every matching composite") {
+    warehouse
+    seed("mcat.db.m3")
+    val root = Paths.get(warehouse, "db", "m3")
+    val v1 = AtomicTable.currentVersion(root).get
+    spark.sql("DELETE FROM mcat.db.m3 WHERE ym = '1995-02'")
+    val m = AtomicTable.manifest(root).get
+    assert(m.version === v1 + 1)
+    assert(m.operation === "delete")
+    assert(m.partitions.keySet ===
+      Set("1995-01/F", "1995-01/O", "1995-03/F", "1995-03/O"))
+    assert(spark.sql("SELECT count(*) FROM mcat.db.m3").as[Long].head() === 4L)
+    // both levels pinned: exactly one composite drops, still metadata-only
+    spark.sql("DELETE FROM mcat.db.m3 WHERE ym = '1995-01' AND status = 'O'")
+    assert(AtomicTable.manifest(root).get.partitions.keySet ===
+      Set("1995-01/F", "1995-03/F", "1995-03/O"))
+  }
+
+  test("row-level UPDATE and MERGE rewrite only matching composites") {
+    warehouse
+    seed("mcat.db.m4")
+    val root = Paths.get(warehouse, "db", "m4")
+    val before = AtomicTable.manifest(root).get
+    spark.sql("UPDATE mcat.db.m4 SET v = v + 100 WHERE ym = '1995-01' AND id = 1")
+    val after = AtomicTable.manifest(root).get
+    assert(spark.sql("SELECT v FROM mcat.db.m4 WHERE id = 1")
+      .as[Double].head() === 101.5)
+    // runtime group filtering: only 1995-01's composites rewrote
+    val changed = after.partitions.keySet.filter(k =>
+      after.partitions(k) != before.partitions.getOrElse(k, Nil))
+    assert(changed.forall(_.startsWith("1995-01/")),
+      s"non-1995-01 partitions rewrote: $changed")
+    // MERGE: update one composite, insert a brand-new one
+    Seq((5L, 50.0, "1995-03", "F"), (9L, 9.5, "1995-04", "O"))
+      .toDF("id", "v", "ym", "status").createOrReplaceTempView("m4src")
+    spark.sql("""MERGE INTO mcat.db.m4 t USING m4src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+    assert(spark.sql("SELECT v FROM mcat.db.m4 WHERE id = 5")
+      .as[Double].head() === 50.0)
+    assert(AtomicTable.manifest(root).get.partitions.contains("1995-04/O"))
+    assert(spark.sql("SELECT count(*) FROM mcat.db.m4").as[Long].head() === 7L)
+  }
+
+  test("dynamic overwrite and the DSv2 path writer handle two levels") {
+    warehouse
+    val dir = Files.createTempDirectory("graft-mp-dsv2").resolve("t").toString
+    val df = Seq((1L, "1995-01", "F"), (2L, "1995-01", "O"), (3L, "1995-02", "F"))
+      .toDF("id", "ym", "status")
+    df.write.format("graft").mode("append")
+      .option("partition", "ym,status").save(dir)
+    val m1 = AtomicTable.manifest(Paths.get(dir)).get
+    assert(m1.partitions.keySet === Set("1995-01/F", "1995-01/O", "1995-02/F"))
+    // a second append grows exactly the touched composite's dir list
+    Seq((20L, "1995-01", "O")).toDF("id", "ym", "status")
+      .write.format("graft").mode("append")
+      .option("partition", "ym,status").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.select("id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 20L))
+    // the read restores both partition columns
+    assert(back.filter(col("status") === "F").select("id")
+      .as[Long].collect().toSet === Set(1L, 3L))
+    val m2 = AtomicTable.manifest(Paths.get(dir)).get
+    assert(m2.partitions("1995-01/O").size === 2)
+    assert(m2.partitions("1995-01/F") === m1.partitions("1995-01/F"))
+    // dynamic partition replace through SQL: only the composite present
+    // in the data replaces; every other composite is untouched
+    seed("mcat.db.m6")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      "INSERT OVERWRITE mcat.db.m6 VALUES (30, 30.5, '1995-02', 'O')")
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(spark.sql("SELECT id FROM mcat.db.m6").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L, 5L, 6L, 30L), "only 1995-02/O replaced")
+  }
+
+  test("zone maps, stats_columns and key-grouped reads hold on two levels") {
+    warehouse
+    spark.sql("CREATE TABLE mcat.db.m5 (id BIGINT, ym STRING, status STRING) " +
+      "PARTITIONED BY (ym, status) TBLPROPERTIES ('stats_columns'='id')")
+    spark.sql("INSERT INTO mcat.db.m5 VALUES (1, 'a', 'F'), (100, 'b', 'O')")
+    val m = AtomicTable.manifest(Paths.get(warehouse, "db", "m5")).get
+    assert(m.stats.keySet === Set("a/F", "b/O"))
+    // zone-map prune on the stats column: only b/O admits id >= 50
+    val q = spark.sql("SELECT id FROM mcat.db.m5 WHERE id >= 50")
+    assert(q.rdd.getNumPartitions === 1)
+    assert(q.as[Long].head() === 100L)
+    // grouping by both partition columns plans no shuffle exchange
+    val agg = spark.sql(
+      "SELECT ym, status, count(*) AS n FROM mcat.db.m5 GROUP BY ym, status")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"two-level key-grouped agg should not shuffle:\n$plan")
+  }
+}
