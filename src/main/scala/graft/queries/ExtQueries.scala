@@ -78,6 +78,7 @@ object ExtQueries {
     "graft_changefeed" -> QueryDef(graftChangefeed, Some(graftChangefeedSql)),
     "graft_cdf_merge" -> QueryDef(graftCdfMerge, Some(graftCdfMergeSql)),
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
+    "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),
     "graft_stream_sink" -> QueryDef(graftStreamSink, Some(graftStreamSinkSql)),
     "wh_cdc_apply" -> QueryDef(whCdcApply, Some(whCdcApplySql)),

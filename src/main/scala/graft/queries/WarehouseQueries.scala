@@ -341,6 +341,45 @@ object WarehouseQueries {
        |  ${sqlDsum("value", 6)} AS total_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The STREAMING change feed with row-level attribution
+    * (`readStream` + `readChangeFeed=true`): the same three-epoch
+    * staged table as [[graftChangefeed]], drained through the CDF
+    * micro-batch source, where every row carries the `_commit_version`
+    * of the commit that inserted it. Epoch i was committed as version
+    * i+1 with rows `user_id % 3 = i`, so the oracle derives each row's
+    * commit version arithmetically from the raw parquet — an
+    * off-by-one in offset bookkeeping, a version mis-attributed, or a
+    * dropped/doubled epoch shifts a group and fails the compare. */
+  private[queries] def graftStreamCdf(s: SparkSession, dir: String): DataFrame = {
+    graftChangefeed(s, dir) // ensure the staged epoch table exists
+    val table = staged.get("cdf:" + dir)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, String)]()
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-scdf-ckpt").toString
+    val q = s.readStream.format("graft").option("readChangeFeed", "true")
+      .load(table)
+      .writeStream
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        df.select("event_id", "_commit_version", "_change_type").collect()
+          .foreach { r => buf.add((r.getLong(0), r.getLong(1), r.getString(2))); () }
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    import s.implicits._
+    buf.asScala.toSeq.toDF("event_id", "commit_version", "change_type")
+      .groupBy("commit_version", "change_type")
+      .agg(count(lit(1)).as("n_rows"), sum(col("event_id")).as("sum_eid"))
+      .orderBy("commit_version")
+  }
+
+  private[queries] val graftStreamCdfSql =
+    """SELECT CAST(user_id % 3 + 1 AS BIGINT) AS commit_version,
+      |  'insert' AS change_type, count(*) AS n_rows,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_eid
+      |FROM events GROUP BY 1, 2 ORDER BY commit_version""".stripMargin
+
   /** The graft WRITE path driven END-TO-END: orders written through
     * `df.write.format("graft")` (task-side parquet staging into a
     * fresh txn dir, driver-side manifest commit through the claim

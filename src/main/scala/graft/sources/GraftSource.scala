@@ -209,6 +209,49 @@ object GraftSource {
       }
     }
 
+  /** The row-level CDF view of exactly version `v`: a manifest copy
+    * whose partitions hold only the dirs version `v` APPENDED relative
+    * to `v - 1` — every row in them is an `insert` of commit `v`. A
+    * commit that REWRITES a partition, changes its delete vectors, or
+    * DROPS one has change rows a plain scan cannot express (preimages
+    * need a join) — fail loudly and point at the full-fidelity
+    * [[graft.etl.ChangeFeed.changes]] instead of silently mislabeling
+    * a rewrite as inserts. Shared by the batch `readChangeFeed` scan
+    * and the streaming CDF source. */
+  private[sources] def cdfAppendManifest(root: String, v: Long)
+      : AtomicTable.Manifest = {
+    val rootPath = java.nio.file.Paths.get(root)
+    val cur = AtomicTable.manifestAt(rootPath, v)
+    val prev =
+      if (v == 1L) AtomicTable.Manifest(0L, Map.empty)
+      else try AtomicTable.manifestAt(rootPath, v - 1L)
+      catch {
+        case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+          throw new IllegalStateException(
+            s"the change feed needs version ${v - 1} of $root, which is " +
+              "outside the retention window — write the table with a " +
+              "larger `retain`")
+      }
+    def fail(what: String): Nothing =
+      throw new IllegalStateException(
+        s"readChangeFeed: version $v of $root $what — those change rows " +
+          "are not expressible as a scan; use " +
+          "graft.etl.ChangeFeed.changes (full _change_type fidelity, " +
+          "preimages included) over this range")
+    if ((prev.partitions.keySet -- cur.partitions.keySet).nonEmpty)
+      fail("drops partitions")
+    if (cur.deletes != prev.deletes) fail("changes delete vectors")
+    val appended = cur.partitions.flatMap { case (p, ds) =>
+      prev.partitions.get(p) match {
+        case None => Some(p -> ds)
+        case Some(pds) if ds.startsWith(pds) =>
+          if (ds.size == pds.size) None else Some(p -> ds.drop(pds.size))
+        case Some(_) => fail(s"rewrites partition '$p'")
+      }
+    }
+    cur.copy(partitions = appended, deletes = Map.empty)
+  }
+
   /** Spark type for a flat parquet primitive (the supported scope). */
   private def sparkType(t: PType): DataType = {
     require(t.isPrimitive, s"graft source reads flat schemas; '${t.getName}' is nested")
@@ -301,8 +344,6 @@ private[sources] class GraftTable(props: Map[String, String],
     require(pinned.isEmpty || startingV.isEmpty,
       "versionAsOf/timestampAsOf and startingVersion are mutually exclusive")
     val cdf = options.getBoolean("readChangeFeed", false)
-    require(!cdf || startingV.isDefined,
-      "readChangeFeed needs a startingVersion")
     new GraftScanBuilder(root, schema0, pinned, startingV,
       Option(options.get("endingVersion")).map(_.trim.toLong), cdf)
   }
@@ -466,6 +507,8 @@ private[sources] class GraftScan(root: String, full: StructType,
     * the full-fidelity [[graft.etl.ChangeFeed.changes]] instead of
     * silently mislabeling a rewrite as inserts. */
   private def planChangeFeed(): Array[InputPartition] = {
+    require(startingVersion.isDefined,
+      "batch readChangeFeed needs a startingVersion")
     val rootPath = java.nio.file.Paths.get(root)
     val head = AtomicTable.currentVersion(rootPath).getOrElse(return Array.empty)
     val from = math.max(startingVersion.get, 1L)
@@ -473,36 +516,8 @@ private[sources] class GraftScan(root: String, full: StructType,
     require(to <= head, s"endingVersion=$to is beyond v$head of $root")
     require(from <= to + 1L,
       s"startingVersion=$from is after endingVersion=$to of $root")
-    def failRowLevel(v: Long, what: String): Nothing =
-      throw new IllegalStateException(
-        s"readChangeFeed: version $v of $root $what — those change rows " +
-          "are not expressible as a scan; use " +
-          "graft.etl.ChangeFeed.changes (full _change_type fidelity, " +
-          "preimages included) over this range")
     (from to to).flatMap { v =>
-      val cur = AtomicTable.manifestAt(rootPath, v)
-      val prev =
-        if (v == 1L) AtomicTable.Manifest(0L, Map.empty)
-        else try AtomicTable.manifestAt(rootPath, v - 1L)
-        catch {
-          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
-            throw new IllegalArgumentException(
-              s"startingVersion=$from needs version ${v - 1} of $root, " +
-                "which is outside the retention window")
-        }
-      if ((prev.partitions.keySet -- cur.partitions.keySet).nonEmpty)
-        failRowLevel(v, "drops partitions")
-      if (cur.deletes != prev.deletes)
-        failRowLevel(v, "changes delete vectors")
-      val appended = cur.partitions.flatMap { case (p, ds) =>
-        prev.partitions.get(p) match {
-          case None => Some(p -> ds)
-          case Some(pds) if ds.startsWith(pds) =>
-            if (ds.size == pds.size) None else Some(p -> ds.drop(pds.size))
-          case Some(_) => failRowLevel(v, s"rewrites partition '$p'")
-        }
-      }
-      planFromManifest(cur.copy(partitions = appended, deletes = Map.empty))
+      planFromManifest(GraftSource.cdfAppendManifest(root, v))
         .map(_.asInstanceOf[GraftInputPartition]
           .copy(changeVersion = Some(v)): InputPartition)
     }.toArray
@@ -624,7 +639,8 @@ private[sources] class GraftScan(root: String, full: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(root, required, filters, startingVersion)
+    new GraftMicroBatchStream(root, required, filters, startingVersion,
+      changeFeed)
 }
 
 /** `spark.readStream.format("graft")` — every AtomicTable is a
@@ -650,7 +666,7 @@ private[sources] class GraftScan(root: String, full: StructType,
   * carries what each commit staged — a vector delete stages no data). */
 private[sources] class GraftMicroBatchStream(root: String,
     required: StructType, filters: Array[Filter],
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None, changeFeed: Boolean = false)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -688,6 +704,7 @@ private[sources] class GraftMicroBatchStream(root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[V].v, end.asInstanceOf[V].v)
     if (e <= s) return Array.empty
+    if (changeFeed) return planChangeFeedBatch(s, e)
     val rootPath = java.nio.file.Paths.get(root)
     val endM = AtomicTable.manifestAt(rootPath, e)
     val startParts: Map[String, Seq[String]] =
@@ -708,6 +725,34 @@ private[sources] class GraftMicroBatchStream(root: String,
       val files = dirs.flatMap(d =>
         GraftSource.committedFiles(endM, conf, root, d))
       GraftInputPartition(part, files, Nil, Nil, pcols): InputPartition
+    }.toArray
+  }
+
+  /** Streaming CDF (`readChangeFeed=true` on `readStream`): the commits
+    * of `(s, e]` each plan their own per-version insert partitions,
+    * rows tagged `_change_type='insert'` / `_commit_version=v` by the
+    * reader — exactly the batch `readChangeFeed` shape, micro-batched.
+    * Unlike the plain stream (which diffs only the ENDPOINT manifests
+    * and tolerates GC'd intermediates), per-commit attribution needs
+    * EVERY manifest of the range retained, and a rewrite/vector/drop
+    * commit in the range fails loudly (cdfAppendManifest's contract)
+    * instead of mislabeling rewritten rows as inserts. */
+  private def planChangeFeedBatch(s: Long, e: Long): Array[InputPartition] = {
+    val conf = new Configuration()
+    (s + 1 to e).flatMap { v =>
+      val m = GraftSource.cdfAppendManifest(root, v)
+      if (m.partitions.isEmpty) Nil
+      else {
+        val pcols = GraftSource.partitionColsOf(m)
+        m.partitions.toSeq.sortBy(_._1)
+          .filter { case (p, _) => partitionFilterAdmits(p, pcols) }
+          .map { case (part, dirs) =>
+            val files = dirs.flatMap(d =>
+              GraftSource.committedFiles(m, conf, root, d))
+            GraftInputPartition(part, files, Nil, Nil, pcols,
+              changeVersion = Some(v)): InputPartition
+          }
+      }
     }.toArray
   }
 

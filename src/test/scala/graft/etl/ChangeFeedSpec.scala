@@ -121,6 +121,45 @@ class ChangeFeedSpec extends SparkSuite {
       (3L, 30L, "b", "F", "delete", 3L)))
   }
 
+  test("streaming readChangeFeed: per-commit attribution, loud on rewrites") {
+    val dir = Files.createTempDirectory("graft-cdc-st").toString
+    AtomicTable.replacePartitions(spark, dir,
+      Seq((1L, 10L, "a")).toDF("id", "v", "p"), "p", retain = 100)  // v1
+    AtomicTable.appendPartitions(spark, dir,
+      Seq((2L, 20L, "a")).toDF("id", "v", "p"), "p", retain = 100)  // v2
+    AtomicTable.appendPartitions(spark, dir,
+      Seq((3L, 30L, "b")).toDF("id", "v", "p"), "p", retain = 100)  // v3
+    def drain(): Set[(Long, String, Long)] = {
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Long)]()
+      val ckpt = Files.createTempDirectory("graft-cdc-st-ckpt").toString
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id", "_change_type", "_commit_version").collect()
+            .foreach { r =>
+              buf.add((r.getLong(0), r.getString(1), r.getLong(2))); ()
+            }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      import scala.jdk.CollectionConverters._
+      buf.asScala.toSet
+    }
+    assert(drain() === Set((1L, "insert", 1L), (2L, "insert", 2L),
+      (3L, "insert", 3L)),
+      "every commit's rows carry their own _commit_version")
+    // a rewrite in the drained range fails the stream loudly
+    AtomicTable.replacePartitions(spark, dir,
+      Seq((1L, 11L, "a")).toDF("id", "v", "p"), "p", retain = 100)  // v4
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(e.getCause.getMessage.contains("ChangeFeed.changes"))
+  }
+
   test("readChangeFeed scan: inserts attributed per commit, loud on rewrites") {
     val dir = Files.createTempDirectory("graft-cdc5").toString
     AtomicTable.replacePartitions(spark, dir,
