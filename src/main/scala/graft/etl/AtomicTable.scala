@@ -1153,6 +1153,37 @@ object AtomicTable {
       expectedVersion = Some(m.version), operation = "compact")
   }
 
+  /** PARTITION-SPEC EVOLUTION: rewrite the table's current contents
+    * under a NEW partition layout (e.g. "ym" -> "ym,status") in one
+    * optimistic commit — Iceberg's evolve-spec operation done as an
+    * explicit rewrite, which is the honest cost here: every row
+    * changes dirs, so this is a full-table rewrite of the same class
+    * as [[compact]] (run it as maintenance; readers keep their
+    * snapshot, a concurrent writer aborts the evolution, never the
+    * reverse). Outstanding delete vectors fold into the rewrite; zone
+    * maps are recomputed for the columns already tracked (minus any
+    * now serving as partition levels — partition pruning covers them).
+    * Catalog-declared tables: also update the declared meta
+    * ([[graft.sources.GraftCatalog.repartitionDeclaredTable]] wraps
+    * both halves). */
+  def repartitionTable(spark: SparkSession, table: String,
+      schema: StructType, newSpec: String, retain: Int = 1): Manifest = {
+    val root = Paths.get(table)
+    val m = manifest(root).getOrElse(return Manifest(0L, Map.empty))
+    val pcols = partCols(newSpec)
+    pcols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
+    val current = subtractDeletes(spark, table, schema, m,
+      readManifest(spark, table, schema, m))
+    val trackedCols = m.stats.values
+      .flatMap(st => st.mins.keySet ++ st.maxs.keySet).toSeq.distinct.sorted
+      .filterNot(pcols.contains)
+    replacePartitions(spark, table, current.repartition(pcols.map(col): _*),
+      newSpec, dropPartitions = m.partitions.keySet,
+      expectedVersion = Some(m.version), operation = "repartition",
+      retain = retain, statsColumns = trackedCols)
+  }
+
   /** Number of data files the current manifest references — the metric a
     * compaction job watches. */
   def dataFileCount(root: Path): Long = manifest(root) match {

@@ -236,10 +236,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * (the `AtomicTable.readEvolved` contract, applied inside the DSv2
     * reader). Appended top-level nullable columns only; rename/drop are
     * rewrites, not evolutions, and stay off this path. */
+  /** The table properties ALTER may change after CREATE: retention and
+    * zone-map columns are commit-time knobs; everything else (path,
+    * partition layout) is structural — layout changes go through
+    * [[repartitionDeclaredTable]], which rewrites data AND meta. */
+  private val MutableProperties = Set("retain", "stats_columns")
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val sets = changes.collect { case s: TableChange.SetProperty => s }
+    val removes = changes.collect { case r: TableChange.RemoveProperty => r }
     changes.foreach {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case _: TableChange.AddColumn => ()
@@ -247,7 +255,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         s"graft catalog does not support ALTER ${other.getClass.getSimpleName}" +
           " — rename/drop are rewrites, use the Scala API")
     }
-    if (adds.nonEmpty) {
+    // accepted-and-ignored would be silent data-behavior drift: a user
+    // who SET a property must get it or an error, never a shrug
+    (sets.map(_.property) ++ removes.map(_.property)).foreach { p =>
+      if (!MutableProperties(p)) throw new UnsupportedOperationException(
+        s"table property '$p' cannot be altered — only " +
+          s"${MutableProperties.toSeq.sorted.mkString("/")} change after " +
+          "CREATE (partition layout changes are rewrites: " +
+          "GraftCatalog.repartitionDeclaredTable)")
+    }
+    if (adds.nonEmpty || sets.nonEmpty || removes.nonEmpty) {
       adds.foreach { a =>
         require(a.fieldNames.length == 1,
           s"nested column '${a.fieldNames.mkString(".")}' not supported")
@@ -257,9 +274,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"added column '${a.fieldNames.head}' must be nullable: existing " +
             "partitions read it as NULL")
       }
-      // evolve the declared schema; undeclared (path-written) tables get
+      // evolve the declared meta; undeclared (path-written) tables get
       // their meta materialized from inference first
-      val (schema0, partCol, retain, statsCols) = readMeta(dir).getOrElse {
+      val (schema0, partCol, retain0, statsCols0) = readMeta(dir).getOrElse {
         val inferred = GraftSource.inferredSchema(new Configuration(), dir.toString)
         val pc = AtomicTable.manifest(dir).filter(_.partitions.nonEmpty)
           .map(GraftSource.partitionColOf).getOrElse(
@@ -273,10 +290,53 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
           nullable = true)
       }
-      writeMeta(dir, StructType(schema0.fields ++ added), partCol, retain,
-        statsCols)
+      val newSchema = StructType(schema0.fields ++ added)
+      var retain = retain0
+      var statsCols = statsCols0
+      sets.foreach(s => s.property match {
+        case "retain" => retain = s.value.trim.toInt
+        case "stats_columns" =>
+          statsCols = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      })
+      removes.foreach(_.property match {
+        case "retain" => retain = DefaultRetain
+        case "stats_columns" => statsCols = Nil
+      })
+      require(retain >= 1, s"retain must be >= 1, got $retain")
+      val pcols = AtomicTable.partCols(partCol)
+      statsCols.foreach { c =>
+        require(newSchema.fieldNames.contains(c),
+          s"stats column '$c' not in schema")
+        require(!pcols.contains(c),
+          "stats_columns must not include a partition column")
+      }
+      writeMeta(dir, newSchema, partCol, retain, statsCols)
     }
     loadTable(ident)
+  }
+
+  /** PARTITION-SPEC EVOLUTION for a declared table: rewrite the layout
+    * ([[AtomicTable.repartitionTable]], one optimistic full-table
+    * rewrite) and update the declared meta so every later catalog
+    * write stages under the new spec. Data first: if the rewrite
+    * aborts on a concurrent commit, the meta is untouched. */
+  def repartitionDeclaredTable(spark: org.apache.spark.sql.SparkSession,
+      ident: Identifier, newSpec: String): Unit = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val (schema, _, retain, statsCols) = readMeta(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"$ident is not a declared table — use AtomicTable.repartitionTable"))
+    AtomicTable.partCols(newSpec).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the table schema")
+      require(!statsCols.contains(c),
+        s"'$c' is a stats column; drop it from stats_columns first")
+    }
+    AtomicTable.repartitionTable(spark, dir.toString, schema, newSpec,
+      retain = retain)
+    writeMeta(dir, schema, AtomicTable.partCols(newSpec).mkString(","),
+      retain, statsCols)
   }
 
   override def dropTable(ident: Identifier): Boolean = {

@@ -150,6 +150,60 @@ class GraftMultiPartitionSpec extends SparkSuite {
       Set(1L, 2L, 3L, 5L, 6L, 30L), "only 1995-02/O replaced")
   }
 
+  test("partition-spec evolution rewrites the layout and later writes follow") {
+    warehouse
+    spark.sql("CREATE TABLE mcat.db.ev (id BIGINT, ym STRING, status STRING) " +
+      "PARTITIONED BY (ym)")
+    spark.sql("INSERT INTO mcat.db.ev VALUES (1, 'a', 'F'), (2, 'a', 'O'), " +
+      "(3, 'b', 'F')")
+    val root = Paths.get(warehouse, "db", "ev")
+    assert(AtomicTable.manifest(root).get.partitions.keySet === Set("a", "b"))
+    val cat = spark.sessionState.catalogManager.catalog("mcat")
+      .asInstanceOf[GraftCatalog]
+    cat.repartitionDeclaredTable(spark,
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "ev"), "ym,status")
+    val m = AtomicTable.manifest(root).get
+    assert(m.operation === "repartition")
+    assert(m.partitions.keySet === Set("a/F", "a/O", "b/F"))
+    assert(spark.sql("SELECT sum(id) FROM mcat.db.ev").as[Long].head() === 6L)
+    // a later catalog INSERT stages under the evolved two-level spec
+    spark.sql("INSERT INTO mcat.db.ev VALUES (4, 'b', 'O')")
+    assert(AtomicTable.manifest(root).get.partitions.keySet ===
+      Set("a/F", "a/O", "b/F", "b/O"))
+    // and the new level is prunable + metadata-deletable
+    assert(spark.sql("SELECT id FROM mcat.db.ev WHERE status = 'O'")
+      .as[Long].collect().toSet === Set(2L, 4L))
+    spark.sql("DELETE FROM mcat.db.ev WHERE status = 'O'")
+    assert(AtomicTable.manifest(root).get.partitions.keySet ===
+      Set("a/F", "b/F"))
+  }
+
+  test("ALTER TABLE SET TBLPROPERTIES changes retain/stats; rejects the rest") {
+    warehouse
+    spark.sql("CREATE TABLE mcat.db.pr (id BIGINT, p STRING) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO mcat.db.pr VALUES (1, 'a')")
+    // stats_columns takes effect on the NEXT write
+    spark.sql("ALTER TABLE mcat.db.pr SET TBLPROPERTIES " +
+      "('stats_columns'='id', 'retain'='7')")
+    spark.sql("INSERT INTO mcat.db.pr VALUES (100, 'b')")
+    val root = Paths.get(warehouse, "db", "pr")
+    assert(AtomicTable.manifest(root).get.stats.get("b").exists(
+      _.mins.get("id").contains("100")))
+    assert(spark.sql("SELECT retain FROM mcat.db.`pr$detail`")
+      .as[Int].head() === 7)
+    // an unknown property must error, never be silently swallowed
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE mcat.db.pr SET TBLPROPERTIES ('path'='/x')")
+    }
+    assert(e.getMessage.contains("cannot be altered"))
+    // UNSET returns the knobs to their defaults
+    spark.sql("ALTER TABLE mcat.db.pr UNSET TBLPROPERTIES " +
+      "('stats_columns', 'retain')")
+    assert(spark.sql("SELECT stats_columns FROM mcat.db.`pr$detail`")
+      .as[String].head() === "")
+  }
+
   test("zone maps, stats_columns and key-grouped reads hold on two levels") {
     warehouse
     spark.sql("CREATE TABLE mcat.db.m5 (id BIGINT, ym STRING, status STRING) " +
