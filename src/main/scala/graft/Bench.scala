@@ -25,6 +25,15 @@ object Bench {
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Shuffle-partition sizing is DATA-SCALE CONFIGURATION, not an
+      // engine constant: at the 500x corpus the 32-partition default
+      // spills (text_bm25 122.7s -> 36.6s, dedup_minhash 80.7s ->
+      // 22.8s once widened), while at sf0.1 starting 512-wide costs
+      // +47% in map-side bucket overhead across 150 sub-second
+      // shuffles. The scale protocol sizes it per decade via this
+      // knob; deployments size it to their cluster, as Spark intends.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
