@@ -444,8 +444,57 @@ private[sources] class GraftScan(root: String, full: StructType,
     pinned: Option[Long] = None, startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None, changeFeed: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Post-pushdown statistics from metadata alone: bytes are the sum of
+    * the PLANNED (pruned) partitions' committed file lengths, rows the
+    * sum of their zone-map counts when every planned partition carries
+    * one and no delete vector is outstanding (a vector would make the
+    * count an overestimate — rows are then simply not reported). This
+    * is what lets Catalyst STATICALLY pick a broadcast join when a
+    * pruned graft side fits under the threshold — without it a DSv2
+    * scan defaults to "unknown = huge" and every join on a small
+    * dimension table shuffles until AQE rescues it at runtime. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    // a STREAMING changefeed scan has no batch plan to measure (offsets
+    // drive its planning) — report unknown rather than force one
+    if (changeFeed && startingVersion.isEmpty)
+      return new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    val parts = planned.collect { case p: GraftInputPartition => p }
+    val conf = new Configuration()
+    var bytes = 0L
+    parts.foreach(_.dataFiles.foreach { f =>
+      val p = new Path(f)
+      try bytes += p.getFileSystem(conf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => () }
+    })
+    val rows: Option[Long] =
+      // a CDF/startingVersion scan plans APPENDED dirs, not whole
+      // partitions — the manifest's per-partition counts don't apply
+      if (changeFeed || startingVersion.isDefined ||
+        parts.exists(_.vectorFiles.nonEmpty)) None
+      else GraftSource.manifestFor(root, pinned).flatMap { m =>
+        val keys = parts.map(_.partValue)
+        if (keys.forall(m.stats.contains))
+          Some(keys.map(m.stats(_).rows).sum)
+        else None
+      }
+    val b = bytes
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+    }
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft:$root${pinned.map(v => s"@v$v").getOrElse("")} " +

@@ -91,6 +91,31 @@ class GraftSourceSpec extends SparkSuite {
     assert(none.count() === 0L)
   }
 
+  test("metadata statistics: pruned size/rows reported, small side broadcasts") {
+    val dir = seed()
+    // full scan: zone-map row count and on-disk byte size flow into the
+    // optimized plan's statistics
+    val full = spark.read.format("graft").load(dir)
+    val st = full.queryExecution.optimizedPlan.stats
+    assert(st.rowCount.contains(BigInt(4)),
+      s"zone-map row count must reach Catalyst, got ${st.rowCount}")
+    assert(st.sizeInBytes > 0 && st.sizeInBytes < 1000000,
+      s"committed file bytes must reach Catalyst, got ${st.sizeInBytes}")
+    // post-pushdown: a pruned scan reports only the kept partitions
+    val pruned = spark.read.format("graft").load(dir).filter(col("p") === "a")
+    val stP = pruned.queryExecution.optimizedPlan.stats
+    assert(stP.sizeInBytes < st.sizeInBytes,
+      "pruning must shrink the reported size")
+    // the payoff: a join against a big side plans a STATIC broadcast of
+    // the small graft table — no hint, no AQE rescue needed
+    import spark.implicits._
+    val big = (1L to 50000L).toDF("id")
+    val joined = big.join(full.select("id", "name"), "id")
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small graft side must broadcast statically:\n$plan")
+  }
+
   test("plain SQL reaches the table through CREATE TEMPORARY VIEW ... USING graft") {
     val dir = seed()
     import spark.implicits._
