@@ -445,8 +445,44 @@ private[sources] class GraftScan(root: String, full: StructType,
     endingVersion: Option[Long] = None, changeFeed: Boolean = false)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
+
+  // ---- dynamic partition pruning (runtime filtering) ----------------
+  // Spark hands the scan the JOIN-side key values at execution time
+  // (the DPP subquery result); any value set extractable on a partition
+  // column narrows the planned partitions per LEVEL. The lazy `planned`
+  // stays the unfiltered plan (statistics may force it early); the
+  // keep-set applies at planInputPartitions, which BatchScanExec
+  // re-invokes after filter() fires.
+  @volatile private var runtimeKeep: Option[Map[Int, Set[String]]] = None
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (changeFeed || startingVersion.isDefined) Array.empty
+    else GraftSource.manifestFor(root, pinned)
+      .filter(_.partitions.nonEmpty).toSeq
+      .flatMap(GraftSource.partitionColsOf)
+      // Spark resolves these against the scan OUTPUT — a partition
+      // column pruned from the projection must not be offered
+      .filter(required.fieldNames.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val pcols = GraftSource.manifestFor(root, pinned)
+      .filter(_.partitions.nonEmpty)
+      .map(GraftSource.partitionColsOf).getOrElse(return)
+    val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
+    for {
+      p <- predicates
+      (c, i) <- pcols.zipWithIndex
+      vs <- GraftV2Predicates.valuesFor(p, c)
+    } acc(i) = acc.get(i).fold(vs)(_ intersect vs)
+    if (acc.nonEmpty) runtimeKeep = Some(acc.toMap)
+  }
 
   /** Post-pushdown statistics from metadata alone: bytes are the sum of
     * the PLANNED (pruned) partitions' committed file lengths, rows the
@@ -586,13 +622,22 @@ private[sources] class GraftScan(root: String, full: StructType,
           GraftSource.partitionColsOf(m).toArray.map(c =>
             org.apache.spark.sql.connector.expressions.Expressions.identity(c)
               : org.apache.spark.sql.connector.expressions.Expression),
-          planned.length)
+          planInputPartitions().length)
           : org.apache.spark.sql.connector.read.partitioning.Partitioning
       }.getOrElse(
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = planned
+  override def planInputPartitions(): Array[InputPartition] =
+    runtimeKeep match {
+      case Some(byLevel) => planned.filter {
+        case p: GraftInputPartition =>
+          val segs = p.partValues
+          byLevel.forall { case (i, vs) => vs.contains(segs(i)) }
+        case _ => true
+      }
+      case None => planned
+    }
 
   /** The scan plan for one specific manifest — split out so the
     * row-level scan can pin the manifest it planned against. A manifest

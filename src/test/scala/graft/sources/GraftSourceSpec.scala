@@ -116,6 +116,47 @@ class GraftSourceSpec extends SparkSuite {
       s"small graft side must broadcast statically:\n$plan")
   }
 
+  test("dynamic partition pruning: a selective join runtime-prunes the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    // a fact table too big to broadcast-threshold away, 4 partitions
+    val fact = (1L to 2000L).map(i => (i, s"p${i % 4}"))
+      .toDF("id", "p").repartition(col("p"))
+    AtomicTable.replacePartitions(spark, dir, fact, "p")
+    // a selective dim: only partition p2 survives its filter. It must
+    // be a REAL scan — a literal Seq folds to a LocalRelation at
+    // optimize time, which has no Filter node for DPP to measure
+    val dimPath = Files.createTempDirectory("graft-dpp-dim").toString
+    Seq(("p2", "keep"), ("p0", "drop"), ("p1", "drop"), ("p3", "drop"))
+      .toDF("p", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.read.format("graft").load(dir)
+      .join(broadcast(dim.filter(col("tag") === "keep")), Seq("p"))
+    // collect() drives THIS Dataset's QueryExecution, so the plan we
+    // inspect afterwards is the one that actually ran
+    assert(joined.collect().length === 500)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case o => o.children.flatMap(scansOf)
+      }
+    val scans = scansOf(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no BatchScanExec found in the executed plan")
+    val b = scans.head
+    assert(b.runtimeFilters.nonEmpty,
+      s"the join must attach a runtime filter to the scan:\n$b")
+    // the filter was delivered and the scan's plan shrank to the one
+    // partition the dim admits — three partitions never produced a task
+    assert(b.scan.asInstanceOf[GraftScan].planInputPartitions().length === 1,
+      "runtime filter must keep exactly one partition")
+  }
+
   test("plain SQL reaches the table through CREATE TEMPORARY VIEW ... USING graft") {
     val dir = seed()
     import spark.implicits._
