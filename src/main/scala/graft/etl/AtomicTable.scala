@@ -90,13 +90,20 @@ object AtomicTable {
     * re-inserted). Appending to a partition with outstanding vectors is
     * REFUSED (the key-scoped vectors would wrongly re-delete appended
     * rows that reuse a deleted key) — fold first, see
-    * [[MergeInto.materializeDeletes]]. */
+    * [[MergeInto.materializeDeletes]].
+    * bytes: optional dir -> total parquet bytes, recorded once at the
+    * commit that introduced the dir, so scan statistics (static
+    * broadcast decisions) read the manifest instead of issuing one
+    * filesystem stat per data file per planning pass. Dirs without an
+    * entry (pre-upgrade manifests) are stat'd lazily by the reader and
+    * backfilled by the next commit. */
   final case class Manifest(version: Long, partitions: Map[String, Seq[String]],
       properties: Map[String, String] = Map.empty,
       stats: Map[String, PartStats] = Map.empty,
       deletes: Map[String, Seq[String]] = Map.empty,
       tsMs: Long = 0L, operation: String = "write",
-      files: Map[String, Seq[String]] = Map.empty) {
+      files: Map[String, Seq[String]] = Map.empty,
+      bytes: Map[String, Long] = Map.empty) {
     /** Every data dir the manifest references, in stable order. */
     def allDirs: Seq[String] = partitions.values.flatten.toSeq.sorted
   }
@@ -179,11 +186,14 @@ object AtomicTable {
       .getOrElse(Map.empty[String, Seq[String]])
     val files = Option(n.get("files")).map(strListMap)
       .getOrElse(Map.empty[String, Seq[String]])
+    val bytes = Option(n.get("bytes")).map(_.fields().asScala
+      .map(e => e.getKey -> e.getValue.asLong).toMap)
+      .getOrElse(Map.empty[String, Long])
     Manifest(n.get("version").asLong,
       strListMap(n.get("partitions")), props, stats, deletes,
       Option(n.get("tsMs")).map(_.asLong).getOrElse(0L),
       Option(n.get("operation")).map(_.asText).getOrElse("write"),
-      files)
+      files, bytes)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -222,6 +232,10 @@ object AtomicTable {
         val a = fl.putArray(dir)
         names.foreach(a.add)
       }
+    }
+    if (m.bytes.nonEmpty) {
+      val by = node.putObject("bytes")
+      m.bytes.toSeq.sortBy(_._1).foreach { case (dir, n) => by.put(dir, n) }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
@@ -888,13 +902,22 @@ object AtomicTable {
         val liveDirs = nextParts.values.flatten.toSet
         val nextFiles = (prev.map(_.files).getOrElse(Map.empty)
           .filter { case (d, _) => liveDirs(d) }) ++ newFiles
+        // per-dir byte totals, stat'd ONCE here for dirs this commit
+        // introduces (bounded by the commit's change volume, and dirs
+        // are immutable after commit) — what lets a reader's
+        // estimateStatistics come from the manifest instead of O(files)
+        // metadata RPCs per query planning pass
+        val prevBytes = prev.map(_.bytes).getOrElse(Map.empty[String, Long])
+        val nextBytes = prevBytes.filter { case (d, _) => liveDirs(d) } ++
+          (liveDirs -- prevBytes.keySet).iterator
+            .map(d => d -> dirParquetBytes(root.resolve(d))).toMap
         val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
           nextParts,
           prev.map(_.properties).getOrElse(Map.empty) ++ properties,
           nextStats,
           delBase ++ newDeletes.map { case (p, ds) =>
             p -> (delBase.getOrElse(p, Nil) ++ ds) },
-          ts, operation, nextFiles)
+          ts, operation, nextFiles, nextBytes)
         if (!hookRan) { beforeCommit(); hookRan = true }
         // the commit point: atomically claim the version slot; a lost
         // claim means another PROCESS committed meanwhile (threads are
@@ -904,6 +927,19 @@ object AtomicTable {
       advancePointer(root, committed.version)
       gc(root, committed, retain)
       committed
+    }
+
+  /** Total bytes of a staged dir's parquet files — one listing, at
+    * commit time only (dirs are immutable once committed). */
+  private def dirParquetBytes(dir: Path): Long =
+    if (!Files.isDirectory(dir)) 0L
+    else {
+      val s = Files.list(dir)
+      try s.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => try Files.size(p) catch { case _: java.io.IOException => 0L })
+        .sum
+      finally s.close()
     }
 
   /** Widen two zone-map fragments of one partition (append merge): rows
@@ -1173,6 +1209,11 @@ object AtomicTable {
     val pcols = partCols(newSpec)
     pcols.foreach(c => require(schema.fieldNames.contains(c),
       s"partition column '$c' is not in the table schema"))
+    // an empty (but committed) table has no rows to relocate and no scan
+    // to union — the layout lives in dir names (and, for declared
+    // tables, the catalog meta the caller updates), so the evolution is
+    // already complete
+    if (m.partitions.isEmpty) return m
     val current = subtractDeletes(spark, table, schema, m,
       readManifest(spark, table, schema, m))
     val trackedCols = m.stats.values

@@ -74,9 +74,6 @@ object ChangeFeed {
             s"version ${v - 1} of $table is outside the retention window — " +
               "the change feed needs every manifest in the diffed range")
       }
-    val partitionCols = graft.sources.GraftSource.partitionColsOf(
-      if (cur.partitions.nonEmpty) cur else prev)
-
     def tag(df: DataFrame, tpe: String): DataFrame =
       df.select(schema.fieldNames.map(col): _*)
         .withColumn(ChangeTypeCol, lit(tpe))
@@ -85,6 +82,14 @@ object ChangeFeed {
     val empty = tag(spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), "insert")
       .limit(0)
+
+    // a properties-only commit on a still-empty table (both manifests
+    // have no partitions) changes no rows — and has no dirs to derive
+    // the partition columns from
+    if (cur.partitions.isEmpty && prev.partitions.isEmpty) return empty
+
+    val partitionCols = graft.sources.GraftSource.partitionColsOf(
+      if (cur.partitions.nonEmpty) cur else prev)
 
     /** The listed partitions' rows at a manifest, vectors subtracted. */
     def merged(m: AtomicTable.Manifest, ps: Set[String]): DataFrame =
@@ -127,7 +132,7 @@ object ChangeFeed {
       // new vector keys are small by the maintenance contract: recover
       // the full preimages with one broadcast semi-join against the
       // pre-commit contents of exactly the affected partitions
-      val newKeys = vectorKeys(spark, table, dvGrownVecs.result())
+      val newKeys = vectorKeys(spark, table, dvGrownVecs.result(), schema)
       val dvKeyCols = (cur.properties(AtomicTable.DeleteKeysProperty)
         .split(",").toSeq ++ partitionCols).distinct
       out += tag(merged(prev, dvParts).join(broadcast(newKeys),
@@ -140,14 +145,27 @@ object ChangeFeed {
     out.result().foldLeft(empty)(_.unionByName(_))
   }
 
-  /** The key tuples of specific vector dirs, cast to the table's types. */
+  /** The key tuples of specific vector dirs, cast to the table's types.
+    * The partition columns come back TYPE-INFERRED from the dir names
+    * (a numeric-looking string partition reads as int), so every column
+    * the table declares is cast to its declared type — otherwise the
+    * preimage semi-join could coerce ("01" pairing with "1") or fail
+    * under ANSI casts. Same guard as [[AtomicTable.subtractDeletes]]. */
   private def vectorKeys(spark: SparkSession, table: String,
-      dirs: Seq[String]): DataFrame = {
+      dirs: Seq[String], schema: StructType): DataFrame = {
     val byTxn = dirs.sorted.groupBy(AtomicTable.txnDirOf)
-    byTxn.toSeq.sortBy(_._1).map { case (txnDir, ds) =>
+    val raw = byTxn.toSeq.sortBy(_._1).map { case (txnDir, ds) =>
       spark.read.option("basePath", s"$table/$txnDir")
         .parquet(ds.map(d => s"$table/$d"): _*)
     }.reduce(_.unionByName(_))
+    raw.select(raw.columns.map { c =>
+      schema.fields.find(_.name == c) match {
+        case Some(f)
+            if raw.schema(c).dataType.catalogString != f.dataType.catalogString =>
+          col(c).cast(f.dataType).as(c)
+        case _ => col(c)
+      }
+    }: _*)
   }
 
   /** Diff the rewritten partitions' old and new contents. With keys: a

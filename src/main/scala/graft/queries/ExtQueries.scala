@@ -85,6 +85,7 @@ object ExtQueries {
     "wh_time_travel" -> QueryDef(whTimeTravel, Some(whTimeTravelSql)),
     "wh_sql_catalog" -> QueryDef(whSqlCatalog, Some(whSqlCatalogSql)),
     "wh_sql_merge" -> QueryDef(whSqlMerge, Some(whSqlMergeSql)),
+    "wh_sql_merge_bounded" -> QueryDef(whSqlMergeBounded, Some(whSqlMergeBoundedSql)),
     "text_train_grad0" -> QueryDef(textTrainGrad0, Some(textTrainGrad0Sql)),
     "export_tokenbin_roundtrip" -> QueryDef(exportTokenBin, Some(exportTokenBinSql)),
     "warc_roundtrip" -> QueryDef(warcRoundtrip, Some(warcRoundtripSql)),

@@ -719,6 +719,63 @@ object WarehouseQueries {
       .orderBy("o_year")
   }
 
+  /** Partition-BOUNDED SQL MERGE: the source's matched keys all live in
+    * year 1994, so runtime group filtering narrows the copy-on-write
+    * rewrite to that single partition, while the NOT MATCHED inserts
+    * land in the EXISTING year-1997 partition — which the narrowed scan
+    * never read, so they append a dir to it rather than replacing it —
+    * all in one atomic commit. At 100 TB this is the difference between
+    * merging a day and rewriting the table. The oracle replays both arms
+    * relationally; clobbering 1997's prior rows, losing the inserts, or
+    * rewriting unmatched years all shift a per-year count/sum. The
+    * structural pin (exactly one partition rewritten, insert target
+    * appended) is GraftRowLevelSpec's keyed-MERGE tests. */
+  private[queries] def whSqlMergeBounded(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#bounded", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-mrgb").toString
+      val cat = "gb" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .createOrReplaceTempView(s"orders_bsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
+        "PARTITIONED BY (o_year)")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_bsrc_$cat")
+      s.sql(s"""MERGE INTO $cat.wh.orders t USING (
+        SELECT o_orderkey AS k, o_totalprice AS tp
+        FROM orders_bsrc_$cat WHERE o_year = '1994' AND o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey + 3000000 AS k, o_totalprice AS tp
+        FROM orders_bsrc_$cat WHERE o_year = '1994' AND o_orderkey % 11 = 0
+      ) s ON t.o_orderkey = s.k
+      WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 5.0
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice, o_year)
+        VALUES (s.k, s.tp, '1997')""")
+      cat
+    })
+    s.sql(s"SELECT o_year, o_totalprice FROM $cat.wh.orders")
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_rows"), dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_year")
+  }
+
+  private[queries] val whSqlMergeBoundedSql =
+    s"""WITH o AS (
+       |  SELECT o_orderkey AS k, o_totalprice AS tp,
+       |    strftime(o_orderdate, '%Y') AS y FROM orders),
+       |merged AS (
+       |  SELECT k, CASE WHEN y = '1994' AND k % 7 = 0 THEN tp + 5.0 ELSE tp END
+       |    AS tp, y FROM o
+       |  UNION ALL
+       |  SELECT k + 3000000 AS k, tp, '1997' AS y FROM o
+       |  WHERE y = '1994' AND k % 11 = 0)
+       |SELECT y AS o_year, count(*) AS n_rows, ${sqlDsum("tp", 2)} AS revenue
+       |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val whSqlMergeSql =
     s"""WITH o AS (
        |  SELECT o_orderkey AS k, o_totalprice AS tp,

@@ -28,13 +28,17 @@ import graft.etl.AtomicTable
   *
   * Runtime group filtering ([[SupportsRuntimeV2Filtering]]) narrows the
   * rewrite to the partitions that can actually match the condition — a
-  * `DELETE ... WHERE p = 'x' AND f(q)` rewrites ONE partition, not the
-  * table — for DELETE and UPDATE only: group replace requires every
-  * output row to land in a scanned (or brand-new) partition, and MERGE
-  * may INSERT anywhere, so MERGE scans everything. An UPDATE that moves
-  * rows into an existing unscanned partition is refused at commit (it
-  * would silently drop that partition's other rows); metadata-only
-  * partition deletes short-circuit this whole path via
+  * `DELETE ... WHERE p = 'x' AND f(q)` rewrites ONE partition, and a
+  * `MERGE` of one day's changes into a years-partitioned table rewrites
+  * that day, not the table. MERGE is safe to narrow because output rows
+  * that land outside the scanned groups don't get lost: an INSERT (or an
+  * UPDATE moving rows) into an existing-but-unscanned partition APPENDS
+  * a dir to that partition in the same atomic commit that replaces the
+  * scanned partitions, and brand-new partition values land as plain
+  * writes. Spark itself withholds the group-filter condition when the
+  * MERGE has NOT MATCHED BY SOURCE clauses (those must see every target
+  * row), so that case falls back to a full scan without any work here.
+  * Metadata-only partition deletes short-circuit this whole path via
   * [[GraftTable]]'s `SupportsDeleteV2`. */
 private[sources] class GraftRowLevelOperation(root: String, full: StructType,
     partitionCol: String, retain: Int, cmd: Command,
@@ -102,9 +106,13 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
 
+  // DELETE/UPDATE *and* MERGE: the commit's append-set routing makes it
+  // safe for MERGE output rows to land in partitions the narrowed scan
+  // never read, and Spark only emits a MERGE group filter when there are
+  // no NOT MATCHED BY SOURCE clauses (RewriteMergeIntoTable withholds
+  // groupFilterCondition otherwise)
   override def filterAttributes(): Array[NamedReference] =
-    if (cmd == Command.MERGE) Array.empty
-    else pcols.toArray.map(Expressions.column)
+    pcols.toArray.map(Expressions.column)
 
   override def filter(predicates: Array[Predicate]): Unit = {
     // conjunctive narrowing: every extractable predicate intersects its

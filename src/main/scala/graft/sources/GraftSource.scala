@@ -163,6 +163,25 @@ object GraftSource {
   /** A data dir's committed parquet paths: exactly the manifest's file
     * list when recorded (zombie attempts' stragglers excluded), else a
     * listing. */
+  /** Per-process dir -> parquet-bytes cache for manifests that predate
+    * the manifest `bytes` map. Committed data dirs are immutable (a
+    * rewrite installs NEW dirs), so an entry can never go stale; GC'd
+    * dirs simply stop being asked for. Bounded: one Long per distinct
+    * dir this process ever planned. */
+  private val dirBytesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[sources] def cachedDirBytes(conf: Configuration, root: String,
+      dir: String): Long =
+    dirBytesCache.computeIfAbsent(s"$root/$dir", { key =>
+      val p = new Path(key)
+      try {
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) 0L
+        else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+      } catch { case _: java.io.IOException => 0L }
+    })
+
   private[sources] def committedFiles(m: AtomicTable.Manifest,
       conf: Configuration, root: String, dir: String): Seq[String] =
     m.files.get(dir) match {
@@ -507,11 +526,29 @@ private[sources] class GraftScan(root: String, full: StructType,
     val parts = planned.collect { case p: GraftInputPartition => p }
     val conf = new Configuration()
     var bytes = 0L
-    parts.foreach(_.dataFiles.foreach { f =>
-      val p = new Path(f)
-      try bytes += p.getFileSystem(conf).getFileStatus(p).getLen
-      catch { case _: java.io.IOException => () }
-    })
+    if (!changeFeed && startingVersion.isEmpty) {
+      // sum the planned partitions' per-dir totals from the manifest —
+      // zero filesystem calls on the planning path; dirs a pre-upgrade
+      // manifest doesn't carry are stat'd once per process (data dirs
+      // are immutable after commit, so the cache can never go stale)
+      GraftSource.manifestFor(root, pinned).foreach { m =>
+        parts.foreach { p =>
+          m.partitions.getOrElse(p.partValue, Nil).foreach { d =>
+            bytes += m.bytes.getOrElse(d,
+              GraftSource.cachedDirBytes(conf, root, d))
+          }
+        }
+      }
+    } else {
+      // CDF / startingVersion scans plan APPENDED dirs, not whole
+      // partitions — measure exactly the planned files (bounded by the
+      // range's change volume)
+      parts.foreach(_.dataFiles.foreach { f =>
+        val p = new Path(f)
+        try bytes += p.getFileSystem(conf).getFileStatus(p).getLen
+        catch { case _: java.io.IOException => () }
+      })
+    }
     val rows: Option[Long] =
       // a CDF/startingVersion scan plans APPENDED dirs, not whole
       // partitions — the manifest's per-partition counts don't apply

@@ -190,4 +190,34 @@ class ChangeFeedSpec extends SparkSuite {
       .option("readChangeFeed", "true").option("startingVersion", "2")
       .option("endingVersion", "3").load(dir).count() === 2L)
   }
+
+  test("vector preimages on numeric-looking partitions keep declared types") {
+    // the vector dirs' partition values come back TYPE-INFERRED from
+    // the dir names (p=1 reads as INT) — the preimage semi-join must
+    // compare in the DECLARED string type, per-partition, or keys could
+    // coerce/mis-pair (same guard subtractDeletes applies)
+    val dir = Files.createTempDirectory("graft-cdc6").toString
+    AtomicTable.replacePartitions(spark, dir,
+      Seq((7L, 10L, "1"), (8L, 20L, "1"), (7L, 30L, "2"), (9L, 40L, "2"))
+        .toDF("id", "v", "p"), "p", retain = 100)                 // v1
+    // ONE commit grows vectors in both partitions: id 7 deleted from
+    // "1" only (the id-7 row of "2" must survive), id 9 from "2"
+    MergeInto.deleteKeysMor(spark, dir, schema,
+      Seq((7L, "1"), (9L, "2")).toDF("id", "p"), Seq("id"), "p",
+      retain = 100)                                               // v2
+    val ch = ChangeFeed.changes(spark, dir, schema, 2L, 2L, Seq("id"))
+    assert(ch.schema("p").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(changesOf(dir, 2, 2) === Set(
+      (7L, 10L, "1", "delete", 2L), (9L, 40L, "2", "delete", 2L)))
+  }
+
+  test("a properties-only commit on a still-empty table emits no changes") {
+    val dir = Files.createTempDirectory("graft-cdc7").toString
+    Files.createDirectories(Paths.get(dir))
+    AtomicTable.commitManifest(Paths.get(dir), Map.empty,
+      properties = Map("owner" -> "etl"), retain = 100)           // v1
+    assert(changesOf(dir, 1, 1) === Set.empty,
+      "no partitions on either side: empty change frame, not a crash")
+  }
 }

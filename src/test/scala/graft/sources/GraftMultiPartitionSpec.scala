@@ -179,6 +179,23 @@ class GraftMultiPartitionSpec extends SparkSuite {
       Set("a/F", "b/F"))
   }
 
+  test("spec evolution on an EMPTY committed table updates meta, no crash") {
+    warehouse
+    spark.sql("CREATE TABLE mcat.db.ev0 (id BIGINT, ym STRING, " +
+      "status STRING) PARTITIONED BY (ym)")
+    spark.sql("INSERT INTO mcat.db.ev0 VALUES (1, 'a', 'F')")
+    spark.sql("TRUNCATE TABLE mcat.db.ev0") // committed, zero partitions
+    val cat = spark.sessionState.catalogManager.catalog("mcat")
+      .asInstanceOf[GraftCatalog]
+    cat.repartitionDeclaredTable(spark,
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "ev0"), "ym,status")
+    // the declared meta evolved; the next write follows the new spec
+    spark.sql("INSERT INTO mcat.db.ev0 VALUES (2, 'b', 'O')")
+    assert(AtomicTable.manifest(Paths.get(warehouse, "db", "ev0"))
+      .get.partitions.keySet === Set("b/O"))
+  }
+
   test("ALTER TABLE SET TBLPROPERTIES changes retain/stats; rejects the rest") {
     warehouse
     spark.sql("CREATE TABLE mcat.db.pr (id BIGINT, p STRING) PARTITIONED BY (p)")

@@ -115,6 +115,55 @@ class GraftRowLevelSpec extends SparkSuite {
     assert(AtomicTable.history(Paths.get(dir)).head.operation === "merge")
   }
 
+  test("runtime group filtering: a keyed MERGE rewrites only its partition") {
+    val dir = mk("m3")
+    val before = AtomicTable.manifest(Paths.get(dir)).get
+    Seq((1L, 100L, "a"), (2L, 200L, "a"))
+      .toDF("id", "v", "p").createOrReplaceTempView("m3_src")
+    spark.sql("""MERGE INTO rl.db.m3 t USING m3_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)""")
+    assert(rows("m3") === Set((1L, 100L, "a"), (2L, 200L, "a"),
+      (3L, 30L, "b"), (4L, 40L, "b"), (5L, 50L, "c")))
+    val after = AtomicTable.manifest(Paths.get(dir)).get
+    assert(after.partitions("b") === before.partitions("b") &&
+      after.partitions("c") === before.partitions("c"),
+      "group filter bounded the MERGE rewrite to partition a; " +
+        "b and c carried by reference")
+    assert(after.partitions("a") !== before.partitions("a"))
+  }
+
+  test("MERGE inserting into an unscanned partition appends, never clobbers") {
+    val dir = mk("m4")
+    val before = AtomicTable.manifest(Paths.get(dir)).get
+    // source matches only ids in partition a; the insert row lands in the
+    // EXISTING partition c, which the group-filtered scan never read
+    Seq((1L, 111L, "a"), (9L, 90L, "c"))
+      .toDF("id", "v", "p").createOrReplaceTempView("m4_src")
+    spark.sql("""MERGE INTO rl.db.m4 t USING m4_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v, p) VALUES (s.id, s.v, s.p)""")
+    assert(rows("m4") === Set((1L, 111L, "a"), (2L, 20L, "a"),
+      (3L, 30L, "b"), (4L, 40L, "b"), (5L, 50L, "c"), (9L, 90L, "c")))
+    val after = AtomicTable.manifest(Paths.get(dir)).get
+    assert(after.partitions("b") === before.partitions("b"),
+      "unmatched partition b untouched")
+    assert(after.partitions("c").size === before.partitions("c").size + 1,
+      "insert target c gained a dir; its original dir untouched")
+    assert(before.partitions("c").forall(after.partitions("c").contains),
+      "c's pre-merge dirs carried by reference")
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE sees every row (no group filter)") {
+    mk("m5")
+    Seq((1L, 100L, "a")).toDF("id", "v", "p").createOrReplaceTempView("m5_src")
+    spark.sql("""MERGE INTO rl.db.m5 t USING m5_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED BY SOURCE AND t.v >= 40 THEN DELETE""")
+    // every partition was in scope: id 1 updated, ids 4 and 5 deleted
+    assert(rows("m5") === Set((1L, 100L, "a"), (2L, 20L, "a"), (3L, 30L, "b")))
+  }
+
   test("MERGE INTO with WHEN MATCHED DELETE") {
     mk("m2")
     Seq(1L, 3L).toDF("id").createOrReplaceTempView("m2_src")

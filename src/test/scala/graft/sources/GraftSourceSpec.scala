@@ -116,6 +116,19 @@ class GraftSourceSpec extends SparkSuite {
       s"small graft side must broadcast statically:\n$plan")
   }
 
+  test("commits record per-dir byte totals; statistics read the manifest") {
+    val dir = seed()
+    val m = AtomicTable.manifest(java.nio.file.Paths.get(dir)).get
+    assert(m.allDirs.toSet.subsetOf(m.bytes.keySet),
+      "every live data dir carries a byte total, recorded at its commit")
+    assert(m.bytes.values.forall(_ > 0L))
+    // the planning path sums those totals — no per-file filesystem
+    // stats on any query planning pass
+    val st = spark.read.format("graft").load(dir)
+      .queryExecution.optimizedPlan.stats
+    assert(st.sizeInBytes === BigInt(m.allDirs.map(m.bytes).sum))
+  }
+
   test("dynamic partition pruning: a selective join runtime-prunes the scan") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-dpp").toString
