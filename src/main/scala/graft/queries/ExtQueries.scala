@@ -77,6 +77,7 @@ object ExtQueries {
     "graft_source_scan" -> QueryDef(graftSourceScan, Some(graftSourceScanSql)),
     "graft_changefeed" -> QueryDef(graftChangefeed, Some(graftChangefeedSql)),
     "graft_cdf_merge" -> QueryDef(graftCdfMerge, Some(graftCdfMergeSql)),
+    "graft_sql_changes" -> QueryDef(graftSqlChanges, Some(graftSqlChangesSql)),
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),

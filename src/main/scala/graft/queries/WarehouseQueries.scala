@@ -905,6 +905,73 @@ object WarehouseQueries {
        |  AND o_orderstatus = 'F'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** SQL-ONLY row-level CDC: the same change classes as
+    * `graft_cdf_merge`, but with every step in SQL — the table is a
+    * catalog table mutated by SQL UPDATE (v2, a copy-on-write rewrite
+    * whose unchanged rows must emit nothing) and SQL DELETE (v3), and
+    * the changefeed comes through `CALL system.table_changes(...)`,
+    * which registers the lazy distributed change frame as a temp view
+    * (the Iceberg `create_changelog_view` contract — a LocalScan
+    * result can only carry metadata, so the rows stay on the
+    * executors). The oracle replays the same change algebra
+    * relationally. */
+  private[queries] def graftSqlChanges(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#sqlchanges", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-sqlch").toString
+      val cat = "gf" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+        .createOrReplaceTempView(s"orders_csrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.orders " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+        "o_ym STRING) PARTITIONED BY (o_ym) TBLPROPERTIES ('retain'='10')")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_csrc_$cat") // v1
+      s.sql(s"UPDATE $cat.wh.orders SET o_totalprice = o_totalprice + " +
+        "1000.0 WHERE o_orderkey % 97 = 0")                               // v2
+      s.sql(s"DELETE FROM $cat.wh.orders WHERE o_custkey % 991 = 0")      // v3
+      s.sql(s"CALL $cat.system.table_changes(" +
+        s"'wh.orders', 2, 3, 'o_orderkey', 'changes_$cat')")
+      cat
+    })
+    s.table(s"changes_$cat")
+      .groupBy(col("_change_type").as("change_type"),
+        col("_commit_version").as("commit_version"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        dsum(col("o_totalprice"), 2).as("price_sum"))
+      .orderBy("change_type", "commit_version")
+  }
+
+  private[queries] val graftSqlChangesSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, o_totalprice,
+       |         strftime(o_orderdate, '%Y-%m') AS o_ym
+       |  FROM orders),
+       |upd AS (SELECT * FROM base WHERE o_orderkey % 97 = 0),
+       |merged AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1000.0
+       |         ELSE o_totalprice END AS o_totalprice, o_ym
+       |  FROM base),
+       |chg AS (
+       |  SELECT 'update_preimage' AS change_type, 2 AS commit_version,
+       |         o_orderkey, o_totalprice FROM upd
+       |  UNION ALL
+       |  SELECT 'update_postimage', 2, o_orderkey, o_totalprice + 1000.0
+       |  FROM upd
+       |  UNION ALL
+       |  SELECT 'delete', 3, o_orderkey, o_totalprice
+       |  FROM merged WHERE o_custkey % 991 = 0)
+       |SELECT change_type, CAST(commit_version AS BIGINT) AS commit_version,
+       |  count(*) AS n_rows, CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+       |  ${sqlDsum("o_totalprice", 2)} AS price_sum
+       |FROM chg GROUP BY change_type, commit_version
+       |ORDER BY change_type, commit_version""".stripMargin
+
   private[queries] val graftCdfMergeSql =
     s"""WITH base AS (
        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -50,7 +50,8 @@ import graft.etl.AtomicTable
   *  - `alterTable` supports property changes and appended nullable
   *    ADD COLUMNS (metadata-only schema evolution, null-filled reads);
   *    rename/drop are rewrites and stay on the Scala API. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   import GraftCatalog.DefaultRetain
 
   private var catalogName: String = _
@@ -352,6 +353,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new NoSuchNamespaceException(to.namespace())
     Files.move(tableDir(from), tableDir(to))
     ()
+  }
+
+  // -------------------------------------------------------- procedures
+
+  /** `CALL <cat>.system.table_changes(...)` — see
+    * [[GraftTableChangesProcedure]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (ident.namespace().toSeq, ident.name()) match {
+      case (Seq("system"), "table_changes") =>
+        new GraftTableChangesProcedure(this)
+      case _ => throw new IllegalArgumentException(
+        s"unknown procedure $ident — graft provides system.table_changes")
+    }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      Array(Identifier.of(Array("system"), "table_changes"))
+    else Array.empty
+
+  /** Resolve a `db.t`-style identifier (relative to this catalog) to
+    * its table dir and DECLARED schema, for the changefeed procedure. */
+  private[sources] def resolveForChanges(tbl: String): (String, StructType) = {
+    val segs = tbl.split("\\.").toSeq
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"bad table identifier '$tbl' — expected 'namespace.table'")
+    val ident = Identifier.of(segs.init.toArray, segs.last)
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val schema = readMeta(dir).map(_._1).getOrElse(
+      GraftSource.inferredSchema(new Configuration(), dir.toString))
+    (dir.toString, schema)
   }
 
   // -------------------------------------------------------- namespaces

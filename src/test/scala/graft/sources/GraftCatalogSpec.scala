@@ -364,4 +364,30 @@ class GraftCatalogSpec extends SparkSuite {
     assert(df.schema.fieldNames.toSeq === Seq("x", "s", "p"))
     assert(df.count() === 0L)
   }
+
+  test("CALL system.table_changes registers a full-fidelity changelog view") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.cf (id BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain' = '20')")
+    spark.sql("INSERT INTO gcat.db.cf VALUES (1, 10, 'a'), (2, 20, 'a')") // v1
+    spark.sql("UPDATE gcat.db.cf SET v = 21 WHERE id = 2")                // v2
+    spark.sql("DELETE FROM gcat.db.cf WHERE id = 1")                      // v3
+    val res = spark.sql("CALL gcat.system.table_changes(" +
+      "'db.cf', 2, 3, 'id', 'cf_changes')").collect()
+    assert(res.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq(("cf_changes", 2L, 3L)))
+    // the view IS the ChangeFeed frame: update pre/post at v2, the
+    // row-level delete at v3 — pure SQL end to end
+    val ch = spark.sql("SELECT id, v, _change_type, _commit_version " +
+      "FROM cf_changes").as[(Long, Long, String, Long)].collect().toSet
+    assert(ch === Set(
+      (2L, 20L, "update_preimage", 2L),
+      (2L, 21L, "update_postimage", 2L),
+      (1L, 10L, "delete", 3L)))
+    // SHOW PROCEDURES-style discovery
+    assert(spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[GraftCatalog]
+      .listProcedures(Array("system")).map(_.name()).toSeq ===
+      Seq("table_changes"))
+  }
 }
