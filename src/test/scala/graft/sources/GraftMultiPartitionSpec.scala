@@ -179,6 +179,55 @@ class GraftMultiPartitionSpec extends SparkSuite {
       Set("a/F", "b/F"))
   }
 
+  test("DPP on level 2 intersects with a static filter on level 1") {
+    // adversarial spec shape: the STATIC filter prunes level 1 (ym) at
+    // planning, the DPP dim admits values of level 2 ONLY (status) at
+    // runtime — the per-level keep-set intersection must prune to the
+    // single surviving composite without over-pruning either level.
+    // The dim must be a REAL file scan: a literal Seq folds to a
+    // LocalRelation, which has no Filter node for DPP to measure.
+    val dir = Files.createTempDirectory("graft-mdpp").toString
+    val fact = (1L to 2400L).map { i =>
+      (i, s"1995-0${i % 3 + 1}", if (i % 4 < 2) "F" else "O")
+    }.toDF("id", "ym", "status").repartition(col("ym"), col("status"))
+    AtomicTable.replacePartitions(spark, dir, fact, "ym,status")
+    assert(AtomicTable.manifest(Paths.get(dir)).get.partitions.size === 6)
+    val dimPath = Files.createTempDirectory("graft-mdpp-dim").toString
+    Seq(("F", "keep"), ("O", "drop")).toDF("status", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.read.format("graft").load(dir)
+      .filter(col("ym") === "1995-02")
+      .join(broadcast(dim.filter(col("tag") === "keep")), Seq("status"))
+    val expected = (1L to 2400L)
+      .filter(i => i % 3 + 1 == 2 && i % 4 < 2)
+    // collect() drives THIS Dataset's QueryExecution — the plan
+    // inspected below is the one that actually ran (a derived Dataset
+    // would plan a FRESH scan whose runtime filter never fires)
+    assert(joined.collect().map(_.getAs[Long]("id")).toSet ===
+      expected.toSet, "neither level may over-prune")
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(q.plan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          Seq(b)
+        case o => o.children.flatMap(scansOf)
+      }
+    val scans = scansOf(joined.queryExecution.executedPlan)
+      .filter(_.scan.isInstanceOf[GraftScan])
+    assert(scans.nonEmpty, "no graft BatchScanExec in the executed plan")
+    info("runtimeFilters: " + scans.head.runtimeFilters.mkString(" | "))
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "the join must attach a runtime filter to the fact scan")
+    assert(scans.head.scan.asInstanceOf[GraftScan]
+      .planInputPartitions().length === 1,
+      "static ym + runtime status must intersect to ONE composite")
+  }
+
   test("spec evolution on an EMPTY committed table updates meta, no crash") {
     warehouse
     spark.sql("CREATE TABLE mcat.db.ev0 (id BIGINT, ym STRING, " +
