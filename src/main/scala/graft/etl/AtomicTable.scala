@@ -96,14 +96,28 @@ object AtomicTable {
     * broadcast decisions) read the manifest instead of issuing one
     * filesystem stat per data file per planning pass. Dirs without an
     * entry (pre-upgrade manifests) are stat'd lazily by the reader and
-    * backfilled by the next commit. */
+    * backfilled by the next commit.
+    * fileStats: optional dir -> (file name -> [[PartStats]]) — FILE-level
+    * zone maps, the second granularity of data skipping (Iceberg's
+    * per-data-file column bounds / Delta's per-AddFile stats). Partition
+    * zone maps prune whole partitions; these prune FILES inside an
+    * admitted partition, which at 100 TB is what turns "read the whole
+    * day" into "read the two files whose id range matches". Recorded by
+    * the DSv2 writer (one file per task per partition value = the task's
+    * stats fragment IS the file's stats, zero extra passes); entries
+    * follow their dirs like `files`/`bytes` — dirs are immutable, so a
+    * carried-forward dir keeps its file stats verbatim. Files without an
+    * entry are never pruned. The row-level GROUP-replace scan must NOT
+    * skip files (a scanned group is rewritten from scan output — see
+    * GraftRowLevelScan), only plain reads do. */
   final case class Manifest(version: Long, partitions: Map[String, Seq[String]],
       properties: Map[String, String] = Map.empty,
       stats: Map[String, PartStats] = Map.empty,
       deletes: Map[String, Seq[String]] = Map.empty,
       tsMs: Long = 0L, operation: String = "write",
       files: Map[String, Seq[String]] = Map.empty,
-      bytes: Map[String, Long] = Map.empty) {
+      bytes: Map[String, Long] = Map.empty,
+      fileStats: Map[String, Map[String, PartStats]] = Map.empty) {
     /** Every data dir the manifest references, in stable order. */
     def allDirs: Seq[String] = partitions.values.flatten.toSeq.sorted
   }
@@ -189,11 +203,19 @@ object AtomicTable {
     val bytes = Option(n.get("bytes")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asLong).toMap)
       .getOrElse(Map.empty[String, Long])
+    def partStatsOf(v: com.fasterxml.jackson.databind.JsonNode): PartStats =
+      PartStats(v.get("rows").asLong,
+        Option(v.get("mins")).map(strMap).getOrElse(Map.empty),
+        Option(v.get("maxs")).map(strMap).getOrElse(Map.empty))
+    val fileStats = Option(n.get("fileStats")).map(_.fields().asScala.map { e =>
+      e.getKey -> e.getValue.fields().asScala
+        .map(f => f.getKey -> partStatsOf(f.getValue)).toMap
+    }.toMap).getOrElse(Map.empty[String, Map[String, PartStats]])
     Manifest(n.get("version").asLong,
       strListMap(n.get("partitions")), props, stats, deletes,
       Option(n.get("tsMs")).map(_.asLong).getOrElse(0L),
       Option(n.get("operation")).map(_.asText).getOrElse("write"),
-      files, bytes)
+      files, bytes, fileStats)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -236,6 +258,20 @@ object AtomicTable {
     if (m.bytes.nonEmpty) {
       val by = node.putObject("bytes")
       m.bytes.toSeq.sortBy(_._1).foreach { case (dir, n) => by.put(dir, n) }
+    }
+    if (m.fileStats.nonEmpty) {
+      val fs = node.putObject("fileStats")
+      m.fileStats.toSeq.sortBy(_._1).foreach { case (dir, perFile) =>
+        val d = fs.putObject(dir)
+        perFile.toSeq.sortBy(_._1).foreach { case (name, s) =>
+          val p = d.putObject(name)
+          p.put("rows", s.rows)
+          val mins = p.putObject("mins")
+          s.mins.toSeq.sortBy(_._1).foreach { case (c, v) => mins.put(c, v) }
+          val maxs = p.putObject("maxs")
+          s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) => maxs.put(c, v) }
+        }
+      }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
@@ -634,7 +670,7 @@ object AtomicTable {
       dropPartitions = cur.partitions.keySet -- target.partitions.keySet,
       expectedVersion = Some(cur.version), retain = retain,
       newDeletes = target.deletes, operation = s"restore(v$version)",
-      newFiles = target.files)
+      newFiles = target.files, newFileStats = target.fileStats)
   }
 
   /** CLONE TABLE: materialize a retained snapshot of `src` as a brand-new
@@ -681,7 +717,8 @@ object AtomicTable {
       properties = m.properties +
         ("graft.clone.of" -> s"${src.toAbsolutePath}@v${m.version}"),
       newDeletes = m.deletes, retain = retain,
-      operation = s"clone(v${m.version})", newFiles = m.files)
+      operation = s"clone(v${m.version})", newFiles = m.files,
+      newFileStats = m.fileStats)
   }
 
   /** One scan per txn dir over the manifest's data dirs (basePath
@@ -834,7 +871,8 @@ object AtomicTable {
       append: Boolean = false,
       appendSet: Set[String] = Set.empty,
       statsSchema: Option[StructType] = None,
-      newFiles: Map[String, Seq[String]] = Map.empty): Manifest =
+      newFiles: Map[String, Seq[String]] = Map.empty,
+      newFileStats: Map[String, Map[String, PartStats]] = Map.empty): Manifest =
     commitLock(root).synchronized {
       var hookRan = false
       var committed: Manifest = null
@@ -902,6 +940,9 @@ object AtomicTable {
         val liveDirs = nextParts.values.flatten.toSet
         val nextFiles = (prev.map(_.files).getOrElse(Map.empty)
           .filter { case (d, _) => liveDirs(d) }) ++ newFiles
+        // file-level zone maps follow their dirs exactly like `files`
+        val nextFileStats = (prev.map(_.fileStats).getOrElse(Map.empty)
+          .filter { case (d, _) => liveDirs(d) }) ++ newFileStats
         // per-dir byte totals, stat'd ONCE here for dirs this commit
         // introduces (bounded by the commit's change volume, and dirs
         // are immutable after commit) — what lets a reader's
@@ -917,7 +958,7 @@ object AtomicTable {
           nextStats,
           delBase ++ newDeletes.map { case (p, ds) =>
             p -> (delBase.getOrElse(p, Nil) ++ ds) },
-          ts, operation, nextFiles, nextBytes)
+          ts, operation, nextFiles, nextBytes, nextFileStats)
         if (!hookRan) { beforeCommit(); hookRan = true }
         // the commit point: atomically claim the version slot; a lost
         // claim means another PROCESS committed meanwhile (threads are
@@ -1147,7 +1188,7 @@ object AtomicTable {
     * manifest unchanged when nothing is fragmented. */
   def compactFragmented(spark: SparkSession, table: String,
       schema: StructType, partitionCol: String, minFiles: Int,
-      statsColumns: Seq[String] = Nil): Manifest = {
+      statsColumns: Seq[String] = Nil, retain: Int = 1): Manifest = {
     val root = Paths.get(table)
     val m = manifest(root).getOrElse(
       return Manifest(0L, Map.empty))
@@ -1186,7 +1227,8 @@ object AtomicTable {
     // meanwhile, committing would clobber it — abort instead
     replacePartitions(spark, table, rows, partitionCol,
       statsColumns = statsColumns, dropPartitions = fragmented,
-      expectedVersion = Some(m.version), operation = "compact")
+      expectedVersion = Some(m.version), operation = "compact",
+      retain = retain)
   }
 
   /** PARTITION-SPEC EVOLUTION: rewrite the table's current contents
@@ -1316,10 +1358,13 @@ object AtomicTable {
     * last-modified time is older than `olderThanMs`. The age gate is what
     * makes this safe to run beside live writers — an in-flight staging
     * dir is by definition recent (the Delta VACUUM retention argument).
-    * Run it as periodic maintenance, like [[compact]]. */
-  def vacuum(root: Path, olderThanMs: Long = 24L * 3600 * 1000): Unit = {
+    * Run it as periodic maintenance, like [[compact]]. Returns the
+    * number of reclaimed txn dirs (the metric a maintenance scheduler
+    * logs; tmp-manifest sweeps don't count). */
+  def vacuum(root: Path, olderThanMs: Long = 24L * 3600 * 1000): Int = {
     val dataDir = root.resolve("data")
     val mDir = root.resolve("_manifests")
+    var reclaimed = 0
     val tmpCutoff = System.currentTimeMillis() - olderThanMs
     // reclaim tmp manifests orphaned by a writer that crashed between
     // staging the content and linking it into place (same age gate) —
@@ -1332,7 +1377,7 @@ object AtomicTable {
           Files.deleteIfExists(f)
       } finally ts.close()
     }
-    if (!Files.isDirectory(dataDir)) return
+    if (!Files.isDirectory(dataDir)) return reclaimed
     // every RETAINED manifest pins its txn dirs — a time-travel reader
     // inside the retention window must keep its snapshot
     val referenced: Set[String] =
@@ -1358,9 +1403,12 @@ object AtomicTable {
     try txns.iterator.asScala.toList.foreach { txn =>
       if (Files.isDirectory(txn) &&
           !refTxns.contains(txn.getFileName.toString) &&
-          Files.getLastModifiedTime(txn).toMillis < cutoff)
+          Files.getLastModifiedTime(txn).toMillis < cutoff) {
         deleteRecursively(txn)
+        reclaimed += 1
+      }
     } finally txns.close()
+    reclaimed
   }
 
   private def deleteRecursively(p: Path): Unit = {

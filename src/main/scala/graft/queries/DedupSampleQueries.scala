@@ -30,13 +30,13 @@ object DedupSampleQueries {
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
   /** Deterministic near-dup corpus: a sample of documents plus perturbed
-    * copies (last token dropped, id offset by 1,000,000) — guarantees the
+    * copies (last token dropped, id offset by Planted.Offset) — guarantees the
     * LSH queries return pairs on data with no natural near-dups. */
   private[queries] def withPerturbedCopies(docs: DataFrame, sampleMod: Int): DataFrame = {
     val sample = docs.filter(col("doc_id") % sampleMod === 0)
       .select("doc_id", "text", "lang")
     val perturbed = sample.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
+      (col("doc_id") + Planted.Offset).as("doc_id"),
       regexp_replace(col("text"), "\\s+\\S+$", "").as("text"),
       col("lang"))
     sample.unionByName(perturbed)
@@ -55,7 +55,7 @@ object DedupSampleQueries {
   /** Planted-recall oracles for the text LSH paths, mirroring the sim_*
     * recall queries: every sampled document (≥20 tokens, so a one-token
     * perturbation keeps Jaccard ≈ 0.9) gets a perturbed copy planted into
-    * the FULL 500-doc corpus at id+1,000,000, and the query asserts the
+    * the FULL 500-doc corpus at id+Planted.Offset, and the query asserts the
     * banded pair miner surfaces each (original, planted) pair — candidates
     * must emerge from real bucket collisions, not a pre-trimmed sample.
     * The DuckDB side states the contract as a constant-truth table. */
@@ -65,13 +65,13 @@ object DedupSampleQueries {
 
   private[queries] def withPlantedTextDups(docs: DataFrame): DataFrame = {
     val planted = plantedDocSample(docs)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + Planted.Offset)
       .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
     docs.unionByName(planted)
   }
 
   private[queries] def foundPlantedPairs(sample: DataFrame, pairs: DataFrame): DataFrame = {
-    val found = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+    val found = pairs.filter(col("id_b") === col("id_a") + Planted.Offset)
       .select(col("id_a").as("doc_id"), lit(true).as("found_planted"))
     sample.select("doc_id").join(found, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
@@ -94,7 +94,7 @@ object DedupSampleQueries {
     val root = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
     DedupIndex.append(root, docs, ingest = "base")
     val batch = plantedDocSample(docs)
-      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("doc_id", col("doc_id") + Planted.Offset)
       .withColumn("text", regexp_replace(col("text"), "\\s+\\S+$", ""))
     val pairs = DedupIndex.matches(s, root, batch, threshold = 0.5)
       .select(col("idx_id").as("id_a"), col("new_id").as("id_b"))
@@ -136,7 +136,7 @@ object DedupSampleQueries {
     val comps = Dedup.connectedComponents(
       Dedup.minhashPairs(withPlantedTextDups(docs), threshold = 0.5))
     val orig = comps.select(col("id").as("doc_id"), col("label").as("l_orig"))
-    val copy = comps.select((col("id") - 1000000L).as("doc_id"),
+    val copy = comps.select((col("id") - Planted.Offset).as("doc_id"),
       col("label").as("l_copy"))
     plantedDocSample(docs).select("doc_id")
       .join(orig, Seq("doc_id"), "left_outer")

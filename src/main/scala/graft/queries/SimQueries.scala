@@ -100,13 +100,13 @@ object SimQueries {
     * without scanning everything. What ANN actually promises is retrieval
     * of true high-similarity neighbors, so the oracle plants one: a ~1%
     * deterministic perturbation of each query vector (cosine ≈ 0.9999) at
-    * id+1,000,000, and the query asserts the ANN path surfaces it in its
+    * id+Planted.Offset, and the query asserts the ANN path surfaces it in its
     * top-k. The DuckDB side states that contract as a constant-truth
     * table over the same query ids; any query whose planted near-dup is
     * missed hash-mismatches the driver row. */
   private[queries] def withPlantedNearDups(emb: DataFrame, sampleMod: Int): DataFrame = {
     val planted = emb.filter(col("vec_id") % sampleMod === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
+      .select((col("vec_id") + Planted.Offset).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           (x.cast("double") * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)).cast("double")))
             .cast("float")).as("embedding"),
@@ -120,7 +120,7 @@ object SimQueries {
 
   private[queries] def foundPlanted(ann: DataFrame): DataFrame =
     ann.groupBy("query_id")
-      .agg(max(col("neighbor_id") === col("query_id") + 1000000L).as("found_planted"))
+      .agg(max(col("neighbor_id") === col("query_id") + Planted.Offset).as("found_planted"))
 
   /** Fixed 200-query recall panel: the %100 slice CAPPED at vec_id <
     * 20,000. Without the cap the panel grows with the corpus (1% of n)
@@ -179,7 +179,7 @@ object SimQueries {
 
   /** Embedding-space decontamination with a full VALUE oracle: both
     * engines plant a ~0.9999-cosine perturbed twin of each eval vector
-    * (vec_id % 97 slice) into the train side at id + 2,000,000 — the
+    * (vec_id % 97 slice) into the train side at id + Planted.DecontamOffset — the
     * [[withPlantedNearDups]] perturbation — and the oracle recomputes
     * max-cosine-vs-eval and the 0.9 flag exactly in SQL (the natural
     * corpus maxes at ≈0.47 cross-similarity, so the margin is wide on
@@ -187,7 +187,7 @@ object SimQueries {
   private[queries] def simDecontamEmbed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val eval = emb.filter(col("vec_id") % 97 === 0)
-    val planted = eval.select((col("vec_id") + 2000000L).as("vec_id"),
+    val planted = eval.select((col("vec_id") + Planted.DecontamOffset).as("vec_id"),
       transform(col("embedding"), (x, i) =>
         (x.cast("double") * (lit(1.0) + lit(0.01) * ((i % 7) - lit(3)).cast("double")))
           .cast("float")).as("embedding"),
@@ -197,11 +197,11 @@ object SimQueries {
   }
 
   private[queries] val simDecontamEmbedSql =
-    """WITH ev AS (
+    s"""WITH ev AS (
       |  SELECT vec_id AS eval_id, embedding FROM embeddings
       |  WHERE vec_id % 97 = 0),
       |planted AS (
-      |  SELECT eval_id + 2000000 AS vec_id,
+      |  SELECT eval_id + ${Planted.DecontamOffset} AS vec_id,
       |    list_transform(range(len(embedding)),
       |      i -> CAST(CAST(embedding[i+1] AS DOUBLE)
       |           * (1.0 + 0.01 * ((i % 7) - 3)) AS FLOAT)) AS embedding
@@ -286,11 +286,11 @@ object SimQueries {
     val emb = Tables.embeddings(s, dir)
     val corpus = withPlantedNearDups(emb, 100)
     Similarity.semDedup(corpus, threshold = 0.99, iters = 1)
-      .where(col("vec_id") >= 1000000L).orderBy("vec_id")
+      .where(col("vec_id") >= Planted.Offset).orderBy("vec_id")
   }
 
   private[queries] val simSemdedupPlantedSql =
-    """SELECT vec_id + 1000000 AS vec_id, vec_id AS keep_id,
+    s"""SELECT vec_id + ${Planted.Offset} AS vec_id, vec_id AS keep_id,
       |  CAST(1 AS BOOLEAN) AS is_dup
       |FROM embeddings WHERE vec_id % 100 = 0 ORDER BY vec_id""".stripMargin
 
@@ -355,7 +355,7 @@ object SimQueries {
   private[queries] def simNearDupLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val pairs = Similarity.cosineNearDupLsh(withPlantedNearDups(emb, 100), threshold = 0.9)
-    val found = pairs.filter(col("id_b") === col("id_a") + 1000000L)
+    val found = pairs.filter(col("id_b") === col("id_a") + Planted.Offset)
       .select(col("id_a").as("query_id"), lit(true).as("found_planted"))
     emb.filter(col("vec_id") % 100 === 0).select(col("vec_id").as("query_id"))
       .join(found, Seq("query_id"), "left_outer")

@@ -972,6 +972,61 @@ object WarehouseQueries {
        |FROM chg GROUP BY change_type, commit_version
        |ORDER BY change_type, commit_version""".stripMargin
 
+  /** SQL maintenance lifecycle: fragment with three appends → `CALL
+    * system.compact` (targeted small-file fold) → a bad DELETE → `CALL
+    * system.rollback` (restore the pre-delete snapshot as a new commit)
+    * → `CALL system.vacuum`. Every maintenance operation is
+    * metadata/layout-plane — none may change the table's LOGICAL
+    * content, and the rollback must undo the delete exactly — so the
+    * oracle is simply the staged input aggregated: any compaction row
+    * loss, partial rollback, or vacuum eating referenced bytes shifts a
+    * per-year count/sum. The structural pins (only fragmented
+    * partitions rewrite; vacuum only reclaims unreferenced dirs;
+    * history stays readable) are GraftCatalogSpec's. At 100 TB the
+    * compaction cost is ∝ fragmented partitions, never table size. */
+  private[queries] def graftSqlMaintain(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#maint", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-mnt").toString
+      val cat = "gn" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .createOrReplaceTempView(s"orders_mntsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
+        "PARTITIONED BY (o_year) TBLPROPERTIES " +
+        "('retain'='10', 'stats_columns'='o_orderkey')")
+      // three appends leave every year with >=3 files: small-file debt
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_mntsrc_$cat " +
+        "WHERE o_orderkey % 3 = 0")                                    // v1
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_mntsrc_$cat " +
+        "WHERE o_orderkey % 3 = 1")                                    // v2
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_mntsrc_$cat " +
+        "WHERE o_orderkey % 3 = 2")                                    // v3
+      s.sql(s"CALL $cat.system.compact('wh.orders', 2)")               // v4
+      s.sql(s"DELETE FROM $cat.wh.orders WHERE o_orderkey % 7 = 0")    // v5: bad
+      s.sql(s"CALL $cat.system.rollback('wh.orders', 4)")              // v6 = v4
+      s.sql(s"CALL $cat.system.vacuum('wh.orders', 0)")
+      cat
+    })
+    s.sql(s"SELECT o_year, o_orderkey, o_totalprice FROM $cat.wh.orders")
+      .groupBy("o_year")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        dsum(col("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_year")
+  }
+
+  private[queries] val graftSqlMaintainSql =
+    s"""SELECT strftime(o_orderdate, '%Y') AS o_year, count(*) AS n_rows,
+       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM orders
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val graftCdfMergeSql =
     s"""WITH base AS (
        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

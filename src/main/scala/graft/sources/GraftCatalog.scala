@@ -364,27 +364,83 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     (ident.namespace().toSeq, ident.name()) match {
       case (Seq("system"), "table_changes") =>
         new GraftTableChangesProcedure(this)
+      case (Seq("system"), "compact") => GraftMaintenanceProcedures.compact(this)
+      case (Seq("system"), "vacuum") => GraftMaintenanceProcedures.vacuum(this)
+      case (Seq("system"), "rollback") => GraftMaintenanceProcedures.rollback(this)
+      case (Seq("system"), "clone") => GraftMaintenanceProcedures.clone(this)
       case _ => throw new IllegalArgumentException(
-        s"unknown procedure $ident — graft provides system.table_changes")
+        s"unknown procedure $ident — graft provides system.{table_changes," +
+          "compact,vacuum,rollback,clone}")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array(Identifier.of(Array("system"), "table_changes"))
+      Array("table_changes", "compact", "vacuum", "rollback", "clone")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
+
+  private def identOf(tbl: String): Identifier = {
+    val segs = tbl.split("\\.").toSeq
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"bad table identifier '$tbl' — expected 'namespace.table'")
+    Identifier.of(segs.init.toArray, segs.last)
+  }
 
   /** Resolve a `db.t`-style identifier (relative to this catalog) to
     * its table dir and DECLARED schema, for the changefeed procedure. */
   private[sources] def resolveForChanges(tbl: String): (String, StructType) = {
-    val segs = tbl.split("\\.").toSeq
-    require(segs.nonEmpty && segs.forall(_.nonEmpty),
-      s"bad table identifier '$tbl' — expected 'namespace.table'")
-    val ident = Identifier.of(segs.init.toArray, segs.last)
+    val ident = identOf(tbl)
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val schema = readMeta(dir).map(_._1).getOrElse(
       GraftSource.inferredSchema(new Configuration(), dir.toString))
     (dir.toString, schema)
+  }
+
+  /** Maintenance-grade resolution of a `db.t` identifier: table dir,
+    * declared (or inferred) schema, partition spec, retention, and
+    * zone-map stats columns — everything the `system.*` maintenance
+    * procedures need to call the [[AtomicTable]] API under the same
+    * contract the declared table's own writes use. */
+  private[sources] def resolveMaintenance(tbl: String)
+      : (Path, StructType, String, Int, Seq[String]) = {
+    val ident = identOf(tbl)
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    readMeta(dir) match {
+      case Some((schema, pcol, retain, stats)) =>
+        (dir, schema, pcol, retain, stats)
+      case None =>
+        val schema = GraftSource.inferredSchema(new Configuration(), dir.toString)
+        val pcol = AtomicTable.manifest(dir).filter(_.partitions.nonEmpty)
+          .map(GraftSource.partitionColOf).getOrElse("")
+        (dir, schema, pcol, DefaultRetain, Nil)
+    }
+  }
+
+  /** Clone `srcT`'s retained snapshot (current when `version` is None)
+    * as a brand-new INDEPENDENT table `dstT` in this catalog:
+    * [[AtomicTable.cloneTable]] hard-links the immutable data bytes
+    * (zero copied bytes on one filesystem), and the declared meta
+    * carries over so the clone keeps the source's schema/partition/
+    * stats contracts. */
+  private[sources] def cloneInto(srcT: String, dstT: String,
+      version: Option[Long]): AtomicTable.Manifest = {
+    val srcIdent = identOf(srcT)
+    val dstIdent = identOf(dstT)
+    val srcDir = tableDir(srcIdent)
+    if (!isTable(srcDir)) throw new NoSuchTableException(srcIdent)
+    val dstDir = tableDir(dstIdent)
+    if (isTable(dstDir)) throw new TableAlreadyExistsException(dstIdent)
+    if (!Files.isDirectory(dstDir.getParent))
+      throw new NoSuchNamespaceException(dstIdent.namespace())
+    val retain = readMeta(srcDir).map(_._3).getOrElse(DefaultRetain)
+    val m = AtomicTable.cloneTable(srcDir, dstDir, version, retain)
+    if (Files.exists(metaFile(srcDir))) {
+      Files.copy(metaFile(srcDir), metaFile(dstDir))
+      ()
+    }
+    m
   }
 
   // -------------------------------------------------------- namespaces

@@ -78,3 +78,127 @@ private[sources] object GraftTableChangesProcedure {
     StructField("starting_version", LongType, nullable = false),
     StructField("ending_version", LongType, nullable = false)))
 }
+
+/** One-row-result procedure scaffold: every maintenance procedure is
+  * "parse args, call the [[graft.etl.AtomicTable]] maintenance API,
+  * report a metadata row" — unlike `table_changes` there is no
+  * distributed result to smuggle out, so a [[LocalScan]] row IS the
+  * whole answer. */
+private[sources] class GraftSimpleProcedure(procName: String, desc: String,
+    params: Array[ProcedureParameter], result: StructType,
+    run: InternalRow => Array[Any]) extends UnboundProcedure {
+  override def name(): String = procName
+  override def description(): String = desc
+  override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = desc
+    override def isDeterministic: Boolean = false
+    override def parameters(): Array[ProcedureParameter] = params
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val out = new GenericInternalRow(run(input))
+      java.util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = result
+        override def rows(): Array[InternalRow] = Array(out)
+      }).iterator()
+    }
+  }
+}
+
+/** The `CALL <cat>.system.*` maintenance surface — the operations a
+  * 100 TB warehouse schedules nightly, each already implemented (and
+  * scale-argued) in [[graft.etl.AtomicTable]], here made reachable
+  * without Scala. The Iceberg analogs: `rewrite_data_files`
+  * (→ compact), `remove_orphan_files` (→ vacuum),
+  * `rollback_to_snapshot` (→ rollback), and snapshot/`CREATE TABLE
+  * CLONE` (→ clone). Compaction is the TARGETED form on purpose:
+  * cost ∝ fragmented partitions, never table size. */
+private[sources] object GraftMaintenanceProcedures {
+
+  private def tableParam = ProcedureParameter.in("table", StringType)
+    .comment("table identifier inside this catalog, e.g. 'db.orders'").build()
+
+  /** `compact('db.t', min_files)` — rewrite ONLY the partitions holding
+    * `min_files`+ data files (small-file debt), one file per partition
+    * after; healthy partitions carry forward by reference. */
+  def compact(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "compact",
+    "rewrite partitions with at least min_files data files down to one",
+    Array(tableParam,
+      ProcedureParameter.in("min_files", LongType)
+        .comment("only partitions with this many files or more rewrite").build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false))),
+    { input =>
+      val spark = SparkSession.active
+      val (dir, schema, pcol, retain, statsCols) =
+        catalog.resolveMaintenance(input.getUTF8String(0).toString)
+      require(pcol.nonEmpty,
+        s"$dir has no partition spec — partition-targeted compaction " +
+          "needs a partitioned table")
+      val before = graft.etl.AtomicTable.dataFileCount(dir)
+      val m = graft.etl.AtomicTable.compactFragmented(spark, dir.toString,
+        schema, pcol, minFiles = input.getLong(1).toInt,
+        statsColumns = statsCols, retain = retain)
+      Array[Any](m.version, before, graft.etl.AtomicTable.dataFileCount(dir))
+    })
+
+  /** `vacuum('db.t', older_than_ms)` — reclaim never-committed staging
+    * dirs no retained manifest references (crash leftovers, aborted
+    * optimistic commits); the age gate keeps in-flight writers safe. */
+  def vacuum(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "vacuum",
+    "reclaim unreferenced staging dirs older than older_than_ms",
+    Array(tableParam,
+      ProcedureParameter.in("older_than_ms", LongType)
+        .comment("only dirs untouched for this long reclaim (0 = all)").build()),
+    StructType(Seq(
+      StructField("reclaimed_dirs", LongType, nullable = false))),
+    { input =>
+      val (dir, _, _, _, _) =
+        catalog.resolveMaintenance(input.getUTF8String(0).toString)
+      Array[Any](graft.etl.AtomicTable.vacuum(dir, input.getLong(1)).toLong)
+    })
+
+  /** `rollback('db.t', version)` — commit a NEW version whose content
+    * is exactly the retained `version`'s (restore; history preserved,
+    * zero data bytes moved). */
+  def rollback(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "rollback",
+    "restore the table to a retained version as a new commit",
+    Array(tableParam,
+      ProcedureParameter.in("version", LongType)
+        .comment("retained version whose content the new commit restores").build()),
+    StructType(Seq(
+      StructField("restored_version", LongType, nullable = false),
+      StructField("current_version", LongType, nullable = false))),
+    { input =>
+      val (dir, _, _, retain, _) =
+        catalog.resolveMaintenance(input.getUTF8String(0).toString)
+      val v = input.getLong(1)
+      val m = graft.etl.AtomicTable.restore(dir, v, retain)
+      Array[Any](v, m.version)
+    })
+
+  /** `clone('db.t', 'db.t2', version)` — materialize a retained
+    * snapshot (≤0 = current) as a brand-new INDEPENDENT table: data
+    * bytes hard-linked, declared meta copied, separate lifetime. */
+  def clone(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "clone",
+    "clone a retained snapshot as a new independent table",
+    Array(tableParam,
+      ProcedureParameter.in("target", StringType)
+        .comment("new table identifier inside this catalog").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("source version to clone; <= 0 clones the current").build()),
+    StructType(Seq(
+      StructField("target_version", LongType, nullable = false),
+      StructField("cloned_partitions", LongType, nullable = false))),
+    { input =>
+      val v = input.getLong(2)
+      val m = catalog.cloneInto(input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString, if (v <= 0) None else Some(v))
+      Array[Any](m.version, m.partitions.size.toLong)
+    })
+}

@@ -49,14 +49,21 @@ object GenScale {
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
     val nVecs = emb.count()
-    // the sim_* planted-twin protocol writes twins at vec_id + 1,000,000
-    // (SimQueries.withPlantedNearDups); scaled ids must stay below that
-    // offset or twins would collide with real vectors and corrupt every
-    // recall measurement. Binds first at ~500× the sf0.1 corpus.
-    require(nVecs * factor <= 1000000L,
+    // the sim_* planted-twin protocol writes twins at vec_id +
+    // Planted.Offset (SimQueries.withPlantedNearDups); scaled ids must
+    // stay below that offset or twins would collide with real vectors
+    // and corrupt every recall measurement. The documents side has the
+    // same bound (dedup_*_planted twins at doc_id + Planted.Offset) —
+    // docs outnumber vectors 2.5:1 at sf0.1, so it binds first, at
+    // 2,000× the sf0.1 corpus.
+    require(nDocs * factor <= graft.queries.Planted.Offset,
+      s"scaled doc_id space (${nDocs * factor}) would collide with the " +
+        s"planted-near-dup offset (${graft.queries.Planted.Offset}) — " +
+        "raise graft.queries.Planted.Offset before scaling this far")
+    require(nVecs * factor <= graft.queries.Planted.Offset,
       s"scaled vec_id space (${nVecs * factor}) would collide with the " +
-        "planted-near-dup offset (1,000,000) — raise the offset in " +
-        "SimQueries/its oracles before scaling this far")
+        s"planted-near-dup offset (${graft.queries.Planted.Offset}) — " +
+        "raise graft.queries.Planted.Offset before scaling this far")
     // per-(copy, vec, dim) deterministic nudge of ~±5%: cluster structure
     // (label geometry) survives, verbatim duplicates do not. Copy 0 stays
     // byte-identical to the source (same guard as the documents path), so
@@ -83,9 +90,20 @@ object GenScale {
     // without every copy crossing identically.
     val orders = spark.read.parquet(s"$srcDir/orders.parquet")
     val maxOk = orders.agg(max("o_orderkey")).head.getLong(0) + 1
-    require(maxOk * factor < 100000000L,
-      "scaled o_orderkey space would collide with wh_merge_delete's " +
-        "+100,000,000 insert offset")
+    // the warehouse family's insert protocol offsets keys by
+    // +100,000,000 (wh_merge_delete), which binds orders/events at
+    // ~160× — far below the documents/embeddings ceiling. Past it,
+    // write a DOCS-ONLY scale point (the heavy-family protocol) rather
+    // than refusing the whole run.
+    if (maxOk * factor >= 100000000L) {
+      println(s"skipping orders/events at $factor×: scaled o_orderkey " +
+        "space would collide with wh_merge_delete's +100,000,000 insert " +
+        "offset (docs/embeddings written; warehouse decades stop at ~160×)")
+      println(s"wrote $outDir: documents=${nDocs * factor} " +
+        s"embeddings=${nVecs * factor} (docs-only scale point)")
+      spark.stop()
+      return
+    }
     orders.crossJoin(copies)
       .select((col("o_orderkey") + col("copy") * maxOk).as("o_orderkey"),
         col("o_custkey"), col("o_orderstatus"),

@@ -388,6 +388,97 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sessionState.catalogManager.catalog("gcat")
       .asInstanceOf[GraftCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq ===
-      Seq("table_changes"))
+      Seq("table_changes", "compact", "vacuum", "rollback", "clone"))
+  }
+
+  test("CALL system.compact folds small-file debt in fragmented partitions only") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mnt (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain' = '10', " +
+      "'stats_columns' = 'id')")
+    // three single-partition inserts fragment 'a'; 'b' stays healthy
+    spark.sql("INSERT INTO gcat.db.mnt VALUES (1, 1.0, 'a')")
+    spark.sql("INSERT INTO gcat.db.mnt VALUES (2, 2.0, 'a')")
+    spark.sql("INSERT INTO gcat.db.mnt VALUES (3, 3.0, 'a'), (4, 4.0, 'b')")
+    val dir = Paths.get(warehouse, "db", "mnt")
+    val before = AtomicTable.dataFileCount(dir)
+    assert(before >= 4L) // >=3 files under 'a', >=1 under 'b'
+    val res = spark.sql("CALL gcat.system.compact('db.mnt', 3)")
+      .as[(Long, Long, Long)].head()
+    assert(res._2 === before)
+    // 'a' folded to one file; 'b' untouched (targeted, not full-table)
+    val mAfter = AtomicTable.manifest(dir).get
+    assert(mAfter.partitions("a").size === 1)
+    assert(mAfter.partitions("b") ===
+      AtomicTable.manifestAt(dir, mAfter.version - 1).partitions("b"))
+    assert(res._3 < before)
+    // zone maps survive the rewrite (stats_columns carried through)
+    assert(mAfter.stats("a").mins.contains("id"))
+    // rows unchanged
+    assert(spark.sql("SELECT count(*) FROM gcat.db.mnt").as[Long].head() === 4L)
+    // a table below the threshold is a no-op (same version back)
+    val noop = spark.sql("CALL gcat.system.compact('db.mnt', 3)")
+      .as[(Long, Long, Long)].head()
+    assert(noop._1 === mAfter.version && noop._2 === noop._3)
+  }
+
+  test("CALL system.rollback restores a retained version as a new commit") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.rb (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain' = '10')")
+    spark.sql("INSERT INTO gcat.db.rb VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("DELETE FROM gcat.db.rb WHERE id = 1")              // v2 (bad)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rb").as[Long].head() === 1L)
+    val res = spark.sql("CALL gcat.system.rollback('db.rb', 1)")
+      .as[(Long, Long)].head()
+    assert(res === ((1L, 3L)))
+    assert(spark.sql("SELECT id FROM gcat.db.rb ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    // history preserved: the bad v2 stays readable inside retention
+    assert(spark.sql("SELECT count(*) FROM gcat.db.rb VERSION AS OF 2")
+      .as[Long].head() === 1L)
+  }
+
+  test("CALL system.vacuum reclaims orphaned staging dirs, none referenced") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.vac (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    spark.sql("INSERT INTO gcat.db.vac VALUES (1, 'a')")
+    // fake a crashed writer's never-committed staging dir
+    val orphan = Paths.get(warehouse, "db", "vac", "data", "txn-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    val res = spark.sql("CALL gcat.system.vacuum('db.vac', 0)")
+      .as[Long].head()
+    assert(res === 1L)
+    assert(!Files.exists(orphan))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.vac").as[Long].head() === 1L)
+  }
+
+  test("CALL system.clone: independent zero-copy table with carried meta") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.clsrc (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain' = '10')")
+    spark.sql("INSERT INTO gcat.db.clsrc VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("INSERT INTO gcat.db.clsrc VALUES (3, 'c')")           // v2
+    // clone the CURRENT snapshot (version <= 0)
+    val res = spark.sql("CALL gcat.system.clone('db.clsrc', 'db.cldst', 0)")
+      .as[(Long, Long)].head()
+    assert(res._2 === 3L)
+    assert(spark.sql("SELECT id FROM gcat.db.cldst ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // declared meta carried: the clone keeps the partition contract
+    spark.sql("INSERT INTO gcat.db.cldst VALUES (4, 'd')")
+    assert(AtomicTable.manifest(Paths.get(warehouse, "db", "cldst"))
+      .get.partitions.keySet.contains("d"))
+    // independence: mutating the clone never leaks into the source
+    assert(spark.sql("SELECT count(*) FROM gcat.db.clsrc").as[Long].head() === 3L)
+    // a historical clone takes the retained snapshot, not the head
+    spark.sql("CALL gcat.system.clone('db.clsrc', 'db.cldst1', 1)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.cldst1").as[Long].head() === 2L)
+    // refusing to clobber an existing table
+    intercept[Exception] {
+      spark.sql("CALL gcat.system.clone('db.clsrc', 'db.cldst', 0)").collect()
+    }
   }
 }
