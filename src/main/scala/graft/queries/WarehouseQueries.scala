@@ -1027,6 +1027,63 @@ object WarehouseQueries {
        |FROM orders
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** FILE-level data skipping end-to-end: three range-disjoint INSERTs
+    * leave every year partition with three files whose recorded
+    * o_orderkey bounds don't overlap, and the middle-third range read
+    * must plan ONE file per partition (GraftFileSkipSpec pins the
+    * planned-file count; this query oracles the VALUES — any file
+    * wrongly skipped drops a year's count/sum, any boundary slip
+    * double-counts). The partition zone maps can't help here (every
+    * year spans the full key range); only per-file bounds prune. At
+    * 100 TB this is Iceberg's per-data-file column bounds: the
+    * difference between reading a day and reading the two files in it
+    * whose range matches. */
+  private[queries] def graftFileSkip(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#fskip", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-fsk").toString
+      val cat = "gk" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .createOrReplaceTempView(s"orders_fsksrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
+        "PARTITIONED BY (o_year) TBLPROPERTIES " +
+        "('retain'='5', 'stats_columns'='o_orderkey')")
+      // three RANGE-disjoint appends: every year partition ends with
+      // three files of non-overlapping o_orderkey bounds
+      val t1 = s"(SELECT max(o_orderkey) DIV 3 FROM orders_fsksrc_$cat)"
+      val t2 = s"(SELECT 2 * (max(o_orderkey) DIV 3) FROM orders_fsksrc_$cat)"
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_fsksrc_$cat " +
+        s"WHERE o_orderkey <= $t1")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_fsksrc_$cat " +
+        s"WHERE o_orderkey > $t1 AND o_orderkey <= $t2")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_fsksrc_$cat " +
+        s"WHERE o_orderkey > $t2")
+      cat
+    })
+    // middle-third read: per partition, bounds refute files 1 and 3
+    s.sql(s"""SELECT o_year, count(*) AS n_rows,
+      sum(o_orderkey) AS sum_okey
+      FROM $cat.wh.orders
+      WHERE o_orderkey > (SELECT max(o_orderkey) DIV 3
+                          FROM orders_fsksrc_$cat)
+        AND o_orderkey <= (SELECT 2 * (max(o_orderkey) DIV 3)
+                           FROM orders_fsksrc_$cat)
+      GROUP BY o_year ORDER BY o_year""")
+  }
+
+  private[queries] val graftFileSkipSql =
+    """SELECT strftime(o_orderdate, '%Y') AS o_year, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey
+      |FROM orders
+      |WHERE o_orderkey > (SELECT max(o_orderkey) // 3 FROM orders)
+      |  AND o_orderkey <= (SELECT 2 * (max(o_orderkey) // 3) FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val graftCdfMergeSql =
     s"""WITH base AS (
        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

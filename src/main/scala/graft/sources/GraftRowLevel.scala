@@ -99,6 +99,13 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
   // per-level runtime narrowing: level index -> admitted segment values
   private var runtimeKeep: Option[Map[Int, Set[String]]] = None
 
+  // the GROUP contract forbids file-level skipping here: a scanned
+  // partition is REWRITTEN from this scan's output, so a file skipped
+  // inside it would have its rows silently dropped by the rewrite.
+  // Skipping whole partitions (groups) stays safe — they are not
+  // scanned, not rewritten, and keep their bytes.
+  override protected def skipFilesByStats: Boolean = false
+
   // runtime group filtering mutates the partition set after planning, so
   // the key-grouped report the base scan makes could disagree with the
   // partitions actually planned — don't report one here
@@ -196,7 +203,8 @@ private[sources] class GraftGroupReplaceWrite(root: String,
       retain = retain, expectedVersion = Some(state.readVersion),
       operation = cmd.name.toLowerCase,
       appendSet = moved, statsSchema = Some(schema),
-      newFiles = staged.files)
+      newFiles = staged.files,
+      newFileStats = GraftWriteCommit.fileStats(staged, messages))
     ()
   }
 

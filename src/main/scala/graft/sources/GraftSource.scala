@@ -690,14 +690,39 @@ private[sources] class GraftScan(root: String, full: StructType,
     val kept = prunePartitions(m, pcols)
     val conf = new Configuration()
     kept.toSeq.sortBy(_._1).map { case (part, dirs) =>
-      val dataFiles = dirs.flatMap(d =>
-        GraftSource.committedFiles(m, conf, root, d))
+      val dataFiles = dirs.flatMap { d =>
+        val all = GraftSource.committedFiles(m, conf, root, d)
+        // FILE-level data skipping: inside an admitted partition, drop
+        // files whose recorded [min, max] refutes a pushed filter —
+        // second-granularity pruning after the partition zone maps.
+        // NEVER on the row-level group-replace scan (skipFilesByStats
+        // false there): a scanned GROUP is rewritten from scan output,
+        // so a skipped file's rows would be LOST by the rewrite;
+        // skipping whole groups is safe (they stay untouched), skipping
+        // files inside one is not. Files without stats always read.
+        val fst =
+          if (skipFilesByStats && filters.nonEmpty)
+            m.fileStats.getOrElse(d, Map.empty)
+          else Map.empty[String, AtomicTable.PartStats]
+        if (fst.isEmpty) all
+        else all.filter { path =>
+          val name = path.substring(path.lastIndexOf('/') + 1)
+          fst.get(name).forall(st =>
+            filters.forall(f => statsAdmit(fileBounds(st, _), f)))
+        }
+      }
       val vecFiles = m.deletes.getOrElse(part, Nil)
         .flatMap(d => listParquet(conf, s"$root/$d"))
       GraftInputPartition(part, dataFiles, vecFiles, keyCols, pcols, ptypes)
         : InputPartition
     }.toArray
   }
+
+  /** Whether [[planFromManifest]] may prune FILES by their zone maps.
+    * True for plain reads; the row-level group-replace scan overrides
+    * to false (group contract: scanned partitions rewrite from scan
+    * output, so every file of a scanned group must be read). */
+  protected def skipFilesByStats: Boolean = true
 
   private def listParquet(conf: Configuration, dir: String): Seq[String] = {
     val p = new Path(dir)
@@ -738,14 +763,26 @@ private[sources] class GraftScan(root: String, full: StructType,
   }
 
   private def zoneAdmits(m: AtomicTable.Manifest, part: String,
+      f: Filter): Boolean =
+    statsAdmit(c => m.stats.get(part).flatMap(s => colBounds(s, c)), f)
+
+  /** [min, max, type] of column `c` in a stats entry, None (never
+    * prune) when untracked or the column is unknown to the schema. */
+  private def colBounds(s: AtomicTable.PartStats, c: String)
+      : Option[(String, String, DataType)] =
+    if (!full.fieldNames.contains(c)) None
+    else (s.mins.get(c), s.maxs.get(c)) match {
+      case (Some(mn), Some(mx)) => Some((mn, mx, full(c).dataType))
+      case _ => None
+    }
+
+  private def fileBounds(s: AtomicTable.PartStats, c: String)
+      : Option[(String, String, DataType)] = colBounds(s, c)
+
+  /** Can a stats range satisfy filter `f`? Shared by partition zone
+    * maps and file-level skipping — conservative on every unknown. */
+  private def statsAdmit(bounds: String => Option[(String, String, DataType)],
       f: Filter): Boolean = {
-    def bounds(c: String): Option[(String, String, DataType)] =
-      if (!full.fieldNames.contains(c)) None
-      else m.stats.get(part).flatMap(s =>
-        (s.mins.get(c), s.maxs.get(c)) match {
-          case (Some(mn), Some(mx)) => Some((mn, mx, full(c).dataType))
-          case _ => None
-        })
     def cmp(dt: DataType, a: String, b: Any): Int =
       AtomicTable.statsOrder(dt, a, GraftSource.filterValueString(b))
     f match {

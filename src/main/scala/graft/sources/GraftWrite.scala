@@ -184,7 +184,8 @@ private[sources] class GraftStreamingWrite(root: String, schema: StructType,
     AtomicTable.commitManifest(rootPath, staged.written,
       newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages),
       properties = Map(epochProp -> epochId.toString), retain = retain,
-      newFiles = staged.files)
+      newFiles = staged.files,
+      newFileStats = GraftWriteCommit.fileStats(staged, messages))
     ()
   }
 
@@ -322,6 +323,7 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
     val staged = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
     val rootPath = java.nio.file.Paths.get(root)
     val newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages)
+    val fStats = GraftWriteCommit.fileStats(staged, messages)
     // overwrite scope: the partitions the predicates select from the
     // CURRENT manifest (ALWAYS_TRUE selects all = truncate); dynamic
     // overwrite replaces exactly the partitions present in the data;
@@ -338,14 +340,16 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
               s"resolve to partitions of '$partitionCol'")) -- staged.written.keySet
         AtomicTable.commitManifest(rootPath, staged.written,
           newStats = newStats, dropPartitions = drop, retain = retain,
-          expectedVersion = Some(readVersion), newFiles = staged.files)
+          expectedVersion = Some(readVersion), newFiles = staged.files,
+          newFileStats = fStats)
       case None if dynamicOverwrite =>
         AtomicTable.commitManifest(rootPath, staged.written,
-          newStats = newStats, retain = retain, newFiles = staged.files)
+          newStats = newStats, retain = retain, newFiles = staged.files,
+          newFileStats = fStats)
       case None =>
         try AtomicTable.commitManifest(rootPath, staged.written,
           newStats = newStats, retain = retain, newFiles = staged.files,
-          append = true, statsSchema = Some(schema),
+          newFileStats = fStats, append = true, statsSchema = Some(schema),
           operation = "append")
         catch {
           case _: IllegalStateException =>
@@ -358,7 +362,7 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
               partitionCol, statsColumns)
             AtomicTable.commitManifest(rootPath, staged.written,
               newStats = newStats, retain = retain, newFiles = staged.files,
-              append = true, statsSchema = Some(schema),
+              newFileStats = fStats, append = true, statsSchema = Some(schema),
               operation = "append")
         }
     }
@@ -458,6 +462,32 @@ private[sources] object GraftWriteCommit {
     frags.map { case (pv, sts) =>
       pv -> GraftWriteStats.merge(schema, statsColumns, sts.toSeq)
     }.toMap
+  }
+
+  /** FILE-level zone maps from the committed tasks' fragments: each
+    * task writes exactly ONE parquet file per partition value
+    * ([[GraftDataWriter.fileNameFor]]), so a task's per-partition stats
+    * fragment IS that file's stats — per-file bounds with zero extra
+    * passes over the data. Keyed dir -> file name, the manifest's
+    * `fileStats` shape. Empty when stats aren't tracked. */
+  def fileStats(staged: Staged,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Map[String, Map[String, AtomicTable.PartStats]] = {
+    val byDir = mutable.Map.empty[String, mutable.Map[String, AtomicTable.PartStats]]
+    messages.foreach {
+      case GraftCommitMessage(files, stats) =>
+        stats.foreach { case (pv, st) =>
+          for {
+            dirs <- staged.written.get(pv)
+            dir <- dirs.headOption
+            names <- files.get(pv)
+            name <- names // one name per task by construction
+          } byDir.getOrElseUpdate(dir, mutable.Map.empty) +=
+            name -> AtomicTable.PartStats(st.rows, st.mins, st.maxs)
+        }
+      case _ => ()
+    }
+    byDir.map { case (d, perFile) => d -> perFile.toMap }.toMap
   }
 }
 
