@@ -872,7 +872,8 @@ object AtomicTable {
       appendSet: Set[String] = Set.empty,
       statsSchema: Option[StructType] = None,
       newFiles: Map[String, Seq[String]] = Map.empty,
-      newFileStats: Map[String, Map[String, PartStats]] = Map.empty): Manifest =
+      newFileStats: Map[String, Map[String, PartStats]] = Map.empty,
+      overrideStats: Map[String, PartStats] = Map.empty): Manifest =
     commitLock(root).synchronized {
       var hookRan = false
       var committed: Manifest = null
@@ -911,7 +912,7 @@ object AtomicTable {
         // dropped so a partial zone map can never wrongly prune
         val nextStats = {
           val base = prevStats -- dropPartitions
-          base -- written.keys ++ written.keys.flatMap { p =>
+          val merged = base -- written.keys ++ written.keys.flatMap { p =>
             val hadDirs = prevParts.get(p).exists(_.nonEmpty)
             (if (!appends(p) || !hadDirs) newStats.get(p)
              else (base.get(p), newStats.get(p), statsSchema) match {
@@ -920,6 +921,9 @@ object AtomicTable {
               case _ => None
             }).map(p -> _)
           }
+          // stats-only installs (ANALYZE): replace entries for live
+          // partitions without touching any data — the backfill path
+          merged ++ overrideStats.filter { case (p, _) => nextParts.contains(p) }
         }
         // delete vectors APPEND per partition; replacing or dropping a
         // partition clears its vectors (the rewrite folded them — a
@@ -1049,8 +1053,10 @@ object AtomicTable {
     rows.write.partitionBy(pcols: _*).parquet(root.resolve("data").resolve(txn).toString)
     val txnDir = root.resolve("data").resolve(txn)
     val written = stagedPartitionDirs(txnDir, txn, pcols)
-    val newStats: Map[String, PartStats] =
-      if (statsColumns.isEmpty || written.isEmpty) Map.empty
+    val (newStats: Map[String, PartStats],
+         newFileStats: Map[String, Map[String, PartStats]]) =
+      if (statsColumns.isEmpty || written.isEmpty)
+        (Map.empty[String, PartStats], Map.empty[String, Map[String, PartStats]])
       else {
         // stats MUST come from the staged parquet, never from a second
         // execution of `rows`: a non-deterministic input plan (range
@@ -1083,15 +1089,23 @@ object AtomicTable {
           else org.apache.spark.sql.functions.concat_ws("/",
             pcols.indices.map(g => org.apache.spark.sql.functions
               .regexp_extract(fname, dirPattern, g + 1)): _*)
+        // grouped per FILE, not per dir: each group IS one staged
+        // file's zone map, and the per-partition map folds from them
+        // driver-side (null-tolerant: a file whose column is all-null
+        // carries no bound and simply doesn't narrow the fold — SQL
+        // min/max ignore nulls the same way)
+        val fileExpr = org.apache.spark.sql.functions.regexp_extract(
+          fname, ".*/([^/]+)$", 1)
         val staged = spark.read.option("basePath", txnDir.toString)
           .parquet(txnDir.toString)
-          .select(statsColumns.map(col) :+ dirExpr.as("_dir"): _*)
+          .select(statsColumns.map(col) ++
+            Seq(dirExpr.as("_dir"), fileExpr.as("_file")): _*)
         val aggs = Seq(org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as("_rows")) ++
           statsColumns.flatMap(c => Seq(
             org.apache.spark.sql.functions.min(col(c)).cast("string").as(s"_min_$c"),
             org.apache.spark.sql.functions.max(col(c)).cast("string").as(s"_max_$c")))
-        staged.groupBy(col("_dir"))
+        val perFile = staged.groupBy(col("_dir"), col("_file"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map { r =>
@@ -1110,16 +1124,49 @@ object AtomicTable {
               dirToKey.getOrElse(perSeg(raw)(percentDecode),
                 partKey(perSeg(raw)(percentDecode).split("/", -1).toSeq
                   .map(ExternalCatalogUtils.unescapePathName))))
-            key -> PartStats(r.getLong(1),
+            (key, r.getString(1), PartStats(r.getLong(2),
               statsColumns.zipWithIndex.flatMap { case (c, i) =>
-                Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
+                Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap,
               statsColumns.zipWithIndex.flatMap { case (c, i) =>
-                Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap)
-          }.toMap
+                Option(r.getString(4 + 2 * i)).map(c -> _) }.toMap))
+          }
+        val folded = perFile.groupBy(_._1).map { case (key, sts) =>
+          key -> sts.map(_._3).reduce(foldFileStats(rows.schema, _, _))
+        }
+        (folded, perFile.groupBy(t => written(t._1).head).map {
+          case (dir, sts) => dir -> sts.map(t => t._2 -> t._3).toMap
+        })
       }
     commitManifest(root, written, newStats, properties, dropPartitions,
       expectedVersion, retain, beforeCommit, operation = operation,
-      append = append, statsSchema = if (append) Some(rows.schema) else None)
+      append = append, statsSchema = if (append) Some(rows.schema) else None,
+      newFileStats = newFileStats)
+  }
+
+  /** Fold two FILES' stats into their partition's: rows add, bounds
+    * widen, and a side with no bound (all-null column in that file)
+    * does not narrow the result — exactly SQL min/max over the union.
+    * Distinct from [[mergeStats]], whose one-sided-absent case means
+    * "unknown rows" and must DROP the bound. */
+  private def foldFileStats(schema: StructType, a: PartStats,
+      b: PartStats): PartStats = {
+    def bound(x: Map[String, String], y: Map[String, String],
+        takeMin: Boolean): Map[String, String] =
+      (x.keySet ++ y.keySet).flatMap { c =>
+        schema.fields.find(_.name == c).map { f =>
+          val v = (x.get(c), y.get(c)) match {
+            case (Some(p), Some(q)) =>
+              val cmp = statsCompare(f.dataType, p, q)
+              if ((cmp <= 0) == takeMin) p else q
+            case (Some(p), None) => p
+            case (None, Some(q)) => q
+            case _ => throw new IllegalStateException("unreachable")
+          }
+          c -> v
+        }
+      }.toMap
+    PartStats(a.rows + b.rows, bound(a.mins, b.mins, takeMin = true),
+      bound(a.maxs, b.maxs, takeMin = false))
   }
 
   /** Stage `rows` and APPEND them to their partitions — INSERT INTO:
@@ -1152,7 +1199,7 @@ object AtomicTable {
     * repartitions on (partitionCol, random-ish split) instead). */
   def compact(spark: SparkSession, table: String, schema: StructType,
       partitionCol: String, filesPerPartition: Int = 1,
-      retain: Int = 1): Manifest = {
+      retain: Int = 1, clusterBy: Seq[String] = Nil): Manifest = {
     val root = Paths.get(table)
     val m = manifest(root).getOrElse(return Manifest(0L, Map.empty))
     // fold any merge-on-read delete vectors into the rewrite: the commit
@@ -1162,10 +1209,8 @@ object AtomicTable {
     val current = subtractDeletes(spark, table, schema, m,
       readManifest(spark, table, schema, m))
     val pcolExprs = partCols(partitionCol).map(col)
-    val packed =
-      if (filesPerPartition <= 1) current.repartition(pcolExprs: _*)
-      else current.repartition(pcolExprs :+
-        pmod(xxhash64(schema.fieldNames.map(col): _*), lit(filesPerPartition.toLong)): _*)
+    val packed = packForWrite(current, pcolExprs, schema, filesPerPartition,
+      clusterBy, m.partitions.size)
     // pinned read + optimistic commit: deriving the rewrite from version
     // m and committing over a concurrent writer would clobber it
     // carry the zone maps through the rewrite: a compaction that drops
@@ -1178,6 +1223,29 @@ object AtomicTable {
       operation = "compact", retain = retain, statsColumns = trackedCols)
   }
 
+  /** Layout of a compaction rewrite. Default: hash each partition value
+    * to one task (one file per partition; `filesPerPartition > 1`
+    * spreads very large partitions by a row-hash split). With
+    * `clusterBy`: RANGE-partition on (partition cols, cluster cols) and
+    * sort within tasks, so a partition's several files carry DISJOINT
+    * cluster-column ranges — which is what makes FILE-level zone maps
+    * actually prune a range read inside a big partition (Delta's
+    * `OPTIMIZE ... ZORDER BY`'s purpose, done as linear range
+    * clustering; compose [[graft.ops.Layout.zValue]] into a derived
+    * column for the 2-D curve form). The sort additionally tightens
+    * parquet row-group stats inside each file. */
+  private def packForWrite(current: DataFrame, pcolExprs: Seq[org.apache.spark.sql.Column],
+      schema: StructType, filesPerPartition: Int, clusterBy: Seq[String],
+      nPartitions: Int): DataFrame =
+    if (clusterBy.nonEmpty) {
+      val exprs = pcolExprs ++ clusterBy.map(col)
+      val n = math.max(1, nPartitions * math.max(filesPerPartition, 1))
+      current.repartitionByRange(n, exprs: _*).sortWithinPartitions(exprs: _*)
+    }
+    else if (filesPerPartition <= 1) current.repartition(pcolExprs: _*)
+    else current.repartition(pcolExprs :+
+      pmod(xxhash64(schema.fieldNames.map(col): _*), lit(filesPerPartition.toLong)): _*)
+
   /** Targeted compaction: rewrite ONLY the partitions whose file count
     * has reached `minFiles`, leaving every healthy partition's bytes
     * untouched (carried forward in the manifest by reference). The plain
@@ -1188,7 +1256,8 @@ object AtomicTable {
     * manifest unchanged when nothing is fragmented. */
   def compactFragmented(spark: SparkSession, table: String,
       schema: StructType, partitionCol: String, minFiles: Int,
-      statsColumns: Seq[String] = Nil, retain: Int = 1): Manifest = {
+      statsColumns: Seq[String] = Nil, retain: Int = 1,
+      clusterBy: Seq[String] = Nil, filesPerPartition: Int = 1): Manifest = {
     val root = Paths.get(table)
     val m = manifest(root).getOrElse(
       return Manifest(0L, Map.empty))
@@ -1217,11 +1286,13 @@ object AtomicTable {
     // fold the fragmented partitions' delete vectors (those partitions
     // are all rewritten or dropped by this commit, clearing the vectors);
     // healthy partitions keep both their bytes AND their vectors
-    val rows = subtractDeletes(spark, table, schema, m,
+    val rows = packForWrite(
+      subtractDeletes(spark, table, schema, m,
         readManifest(spark, table, schema,
           m.copy(partitions = m.partitions.filter { case (k, _) => fragmented(k) })),
-        Some(fragmented))
-      .repartition(partCols(partitionCol).map(col): _*)
+        Some(fragmented)),
+      partCols(partitionCol).map(col), schema, filesPerPartition, clusterBy,
+      fragmented.size)
     // pinned read + optimistic commit: the rewrite was derived from
     // version m; if another writer replaced one of these partitions
     // meanwhile, committing would clobber it — abort instead
@@ -1265,6 +1336,110 @@ object AtomicTable {
       newSpec, dropPartitions = m.partitions.keySet,
       expectedVersion = Some(m.version), operation = "repartition",
       retain = retain, statsColumns = trackedCols)
+  }
+
+  /** ANALYZE: backfill partition- AND file-level zone maps for
+    * `statsColumns` over the CURRENT snapshot without moving a byte —
+    * this format's `ANALYZE TABLE`, for tables that declared no stats
+    * at write time (or grew a newly tracked column): ONE column-pruned
+    * scan of the committed parquet computes per-FILE bounds, partition
+    * stats fold from them driver-side with the shared comparator, and a
+    * stats-only commit installs both levels (operation "analyze",
+    * optimistic against the analyzed version — a concurrent writer
+    * aborts the stale stats, never the reverse). Bounds render with the
+    * same cast-as-string encoding every writer uses, so pruned reads
+    * compare them with one comparator. Outstanding delete vectors only
+    * leave bounds OVER-wide (vectors subtract rows at read), which can
+    * never mis-prune; the recorded row counts are physical. Cost: one
+    * scan of the stats columns only (parquet column pruning), plus one
+    * driver row per committed file — metadata-bounded, like the
+    * manifest itself. */
+  def analyzeStats(spark: SparkSession, table: String, schema: StructType,
+      partitionCol: String, statsColumns: Seq[String],
+      retain: Int = 1): Manifest = {
+    import org.apache.spark.sql.functions.{count, input_file_name, max, min}
+    val root = Paths.get(table)
+    val m = manifest(root).getOrElse(return Manifest(0L, Map.empty))
+    val pcols = partCols(partitionCol)
+    if (m.partitions.isEmpty || statsColumns.isEmpty) return m
+    statsColumns.foreach { c =>
+      require(!pcols.contains(c),
+        s"'$c' is a partition column — partition pruning already covers it")
+      require(schema.fieldNames.contains(c),
+        s"stats column '$c' is not in the table schema")
+    }
+    val dirToPart: Map[String, String] = m.partitions.toSeq
+      .flatMap { case (p, ds) => ds.map(d => d -> p) }.toMap
+    val filesByDir: Seq[(String, Seq[String])] =
+      dirToPart.keys.toSeq.sorted.map { d =>
+        val names = m.files.getOrElse(d, {
+          val dir = root.resolve(d)
+          if (!Files.isDirectory(dir)) Nil
+          else {
+            val s = Files.list(dir)
+            try s.iterator.asScala.map(_.getFileName.toString)
+              .filter(_.endsWith(".parquet")).toList.sorted
+            finally s.close()
+          }
+        })
+        d -> names
+      }
+    val paths = filesByDir.flatMap { case (d, ns) =>
+      ns.map(n => root.resolve(d).resolve(n).toString) }
+    if (paths.isEmpty) return m
+    // data files never carry the partition columns physically
+    val dataSchema = StructType(schema.filterNot(f => pcols.contains(f.name)))
+    val aggs = Seq(count(lit(1)).as("_rows")) ++ statsColumns.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"_min_$c"),
+      max(col(c)).cast("string").as(s"_max_$c")))
+    val perFile = spark.read.schema(dataSchema).parquet(paths: _*)
+      .select(statsColumns.map(col) :+ input_file_name().as("_f"): _*)
+      .groupBy(col("_f")).agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per committed FILE — metadata-bounded
+    // map each scanned path back to its committed (dir, name):
+    // percent-decode segments only until they resolve against the
+    // manifest (never form decoding — a literal '+' must survive)
+    val known: Set[String] =
+      filesByDir.flatMap { case (d, ns) => ns.map(n => s"$d/$n") }.toSet
+    def relOf(raw: String): Option[String] = {
+      val i = raw.lastIndexOf("/data/")
+      if (i < 0) None
+      else {
+        val tail = "data/" + raw.substring(i + 6)
+        def perSeg(s: String)(f: String => String): String =
+          s.split("/", -1).iterator.map(f).mkString("/")
+        if (known(tail)) Some(tail)
+        else Some(perSeg(tail)(percentDecode)).filter(known)
+      }
+    }
+    val fileStats =
+      scala.collection.mutable.Map.empty[String,
+        scala.collection.mutable.Map[String, PartStats]]
+    perFile.foreach { r =>
+      val rel = relOf(r.getString(0)).getOrElse(throw new IllegalStateException(
+        s"analyze could not map scanned file '${r.getString(0)}' back to " +
+          s"a committed file of $table"))
+      val cut = rel.lastIndexOf('/')
+      val st = PartStats(r.getLong(1),
+        statsColumns.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.getString(2 + 2 * i)).map(c -> _) }.toMap,
+        statsColumns.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.getString(3 + 2 * i)).map(c -> _) }.toMap)
+      fileStats.getOrElseUpdate(rel.substring(0, cut),
+        scala.collection.mutable.Map.empty) += rel.substring(cut + 1) -> st
+    }
+    val partStats: Map[String, PartStats] = dirToPart.toSeq
+      .flatMap { case (d, p) =>
+        fileStats.get(d).toSeq.flatMap(_.values).map(p -> _) }
+      .groupBy(_._1).map { case (p, sts) =>
+        // per-file absence means all-null in THAT file, so the fold
+        // inherits the other side's bound (never mergeStats's drop)
+        p -> sts.map(_._2).reduce((a, b) => foldFileStats(schema, a, b))
+      }
+    commitManifest(root, Map.empty, operation = "analyze",
+      expectedVersion = Some(m.version), retain = retain,
+      overrideStats = partStats,
+      newFileStats = fileStats.map { case (d, mm) => d -> mm.toMap }.toMap)
   }
 
   /** Number of data files the current manifest references — the metric a

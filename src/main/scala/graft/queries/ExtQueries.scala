@@ -80,6 +80,7 @@ object ExtQueries {
     "graft_sql_changes" -> QueryDef(graftSqlChanges, Some(graftSqlChangesSql)),
     "graft_sql_maintain" -> QueryDef(graftSqlMaintain, Some(graftSqlMaintainSql)),
     "graft_file_skip" -> QueryDef(graftFileSkip, Some(graftFileSkipSql)),
+    "graft_analyze" -> QueryDef(graftAnalyze, Some(graftFileSkipSql)),
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),

@@ -997,9 +997,11 @@ object WarehouseQueries {
         .createOrReplaceTempView(s"orders_mntsrc_$cat")
       s.sql(s"CREATE TABLE $cat.wh.orders " +
         "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
-        "PARTITIONED BY (o_year) TBLPROPERTIES " +
-        "('retain'='10', 'stats_columns'='o_orderkey')")
+        "PARTITIONED BY (o_year) TBLPROPERTIES ('retain'='10', " +
+        "'stats_columns'='o_orderkey', 'cluster_by'='o_orderkey')")
       // three appends leave every year with >=3 files: small-file debt
+      // (cluster_by makes the CALL compact below range-cluster the
+      // rewrite — oracle-neutral: clustering never changes content)
       s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_mntsrc_$cat " +
         "WHERE o_orderkey % 3 = 0")                                    // v1
       s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_mntsrc_$cat " +
@@ -1073,6 +1075,48 @@ object WarehouseQueries {
                           FROM orders_fsksrc_$cat)
         AND o_orderkey <= (SELECT 2 * (max(o_orderkey) DIV 3)
                            FROM orders_fsksrc_$cat)
+      GROUP BY o_year ORDER BY o_year""")
+  }
+
+  /** ANALYZE-then-skip: the same range-disjoint staging as
+    * `graft_file_skip` but with NO declared stats — the writer records
+    * nothing, and `CALL system.analyze` backfills both zone-map levels
+    * from one column-pruned scan (a stats-only commit; zero data bytes
+    * move). The same middle-third read then prunes per file. Shares
+    * [[graftFileSkipSql]]: analyze must never change logical content,
+    * and a backfilled bound that is too narrow drops a year's rows. */
+  private[queries] def graftAnalyze(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#analyze", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-anl").toString
+      val cat = "ga" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .createOrReplaceTempView(s"orders_anlsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
+        "PARTITIONED BY (o_year) TBLPROPERTIES ('retain'='5')")
+      val t1 = s"(SELECT max(o_orderkey) DIV 3 FROM orders_anlsrc_$cat)"
+      val t2 = s"(SELECT 2 * (max(o_orderkey) DIV 3) FROM orders_anlsrc_$cat)"
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_anlsrc_$cat " +
+        s"WHERE o_orderkey <= $t1")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_anlsrc_$cat " +
+        s"WHERE o_orderkey > $t1 AND o_orderkey <= $t2")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_anlsrc_$cat " +
+        s"WHERE o_orderkey > $t2")
+      s.sql(s"CALL $cat.system.analyze('wh.orders', 'o_orderkey')")
+      cat
+    })
+    s.sql(s"""SELECT o_year, count(*) AS n_rows,
+      sum(o_orderkey) AS sum_okey
+      FROM $cat.wh.orders
+      WHERE o_orderkey > (SELECT max(o_orderkey) DIV 3
+                          FROM orders_anlsrc_$cat)
+        AND o_orderkey <= (SELECT 2 * (max(o_orderkey) DIV 3)
+                           FROM orders_anlsrc_$cat)
       GROUP BY o_year ORDER BY o_year""")
   }
 

@@ -216,11 +216,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(!partColList.contains(c),
         "stats_columns must not include a partition column")
     }
+    // compaction clustering: TBLPROPERTIES ('cluster_by'='a,b') makes
+    // CALL system.compact range-cluster each partition's files on these
+    // columns (file-level zone maps then prune range reads)
+    val clusterBy = Option(properties.get("cluster_by"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "cluster_by")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    clusterBy.foreach { c =>
+      require(schema.fieldNames.contains(c), s"cluster column '$c' not in schema")
+      require(!partColList.contains(c),
+        "cluster_by must not include a partition column")
+    }
     Files.createDirectories(dir)
     // the catalog's only commit point: O_EXCL create-new of _table.json
     // linearizes two processes racing the same CREATE (same primitive
     // the manifest claim loop uses)
-    try writeMeta(dir, schema, partCol, retain, statsCols, createNew = true)
+    try writeMeta(dir, schema, partCol, retain, statsCols, createNew = true,
+      clusterBy = clusterBy)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -241,7 +253,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * zone-map columns are commit-time knobs; everything else (path,
     * partition layout) is structural — layout changes go through
     * [[repartitionDeclaredTable]], which rewrites data AND meta. */
-  private val MutableProperties = Set("retain", "stats_columns")
+  private val MutableProperties = Set("retain", "stats_columns", "cluster_by")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -294,14 +306,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       val newSchema = StructType(schema0.fields ++ added)
       var retain = retain0
       var statsCols = statsCols0
+      var clusterBy = readClusterBy(dir)
       sets.foreach(s => s.property match {
         case "retain" => retain = s.value.trim.toInt
         case "stats_columns" =>
           statsCols = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case "cluster_by" =>
+          clusterBy = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       })
       removes.foreach(_.property match {
         case "retain" => retain = DefaultRetain
         case "stats_columns" => statsCols = Nil
+        case "cluster_by" => clusterBy = Nil
       })
       require(retain >= 1, s"retain must be >= 1, got $retain")
       val pcols = AtomicTable.partCols(partCol)
@@ -311,7 +327,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!pcols.contains(c),
           "stats_columns must not include a partition column")
       }
-      writeMeta(dir, newSchema, partCol, retain, statsCols)
+      clusterBy.foreach { c =>
+        require(newSchema.fieldNames.contains(c),
+          s"cluster column '$c' not in schema")
+        require(!pcols.contains(c),
+          "cluster_by must not include a partition column")
+      }
+      writeMeta(dir, newSchema, partCol, retain, statsCols,
+        clusterBy = clusterBy)
     }
     loadTable(ident)
   }
@@ -328,16 +351,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val (schema, _, retain, statsCols) = readMeta(dir).getOrElse(
       throw new IllegalArgumentException(
         s"$ident is not a declared table — use AtomicTable.repartitionTable"))
+    val clusterBy = readClusterBy(dir)
     AtomicTable.partCols(newSpec).foreach { c =>
       require(schema.fieldNames.contains(c),
         s"partition column '$c' is not in the table schema")
       require(!statsCols.contains(c),
         s"'$c' is a stats column; drop it from stats_columns first")
+      require(!clusterBy.contains(c),
+        s"'$c' is a cluster column; drop it from cluster_by first")
     }
     AtomicTable.repartitionTable(spark, dir.toString, schema, newSpec,
       retain = retain)
     writeMeta(dir, schema, AtomicTable.partCols(newSpec).mkString(","),
-      retain, statsCols)
+      retain, statsCols, clusterBy = clusterBy)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -368,15 +394,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "vacuum") => GraftMaintenanceProcedures.vacuum(this)
       case (Seq("system"), "rollback") => GraftMaintenanceProcedures.rollback(this)
       case (Seq("system"), "clone") => GraftMaintenanceProcedures.clone(this)
+      case (Seq("system"), "analyze") => GraftMaintenanceProcedures.analyze(this)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — graft provides system.{table_changes," +
-          "compact,vacuum,rollback,clone}")
+          "compact,vacuum,rollback,clone,analyze}")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
-      Array("table_changes", "compact", "vacuum", "rollback", "clone")
-        .map(Identifier.of(Array("system"), _))
+      Array("table_changes", "compact", "vacuum", "rollback", "clone",
+        "analyze").map(Identifier.of(Array("system"), _))
     else Array.empty
 
   private def identOf(tbl: String): Identifier = {
@@ -496,13 +523,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * written at CREATE, evolved only by ALTER ADD COLUMNS. */
   private def writeMeta(dir: Path, schema: StructType, partCol: String,
       retain: Int, statsCols: Seq[String] = Nil,
-      createNew: Boolean = false): Unit = {
+      createNew: Boolean = false, clusterBy: Seq[String] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("schema", schema.json)
     node.put("partition", partCol)
     node.put("retain", retain)
     if (statsCols.nonEmpty) node.put("stats", statsCols.mkString(","))
+    if (clusterBy.nonEmpty) node.put("cluster", clusterBy.mkString(","))
     val bytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (createNew)
       Files.write(metaFile(dir), bytes,
@@ -522,6 +550,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         n.get("partition").asText,
         Option(n.get("retain")).map(_.asInt).getOrElse(DefaultRetain),
         Option(n.get("stats")).map(_.asText.split(",").toSeq).getOrElse(Nil)))
+    }
+  }
+
+  /** Declared compaction cluster columns (TBLPROPERTIES 'cluster_by'):
+    * CALL system.compact range-clusters each partition's files on them
+    * so file-level zone maps prune range reads inside big partitions.
+    * Kept out of readMeta's tuple — only the maintenance path needs it. */
+  private[sources] def readClusterBy(dir: Path): Seq[String] = {
+    val f = metaFile(dir)
+    if (!Files.exists(f)) Nil
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      Option(mapper.readTree(Files.readAllBytes(f)).get("cluster"))
+        .map(_.asText.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
     }
   }
 

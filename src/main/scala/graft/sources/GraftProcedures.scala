@@ -117,30 +117,42 @@ private[sources] object GraftMaintenanceProcedures {
   private def tableParam = ProcedureParameter.in("table", StringType)
     .comment("table identifier inside this catalog, e.g. 'db.orders'").build()
 
-  /** `compact('db.t', min_files)` — rewrite ONLY the partitions holding
-    * `min_files`+ data files (small-file debt), one file per partition
-    * after; healthy partitions carry forward by reference. */
+  /** `compact('db.t', min_files[, files_per_partition])` — rewrite ONLY
+    * the partitions holding `min_files`+ data files (small-file debt);
+    * healthy partitions carry forward by reference. A table declaring
+    * `cluster_by` range-clusters each rewritten partition's files on
+    * those columns (disjoint per-file bounds → file-level zone maps
+    * prune range reads inside big partitions — the OPTIMIZE-with-
+    * clustering shape); `files_per_partition` spreads very large
+    * partitions, default 1. */
   def compact(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
     "compact",
-    "rewrite partitions with at least min_files data files down to one",
+    "rewrite partitions with at least min_files data files down to " +
+      "files_per_partition (cluster_by tables range-cluster them)",
     Array(tableParam,
       ProcedureParameter.in("min_files", LongType)
-        .comment("only partitions with this many files or more rewrite").build()),
+        .comment("only partitions with this many files or more rewrite").build(),
+      ProcedureParameter.in("files_per_partition", LongType)
+        .defaultValue("1")
+        .comment("target files per rewritten partition").build()),
     StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("files_before", LongType, nullable = false),
       StructField("files_after", LongType, nullable = false))),
     { input =>
       val spark = SparkSession.active
+      val tbl = input.getUTF8String(0).toString
       val (dir, schema, pcol, retain, statsCols) =
-        catalog.resolveMaintenance(input.getUTF8String(0).toString)
+        catalog.resolveMaintenance(tbl)
       require(pcol.nonEmpty,
         s"$dir has no partition spec — partition-targeted compaction " +
           "needs a partitioned table")
       val before = graft.etl.AtomicTable.dataFileCount(dir)
       val m = graft.etl.AtomicTable.compactFragmented(spark, dir.toString,
         schema, pcol, minFiles = input.getLong(1).toInt,
-        statsColumns = statsCols, retain = retain)
+        statsColumns = statsCols, retain = retain,
+        clusterBy = catalog.readClusterBy(dir),
+        filesPerPartition = input.getLong(2).toInt)
       Array[Any](m.version, before, graft.etl.AtomicTable.dataFileCount(dir))
     })
 
@@ -179,6 +191,40 @@ private[sources] object GraftMaintenanceProcedures {
       val v = input.getLong(1)
       val m = graft.etl.AtomicTable.restore(dir, v, retain)
       Array[Any](v, m.version)
+    })
+
+  /** `analyze('db.t', 'cols')` — backfill partition- and FILE-level
+    * zone maps over the current snapshot (one column-pruned scan, a
+    * stats-only commit, zero data bytes moved): enables metadata and
+    * per-file data skipping on tables written before stats were
+    * declared. '' analyzes the table's declared stats_columns. */
+  def analyze(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "analyze",
+    "backfill partition- and file-level zone maps for the given columns",
+    Array(tableParam,
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-joined columns to analyze; '' = the table's " +
+          "declared stats_columns").build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files_analyzed", LongType, nullable = false))),
+    { input =>
+      val spark = SparkSession.active
+      val (dir, schema, pcol, retain, declared) =
+        catalog.resolveMaintenance(input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq match {
+          case Nil => declared
+          case cs => cs
+        }
+      require(cols.nonEmpty,
+        s"$dir declares no stats_columns — pass the columns to analyze")
+      require(pcol.nonEmpty,
+        s"$dir has no partition spec — nothing to attach zone maps to")
+      val m = graft.etl.AtomicTable.analyzeStats(spark, dir.toString,
+        schema, pcol, cols, retain)
+      Array[Any](m.version,
+        m.fileStats.valuesIterator.map(_.size.toLong).sum)
     })
 
   /** `clone('db.t', 'db.t2', version)` — materialize a retained

@@ -525,6 +525,15 @@ private[sources] class GraftScan(root: String, full: StructType,
       }
     val parts = planned.collect { case p: GraftInputPartition => p }
     val conf = new Configuration()
+    // planned files of `p` that live under table dir `d`, matched by
+    // parent-path suffix: committedFiles may return scheme-qualified
+    // (file:/...) paths from listStatus while root/d are plain, so a
+    // "$root/$d/" prefix match would miss and zero the estimate
+    def filesInDir(p: GraftInputPartition, d: String): Seq[String] =
+      p.dataFiles.filter { f =>
+        val cut = f.lastIndexOf('/')
+        cut > 0 && f.substring(0, cut).endsWith("/" + d)
+      }
     var bytes = 0L
     if (!changeFeed && startingVersion.isEmpty) {
       // sum the planned partitions' per-dir totals from the manifest —
@@ -534,8 +543,20 @@ private[sources] class GraftScan(root: String, full: StructType,
       GraftSource.manifestFor(root, pinned).foreach { m =>
         parts.foreach { p =>
           m.partitions.getOrElse(p.partValue, Nil).foreach { d =>
-            bytes += m.bytes.getOrElse(d,
+            val dirBytes = m.bytes.getOrElse(d,
               GraftSource.cachedDirBytes(conf, root, d))
+            // FILE skipping may have pruned some of this dir's files
+            // from the plan: scale the dir's bytes by the planned
+            // fraction so a file-pruned side can go statically
+            // broadcastable too (an estimate — per-file lengths aren't
+            // in the manifest, and uniform is the right prior for the
+            // writer's one-file-per-task layout)
+            val kept = filesInDir(p, d).size
+            val total = m.files.get(d).map(_.size)
+              .orElse(m.fileStats.get(d).map(_.size)).getOrElse(-1)
+            bytes +=
+              (if (total > 0 && kept < total) dirBytes * kept / total
+               else dirBytes)
           }
         }
       }
@@ -555,10 +576,25 @@ private[sources] class GraftScan(root: String, full: StructType,
       if (changeFeed || startingVersion.isDefined ||
         parts.exists(_.vectorFiles.nonEmpty)) None
       else GraftSource.manifestFor(root, pinned).flatMap { m =>
-        val keys = parts.map(_.partValue)
-        if (keys.forall(m.stats.contains))
-          Some(keys.map(m.stats(_).rows).sum)
-        else None
+        // when every planned file carries a file-level map, count
+        // exactly the planned files (file skipping makes whole-partition
+        // totals an overcount); else fall back to partition counts
+        val perFile = parts.flatMap { p =>
+          m.partitions.getOrElse(p.partValue, Nil).flatMap { d =>
+            val fst = m.fileStats.getOrElse(
+              d, Map.empty[String, AtomicTable.PartStats])
+            filesInDir(p, d).map(f =>
+              fst.get(f.substring(f.lastIndexOf('/') + 1)).map(_.rows))
+          }
+        }
+        if (perFile.nonEmpty && perFile.forall(_.isDefined))
+          Some(perFile.flatten.sum)
+        else {
+          val keys = parts.map(_.partValue)
+          if (keys.forall(m.stats.contains))
+            Some(keys.map(m.stats(_).rows).sum)
+          else None
+        }
       }
     val b = bytes
     new org.apache.spark.sql.connector.read.Statistics {

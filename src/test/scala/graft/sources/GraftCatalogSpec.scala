@@ -388,7 +388,8 @@ class GraftCatalogSpec extends SparkSuite {
     assert(spark.sessionState.catalogManager.catalog("gcat")
       .asInstanceOf[GraftCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq ===
-      Seq("table_changes", "compact", "vacuum", "rollback", "clone"))
+      Seq("table_changes", "compact", "vacuum", "rollback", "clone",
+        "analyze"))
   }
 
   test("CALL system.compact folds small-file debt in fragmented partitions only") {

@@ -113,6 +113,84 @@ class GraftFileSkipSpec extends SparkSuite {
     assert(m.fileStats.nonEmpty)
   }
 
+  test("CALL system.analyze backfills both stat levels; reads then prune") {
+    warehouse
+    // NO declared stats: the writer records nothing
+    spark.sql("CREATE TABLE gfs.db.t5 (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='10')")
+    Seq(0L until 10L, 100L until 110L).foreach { r =>
+      r.map(i => (i, i * 1.5, "a")).toDF("id", "v", "p")
+        .coalesce(1).createOrReplaceTempView("src_t5")
+      spark.sql("INSERT INTO gfs.db.t5 SELECT * FROM src_t5")
+    }
+    val dir = Paths.get(warehouse, "db", "t5")
+    assert(AtomicTable.manifest(dir).get.fileStats.isEmpty)
+    assert(AtomicTable.manifest(dir).get.stats.isEmpty)
+    val res = spark.sql("CALL gfs.system.analyze('db.t5', 'id')")
+      .as[(Long, Long)].head()
+    assert(res._2 === 2L, "two committed files analyzed")
+    val m = AtomicTable.manifest(dir).get
+    // partition-level maps folded from the file maps
+    assert(m.stats("a").rows === 20L)
+    assert(m.stats("a").mins("id") === "0" && m.stats("a").maxs("id") === "109")
+    // file-level maps installed, and a point read prunes to one file
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      scansOf(df.queryExecution.executedPlan).head
+        .scan.asInstanceOf[GraftScan].planInputPartitions()
+        .map(_.asInstanceOf[GraftInputPartition].dataFiles.size).sum
+    }
+    val q = spark.sql("SELECT id FROM gfs.db.t5 WHERE id = 105")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(105L))
+    assert(plannedFiles(q) === 1, "post-analyze point read plans one file")
+    // analyzing a column that is sometimes null never blocks: v works too
+    spark.sql("CALL gfs.system.analyze('db.t5', 'id,v')")
+    val m2 = AtomicTable.manifest(dir).get
+    assert(m2.stats("a").mins.keySet === Set("id", "v"))
+  }
+
+  test("cluster_by compaction: interleaved files become range-disjoint") {
+    warehouse
+    spark.sql("CREATE TABLE gfs.db.t6 (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='10', " +
+      "'stats_columns'='id', 'cluster_by'='id')")
+    // three inserts with INTERLEAVED ids: every file spans ~[0, 300),
+    // so pre-compaction bounds overlap and nothing can file-skip
+    (0 until 3).foreach { k =>
+      (0L until 300L).filter(_ % 3 == k).map(i => (i, i * 1.5, "a"))
+        .toDF("id", "v", "p").coalesce(1).createOrReplaceTempView("src_t6")
+      spark.sql("INSERT INTO gfs.db.t6 SELECT * FROM src_t6")
+    }
+    def plannedFiles(sql: String): Int = {
+      val df = spark.sql(sql)
+      df.collect()
+      scansOf(df.queryExecution.executedPlan).head
+        .scan.asInstanceOf[GraftScan].planInputPartitions()
+        .map(_.asInstanceOf[GraftInputPartition].dataFiles.size).sum
+    }
+    assert(plannedFiles("SELECT id FROM gfs.db.t6 WHERE id <= 50") === 3,
+      "interleaved bounds overlap — nothing skippable before compaction")
+    // clustered compaction: range-partition on (p, id), three files out
+    spark.sql("CALL gfs.system.compact('db.t6', 2, 3)")
+    val m = AtomicTable.manifest(Paths.get(warehouse, "db", "t6")).get
+    assert(m.partitions("a").size === 1, "one rewritten dir")
+    val bounds = m.fileStats(m.partitions("a").head).values
+      .map(st => (st.mins("id").toLong, st.maxs("id").toLong)).toSeq.sorted
+    assert(bounds.size >= 2, "the rewrite split the partition into ranges")
+    bounds.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"file ranges must be disjoint: $bounds")
+      case _ => ()
+    }
+    // the same range read now skips the non-matching range files
+    val planned = plannedFiles("SELECT id FROM gfs.db.t6 WHERE id <= 50")
+    assert(planned < bounds.size,
+      s"post-compaction range read must skip files (planned $planned of ${bounds.size})")
+    assert(spark.sql("SELECT count(*) FROM gfs.db.t6").as[Long].head() === 300L)
+    assert(spark.sql("SELECT sum(id) FROM gfs.db.t6 WHERE id <= 50")
+      .as[Long].head() === (0L to 50L).sum)
+  }
+
   test("maintenance flows: compact drops stale entries, rollback restores") {
     seedRanged("t4")
     val dir = Paths.get(warehouse, "db", "t4")
