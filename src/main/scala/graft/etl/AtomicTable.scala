@@ -452,6 +452,13 @@ object AtomicTable {
         case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
         case _ => a.compareTo(b)
       }
+    case org.apache.spark.sql.types.DateType =>
+      // same signed-year inversion as timestamps ("-0044-…" sorts after
+      // "-0100-…" as text): compare as epoch days when both parse
+      (parseDateDays(a), parseDateDays(b)) match {
+        case (Some(x), Some(y)) => java.lang.Long.compare(x, y)
+        case _ => a.compareTo(b)
+      }
     case _ => a.compareTo(b)
   }
 
@@ -460,6 +467,13 @@ object AtomicTable {
     * bounds exactly like [[readPruned]] does. */
   private[graft] def statsOrder(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Int = statsCompare(dt, a, b)
+
+  /** Parse a zone-map date string ("yyyy-MM-dd", the `cast(d as
+    * string)` form both writers emit) to epoch days. */
+  private def parseDateDays(s: String): Option[Long] =
+    try Some(java.time.LocalDate.parse(s.trim,
+      java.time.format.DateTimeFormatter.ISO_LOCAL_DATE).toEpochDay)
+    catch { case _: Exception => None }
 
   /** Parse a zone-map timestamp string ("yyyy-MM-dd HH:mm:ss[.f+]", the
     * `cast(ts as string)` form both writers emit) to epoch microseconds. */

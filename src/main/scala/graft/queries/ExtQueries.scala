@@ -81,6 +81,7 @@ object ExtQueries {
     "graft_sql_maintain" -> QueryDef(graftSqlMaintain, Some(graftSqlMaintainSql)),
     "graft_file_skip" -> QueryDef(graftFileSkip, Some(graftFileSkipSql)),
     "graft_analyze" -> QueryDef(graftAnalyze, Some(graftFileSkipSql)),
+    "graft_agg_push" -> QueryDef(graftAggPush, Some(graftAggPushSql)),
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),

@@ -1120,6 +1120,51 @@ object WarehouseQueries {
       GROUP BY o_year ORDER BY o_year""")
   }
 
+  /** Metadata-only aggregation: COUNT(*)/MIN/MAX grouped by the
+    * partition column, answered ENTIRELY from the manifest (complete
+    * DSv2 aggregate pushdown — GraftAggPushSpec pins that this plan
+    * survives physically deleting every data file). At 100 TB this is
+    * "count the table" as a metadata lookup instead of a full scan.
+    * Value-oracled against the same algebra over the raw parquet. */
+  private[queries] def graftAggPush(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#aggpush", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-agg").toString
+      val cat = "gg" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .createOrReplaceTempView(s"orders_aggsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.orders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
+        "PARTITIONED BY (o_year) TBLPROPERTIES " +
+        "('retain'='5', 'stats_columns'='o_orderkey,o_totalprice')")
+      // two appends per year: the manifest folds each partition's
+      // bounds across dirs, which is what the pushdown answers from
+      val mid = s"(SELECT max(o_orderkey) DIV 2 FROM orders_aggsrc_$cat)"
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_aggsrc_$cat " +
+        s"WHERE o_orderkey <= $mid")
+      s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_aggsrc_$cat " +
+        s"WHERE o_orderkey > $mid")
+      cat
+    })
+    s.sql(s"""SELECT o_year, count(*) AS n_rows,
+      min(o_orderkey) AS min_okey, max(o_orderkey) AS max_okey,
+      min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      FROM $cat.wh.orders
+      GROUP BY o_year ORDER BY o_year""")
+  }
+
+  private[queries] val graftAggPushSql =
+    """SELECT strftime(o_orderdate, '%Y') AS o_year,
+      |  count(*) AS n_rows,
+      |  CAST(min(o_orderkey) AS BIGINT) AS min_okey,
+      |  CAST(max(o_orderkey) AS BIGINT) AS max_okey,
+      |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val graftFileSkipSql =
     """SELECT strftime(o_orderdate, '%Y') AS o_year, count(*) AS n_rows,
       |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey

@@ -43,6 +43,8 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
         case StringType => UTF8String.fromString(values(lvl))
         case LongType => values(lvl).toLong
         case IntegerType => values(lvl).toInt
+        case DateType => // internal form: days since epoch
+          java.time.LocalDate.parse(values(lvl)).toEpochDay.toInt
         case other => throw new IllegalArgumentException(
           s"unsupported partition column type $other")
       }))

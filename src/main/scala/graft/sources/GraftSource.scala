@@ -194,6 +194,41 @@ object GraftSource {
           .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted.toSeq
     }
 
+  /** Exact partition-key admission: Some(verdict) when `f` is one of
+    * the shapes partition pruning decides EXACTLY against `part`'s key
+    * (typed comparison, per level — every row of a partition carries
+    * the partition value, so these verdicts are row-accurate, which is
+    * what lets the scan builder CONSUME such filters instead of
+    * returning them as residuals); None when the filter is not
+    * partition-exact and the caller must fall back to zone maps. */
+  private[sources] def partitionExact(full: StructType, pcols: Seq[String],
+      f: Filter, part: String): Option[Boolean] = {
+    val level = pcols.zipWithIndex.toMap
+    def cmp(c: String, v: Any): Int = {
+      val dt = if (full.fieldNames.contains(c)) full(c).dataType
+        else org.apache.spark.sql.types.StringType
+      val seg = AtomicTable.partKeyValues(part, pcols.size)(level(c))
+      AtomicTable.statsOrder(dt, seg, filterValueString(v))
+    }
+    f match {
+      case EqualTo(c, v) if level.contains(c) && v != null =>
+        Some(cmp(c, v) == 0)
+      case In(c, vs) if level.contains(c) && vs != null =>
+        Some(vs.filter(_ != null).exists(v => cmp(c, v) == 0))
+      case GreaterThan(c, v) if level.contains(c) && v != null =>
+        Some(cmp(c, v) > 0)
+      case GreaterThanOrEqual(c, v) if level.contains(c) && v != null =>
+        Some(cmp(c, v) >= 0)
+      case LessThan(c, v) if level.contains(c) && v != null =>
+        Some(cmp(c, v) < 0)
+      case LessThanOrEqual(c, v) if level.contains(c) && v != null =>
+        Some(cmp(c, v) <= 0)
+      // partition values restore as non-null dir strings by contract
+      case IsNotNull(c) if level.contains(c) => Some(true)
+      case _ => None
+    }
+  }
+
   /** Render a pushed-filter value in the zone-map string encoding.
     * Timestamp-like values MUST go through an explicit UTC conversion:
     * `String.valueOf` on java.sql.Timestamp renders in the JVM default
@@ -442,26 +477,272 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
     pinned: Option[Long], startingVersion: Option[Long],
     endingVersion: Option[Long] = None, changeFeed: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
+  // the manifest version the consumption decision was made against —
+  // the scan pins to it so a concurrent partition-spec evolution can't
+  // turn a consumed (no longer re-checked) filter into a row leak
+  private var consumedPin: Option[Long] = None
   override def pruneColumns(requiredSchema: StructType): Unit = {
     required = requiredSchema
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters // every filter stays a residual: pruning only skips work
+    // Partition-column predicates are CONSUMED (not returned as
+    // residual): partition pruning decides them EXACTLY — a partition's
+    // rows all carry the partition value, admission compares in the
+    // declared type's order, and the reader restores the same value the
+    // admission compared — so Spark re-evaluating them row-by-row is
+    // pure waste, and leaving them residual blocks aggregate pushdown
+    // under WHERE. Everything else (data columns, null literals,
+    // compound shapes, timestamp partition values whose dir rendering
+    // is session-zone-dependent) stays residual: pruning on those is
+    // approximate, so Spark must re-check.
+    val pcolTypes: Map[String, DataType] =
+      if (changeFeed || startingVersion.isDefined) Map.empty
+      else GraftSource.manifestFor(root, pinned)
+        .filter(_.partitions.nonEmpty).map { m =>
+          consumedPin = Some(m.version)
+          GraftSource.partitionColsOf(m).map(c =>
+            c -> full.fields.find(_.name == c).map(_.dataType)
+              .getOrElse(StringType)).toMap
+        }.getOrElse(Map.empty)
+    def exactType(c: String): Boolean = pcolTypes.get(c).exists {
+      case TimestampType => false // dir rendering is session-zone-bound
+      case _ => true
+    }
+    def consumed(f: Filter): Boolean = f match {
+      case EqualTo(c, v) => exactType(c) && v != null
+      case In(c, vs) => exactType(c) && vs != null && vs.forall(_ != null)
+      case GreaterThan(c, v) => exactType(c) && v != null
+      case GreaterThanOrEqual(c, v) => exactType(c) && v != null
+      case LessThan(c, v) => exactType(c) && v != null
+      case LessThanOrEqual(c, v) => exactType(c) && v != null
+      // partition values restore as non-null dir strings by contract
+      case IsNotNull(c) => pcolTypes.contains(c)
+      case _ => false
+    }
+    residual = filters.filterNot(consumed)
+    if (residual.length == filters.length) consumedPin = None
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan =
-    new GraftScan(root, full, required, pushed, pinned, startingVersion,
-      endingVersion, changeFeed)
+
+  // ---- aggregate pushdown: COUNT(*)/MIN/MAX answered from the manifest
+  // At 100 TB, `SELECT count(*) FROM t` (or per-partition counts, or a
+  // column's min/max) should read ZERO data bytes: the manifest already
+  // carries exact per-partition row counts and per-column [min, max]
+  // zone maps. When the whole aggregate is answerable from metadata the
+  // scan serves the FINAL result rows driver-computed from the manifest
+  // (complete pushdown), and Spark plans no file read at all. Refused —
+  // falling back to the ordinary scan, never to a wrong answer — when
+  // anything makes metadata inexact: pushed data filters (zone-map
+  // pruning is approximate), outstanding delete vectors (stats count
+  // physical rows), a changefeed/version-range scan, missing stats, a
+  // bound absent where rows exist (append-merges DROP unknown bounds,
+  // so absence may not mean all-null), or a null partition value.
+  private var aggResult: Option[(StructType, Seq[Seq[Any]])] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = computeAgg(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = computeAgg(agg)
+    aggResult.isDefined
+  }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Seq[Any]])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    // RESIDUAL filters (ones Spark re-checks row-by-row) make metadata
+    // inexact; fully-CONSUMED partition filters compose — the key set
+    // below prunes by the same exact admission the scan would use
+    if (changeFeed || startingVersion.isDefined || residual.nonEmpty)
+      return None
+    val m = GraftSource.manifestFor(root, pinned.orElse(consumedPin))
+      .getOrElse(AtomicTable.Manifest(0L, Map.empty))
+    // delete vectors subtract rows at read — physical stats would lie
+    if (m.deletes.values.exists(_.nonEmpty)) return None
+    val pcols =
+      if (m.partitions.isEmpty) Nil else GraftSource.partitionColsOf(m)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map { e =>
+      colOf(e).filter(pcols.contains).getOrElse(return None)
+    }
+    sealed trait Fn
+    case object Cnt extends Fn
+    final case class Bound(c: String, isMin: Boolean) extends Fn
+    val fns: Seq[Fn] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Cnt
+      case mn: Min => Bound(colOf(mn.column).getOrElse(return None), true)
+      case mx: Max => Bound(colOf(mx.column).getOrElse(return None), false)
+      case _ => return None
+    }
+    // apply the consumed partition filters' exact admission; a pushed
+    // filter that is NOT partition-exact here (possible only if the
+    // manifest changed shape since pushFilters) aborts the pushdown
+    val keys = m.partitions.keys.toSeq.sorted.filter(k =>
+      pushed.forall(f => GraftSource.partitionExact(full, pcols, f, k)
+        .getOrElse(return None)))
+    // every partition needs a row count; bounds only for queried columns
+    if (!keys.forall(m.stats.contains)) return None
+    val values: Map[String, Seq[String]] =
+      keys.map(k => k -> AtomicTable.partKeyValues(k, pcols.size)).toMap
+    if (values.valuesIterator.exists(_.exists(_ ==
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .DEFAULT_PARTITION_NAME))) return None
+    def typeOf(c: String): DataType = // unknown column → NonFatal → None
+      full.fields.find(_.name == c).map(_.dataType)
+        .getOrElse(throw new NoSuchElementException(c))
+    def supportedType(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    // the raw bound string of column c in partition k, None = no rows
+    // contribute; a REJECTION (bound absent where rows exist, or an
+    // unsupported/unparseable rendering) aborts the whole pushdown
+    def boundOf(k: String, c: String, isMin: Boolean): Option[String] =
+      if (pcols.contains(c)) Some(values(k)(pcols.indexOf(c)))
+      else {
+        val st = m.stats(k)
+        val side = if (isMin) st.mins else st.maxs
+        side.get(c) match {
+          case s @ Some(_) => s
+          case None if st.rows == 0L => None
+          // ambiguous — a dropped bound (append-merge over unknown) or
+          // all-null: abort the pushdown (NonFatal → None), NEVER treat
+          // as "contributes nothing"
+          case None => throw new NoSuchElementException(s"$k.$c")
+        }
+      }
+    // render a zone-map/partition string back to the EXTERNAL value the
+    // reader's Catalyst converter accepts (exact inverse of the
+    // cast-as-string encoding both writers emit)
+    def external(dt: DataType, s: String): Any = dt match {
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case _: DecimalType => new java.math.BigDecimal(s)
+      case StringType => s
+      case BooleanType => s.toBoolean
+      case DateType => java.time.LocalDate.parse(s)
+      case TimestampType => java.time.LocalDateTime
+        .parse(s.trim.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC)
+      case TimestampNTZType => java.time.LocalDateTime
+        .parse(s.trim.replace(' ', 'T'))
+      case _ => throw new IllegalArgumentException(dt.toString)
+    }
+    try {
+      fns.foreach {
+        case Bound(c, _) => require(supportedType(typeOf(c)))
+        case _ => ()
+      }
+      val grouped: Seq[(Seq[String], Seq[String])] =
+        keys.groupBy(k => groupCols.map(c => values(k)(pcols.indexOf(c))))
+          .toSeq.sortBy(_._1.mkString("/"))
+      val rows: Seq[Seq[Any]] =
+        if (keys.isEmpty && groupCols.isEmpty)
+          // global aggregate over an empty table: count 0, null bounds
+          Seq(fns.map { case Cnt => 0L; case _: Bound => null })
+        else grouped.map { case (gvals, ks) =>
+          gvals.zip(groupCols).map { case (v, c) =>
+            external(typeOf(c), v) } ++
+            fns.map {
+              case Cnt => ks.map(k => m.stats(k).rows).sum: Any
+              case Bound(c, isMin) =>
+                val dt = typeOf(c)
+                val bs = ks.flatMap(k => boundOf(k, c, isMin))
+                if (bs.isEmpty) null
+                else external(dt, bs.reduce { (a, b) =>
+                  val cmp = AtomicTable.statsOrder(dt, a, b)
+                  if ((cmp <= 0) == isMin) a else b
+                })
+            }
+        }
+      // Spark's contract for a completely-pushed aggregate scan:
+      // readSchema = group columns, then one field per aggregate
+      val schema = StructType(
+        groupCols.map(c => StructField(c, typeOf(c), nullable = true)) ++
+          fns.zipWithIndex.map {
+            case (Cnt, i) => StructField(s"count_$i", LongType, false)
+            case (Bound(c, isMin), i) => StructField(
+              s"${if (isMin) "min" else "max"}_$i", typeOf(c), true)
+          })
+      Some((schema, rows))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, rows)) => new GraftAggScan(root, schema, rows)
+    case None =>
+      // pin to the consumption manifest so a concurrent spec evolution
+      // can't invalidate a consumed (no longer re-checked) filter
+      new GraftScan(root, full, required, pushed,
+        pinned.orElse(consumedPin), startingVersion, endingVersion,
+        changeFeed,
+        consumedCols = pushed.diff(residual).flatMap(_.references).distinct)
+  }
 }
+
+/** A completely-pushed aggregate: the final result rows were computed
+  * from the manifest at planning time; the "scan" just serves them.
+  * One input partition — the result is one row per surviving group of
+  * PARTITIONS, metadata-sized by construction. */
+private[sources] class GraftAggScan(root: String, schema: StructType,
+    rows: Seq[Seq[Any]]) extends Scan with Batch with Serializable {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft:$root agg-pushdown(metadata-only, ${rows.size} rows)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggRows(schema.json, rows.map(_.toArray).toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val GraftAggRows(schemaJson, data) = p: @unchecked
+        val st = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val convs = st.fields.map(f => org.apache.spark.sql.catalyst
+          .CatalystTypeConverters.createToCatalystConverter(f.dataType))
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < data.length }
+          override def get(): InternalRow = new GenericInternalRow(
+            data(i).zipWithIndex.map { case (v, j) =>
+              if (v == null) null else convs(j)(v) })
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] final case class GraftAggRows(schemaJson: String,
+    rows: Array[Array[Any]]) extends InputPartition
 
 private[sources] class GraftScan(root: String, full: StructType,
     required: StructType, filters: Array[Filter],
     pinned: Option[Long] = None, startingVersion: Option[Long] = None,
-    endingVersion: Option[Long] = None, changeFeed: Boolean = false)
+    endingVersion: Option[Long] = None, changeFeed: Boolean = false,
+    consumedCols: Array[String] = Array.empty)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -773,27 +1054,14 @@ private[sources] class GraftScan(root: String, full: StructType,
     * cannot satisfy them. Conservative in every unknown case. */
   private def prunePartitions(m: AtomicTable.Manifest,
       pcols: Seq[String]): Map[String, Seq[String]] = {
-    // compare in the DECLARED type's order (a catalog table can
-    // PARTITION BY a BIGINT, where the lexicographic "10" < "9" would
-    // wrongly prune and LOSE rows) — same comparator as the zone maps.
-    // Multi-level keys compare per LEVEL: a filter on any partition
-    // column tests that column's segment of the composite key.
-    val level: Map[String, Int] = pcols.zipWithIndex.toMap
-    def cmpKey(part: String, c: String, v: Any): Int = {
-      val dt = if (full.fieldNames.contains(c)) full(c).dataType
-        else StringType
-      val seg = AtomicTable.partKeyValues(part, pcols.size)(level(c))
-      AtomicTable.statsOrder(dt, seg, GraftSource.filterValueString(v))
-    }
-    def admits(part: String): Boolean = filters.forall {
-      case EqualTo(c, v) if level.contains(c) => cmpKey(part, c, v) == 0
-      case In(c, vs) if level.contains(c) =>
-        vs.exists(v => cmpKey(part, c, v) == 0)
-      case GreaterThan(c, v) if level.contains(c) => cmpKey(part, c, v) > 0
-      case GreaterThanOrEqual(c, v) if level.contains(c) => cmpKey(part, c, v) >= 0
-      case LessThan(c, v) if level.contains(c) => cmpKey(part, c, v) < 0
-      case LessThanOrEqual(c, v) if level.contains(c) => cmpKey(part, c, v) <= 0
-      case f => zoneAdmits(m, part, f)
+    // partition-key predicates compare in the DECLARED type's order (a
+    // catalog table can PARTITION BY a BIGINT, where the lexicographic
+    // "10" < "9" would wrongly prune and LOSE rows) — the shared
+    // partitionExact helper, same comparator as the zone maps; per
+    // LEVEL on multi-level keys. Everything else falls to zone maps.
+    def admits(part: String): Boolean = filters.forall { f =>
+      GraftSource.partitionExact(full, pcols, f, part)
+        .getOrElse(zoneAdmits(m, part, f))
     }
     m.partitions.filter { case (p, _) => admits(p) }
   }
@@ -843,8 +1111,8 @@ private[sources] class GraftScan(root: String, full: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(root, required, filters, startingVersion,
-      changeFeed)
+    new GraftMicroBatchStream(root, full, required, filters,
+      startingVersion, changeFeed, consumedCols)
 }
 
 /** `spark.readStream.format("graft")` — every AtomicTable is a
@@ -869,8 +1137,9 @@ private[sources] class GraftScan(root: String, full: StructType,
   * still prune the diff; deletion vectors do NOT apply (the feed
   * carries what each commit staged — a vector delete stages no data). */
 private[sources] class GraftMicroBatchStream(root: String,
-    required: StructType, filters: Array[Filter],
-    startingVersion: Option[Long] = None, changeFeed: Boolean = false)
+    full: StructType, required: StructType, filters: Array[Filter],
+    startingVersion: Option[Long] = None, changeFeed: Boolean = false,
+    consumedCols: Array[String] = Array.empty)
   extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.Offset
@@ -922,6 +1191,15 @@ private[sources] class GraftMicroBatchStream(root: String,
               "source table with a larger `retain`)")
       }
     val pcols = GraftSource.partitionColsOf(endM)
+    // a stream outlives planning: if a mid-stream spec evolution makes
+    // a CONSUMED filter's column stop being a partition column, the
+    // exact admission below would silently stop applying it — fail
+    // loudly instead (batch scans pin their manifest; a stream can't)
+    consumedCols.filterNot(pcols.contains).foreach { c =>
+      throw new IllegalStateException(
+        s"partition spec of $root evolved mid-stream: consumed filter " +
+          s"column '$c' is no longer a partition column — restart the query")
+    }
     val changed = GraftSource.changedDirs(startParts, endM.partitions)
       .filter { case (p, _) => partitionFilterAdmits(p, pcols) }
     val conf = new Configuration()
@@ -960,31 +1238,16 @@ private[sources] class GraftMicroBatchStream(root: String,
     }.toArray
   }
 
-  private def partitionFilterAdmits(part: String, pcols: Seq[String]): Boolean = {
-    // typed comparisons, like the batch scan's pruning: a numeric
-    // partition column must not be range-pruned lexicographically.
-    // Equality is representation-safe; for ranges, prune only when the
-    // column's declared type is visible in the read schema — otherwise
-    // admit (pruning may only skip work, never rows)
-    val level: Map[String, Int] = pcols.zipWithIndex.toMap
-    def seg(c: String): String =
-      AtomicTable.partKeyValues(part, pcols.size)(level(c))
-    def cmp(c: String, v: Any)(ok: Int => Boolean): Boolean =
-      (if (required.fieldNames.contains(c)) Some(required(c).dataType)
-       else None).forall(t => ok(AtomicTable.statsOrder(t, seg(c),
-        GraftSource.filterValueString(v))))
-    filters.forall {
-      case EqualTo(c, v) if level.contains(c) =>
-        seg(c) == GraftSource.filterValueString(v)
-      case In(c, vs) if level.contains(c) =>
-        vs.map(GraftSource.filterValueString).contains(seg(c))
-      case GreaterThan(c, v) if level.contains(c) => cmp(c, v)(_ > 0)
-      case GreaterThanOrEqual(c, v) if level.contains(c) => cmp(c, v)(_ >= 0)
-      case LessThan(c, v) if level.contains(c) => cmp(c, v)(_ < 0)
-      case LessThanOrEqual(c, v) if level.contains(c) => cmp(c, v)(_ <= 0)
-      case _ => true
+  private def partitionFilterAdmits(part: String, pcols: Seq[String]): Boolean =
+    // the SHARED exact admission the batch scan uses — typed per-level
+    // comparisons against the FULL schema (a consumed filter's column
+    // may be pruned from `required`, so required's types are not
+    // enough, and a consumed filter is never re-checked above the
+    // stream: admission here must be row-accurate, not just
+    // work-skipping). Non-partition-exact filters admit (skip-only).
+    filters.forall { f =>
+      GraftSource.partitionExact(full, pcols, f, part).getOrElse(true)
     }
-  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required)
@@ -1008,6 +1271,7 @@ private[sources] final case class GraftInputPartition(partValue: String,
       typeAt(i) match {
         case "long" => v.toLong: Any
         case "integer" => v.toInt: Any
+        case "date" => java.time.LocalDate.parse(v).toEpochDay.toInt: Any
         case _ => UTF8String.fromString(v): Any
       }
     }.toArray)

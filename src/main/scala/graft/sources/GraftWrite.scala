@@ -596,6 +596,11 @@ private[sources] class GraftDataWriter(root: String, txn: String,
           case StringType => row.getUTF8String(i).toString
           case LongType => row.getLong(i).toString
           case IntegerType => row.getInt(i).toString
+          // ISO yyyy-MM-dd — the same rendering `cast(d as string)`
+          // produces, so zone-map comparison, exact partition-filter
+          // admission, and the reader's parse all agree on it
+          case DateType =>
+            java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
           case other => throw new IllegalArgumentException(
             s"unsupported partition column type $other")
         }

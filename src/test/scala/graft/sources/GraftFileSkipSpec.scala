@@ -84,10 +84,17 @@ class GraftFileSkipSpec extends SparkSuite {
     val q2 = spark.sql("SELECT count(*) FROM gfs.db.t2 WHERE id >= 100")
     assert(q2.as[Long].head() === 20L)
     assert(plannedFiles(q2).size === 2, "id >= 100 refutes the 0-9 file")
-    // no filter: all three files
-    val q3 = spark.sql("SELECT count(*) FROM gfs.db.t2")
-    assert(q3.as[Long].head() === 30L)
+    // no filter, non-aggregate: all three files
+    val q3 = spark.sql("SELECT id FROM gfs.db.t2")
+    assert(q3.collect().length === 30)
     assert(plannedFiles(q3).size === 3)
+    // no filter, bare count(*): answered from METADATA — zero files
+    val q3agg = spark.sql("SELECT count(*) FROM gfs.db.t2")
+    assert(q3agg.as[Long].head() === 30L)
+    q3agg.collect()
+    assert(scansOf(q3agg.queryExecution.executedPlan)
+      .head.scan.isInstanceOf[GraftAggScan],
+      "unfiltered count(*) should plan the metadata-only aggregate scan")
     // filter on an untracked column: never prunes
     val q4 = spark.sql("SELECT count(*) FROM gfs.db.t2 WHERE v < 15.0")
     assert(q4.as[Long].head() === 10L)
