@@ -21,20 +21,26 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt.max(1)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      // Shuffle-partition sizing is DATA-SCALE CONFIGURATION, not an
-      // engine constant: at the 500x corpus the 32-partition default
-      // spills (text_bm25 122.7s -> 36.6s, dedup_minhash 80.7s ->
-      // 22.8s once widened), while at sf0.1 starting 512-wide costs
-      // +47% in map-side bucket overhead across 150 sub-second
-      // shuffles. The scale protocol sizes it per decade via this
-      // knob; deployments size it to their cluster, as Spark intends.
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INITIAL_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
+    // Shuffle-partition sizing is DATA-SCALE CONFIGURATION, not an
+    // engine constant: at the 500x corpus the 32-partition default
+    // spills (text_bm25 122.7s -> 36.6s, dedup_minhash 80.7s ->
+    // 22.8s once widened), while at sf0.1 starting 512-wide costs
+    // +47% in map-side bucket overhead across 150 sub-second
+    // shuffles. The scale protocol sizes it per decade via this
+    // knob; deployments size it to their cluster, as Spark intends.
+    // Set ONLY when the scale protocol asks: explicitly configuring
+    // initialPartitionNum — even to the same value as
+    // shuffle.partitions — measurably changes AQE's coalescing around
+    // the streaming queries' auxiliary batch stages (r11 bisect:
+    // ev_asof_stream_wm 2.28s unset vs 2.92s set-to-32, same build).
+    val spark = sys.env.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+      .fold(builder)(n => builder.config(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", n))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
