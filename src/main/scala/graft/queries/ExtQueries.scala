@@ -82,6 +82,8 @@ object ExtQueries {
     "graft_file_skip" -> QueryDef(graftFileSkip, Some(graftFileSkipSql)),
     "graft_analyze" -> QueryDef(graftAnalyze, Some(graftFileSkipSql)),
     "graft_agg_push" -> QueryDef(graftAggPush, Some(graftAggPushSql)),
+    "graft_limit_push" -> QueryDef(graftLimitPush, Some(graftLimitPushSql)),
+    "graft_bucket_join" -> QueryDef(graftBucketJoin, Some(graftBucketJoinSql)),
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),

@@ -1157,6 +1157,85 @@ object WarehouseQueries {
       GROUP BY o_year ORDER BY o_year""")
   }
 
+  /** LIMIT / TopN pushdown over the same staged year-partitioned table:
+    * `ORDER BY o_year DESC LIMIT 50` keeps only the newest partition's
+    * files (whole-partition ordering is exact — the key is constant
+    * within a partition), `LIMIT 500` stops planning files once the
+    * manifest's file-level row counts cover 500 (GraftLimitPushSpec pins
+    * the plan shapes). Both wrapped in aggregates so the row set is
+    * deterministic and value-oracled: the top-50 by year DESC all fall
+    * in the max year (>= 50 rows there at every tested SF), and the
+    * bare-limit row COUNT is limit-exact regardless of which rows. */
+  private[queries] def graftLimitPush(s: SparkSession, dir: String): DataFrame = {
+    graftAggPush(s, dir).collect() // ensure the shared staged table exists
+    val cat = mergeStaged.get(dir + "#aggpush")
+    s.sql(s"""SELECT probe, o_year, n FROM (
+      SELECT 'topn' AS probe, o_year, count(*) AS n
+      FROM (SELECT o_year FROM $cat.wh.orders ORDER BY o_year DESC LIMIT 50)
+      GROUP BY o_year
+      UNION ALL
+      SELECT 'limit' AS probe, CAST(NULL AS STRING) AS o_year, count(*) AS n
+      FROM (SELECT o_orderkey FROM $cat.wh.orders LIMIT 500))
+      ORDER BY probe""")
+  }
+
+  /** Bucketed fact-to-fact join: orders and customer both
+    * `PARTITIONED BY (bucket(16, custkey))` in the graft catalog, joined
+    * on the key and aggregated by market segment. GraftBucketSpec pins
+    * the plan claims (one file per bucket per commit, one-of-N point
+    * pruning, ZERO-exchange storage-partitioned join under
+    * `spark.sql.sources.v2.bucketing.enabled`); this query value-oracles
+    * the layout — a wrong bucket id on either side silently drops or
+    * duplicates join rows, which the per-segment counts and decimal sums
+    * catch. At 100 TB this layout is "join two facts on the key without
+    * shuffling either side". */
+  private[queries] def graftBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#bucket", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-bktq").toString
+      val cat = "gb" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView(s"orders_bsrc_$cat")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView(s"cust_bsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.borders " +
+        "(o_custkey BIGINT, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (bucket(16, o_custkey)) " +
+        "TBLPROPERTIES ('stats_columns'='o_custkey')")
+      s.sql(s"CREATE TABLE $cat.wh.bcust " +
+        "(c_custkey BIGINT, c_mktsegment STRING) " +
+        "PARTITIONED BY (bucket(16, c_custkey))")
+      s.sql(s"INSERT INTO $cat.wh.borders SELECT * FROM orders_bsrc_$cat")
+      s.sql(s"INSERT INTO $cat.wh.bcust SELECT * FROM cust_bsrc_$cat")
+      cat
+    })
+    s.sql(s"""SELECT c.c_mktsegment, count(*) AS n_orders,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM $cat.wh.borders o JOIN $cat.wh.bcust c
+        ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""")
+  }
+
+  private[queries] val graftBucketJoinSql =
+    """SELECT c.c_mktsegment, count(*) AS n_orders,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
+  private[queries] val graftLimitPushSql =
+    """SELECT probe, o_year, n FROM (
+      |  SELECT 'topn' AS probe, o_year, count(*) AS n
+      |  FROM (SELECT strftime(o_orderdate, '%Y') AS o_year FROM orders
+      |        ORDER BY o_year DESC LIMIT 50)
+      |  GROUP BY o_year
+      |  UNION ALL
+      |  SELECT 'limit' AS probe, CAST(NULL AS VARCHAR) AS o_year, count(*) AS n
+      |  FROM (SELECT o_orderkey FROM orders LIMIT 500))
+      |ORDER BY probe""".stripMargin
+
   private[queries] val graftAggPushSql =
     """SELECT strftime(o_orderdate, '%Y') AS o_year,
       |  count(*) AS n_rows,

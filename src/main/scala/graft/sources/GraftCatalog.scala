@@ -51,7 +51,8 @@ import graft.etl.AtomicTable
   *    ADD COLUMNS (metadata-only schema evolution, null-filled reads);
   *    rename/drop are rewrites and stay on the Scala API. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   import GraftCatalog.DefaultRetain
 
   private var catalogName: String = _
@@ -186,15 +187,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val partColList = partitions.toSeq.map {
       case t if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
+      case t if t.name == "bucket" && t.references.length == 1 =>
+        // bucket(N, col): stored as the synthetic level <col>_bucketN —
+        // opaque to every spec-agnostic component, decoded by the
+        // writer / scan / function catalog (see GraftBuckets)
+        val src = t.references.head.fieldNames.mkString(".")
+        val n = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"bucket transform needs a literal bucket count, got [$t]"))
+        require(n > 0, s"bucket count must be positive, got $n")
+        require(schema.fieldNames.contains(src),
+          s"bucket column '$src' is not in the table schema")
+        require(GraftBuckets.supportedType(schema(src).dataType),
+          s"bucket is not defined over ${schema(src).dataType.catalogString} " +
+            s"(column '$src')")
+        GraftBuckets.levelName(src, n)
       case other => throw new IllegalArgumentException(
-        "graft tables take PARTITIONED BY (<col>[, <col>...]) identity " +
-          s"columns only, got [$other]")
+        "graft tables take PARTITIONED BY (<col> | bucket(<n>, <col>)) " +
+          s"levels only, got [$other]")
     }
     require(partColList.nonEmpty,
       "graft tables take at least one PARTITIONED BY (<col>) identity column")
     require(partColList.distinct == partColList,
       s"duplicate PARTITIONED BY columns: [${partColList.mkString(", ")}]")
-    partColList.foreach(c => require(schema.fieldNames.contains(c),
+    partColList.foreach(c => require(
+      GraftBuckets.level(c).isDefined || schema.fieldNames.contains(c),
       s"partition column '$c' is not in the table schema"))
     // stored and threaded everywhere as the comma-joined spec
     val partCol = partColList.mkString(",")
@@ -404,6 +424,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (namespace.sameElements(Array("system")))
       Array("table_changes", "compact", "vacuum", "rollback", "clone",
         "analyze").map(Identifier.of(Array("system"), _))
+    else Array.empty
+
+  /** FunctionCatalog: serves the `bucket` transform function. Spark's
+    * storage-partitioned-join machinery resolves a scan-reported
+    * `bucket(N, col)` partitioning by loading `bucket` from the table's
+    * catalog with an EMPTY namespace (V2ExpressionUtils.loadV2FunctionOpt)
+    * — without this, a bucketed table's KeyGroupedPartitioning is
+    * unresolvable and every join falls back to shuffles. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name() == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
     else Array.empty
 
   private def identOf(tbl: String): Identifier = {

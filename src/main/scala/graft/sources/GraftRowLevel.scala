@@ -118,19 +118,38 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
   // never read, and Spark only emits a MERGE group filter when there are
   // no NOT MATCHED BY SOURCE clauses (RewriteMergeIntoTable withholds
   // groupFilterCondition otherwise)
+  // a bucket level offers its SOURCE column (a real data attribute) and
+  // maps the extracted key values to bucket-id segments below — a keyed
+  // DELETE/UPDATE on a bucketed table then rewrites ONE bucket, not N
   override def filterAttributes(): Array[NamedReference] =
-    pcols.toArray.map(Expressions.column)
+    pcols.toArray.map(c => GraftBuckets.level(c).map(_._1).getOrElse(c))
+      .filter(full.fieldNames.contains).map(Expressions.column)
 
   override def filter(predicates: Array[Predicate]): Unit = {
     // conjunctive narrowing: every extractable predicate intersects its
     // level's keep-set; anything unextractable is simply not used to
     // narrow (pruning can only skip groups the condition cannot touch)
     val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
-    for {
-      p <- predicates
-      (c, i) <- pcols.zipWithIndex
-      vs <- GraftV2Predicates.valuesFor(p, c)
-    } acc(i) = acc.get(i).fold(vs)(_ intersect vs)
+    for (p <- predicates; (c, i) <- pcols.zipWithIndex)
+      GraftBuckets.level(c) match {
+        case Some((src, n)) =>
+          for {
+            vs <- GraftV2Predicates.valuesFor(p, src)
+            dt <- full.fields.find(_.name == src).map(_.dataType)
+          } {
+            val mapped = vs.toSeq
+              .map(GraftBuckets.idFromValueString(_, dt, n))
+            // narrow only if EVERY value mapped to a bucket — a value
+            // that fails to parse must not silently widen the skip
+            if (mapped.forall(_.isDefined)) {
+              val ids = mapped.flatten.map(_.toString).toSet
+              acc(i) = acc.get(i).fold(ids)(_ intersect ids)
+            }
+          }
+        case None =>
+          GraftV2Predicates.valuesFor(p, c).foreach(vs =>
+            acc(i) = acc.get(i).fold(vs)(_ intersect vs))
+      }
     if (acc.nonEmpty) runtimeKeep = Some(acc.toMap)
   }
 
@@ -270,8 +289,18 @@ private[sources] object GraftV2Predicates {
       : Option[String] = e match {
     // a NULL literal must NOT extract: String.valueOf(null) is the text
     // "null", which would wrongly match a partition whose value IS that
-    // text — unextractable falls to the row-level path, always safe
-    case l: Literal[_] if l.value != null => Some(String.valueOf(l.value))
+    // text — unextractable falls to the row-level path, always safe.
+    // DATE literals carry their INTERNAL form (epoch days) — rendered
+    // ISO to match the dir encoding; String.valueOf would produce
+    // "18263", match no segment, and silently no-op the narrowed DML /
+    // zero out a DPP keep-set.
+    case l: Literal[_] if l.value != null =>
+      l.dataType() match {
+        case org.apache.spark.sql.types.DateType =>
+          scala.util.Try(java.time.LocalDate.ofEpochDay(
+            l.value.asInstanceOf[Number].longValue()).toString).toOption
+        case _ => Some(String.valueOf(l.value))
+      }
     case _ => None
   }
 

@@ -229,6 +229,45 @@ object GraftSource {
     }
   }
 
+  /** Bucket-level admission: Some(false) prunes a partition whose bucket
+    * id cannot hold rows matching an equality/IN/null predicate on a
+    * bucket SOURCE column — the point-lookup path on bucketed tables
+    * (`WHERE k = v` reads ONE of N buckets). Necessary but NOT
+    * sufficient (other values share the bucket), so this is pruning
+    * only — never filter consumption; range predicates return None
+    * (hashing destroys order). Null keys fold to bucket 0 by the
+    * writer's contract, so IS NULL admits only bucket 0. */
+  private[sources] def bucketAdmits(full: StructType, pcols: Seq[String],
+      f: Filter, part: String): Option[Boolean] = {
+    val srcLevel: Map[String, (Int, Int)] = pcols.zipWithIndex.flatMap {
+      case (c, i) => GraftBuckets.level(c).map { case (s, n) => s -> (i, n) }
+    }.toMap
+    if (srcLevel.isEmpty) return None
+    def seg(i: Int): Option[Int] = scala.util.Try(
+      AtomicTable.partKeyValues(part, pcols.size)(i).toInt).toOption
+    def dtOf(c: String): Option[DataType] =
+      full.fields.find(_.name == c).map(_.dataType)
+    def eqAdmit(c: String, v: Any): Option[Boolean] = {
+      val (i, n) = srcLevel(c)
+      for (dt <- dtOf(c); s <- seg(i))
+        yield s == GraftBuckets.bucketIdExternal(v, dt, n)
+    }
+    f match {
+      case EqualTo(c, v) if srcLevel.contains(c) && v != null => eqAdmit(c, v)
+      case EqualNullSafe(c, v) if srcLevel.contains(c) =>
+        if (v != null) eqAdmit(c, v)
+        else seg(srcLevel(c)._1).map(_ == 0)
+      case In(c, vs) if srcLevel.contains(c) && vs != null =>
+        val (i, n) = srcLevel(c)
+        for (dt <- dtOf(c); s <- seg(i)) yield
+          vs.exists(v => v != null &&
+            s == GraftBuckets.bucketIdExternal(v, dt, n))
+      case IsNull(c) if srcLevel.contains(c) =>
+        seg(srcLevel(c)._1).map(_ == 0)
+      case _ => None
+    }
+  }
+
   /** Render a pushed-filter value in the zone-map string encoding.
     * Timestamp-like values MUST go through an explicit UTC conversion:
     * `String.valueOf` on java.sql.Timestamp renders in the JVM default
@@ -372,11 +411,17 @@ private[sources] class GraftTable(props: Map[String, String],
     s"graft:$root${pinned.map(v => s"@v$v").getOrElse("")}"
   override def schema(): StructType = schema0
   // surfacing the partitioning is what lets Spark accept a static
-  // `PARTITION (p='x')` spec on INSERT OVERWRITE
+  // `PARTITION (p='x')` spec on INSERT OVERWRITE; bucket levels report
+  // the honest bucket(N, col) transform (DESCRIBE shows it, and writes
+  // resolve their clustered distribution against it)
   override def partitioning(): Array[Transform] =
     partitionColNow.toSeq.flatMap(AtomicTable.partCols).map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
-      .toArray
+      GraftBuckets.level(c) match {
+        case Some((src, n)) =>
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, src)
+        case None =>
+          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      }).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     if (pinned.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
     // catalog tables have a DECLARED schema, so writes resolve against it
@@ -478,10 +523,14 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
     endingVersion: Option[Long] = None, changeFeed: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var residual: Array[Filter] = Array.empty
+  private var limitRows: Option[Int] = None
+  private var topOrders: Seq[(String, Boolean)] = Nil // (col, descending)
   // the manifest version the consumption decision was made against —
   // the scan pins to it so a concurrent partition-spec evolution can't
   // turn a consumed (no longer re-checked) filter into a row leak
@@ -530,6 +579,58 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  // ---- LIMIT / TopN pushdown: truncate the planned files -------------
+  // PARTIAL pushdown (Spark keeps its own Limit / Sort on top): the scan
+  // may stop planning files once the files it kept already GUARANTEE
+  // `limit` qualifying rows — `SELECT * FROM t LIMIT 10` at 100 TB then
+  // reads one file, not the table. Exact only when every kept row
+  // survives to the operator, so accepted only when NO residual filter
+  // remains (consumed partition filters are row-exact by construction);
+  // the row counting itself (scan side) trusts only DV-free partitions
+  // with per-file stats, and plans everything when counts run out.
+  override def pushLimit(n: Int): Boolean = {
+    val ok = !changeFeed && startingVersion.isEmpty && residual.isEmpty
+    if (ok) limitRows = Some(n)
+    ok
+  }
+
+  // ORDER BY partition columns + LIMIT: the sort key is CONSTANT within
+  // a partition, so ordering whole partitions by their key segments is
+  // exact — the scan keeps the first partitions (in sort order) whose
+  // counted rows cover n, a superset of the true top-n for Spark's
+  // re-sort. Refused for non-partition sort keys (row order inside a
+  // partition is unknown) and timestamp keys (dir rendering is
+  // session-zone-bound, same bar as filter consumption).
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
+    if (changeFeed || startingVersion.isDefined || residual.nonEmpty)
+      return false
+    val pcols = GraftSource.manifestFor(root, pinned.orElse(consumedPin))
+      .filter(_.partitions.nonEmpty).map(GraftSource.partitionColsOf)
+      .getOrElse(return false)
+    val cols: Seq[(String, Boolean)] = orders.toSeq.map { o =>
+      o.expression match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            pcols.contains(nr.fieldNames.head) =>
+          (nr.fieldNames.head, o.direction == SortDirection.DESCENDING)
+        case _ => return false
+      }
+    }
+    if (cols.exists { case (c, _) =>
+      full.fields.find(_.name == c).exists(_.dataType == TimestampType) })
+      return false
+    topOrders = cols
+    limitRows = Some(n)
+    true
+  }
+
+  // both pushdowns are PARTIAL: Spark keeps its own Limit (and Sort) on
+  // top; the scan only guarantees it returns AT LEAST the limit's rows
+  // (when the table has them) in a superset that contains the true top-n
+  override def isPartiallyPushed(): Boolean = true
 
   // ---- aggregate pushdown: COUNT(*)/MIN/MAX answered from the manifest
   // At 100 TB, `SELECT count(*) FROM t` (or per-partition counts, or a
@@ -700,7 +801,8 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
       new GraftScan(root, full, required, pushed,
         pinned.orElse(consumedPin), startingVersion, endingVersion,
         changeFeed,
-        consumedCols = pushed.diff(residual).flatMap(_.references).distinct)
+        consumedCols = pushed.diff(residual).flatMap(_.references).distinct,
+        limitRows = limitRows, topOrders = topOrders)
   }
 }
 
@@ -742,7 +844,9 @@ private[sources] class GraftScan(root: String, full: StructType,
     required: StructType, filters: Array[Filter],
     pinned: Option[Long] = None, startingVersion: Option[Long] = None,
     endingVersion: Option[Long] = None, changeFeed: Boolean = false,
-    consumedCols: Array[String] = Array.empty)
+    consumedCols: Array[String] = Array.empty,
+    limitRows: Option[Int] = None,
+    topOrders: Seq[(String, Boolean)] = Nil)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -764,6 +868,9 @@ private[sources] class GraftScan(root: String, full: StructType,
     else GraftSource.manifestFor(root, pinned)
       .filter(_.partitions.nonEmpty).toSeq
       .flatMap(GraftSource.partitionColsOf)
+      // a bucket level offers its SOURCE column: a DPP dim filter on
+      // the bucket key then prunes the fact to the matching buckets
+      .map(c => GraftBuckets.level(c).map(_._1).getOrElse(c))
       // Spark resolves these against the scan OUTPUT — a partition
       // column pruned from the projection must not be offered
       .filter(required.fieldNames.contains)
@@ -776,11 +883,26 @@ private[sources] class GraftScan(root: String, full: StructType,
       .filter(_.partitions.nonEmpty)
       .map(GraftSource.partitionColsOf).getOrElse(return)
     val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
-    for {
-      p <- predicates
-      (c, i) <- pcols.zipWithIndex
-      vs <- GraftV2Predicates.valuesFor(p, c)
-    } acc(i) = acc.get(i).fold(vs)(_ intersect vs)
+    for (p <- predicates; (c, i) <- pcols.zipWithIndex)
+      GraftBuckets.level(c) match {
+        case Some((src, n)) =>
+          for {
+            vs <- GraftV2Predicates.valuesFor(p, src)
+            dt <- full.fields.find(_.name == src).map(_.dataType)
+          } {
+            val mapped = vs.toSeq
+              .map(GraftBuckets.idFromValueString(_, dt, n))
+            // narrow only if EVERY value mapped — a failed parse must
+            // not silently widen the skip into a row loss
+            if (mapped.forall(_.isDefined)) {
+              val ids = mapped.flatten.map(_.toString).toSet
+              acc(i) = acc.get(i).fold(ids)(_ intersect ids)
+            }
+          }
+        case None =>
+          GraftV2Predicates.valuesFor(p, c).foreach(vs =>
+            acc(i) = acc.get(i).fold(vs)(_ intersect vs))
+      }
     if (acc.nonEmpty) runtimeKeep = Some(acc.toMap)
   }
 
@@ -974,15 +1096,26 @@ private[sources] class GraftScan(root: String, full: StructType,
       .map { m =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           GraftSource.partitionColsOf(m).toArray.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression),
+            GraftBuckets.level(c) match {
+              // the honest transform: Spark resolves it through the
+              // catalog's FunctionCatalog, making two same-bucketed
+              // tables storage-partition-compatible (zero-exchange join)
+              case Some((src, n)) =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .bucket(n, src)
+                  : org.apache.spark.sql.connector.expressions.Expression
+              case None =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression
+            }),
           planInputPartitions().length)
           : org.apache.spark.sql.connector.read.partitioning.Partitioning
       }.getOrElse(
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0))
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = truncate(
     runtimeKeep match {
       case Some(byLevel) => planned.filter {
         case p: GraftInputPartition =>
@@ -991,7 +1124,66 @@ private[sources] class GraftScan(root: String, full: StructType,
         case _ => true
       }
       case None => planned
+    })
+
+  /** Exact row count of each PLANNED data file, recorded while planning
+    * — only for files in DV-free partitions carrying file-level stats
+    * (a vector subtracts rows at read; a file with no map is unknown).
+    * The basis for LIMIT/TopN truncation: a file absent here counts 0
+    * toward the limit, so truncation can only KEEP more than needed,
+    * never under-deliver. */
+  @volatile private var plannedFileRows: Map[String, Long] = Map.empty
+
+  /** LIMIT/TopN truncation over the final (post-runtime-filter) plan:
+    * stop planning files once the kept files' counted rows cover the
+    * limit. For TopN, order whole partitions by their key segments
+    * first (typed comparison, per level) — refusing outright when a
+    * null partition value appears in a sort key (it cannot be ordered
+    * against typed segments). Every refusal path returns the full plan:
+    * truncation is an optimization, never a semantics change. */
+  private def truncate(parts: Array[InputPartition]): Array[InputPartition] = {
+    val n = limitRows.getOrElse(return parts)
+    if (n <= 0) return Array.empty
+    val gps: Array[GraftInputPartition] =
+      parts.map { case g: GraftInputPartition => g; case _ => return parts }
+    val ordered: Array[GraftInputPartition] =
+      if (topOrders.isEmpty) gps
+      else {
+        val pcols = gps.headOption.map(_.partitionCols).getOrElse(return parts)
+        val keys = topOrders.map { case (c, desc) =>
+          (pcols.indexOf(c), desc,
+            full.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
+        }
+        if (keys.exists(_._1 < 0)) return parts
+        if (gps.exists(g => keys.exists { case (i, _, _) =>
+          g.partValues(i) == org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.DEFAULT_PARTITION_NAME })) return parts
+        gps.sortWith { (a, b) =>
+          var r = 0
+          val it = keys.iterator
+          while (r == 0 && it.hasNext) {
+            val (i, desc, dt) = it.next()
+            val c = AtomicTable.statsOrder(dt, a.partValues(i), b.partValues(i))
+            r = if (desc) -c else c
+          }
+          r < 0
+        }
+      }
+    var known = 0L
+    var done = false
+    val out = Array.newBuilder[InputPartition]
+    for (g <- ordered if !done) {
+      val kept = Seq.newBuilder[String]
+      var cut = false
+      for (f <- g.dataFiles if !done) {
+        kept += f
+        known += plannedFileRows.getOrElse(f, 0L)
+        if (known >= n) { done = true; cut = true }
+      }
+      out += (if (cut) g.copy(dataFiles = kept.result()) else g)
     }
+    out.result()
+  }
 
   /** The scan plan for one specific manifest — split out so the
     * row-level scan can pin the manifest it planned against. A manifest
@@ -1003,10 +1195,13 @@ private[sources] class GraftScan(root: String, full: StructType,
     val keyCols: Seq[String] = m.properties.get(AtomicTable.DeleteKeysProperty)
       .map(_.split(",").toSeq).getOrElse(Nil)
     val ptypes = pcols.map(c =>
-      if (full.fieldNames.contains(c)) full(c).dataType.typeName else "string")
+      if (full.fieldNames.contains(c)) full(c).dataType.typeName
+      else if (GraftBuckets.level(c).isDefined) "integer" // bucket ids
+      else "string")
     val kept = prunePartitions(m, pcols)
     val conf = new Configuration()
-    kept.toSeq.sortBy(_._1).map { case (part, dirs) =>
+    val rowsAcc = Map.newBuilder[String, Long]
+    val plan = kept.toSeq.sortBy(_._1).map { case (part, dirs) =>
       val dataFiles = dirs.flatMap { d =>
         val all = GraftSource.committedFiles(m, conf, root, d)
         // FILE-level data skipping: inside an admitted partition, drop
@@ -1030,9 +1225,23 @@ private[sources] class GraftScan(root: String, full: StructType,
       }
       val vecFiles = m.deletes.getOrElse(part, Nil)
         .flatMap(d => listParquet(conf, s"$root/$d"))
+      // exact per-file rows for LIMIT/TopN truncation — DV-free only
+      // (a vector subtracts rows at read, so stats would overcount)
+      if (vecFiles.isEmpty && m.deletes.getOrElse(part, Nil).isEmpty)
+        dataFiles.foreach { path =>
+          val cut = path.lastIndexOf('/')
+          val parent = path.substring(0, math.max(cut, 0))
+          dirs.find(d => parent.endsWith("/" + d)).foreach { d =>
+            m.fileStats.getOrElse(d, Map.empty)
+              .get(path.substring(cut + 1))
+              .foreach(st => rowsAcc += path -> st.rows)
+          }
+        }
       GraftInputPartition(part, dataFiles, vecFiles, keyCols, pcols, ptypes)
         : InputPartition
     }.toArray
+    plannedFileRows = rowsAcc.result()
+    plan
   }
 
   /** Whether [[planFromManifest]] may prune FILES by their zone maps.
@@ -1061,6 +1270,7 @@ private[sources] class GraftScan(root: String, full: StructType,
     // LEVEL on multi-level keys. Everything else falls to zone maps.
     def admits(part: String): Boolean = filters.forall { f =>
       GraftSource.partitionExact(full, pcols, f, part)
+        .orElse(GraftSource.bucketAdmits(full, pcols, f, part))
         .getOrElse(zoneAdmits(m, part, f))
     }
     m.partitions.filter { case (p, _) => admits(p) }
@@ -1246,7 +1456,9 @@ private[sources] class GraftMicroBatchStream(root: String,
     // stream: admission here must be row-accurate, not just
     // work-skipping). Non-partition-exact filters admit (skip-only).
     filters.forall { f =>
-      GraftSource.partitionExact(full, pcols, f, part).getOrElse(true)
+      GraftSource.partitionExact(full, pcols, f, part)
+        .orElse(GraftSource.bucketAdmits(full, pcols, f, part))
+        .getOrElse(true)
     }
 
   override def createReaderFactory(): PartitionReaderFactory =

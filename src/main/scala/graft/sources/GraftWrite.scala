@@ -122,8 +122,20 @@ private[sources] class GraftWriteBuilder(root: String,
           : org.apache.spark.sql.connector.distributions.Distribution =
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           graft.etl.AtomicTable.partCols(resolvePartitionCol()).toArray.map(c =>
-            org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-              : org.apache.spark.sql.connector.expressions.Expression))
+            GraftBuckets.level(c) match {
+              // cluster by the BUCKET id, not the source value: one
+              // task per bucket = one file per bucket per commit (the
+              // resolution rides the catalog's FunctionCatalog — write
+              // bucketed tables through the catalog)
+              case Some((src, n)) =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .bucket(n, src)
+                  : org.apache.spark.sql.connector.expressions.Expression
+              case None =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .identity(c)
+                  : org.apache.spark.sql.connector.expressions.Expression
+            }))
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
@@ -527,7 +539,12 @@ private[sources] class GraftDataWriter(root: String, txn: String,
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
 
   private val pcols = graft.etl.AtomicTable.partCols(partitionCol)
-  private val partIdxs: Array[Int] = pcols.map(schema.fieldIndex).toArray
+  // a bucket level hashes its SOURCE column (which stays a data column
+  // in the files — the dir carries only the bucket id)
+  private val bucketOf: Array[Option[Int]] =
+    pcols.map(c => GraftBuckets.level(c).map(_._2)).toArray
+  private val partIdxs: Array[Int] = pcols.map(c =>
+    schema.fieldIndex(GraftBuckets.level(c).map(_._1).getOrElse(c))).toArray
   private val statsFields: Array[(String, Int, DataType)] =
     statsColumns.map(c => (c, schema.fieldIndex(c), schema(c).dataType)).toArray
   // per partition VALUE: row count + typed running min/max per stats col
@@ -590,19 +607,29 @@ private[sources] class GraftDataWriter(root: String, txn: String,
 
   override def write(row: InternalRow): Unit = {
     val partValue = graft.etl.AtomicTable.partKey(
-      partIdxs.toSeq.zip(pcols).map { case (i, c) =>
-        require(!row.isNullAt(i), s"null partition value for '$c'")
-        schema(i).dataType match {
-          case StringType => row.getUTF8String(i).toString
-          case LongType => row.getLong(i).toString
-          case IntegerType => row.getInt(i).toString
-          // ISO yyyy-MM-dd — the same rendering `cast(d as string)`
-          // produces, so zone-map comparison, exact partition-filter
-          // admission, and the reader's parse all agree on it
-          case DateType =>
-            java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-          case other => throw new IllegalArgumentException(
-            s"unsupported partition column type $other")
+      partIdxs.toSeq.zipWithIndex.zip(pcols).map { case ((i, lvl), c) =>
+        bucketOf(lvl) match {
+          case Some(n) =>
+            // null keys fold to bucket 0 (a key filter never matches
+            // null); the single bucketId definition the pruner and the
+            // V2 function share
+            val dt = schema(i).dataType
+            val v = if (row.isNullAt(i)) null else row.get(i, dt)
+            GraftBuckets.bucketId(v, dt, n).toString
+          case None =>
+            require(!row.isNullAt(i), s"null partition value for '$c'")
+            schema(i).dataType match {
+              case StringType => row.getUTF8String(i).toString
+              case LongType => row.getLong(i).toString
+              case IntegerType => row.getInt(i).toString
+              // ISO yyyy-MM-dd — the same rendering `cast(d as string)`
+              // produces, so zone-map comparison, exact partition-filter
+              // admission, and the reader's parse all agree on it
+              case DateType =>
+                java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+              case other => throw new IllegalArgumentException(
+                s"unsupported partition column type $other")
+            }
         }
       })
     val g = factory.newGroup()
