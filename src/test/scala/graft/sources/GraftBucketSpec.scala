@@ -225,6 +225,38 @@ class GraftBucketSpec extends SparkSuite {
       "the DATE-keyed DELETE must actually delete")
   }
 
+  test("DPP: a dim filter on the bucket key prunes the fact to its buckets") {
+    warehouse
+    spark.sql("CREATE TABLE gbk.db.t9 (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (0L until 400L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("src_t9")
+    spark.sql("INSERT INTO gbk.db.t9 SELECT * FROM src_t9")
+    // the dim must be a REAL file scan: a literal Seq folds to a
+    // LocalRelation, which has no Filter node for DPP to measure
+    val dimPath = Files.createTempDirectory("graft-bkdpp").toString
+    Seq((3L, "keep"), (7L, "keep"), (11L, "drop")).toDF("k", "tag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = spark.table("gbk.db.t9")
+      .join(org.apache.spark.sql.functions.broadcast(
+        dim.filter($"tag" === "keep")), Seq("k"))
+    assert(joined.collect().map(_.getAs[Double]("v")).toSet ===
+      Set(3.0, 7.0))
+    val scans = scansOf(joined.queryExecution.executedPlan)
+      .filter(_.scan.isInstanceOf[GraftScan])
+    assert(scans.nonEmpty)
+    assert(scans.head.runtimeFilters.nonEmpty,
+      "the join must attach a runtime filter on the bucket SOURCE key")
+    val planned = scans.head.scan.asInstanceOf[GraftScan]
+      .planInputPartitions().map(
+        _.asInstanceOf[GraftInputPartition].partValue).toSet
+    val want = Set(3L, 7L).map(k =>
+      GraftBuckets.bucketId(k, LongType, 8).toString)
+    assert(planned === want,
+      s"runtime keys {3, 7} must map to buckets $want, planned $planned")
+  }
+
   test("unsupported bucket source types are refused at CREATE") {
     warehouse
     val e = intercept[Exception] {
