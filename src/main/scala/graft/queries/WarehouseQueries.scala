@@ -1225,6 +1225,43 @@ object WarehouseQueries {
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
 
+  /** Monotone time-transform layout: orders staged
+    * `PARTITIONED BY (months(o_orderdate))` and range-queried on the
+    * SOURCE date — the scan prunes every month before the literal's
+    * (GraftTimePartSpec pins the planned partitions; hashing cannot do
+    * this). Value-oracled: a wrong month boundary on either the write
+    * or the prune side shifts a per-month count/sum. */
+  private[queries] def graftTimePart(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#timepart", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-tpq").toString
+      val cat = "gt" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+        .createOrReplaceTempView(s"orders_tsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.torders " +
+        "(o_orderkey BIGINT, o_orderdate DATE, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (months(o_orderdate))")
+      s.sql(s"INSERT INTO $cat.wh.torders SELECT * FROM orders_tsrc_$cat")
+      cat
+    })
+    s.sql(s"""SELECT date_format(o_orderdate, 'yyyy-MM') AS o_month,
+      count(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM $cat.wh.torders
+      WHERE o_orderdate >= DATE'1997-06-15'
+      GROUP BY 1 ORDER BY 1""")
+  }
+
+  private[queries] val graftTimePartSql =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+      |  count(*) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderdate >= DATE'1997-06-15'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val graftLimitPushSql =
     """SELECT probe, o_year, n FROM (
       |  SELECT 'topn' AS probe, o_year, count(*) AS n

@@ -205,16 +205,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"bucket is not defined over ${schema(src).dataType.catalogString} " +
             s"(column '$src')")
         GraftBuckets.levelName(src, n)
+      case t if Seq("days", "months", "years").contains(t.name) &&
+          t.references.length == 1 =>
+        // monotone time transforms: <col>_days / _months / _years —
+        // range predicates on the source prune (see GraftTransforms)
+        val src = t.references.head.fieldNames.mkString(".")
+        val kind = t.name match {
+          case "days" => GraftTransforms.Days
+          case "months" => GraftTransforms.Months
+          case _ => GraftTransforms.Years
+        }
+        require(schema.fieldNames.contains(src),
+          s"${t.name} column '$src' is not in the table schema")
+        require(GraftTransforms.supportedType(kind, schema(src).dataType),
+          s"${t.name} is not defined over " +
+            s"${schema(src).dataType.catalogString} (column '$src')")
+        GraftTransforms.levelName(src, kind)
+      case t if t.name == "truncate" && t.references.length == 1 =>
+        val src = t.references.head.fieldNames.mkString(".")
+        val w = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform needs a literal width, got [$t]"))
+        require(w > 0, s"truncate width must be positive, got $w")
+        require(schema.fieldNames.contains(src),
+          s"truncate column '$src' is not in the table schema")
+        require(GraftTransforms.supportedType(GraftTransforms.Trunc(w),
+          schema(src).dataType),
+          s"truncate is not defined over " +
+            s"${schema(src).dataType.catalogString} (column '$src')")
+        GraftTransforms.levelName(src, GraftTransforms.Trunc(w))
       case other => throw new IllegalArgumentException(
-        "graft tables take PARTITIONED BY (<col> | bucket(<n>, <col>)) " +
-          s"levels only, got [$other]")
+        "graft tables take PARTITIONED BY (<col> | bucket(<n>, <col>) | " +
+          "days/months/years(<col>) | truncate(<w>, <col>)) levels, " +
+          s"got [$other]")
     }
     require(partColList.nonEmpty,
       "graft tables take at least one PARTITIONED BY (<col>) identity column")
     require(partColList.distinct == partColList,
       s"duplicate PARTITIONED BY columns: [${partColList.mkString(", ")}]")
     partColList.foreach(c => require(
-      GraftBuckets.level(c).isDefined || schema.fieldNames.contains(c),
+      GraftBuckets.level(c).isDefined ||
+        GraftTransforms.level(c).isDefined ||
+        schema.fieldNames.contains(c),
       s"partition column '$c' is not in the table schema"))
     // stored and threaded everywhere as the comma-joined spec
     val partCol = partColList.mkString(",")
@@ -434,12 +469,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * unresolvable and every join falls back to shuffles. */
   override def loadFunction(ident: Identifier)
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name() == "bucket") GraftBucketFunction
-    else throw new org.apache.spark.sql.catalyst.analysis
-      .NoSuchFunctionException(ident)
+    ident.name() match {
+      case "bucket" => GraftBucketFunction
+      case "days" => new GraftTimeFunction(GraftTransforms.Days)
+      case "months" => new GraftTimeFunction(GraftTransforms.Months)
+      case "years" => new GraftTimeFunction(GraftTransforms.Years)
+      case "truncate" => new GraftTruncateFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    if (namespace.isEmpty)
+      Array("bucket", "days", "months", "years", "truncate")
+        .map(Identifier.of(Array.empty, _))
     else Array.empty
 
   private def identOf(tbl: String): Identifier = {

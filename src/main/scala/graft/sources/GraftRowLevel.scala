@@ -118,11 +118,12 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
   // never read, and Spark only emits a MERGE group filter when there are
   // no NOT MATCHED BY SOURCE clauses (RewriteMergeIntoTable withholds
   // groupFilterCondition otherwise)
-  // a bucket level offers its SOURCE column (a real data attribute) and
-  // maps the extracted key values to bucket-id segments below — a keyed
-  // DELETE/UPDATE on a bucketed table then rewrites ONE bucket, not N
+  // a bucket/transform level offers its SOURCE column (a real data
+  // attribute) and maps the extracted key values to its segment space —
+  // a keyed DELETE/UPDATE on a bucketed or time-partitioned table then
+  // rewrites ONE segment, not N
   override def filterAttributes(): Array[NamedReference] =
-    pcols.toArray.map(c => GraftBuckets.level(c).map(_._1).getOrElse(c))
+    pcols.toArray.map(GraftSource.levelSource(full, _))
       .filter(full.fieldNames.contains).map(Expressions.column)
 
   override def filter(predicates: Array[Predicate]): Unit = {
@@ -131,25 +132,8 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
     // narrow (pruning can only skip groups the condition cannot touch)
     val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
     for (p <- predicates; (c, i) <- pcols.zipWithIndex)
-      GraftBuckets.level(c) match {
-        case Some((src, n)) =>
-          for {
-            vs <- GraftV2Predicates.valuesFor(p, src)
-            dt <- full.fields.find(_.name == src).map(_.dataType)
-          } {
-            val mapped = vs.toSeq
-              .map(GraftBuckets.idFromValueString(_, dt, n))
-            // narrow only if EVERY value mapped to a bucket — a value
-            // that fails to parse must not silently widen the skip
-            if (mapped.forall(_.isDefined)) {
-              val ids = mapped.flatten.map(_.toString).toSet
-              acc(i) = acc.get(i).fold(ids)(_ intersect ids)
-            }
-          }
-        case None =>
-          GraftV2Predicates.valuesFor(p, c).foreach(vs =>
-            acc(i) = acc.get(i).fold(vs)(_ intersect vs))
-      }
+      GraftSource.runtimeKeepContribution(full, c, p).foreach(vs =>
+        acc(i) = acc.get(i).fold(vs)(_ intersect vs))
     if (acc.nonEmpty) runtimeKeep = Some(acc.toMap)
   }
 

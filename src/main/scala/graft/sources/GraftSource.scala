@@ -240,7 +240,9 @@ object GraftSource {
   private[sources] def bucketAdmits(full: StructType, pcols: Seq[String],
       f: Filter, part: String): Option[Boolean] = {
     val srcLevel: Map[String, (Int, Int)] = pcols.zipWithIndex.flatMap {
-      case (c, i) => GraftBuckets.level(c).map { case (s, n) => s -> (i, n) }
+      case (c, i) if syntheticLevel(full, c) =>
+        GraftBuckets.level(c).map { case (s, n) => s -> (i, n) }
+      case _ => None
     }.toMap
     if (srcLevel.isEmpty) return None
     def seg(i: Int): Option[Int] = scala.util.Try(
@@ -264,6 +266,123 @@ object GraftSource {
             s == GraftBuckets.bucketIdExternal(v, dt, n))
       case IsNull(c) if srcLevel.contains(c) =>
         seg(srcLevel(c)._1).map(_ == 0)
+      case _ => None
+    }
+  }
+
+  /** A level name that IS a schema column is ALWAYS identity — the
+    * synthetic `_bucketN`/`_days`/... suffixes only classify names the
+    * schema does not claim (a real column named "foo_days" partitions
+    * by identity, never by a phantom transform of "foo"). */
+  private[sources] def syntheticLevel(full: StructType, c: String): Boolean =
+    !full.fieldNames.contains(c) &&
+      (GraftBuckets.level(c).isDefined || GraftTransforms.level(c).isDefined)
+
+  /** The DATA column a partition level derives from: itself for
+    * identity levels, the source column for bucket/transform levels. */
+  private[sources] def levelSource(full: StructType, c: String): String =
+    if (!syntheticLevel(full, c)) c
+    else GraftBuckets.level(c).map(_._1)
+      .orElse(GraftTransforms.level(c).map(_.src)).getOrElse(c)
+
+  /** The honest V2 transform of a partition level (identity / bucket /
+    * days / months / years / truncate) — what the table declares, the
+    * write clusters on, and the scan reports for storage-partitioned
+    * compatibility. */
+  private[sources] def levelTransformOf(full: StructType, c: String)
+      : org.apache.spark.sql.connector.expressions.Transform = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    if (!syntheticLevel(full, c)) return Expressions.identity(c)
+    GraftBuckets.level(c) match {
+      case Some((src, n)) => Expressions.bucket(n, src)
+      case None => GraftTransforms.level(c) match {
+        case Some(GraftTransforms.Level(src, GraftTransforms.Days)) =>
+          Expressions.days(src)
+        case Some(GraftTransforms.Level(src, GraftTransforms.Months)) =>
+          Expressions.months(src)
+        case Some(GraftTransforms.Level(src, GraftTransforms.Years)) =>
+          Expressions.years(src)
+        case Some(GraftTransforms.Level(src, GraftTransforms.Trunc(w))) =>
+          Expressions.apply("truncate",
+            Expressions.literal(w), Expressions.column(src))
+        case None => Expressions.identity(c)
+      }
+    }
+  }
+
+  /** One level's contribution to a runtime keep-set from predicate `p`:
+    * identity levels take the extracted values verbatim; bucket and
+    * transform levels extract on their SOURCE column and map every
+    * value into the level's segment space — refusing (None) unless
+    * EVERY value maps, so a failed parse can never widen a skip into a
+    * row loss. Shared by DPP and row-level group filtering. */
+  private[sources] def runtimeKeepContribution(full: StructType, c: String,
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[Set[String]] =
+    if (!syntheticLevel(full, c)) GraftV2Predicates.valuesFor(p, c)
+    else GraftBuckets.level(c) match {
+      case Some((src, n)) =>
+        for {
+          vs <- GraftV2Predicates.valuesFor(p, src)
+          dt <- full.fields.find(_.name == src).map(_.dataType)
+          mapped = vs.toSeq.map(GraftBuckets.idFromValueString(_, dt, n))
+          if mapped.forall(_.isDefined)
+        } yield mapped.flatten.map(_.toString).toSet
+      case None => GraftTransforms.level(c) match {
+        case Some(GraftTransforms.Level(src, kind)) =>
+          for {
+            vs <- GraftV2Predicates.valuesFor(p, src)
+            dt <- full.fields.find(_.name == src).map(_.dataType)
+            mapped = vs.toSeq
+              .map(GraftTransforms.dirFromValueString(_, dt, kind))
+            if mapped.forall(_.isDefined)
+          } yield mapped.flatten.toSet
+        case None => GraftV2Predicates.valuesFor(p, c)
+      }
+    }
+
+  /** Monotone-transform admission: range AND equality predicates on a
+    * days/months/years/truncate SOURCE column decide against the
+    * level's segment in the transform's output space — `ts >= X` skips
+    * every partition before X's day, the pruning hashing cannot do.
+    * Necessary-but-not-sufficient (a day holds many timestamps), so
+    * pruning only, never consumption. None → not transform-decidable. */
+  private[sources] def transformAdmits(full: StructType, pcols: Seq[String],
+      f: Filter, part: String): Option[Boolean] = {
+    val srcLevel: Map[String, (Int, GraftTransforms.Kind)] =
+      pcols.zipWithIndex.flatMap {
+        case (c, i) if syntheticLevel(full, c) =>
+          GraftTransforms.level(c).map(l => l.src -> (i, l.kind))
+        case _ => None
+      }.toMap
+    if (srcLevel.isEmpty) return None
+    def cmp(c: String, v: Any): Option[Int] = {
+      val (i, kind) = srcLevel(c)
+      for {
+        dt <- full.fields.find(_.name == c).map(_.dataType)
+        tv <- scala.util.Try(
+          GraftTransforms.dirValueExternal(v, dt, kind)).toOption
+        seg = AtomicTable.partKeyValues(part, pcols.size)(i)
+        o <- GraftTransforms.dirOrder(kind, dt, seg, tv)
+      } yield o
+    }
+    f match {
+      case EqualTo(c, v) if srcLevel.contains(c) && v != null =>
+        cmp(c, v).map(_ == 0)
+      case In(c, vs) if srcLevel.contains(c) && vs != null =>
+        val hits = vs.filter(_ != null).map(cmp(c, _))
+        if (hits.exists(_.isEmpty)) None
+        else Some(hits.exists(_.contains(0)))
+      // the BOUNDARY partition may hold qualifying rows on either side
+      // of the literal, so strict predicates still admit equality
+      case GreaterThan(c, v) if srcLevel.contains(c) && v != null =>
+        cmp(c, v).map(_ >= 0)
+      case GreaterThanOrEqual(c, v) if srcLevel.contains(c) && v != null =>
+        cmp(c, v).map(_ >= 0)
+      case LessThan(c, v) if srcLevel.contains(c) && v != null =>
+        cmp(c, v).map(_ <= 0)
+      case LessThanOrEqual(c, v) if srcLevel.contains(c) && v != null =>
+        cmp(c, v).map(_ <= 0)
       case _ => None
     }
   }
@@ -415,13 +534,8 @@ private[sources] class GraftTable(props: Map[String, String],
   // the honest bucket(N, col) transform (DESCRIBE shows it, and writes
   // resolve their clustered distribution against it)
   override def partitioning(): Array[Transform] =
-    partitionColNow.toSeq.flatMap(AtomicTable.partCols).map(c =>
-      GraftBuckets.level(c) match {
-        case Some((src, n)) =>
-          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, src)
-        case None =>
-          org.apache.spark.sql.connector.expressions.Expressions.identity(c)
-      }).toArray
+    partitionColNow.toSeq.flatMap(AtomicTable.partCols)
+      .map(GraftSource.levelTransformOf(schema0, _)).toArray
   override def capabilities(): java.util.Set[TableCapability] =
     if (pinned.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
     // catalog tables have a DECLARED schema, so writes resolve against it
@@ -599,9 +713,13 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
   // a partition, so ordering whole partitions by their key segments is
   // exact — the scan keeps the first partitions (in sort order) whose
   // counted rows cover n, a superset of the true top-n for Spark's
-  // re-sort. Refused for non-partition sort keys (row order inside a
-  // partition is unknown) and timestamp keys (dir rendering is
-  // session-zone-bound, same bar as filter consumption).
+  // re-sort. Also accepted: the SOURCE column of a MONOTONE transform
+  // level (days/months/years/truncate) — `ORDER BY ts DESC LIMIT n`
+  // keeps the newest days (segment-granular cuts; see truncate()).
+  // Refused for any other sort key (row order inside a partition is
+  // unknown; bucket hashing destroys order) and for identity timestamp
+  // keys (dir rendering is session-zone-bound, same bar as filter
+  // consumption).
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       n: Int): Boolean = {
@@ -611,17 +729,24 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
     val pcols = GraftSource.manifestFor(root, pinned.orElse(consumedPin))
       .filter(_.partitions.nonEmpty).map(GraftSource.partitionColsOf)
       .getOrElse(return false)
+    // each sort key resolves to the LEVEL that decides it
     val cols: Seq[(String, Boolean)] = orders.toSeq.map { o =>
-      o.expression match {
-        case nr: NamedReference if nr.fieldNames.length == 1 &&
-            pcols.contains(nr.fieldNames.head) =>
-          (nr.fieldNames.head, o.direction == SortDirection.DESCENDING)
+      val nm = o.expression match {
+        case nr: NamedReference if nr.fieldNames.length == 1 =>
+          nr.fieldNames.head
         case _ => return false
       }
+      val desc = o.direction == SortDirection.DESCENDING
+      if (pcols.contains(nm)) {
+        if (full.fields.find(_.name == nm).exists(_.dataType == TimestampType))
+          return false
+        (nm, desc)
+      } else pcols.find(c => GraftSource.syntheticLevel(full, c) &&
+        GraftTransforms.level(c).exists(_.src == nm)) match {
+        case Some(level) => (level, desc)
+        case None => return false
+      }
     }
-    if (cols.exists { case (c, _) =>
-      full.fields.find(_.name == c).exists(_.dataType == TimestampType) })
-      return false
     topOrders = cols
     limitRows = Some(n)
     true
@@ -868,9 +993,9 @@ private[sources] class GraftScan(root: String, full: StructType,
     else GraftSource.manifestFor(root, pinned)
       .filter(_.partitions.nonEmpty).toSeq
       .flatMap(GraftSource.partitionColsOf)
-      // a bucket level offers its SOURCE column: a DPP dim filter on
-      // the bucket key then prunes the fact to the matching buckets
-      .map(c => GraftBuckets.level(c).map(_._1).getOrElse(c))
+      // a bucket/transform level offers its SOURCE column: a DPP dim
+      // filter on the key then prunes the fact to the matching segments
+      .map(GraftSource.levelSource(full, _))
       // Spark resolves these against the scan OUTPUT — a partition
       // column pruned from the projection must not be offered
       .filter(required.fieldNames.contains)
@@ -884,25 +1009,8 @@ private[sources] class GraftScan(root: String, full: StructType,
       .map(GraftSource.partitionColsOf).getOrElse(return)
     val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
     for (p <- predicates; (c, i) <- pcols.zipWithIndex)
-      GraftBuckets.level(c) match {
-        case Some((src, n)) =>
-          for {
-            vs <- GraftV2Predicates.valuesFor(p, src)
-            dt <- full.fields.find(_.name == src).map(_.dataType)
-          } {
-            val mapped = vs.toSeq
-              .map(GraftBuckets.idFromValueString(_, dt, n))
-            // narrow only if EVERY value mapped — a failed parse must
-            // not silently widen the skip into a row loss
-            if (mapped.forall(_.isDefined)) {
-              val ids = mapped.flatten.map(_.toString).toSet
-              acc(i) = acc.get(i).fold(ids)(_ intersect ids)
-            }
-          }
-        case None =>
-          GraftV2Predicates.valuesFor(p, c).foreach(vs =>
-            acc(i) = acc.get(i).fold(vs)(_ intersect vs))
-      }
+      GraftSource.runtimeKeepContribution(full, c, p).foreach(vs =>
+        acc(i) = acc.get(i).fold(vs)(_ intersect vs))
     if (acc.nonEmpty) runtimeKeep = Some(acc.toMap)
   }
 
@@ -926,7 +1034,12 @@ private[sources] class GraftScan(root: String, full: StructType,
         override def numRows(): java.util.OptionalLong =
           java.util.OptionalLong.empty()
       }
+    // per-file SPLITS share a partition key — merge them back per key
+    // so the dir-level accounting below never double-counts a dir
     val parts = planned.collect { case p: GraftInputPartition => p }
+      .groupBy(_.partValue).values.map(ps =>
+        ps.head.copy(dataFiles = ps.flatMap(_.dataFiles).toSeq.distinct))
+      .toSeq
     val conf = new Configuration()
     // planned files of `p` that live under table dir `d`, matched by
     // parent-path suffix: committedFiles may return scheme-qualified
@@ -1094,22 +1207,18 @@ private[sources] class GraftScan(root: String, full: StructType,
     GraftSource.manifestFor(root, pinned)
       .filter(_.partitions.nonEmpty)
       .map { m =>
+        // the honest transforms: Spark resolves bucket/days/... through
+        // the catalog's FunctionCatalog, making two same-partitioned
+        // tables storage-partition-compatible (zero-exchange join).
+        // numPartitions counts DISTINCT KEYS — a partition may plan as
+        // several per-file splits that the key-grouped path regroups
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           GraftSource.partitionColsOf(m).toArray.map(c =>
-            GraftBuckets.level(c) match {
-              // the honest transform: Spark resolves it through the
-              // catalog's FunctionCatalog, making two same-bucketed
-              // tables storage-partition-compatible (zero-exchange join)
-              case Some((src, n)) =>
-                org.apache.spark.sql.connector.expressions.Expressions
-                  .bucket(n, src)
-                  : org.apache.spark.sql.connector.expressions.Expression
-              case None =>
-                org.apache.spark.sql.connector.expressions.Expressions
-                  .identity(c)
-                  : org.apache.spark.sql.connector.expressions.Expression
-            }),
-          planInputPartitions().length)
+            GraftSource.levelTransformOf(full, c)
+              : org.apache.spark.sql.connector.expressions.Expression),
+          planInputPartitions().collect {
+            case p: GraftInputPartition => p.partValue
+          }.distinct.length)
           : org.apache.spark.sql.connector.read.partitioning.Partitioning
       }.getOrElse(
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0))
@@ -1137,50 +1246,103 @@ private[sources] class GraftScan(root: String, full: StructType,
   /** LIMIT/TopN truncation over the final (post-runtime-filter) plan:
     * stop planning files once the kept files' counted rows cover the
     * limit. For TopN, order whole partitions by their key segments
-    * first (typed comparison, per level) — refusing outright when a
-    * null partition value appears in a sort key (it cannot be ordered
-    * against typed segments). Every refusal path returns the full plan:
-    * truncation is an optimization, never a semantics change. */
+    * first — per level, typed: identity levels compare in the declared
+    * type's order, monotone-transform levels in the transform's output
+    * space. Identity-only orderings may cut at FILE granularity (every
+    * row of a partition ties on the key, so kept rows are
+    * interchangeable with dropped ones); orderings involving a
+    * transform SOURCE cut at SEGMENT granularity only, keeping every
+    * partition tied on the boundary tuple (rows inside one day are NOT
+    * interchangeable — a finer cut could drop a true top-n row).
+    * Refused outright when a null partition value appears in a sort key
+    * or a segment fails to parse. Every refusal path returns the full
+    * plan: truncation is an optimization, never a semantics change. */
   private def truncate(parts: Array[InputPartition]): Array[InputPartition] = {
     val n = limitRows.getOrElse(return parts)
     if (n <= 0) return Array.empty
     val gps: Array[GraftInputPartition] =
       parts.map { case g: GraftInputPartition => g; case _ => return parts }
+    if (gps.isEmpty) return parts
+    val pcols = gps.head.partitionCols
+    // (level idx, descending, transform kind if monotone level, type)
+    val keys: Seq[(Int, Boolean, Option[GraftTransforms.Kind], DataType)] =
+      topOrders.map { case (c, desc) =>
+        val i = pcols.indexOf(c)
+        if (i < 0) return parts
+        GraftTransforms.level(c)
+          .filter(_ => GraftSource.syntheticLevel(full, c)) match {
+          case Some(l) =>
+            val dt = full.fields.find(_.name == l.src).map(_.dataType)
+              .getOrElse(return parts)
+            (i, desc, Some(l.kind), dt)
+          case None =>
+            (i, desc, None,
+              full.fields.find(_.name == c).map(_.dataType)
+                .getOrElse(StringType))
+        }
+      }
+    def cmpSeg(k: (Int, Boolean, Option[GraftTransforms.Kind], DataType),
+        a: String, b: String): Option[Int] = k._3 match {
+      case Some(kind) => GraftTransforms.dirOrder(kind, k._4, a, b)
+      case None => Some(AtomicTable.statsOrder(k._4, a, b))
+    }
     val ordered: Array[GraftInputPartition] =
       if (topOrders.isEmpty) gps
       else {
-        val pcols = gps.headOption.map(_.partitionCols).getOrElse(return parts)
-        val keys = topOrders.map { case (c, desc) =>
-          (pcols.indexOf(c), desc,
-            full.fields.find(_.name == c).map(_.dataType).getOrElse(StringType))
-        }
-        if (keys.exists(_._1 < 0)) return parts
-        if (gps.exists(g => keys.exists { case (i, _, _) =>
+        if (gps.exists(g => keys.exists { case (i, _, _, _) =>
           g.partValues(i) == org.apache.spark.sql.catalyst.catalog
             .ExternalCatalogUtils.DEFAULT_PARTITION_NAME })) return parts
+        // every segment must parse in its comparator before sorting
+        if (gps.exists(g => keys.exists(k =>
+          cmpSeg(k, g.partValues(k._1), g.partValues(k._1)).isEmpty)))
+          return parts
         gps.sortWith { (a, b) =>
           var r = 0
           val it = keys.iterator
           while (r == 0 && it.hasNext) {
-            val (i, desc, dt) = it.next()
-            val c = AtomicTable.statsOrder(dt, a.partValues(i), b.partValues(i))
-            r = if (desc) -c else c
+            val k = it.next()
+            val c = cmpSeg(k, a.partValues(k._1), b.partValues(k._1))
+              .getOrElse(0)
+            r = if (k._2) -c else c
           }
           r < 0
         }
       }
-    var known = 0L
-    var done = false
     val out = Array.newBuilder[InputPartition]
-    for (g <- ordered if !done) {
-      val kept = Seq.newBuilder[String]
-      var cut = false
-      for (f <- g.dataFiles if !done) {
-        kept += f
-        known += plannedFileRows.getOrElse(f, 0L)
-        if (known >= n) { done = true; cut = true }
+    var known = 0L
+    if (topOrders.isEmpty || keys.forall(_._3.isEmpty)) {
+      // identity-only (or plain LIMIT): file-granular cut
+      var done = false
+      for (g <- ordered if !done) {
+        val kept = Seq.newBuilder[String]
+        var cut = false
+        for (f <- g.dataFiles if !done) {
+          kept += f
+          known += plannedFileRows.getOrElse(f, 0L)
+          if (known >= n) { done = true; cut = true }
+        }
+        out += (if (cut) g.copy(dataFiles = kept.result()) else g)
       }
-      out += (if (cut) g.copy(dataFiles = kept.result()) else g)
+    } else {
+      // transform ordering: segment-granular cut, boundary ties kept
+      def tupleOf(g: GraftInputPartition): Seq[String] =
+        keys.map(k => g.partValues(k._1))
+      var i = 0
+      var done = false
+      while (i < ordered.length && !done) {
+        val g = ordered(i)
+        out += g
+        known += g.dataFiles.map(plannedFileRows.getOrElse(_, 0L)).sum
+        if (known >= n) {
+          var j = i + 1
+          while (j < ordered.length && tupleOf(ordered(j)) == tupleOf(g)) {
+            out += ordered(j)
+            j += 1
+          }
+          done = true
+        }
+        i += 1
+      }
     }
     out.result()
   }
@@ -1197,7 +1359,7 @@ private[sources] class GraftScan(root: String, full: StructType,
     val ptypes = pcols.map(c =>
       if (full.fieldNames.contains(c)) full(c).dataType.typeName
       else if (GraftBuckets.level(c).isDefined) "integer" // bucket ids
-      else "string")
+      else "string") // transform levels stay string-typed (dir value)
     val kept = prunePartitions(m, pcols)
     val conf = new Configuration()
     val rowsAcc = Map.newBuilder[String, Long]
@@ -1237,9 +1399,22 @@ private[sources] class GraftScan(root: String, full: StructType,
               .foreach(st => rowsAcc += path -> st.rows)
           }
         }
-      GraftInputPartition(part, dataFiles, vecFiles, keyCols, pcols, ptypes)
-        : InputPartition
-    }.toArray
+      // ONE SPLIT PER DATA FILE (the Iceberg/Delta convention): a big
+      // partition reads with as many tasks as it has files instead of
+      // one — without this, read parallelism is capped at the PARTITION
+      // count (a 1 TB day = one task at 100 TB). Splits share the
+      // partition's key (HasPartitionKey), so the storage-partitioned
+      // join path regroups them per key; vectors ride every split
+      // (small by the maintenance contract). A partition whose files
+      // were all skipped still emits one empty split, keeping its key
+      // visible to key-grouped planning.
+      val splits: Seq[InputPartition] =
+        if (dataFiles.isEmpty)
+          Seq(GraftInputPartition(part, Nil, vecFiles, keyCols, pcols, ptypes))
+        else dataFiles.map(f => GraftInputPartition(
+          part, Seq(f), vecFiles, keyCols, pcols, ptypes): InputPartition)
+      splits
+    }.toArray.flatten
     plannedFileRows = rowsAcc.result()
     plan
   }
@@ -1271,6 +1446,7 @@ private[sources] class GraftScan(root: String, full: StructType,
     def admits(part: String): Boolean = filters.forall { f =>
       GraftSource.partitionExact(full, pcols, f, part)
         .orElse(GraftSource.bucketAdmits(full, pcols, f, part))
+        .orElse(GraftSource.transformAdmits(full, pcols, f, part))
         .getOrElse(zoneAdmits(m, part, f))
     }
     m.partitions.filter { case (p, _) => admits(p) }
@@ -1458,6 +1634,7 @@ private[sources] class GraftMicroBatchStream(root: String,
     filters.forall { f =>
       GraftSource.partitionExact(full, pcols, f, part)
         .orElse(GraftSource.bucketAdmits(full, pcols, f, part))
+        .orElse(GraftSource.transformAdmits(full, pcols, f, part))
         .getOrElse(true)
     }
 

@@ -120,22 +120,14 @@ private[sources] class GraftWriteBuilder(root: String,
       // distribution, so pre-repartitioned writers pay no extra shuffle.
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
+        // cluster by each level's TRANSFORM value (bucket id / day /
+        // truncation), not the raw source: one task per dir value = one
+        // file per dir per commit (bucket/transform resolution rides
+        // the catalog's FunctionCatalog — write such tables through it)
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           graft.etl.AtomicTable.partCols(resolvePartitionCol()).toArray.map(c =>
-            GraftBuckets.level(c) match {
-              // cluster by the BUCKET id, not the source value: one
-              // task per bucket = one file per bucket per commit (the
-              // resolution rides the catalog's FunctionCatalog — write
-              // bucketed tables through the catalog)
-              case Some((src, n)) =>
-                org.apache.spark.sql.connector.expressions.Expressions
-                  .bucket(n, src)
-                  : org.apache.spark.sql.connector.expressions.Expression
-              case None =>
-                org.apache.spark.sql.connector.expressions.Expressions
-                  .identity(c)
-                  : org.apache.spark.sql.connector.expressions.Expression
-            }))
+            GraftSource.levelTransformOf(info.schema(), c)
+              : org.apache.spark.sql.connector.expressions.Expression))
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
@@ -458,11 +450,13 @@ private[sources] object GraftWriteCommit {
   }
 
   /** Merge the committed tasks' per-partition stats fragments into the
-    * manifest's zone maps (empty when stats aren't tracked). */
+    * manifest's zone maps. Untracked tables still get ROWS-ONLY stats
+    * (bounds empty — conservative everywhere): exact row counts cost
+    * one increment per row and unlock metadata count(*)/LIMIT pushdown
+    * without declaring stats_columns. */
   def mergedStats(schema: StructType, statsColumns: Seq[String],
       messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
       : Map[String, AtomicTable.PartStats] = {
-    if (statsColumns.isEmpty) return Map.empty
     val frags = mutable.Map.empty[String, mutable.Buffer[GraftTaskStats]]
     messages.foreach {
       case GraftCommitMessage(_, stats) =>
@@ -539,12 +533,17 @@ private[sources] class GraftDataWriter(root: String, txn: String,
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
 
   private val pcols = graft.etl.AtomicTable.partCols(partitionCol)
-  // a bucket level hashes its SOURCE column (which stays a data column
-  // in the files — the dir carries only the bucket id)
+  // a bucket level hashes its SOURCE column, a transform level derives
+  // its dir value from it (the source stays a data column in the files
+  // — the dir carries only the bucket id / transform value)
   private val bucketOf: Array[Option[Int]] =
-    pcols.map(c => GraftBuckets.level(c).map(_._2)).toArray
+    pcols.map(c => Option(c).filter(GraftSource.syntheticLevel(schema, _))
+      .flatMap(GraftBuckets.level).map(_._2)).toArray
+  private val transformOf: Array[Option[GraftTransforms.Kind]] =
+    pcols.map(c => Option(c).filter(GraftSource.syntheticLevel(schema, _))
+      .flatMap(GraftTransforms.level).map(_.kind)).toArray
   private val partIdxs: Array[Int] = pcols.map(c =>
-    schema.fieldIndex(GraftBuckets.level(c).map(_._1).getOrElse(c))).toArray
+    schema.fieldIndex(GraftSource.levelSource(schema, c))).toArray
   private val statsFields: Array[(String, Int, DataType)] =
     statsColumns.map(c => (c, schema.fieldIndex(c), schema(c).dataType)).toArray
   // per partition VALUE: row count + typed running min/max per stats col
@@ -616,6 +615,12 @@ private[sources] class GraftDataWriter(root: String, txn: String,
             val dt = schema(i).dataType
             val v = if (row.isNullAt(i)) null else row.get(i, dt)
             GraftBuckets.bucketId(v, dt, n).toString
+          case None if transformOf(lvl).isDefined =>
+            // monotone transform: canonical dir value of the source
+            require(!row.isNullAt(i), s"null partition value for '$c'")
+            GraftTransforms.dirValue(
+              row.get(i, schema(i).dataType), schema(i).dataType,
+              transformOf(lvl).get)
           case None =>
             require(!row.isNullAt(i), s"null partition value for '$c'")
             schema(i).dataType match {
@@ -649,9 +654,12 @@ private[sources] class GraftDataWriter(root: String, txn: String,
       }
     }
     writerFor(partValue).write(g)
+    // row counts are tracked UNCONDITIONALLY (they cost one increment
+    // and unlock count(*)/LIMIT pushdown on untracked tables); column
+    // bounds only when stats_columns declares them
+    val acc = statsAcc.getOrElseUpdate(partValue, new StatsAcc)
+    acc.rows += 1L
     if (statsFields.nonEmpty) {
-      val acc = statsAcc.getOrElseUpdate(partValue, new StatsAcc)
-      acc.rows += 1L
       var k = 0
       while (k < statsFields.length) {
         val (_, i, dt) = statsFields(k)

@@ -131,8 +131,12 @@ class GraftFileSkipSpec extends SparkSuite {
       spark.sql("INSERT INTO gfs.db.t5 SELECT * FROM src_t5")
     }
     val dir = Paths.get(warehouse, "db", "t5")
-    assert(AtomicTable.manifest(dir).get.fileStats.isEmpty)
-    assert(AtomicTable.manifest(dir).get.stats.isEmpty)
+    // rows-only stats exist on every write (LIMIT/count(*) pushdown);
+    // no COLUMN BOUNDS until ANALYZE installs them
+    val pre = AtomicTable.manifest(dir).get
+    assert(pre.fileStats.values.flatMap(_.values)
+      .forall(st => st.mins.isEmpty && st.maxs.isEmpty))
+    assert(pre.stats.values.forall(st => st.mins.isEmpty && st.maxs.isEmpty))
     val res = spark.sql("CALL gfs.system.analyze('db.t5', 'id')")
       .as[(Long, Long)].head()
     assert(res._2 === 2L, "two committed files analyzed")

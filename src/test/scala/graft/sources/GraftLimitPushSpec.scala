@@ -156,10 +156,33 @@ class GraftLimitPushSpec extends SparkSuite {
     assert(plannedFiles(q).size === 6)
   }
 
-  test("no file stats -> no truncation, still correct") {
+  test("no stats_columns still truncates: row counts are always tracked") {
+    // rows-only stats (no declared columns) are recorded by every DSv2
+    // write — exact counts cost one increment and unlock LIMIT/count(*)
+    // pushdown without opting into zone maps
     seed("t9", stats = false)
     val q = spark.sql("SELECT id FROM glp.db.t9 LIMIT 5")
     assert(q.collect().length === 5)
-    assert(plannedFiles(q).size === 6, "unknown counts never truncate")
+    assert(plannedFiles(q).size === 1, "rows-only file stats cover LIMIT")
+  }
+
+  test("a legacy table without file stats never truncates, stays correct") {
+    // pre-stats manifests (Scala-API writes without stats tracking)
+    // carry no per-file counts — unknown counts must plan everything
+    val dir = java.nio.file.Files.createTempDirectory("glp-legacy").toString
+    graft.etl.AtomicTable.replacePartitions(spark,
+      dir, (0L until 30L).map(i => (i, (i % 3).toString))
+        .toDF("id", "p").repartition(3, $"p"), "p")
+    val df = spark.read.format("graft").load(dir).limit(5)
+    assert(df.collect().length === 5)
+    df.collect()
+    val scan = scansOf(df.queryExecution.executedPlan)
+      .head.scan.asInstanceOf[GraftScan]
+    val m = graft.etl.AtomicTable.manifest(java.nio.file.Paths.get(dir)).get
+    if (m.fileStats.isEmpty)
+      assert(scan.planInputPartitions()
+        .flatMap(_.asInstanceOf[GraftInputPartition].dataFiles).length ===
+        m.partitions.values.flatten.size,
+        "unknown counts never truncate")
   }
 }

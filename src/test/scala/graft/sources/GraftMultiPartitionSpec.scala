@@ -224,7 +224,8 @@ class GraftMultiPartitionSpec extends SparkSuite {
     assert(scans.head.runtimeFilters.nonEmpty,
       "the join must attach a runtime filter to the fact scan")
     assert(scans.head.scan.asInstanceOf[GraftScan]
-      .planInputPartitions().length === 1,
+      .planInputPartitions().map(
+        _.asInstanceOf[GraftInputPartition].partValue).distinct.length === 1,
       "static ym + runtime status must intersect to ONE composite")
   }
 

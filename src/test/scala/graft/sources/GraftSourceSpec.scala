@@ -166,7 +166,8 @@ class GraftSourceSpec extends SparkSuite {
       s"the join must attach a runtime filter to the scan:\n$b")
     // the filter was delivered and the scan's plan shrank to the one
     // partition the dim admits — three partitions never produced a task
-    assert(b.scan.asInstanceOf[GraftScan].planInputPartitions().length === 1,
+    assert(b.scan.asInstanceOf[GraftScan].planInputPartitions().map(
+      _.asInstanceOf[GraftInputPartition].partValue).distinct.length === 1,
       "runtime filter must keep exactly one partition")
   }
 
@@ -455,6 +456,37 @@ class GraftSourceSpec extends SparkSuite {
       spark.read.format("graft").option("startingVersion", "2")
         .option("versionAsOf", "1").load(dir).collect()
     }
+  }
+
+  test("per-file splits: a partition reads with one task per file") {
+    // without splits, read parallelism is capped at the PARTITION count
+    // — a 1 TB day would read as ONE task at 100 TB. Each data file
+    // plans its own input partition; key-grouped planning regroups them
+    // per key when the storage-partitioned-join path asks.
+    val w = Files.createTempDirectory("graft-splits").toString
+    import spark.implicits._
+    spark.conf.set("spark.sql.catalog.gsp", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsp.root", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsp.db")
+    spark.sql("CREATE TABLE gsp.db.splits (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
+    // three INSERT INTO appends into ONE partition value = three files
+    for (i <- 0 until 3) {
+      (i * 10 until i * 10 + 10).map(j => (j.toLong, "a")).toDF("id", "p")
+        .coalesce(1).createOrReplaceTempView(s"src_splits_$i")
+      spark.sql(s"INSERT INTO gsp.db.splits SELECT * FROM src_splits_$i")
+    }
+    val df = spark.sql("SELECT id, p FROM gsp.db.splits")
+    assert(df.collect().length === 30)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    val splits = scans.head.scan.asInstanceOf[GraftScan].planInputPartitions()
+    assert(splits.length === 3, "three files must plan three splits")
+    assert(splits.map(_.asInstanceOf[GraftInputPartition].partValue)
+      .distinct.toSeq === Seq("a"))
+    assert(splits.forall(
+      _.asInstanceOf[GraftInputPartition].dataFiles.length == 1))
   }
 
   test("changefeed: startingVersion skips the snapshot and feeds from a commit") {
