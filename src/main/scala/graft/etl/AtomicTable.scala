@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+import org.apache.spark.sql.functions.{col, date_format, hash, lit, pmod, substring, xxhash64}
 import org.apache.spark.sql.types.StructType
 
 /** A minimal transactional-table protocol over parquet — the engine's
@@ -1047,6 +1047,40 @@ object AtomicTable {
     * (ConcurrentModificationException) if any other commit landed first;
     * the staged dir becomes a vacuum-reclaimable orphan and the
     * maintenance job simply runs again later. */
+  /** Column derivation of a SYNTHETIC partition level's dir value from
+    * its source column, for staged `partitionBy` writes. Level-name
+    * grammar mirrors the sources-layer parsers (`<col>_bucket<N>`,
+    * `_days`/`_months`/`_years`, `<col>_trunc<W>`); a name that IS a
+    * data column is never synthetic (the caller checks first). None →
+    * unknown shape, let partitionBy fail loudly. */
+  private def syntheticLevelColumn(level: String,
+      schema: StructType): Option[org.apache.spark.sql.Column] = {
+    val Bucket = """^(.+)_bucket([0-9]+)$""".r
+    val Trunc = """^(.+)_trunc([0-9]+)$""".r
+    def typed(s: String): Option[(String, org.apache.spark.sql.types.DataType)] =
+      schema.fields.find(_.name == s).map(f => f.name -> f.dataType)
+    level match {
+      case Bucket(s, n) => typed(s).map { case (c, _) =>
+        pmod(hash(col(c)), lit(n.toInt)) } // hash() IS murmur3 seed 42
+      case Trunc(s, w) => typed(s).map {
+        case (c, org.apache.spark.sql.types.StringType) =>
+          substring(col(c), 1, w.toInt)
+        case (c, _) => // integral floors
+          (col(c).cast("long") - pmod(col(c).cast("long"), lit(w.toLong)))
+      }
+      case _ if level.endsWith("_days") =>
+        typed(level.dropRight(5)).map { case (c, _) =>
+          date_format(col(c), "yyyy-MM-dd") }
+      case _ if level.endsWith("_months") =>
+        typed(level.dropRight(7)).map { case (c, _) =>
+          date_format(col(c), "yyyy-MM") }
+      case _ if level.endsWith("_years") =>
+        typed(level.dropRight(6)).map { case (c, _) =>
+          date_format(col(c), "yyyy") }
+      case _ => None
+    }
+  }
+
   def replacePartitions(spark: SparkSession, table: String, rows: DataFrame,
       partitionCol: String, beforeCommit: () => Unit = () => (),
       properties: Map[String, String] = Map.empty, retain: Int = 1,
@@ -1064,7 +1098,24 @@ object AtomicTable {
         "bounds under the wrong type and mis-prune)"))
     val root = Paths.get(table)
     val txn = s"txn-${UUID.randomUUID().toString.take(12)}"
-    rows.write.partitionBy(pcols: _*).parquet(root.resolve("data").resolve(txn).toString)
+    // SYNTHETIC levels (bucket/transform specs, absent from the data):
+    // materialize the level's dir value as a derived column so the
+    // staged partitionBy fans out by it — maintenance rewrites
+    // (compaction, spec evolution) of bucketed/time-partitioned tables
+    // then route every row back to its ORIGINAL segment. The derivation
+    // must equal the DSv2 writer's (hash() IS murmur3 seed 42 =
+    // GraftBuckets.bucketId; date_format in the engine's pinned UTC
+    // session = GraftTransforms.dirValue) — GraftSyntheticMaintSpec pins
+    // the equality end-to-end: a post-compaction pruned lookup returns
+    // empty if a row changed segments.
+    val staged = pcols.foldLeft(rows) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else syntheticLevelColumn(c, df.schema) match {
+        case Some(expr) => df.withColumn(c, expr)
+        case None => df // partitionBy will fail loudly below
+      }
+    }
+    staged.write.partitionBy(pcols: _*).parquet(root.resolve("data").resolve(txn).toString)
     val txnDir = root.resolve("data").resolve(txn)
     val written = stagedPartitionDirs(txnDir, txn, pcols)
     val (newStats: Map[String, PartStats],

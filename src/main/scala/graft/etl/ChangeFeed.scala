@@ -88,8 +88,13 @@ object ChangeFeed {
     // the partition columns from
     if (cur.partitions.isEmpty && prev.partitions.isEmpty) return empty
 
+    // SYNTHETIC levels (bucket/transform specs) are not data columns —
+    // they cannot join or project. Dropping them from the diff keys is
+    // lossless: a bucket/transform value is a FUNCTION of data columns,
+    // so rows equal on the remaining keys share the segment anyway.
     val partitionCols = graft.sources.GraftSource.partitionColsOf(
       if (cur.partitions.nonEmpty) cur else prev)
+      .filter(schema.fieldNames.contains)
 
     /** The listed partitions' rows at a manifest, vectors subtracted. */
     def merged(m: AtomicTable.Manifest, ps: Set[String]): DataFrame =
