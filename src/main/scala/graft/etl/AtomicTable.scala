@@ -1385,7 +1385,11 @@ object AtomicTable {
     val root = Paths.get(table)
     val m = manifest(root).getOrElse(return Manifest(0L, Map.empty))
     val pcols = partCols(newSpec)
-    pcols.foreach(c => require(schema.fieldNames.contains(c),
+    // a level is either a schema column (identity) or a SYNTHETIC
+    // bucket/transform level derivable from one (see
+    // syntheticLevelColumn) — evolution TO a bucketed/time layout
+    pcols.foreach(c => require(schema.fieldNames.contains(c) ||
+      syntheticLevelColumn(c, schema).isDefined,
       s"partition column '$c' is not in the table schema"))
     // an empty (but committed) table has no rows to relocate and no scan
     // to union — the layout lives in dir names (and, for declared
@@ -1397,7 +1401,12 @@ object AtomicTable {
     val trackedCols = m.stats.values
       .flatMap(st => st.mins.keySet ++ st.maxs.keySet).toSeq.distinct.sorted
       .filterNot(pcols.contains)
-    replacePartitions(spark, table, current.repartition(pcols.map(col): _*),
+    // cluster by the DERIVED level values (bucket id / transform dir
+    // value) so each new segment lands in one task = one file
+    val clusterExprs = pcols.map(c =>
+      if (schema.fieldNames.contains(c)) col(c)
+      else syntheticLevelColumn(c, schema).get)
+    replacePartitions(spark, table, current.repartition(clusterExprs: _*),
       newSpec, dropPartitions = m.partitions.keySet,
       expectedVersion = Some(m.version), operation = "repartition",
       retain = retain, statsColumns = trackedCols)

@@ -408,7 +408,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"$ident is not a declared table — use AtomicTable.repartitionTable"))
     val clusterBy = readClusterBy(dir)
     AtomicTable.partCols(newSpec).foreach { c =>
-      require(schema.fieldNames.contains(c),
+      // a SYNTHETIC level (<col>_bucketN / _days / _months / _years /
+      // _truncW) evolves a table TO a bucket/transform layout — its
+      // SOURCE column must exist and support the transform; the level
+      // itself never is (and never becomes) a data column
+      val synthetic = !schema.fieldNames.contains(c) &&
+        (GraftBuckets.level(c) match {
+          case Some((src, _)) =>
+            require(schema.fieldNames.contains(src),
+              s"bucket source '$src' is not in the table schema")
+            require(GraftBuckets.supportedType(schema(src).dataType),
+              s"bucket is not defined over ${schema(src).dataType.catalogString}")
+            true
+          case None => GraftTransforms.level(c) match {
+            case Some(l) =>
+              require(schema.fieldNames.contains(l.src),
+                s"transform source '${l.src}' is not in the table schema")
+              require(GraftTransforms.supportedType(l.kind, schema(l.src).dataType),
+                s"${GraftTransforms.kindName(l.kind)} is not defined over " +
+                  schema(l.src).dataType.catalogString)
+              true
+            case None => false
+          }
+        })
+      require(synthetic || schema.fieldNames.contains(c),
         s"partition column '$c' is not in the table schema")
       require(!statsCols.contains(c),
         s"'$c' is a stats column; drop it from stats_columns first")

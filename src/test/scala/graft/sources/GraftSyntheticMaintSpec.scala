@@ -68,6 +68,42 @@ class GraftSyntheticMaintSpec extends SparkSuite {
       (3L, 30L, "delete", 3L)))
   }
 
+  test("spec evolution TO a bucket layout: one rewrite, then SPJ-ready") {
+    warehouse
+    spark.sql("CREATE TABLE gsm.db.e (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='20')")
+    Seq("x", "y").flatMap(p => (0L until 30L).map(i => (i, i * 1.0, p)))
+      .toDF("k", "v", "p").createOrReplaceTempView("src_e")
+    spark.sql("INSERT INTO gsm.db.e SELECT * FROM src_e")
+    val cat = spark.sessionState.catalogManager.catalog("gsm")
+      .asInstanceOf[GraftCatalog]
+    cat.repartitionDeclaredTable(spark,
+      org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "e"), "k_bucket4")
+    val root = Paths.get(warehouse, "db", "e")
+    val m = AtomicTable.manifest(root).get
+    assert(m.operation === "repartition")
+    assert(m.partitions.keySet.subsetOf(Set("0", "1", "2", "3")))
+    // one file per bucket (the rewrite clustered on the derived id)
+    m.partitions.values.flatten.foreach { d =>
+      val s = Files.list(root.resolve(d))
+      val nf = try s.filter(_.toString.endsWith(".parquet")).count()
+        finally s.close()
+      assert(nf === 1L, s"evolved dir $d must hold one file")
+    }
+    assert(spark.sql("SELECT count(*) FROM gsm.db.e").as[Long].head() === 60L)
+    // the p column survived as data; the bucket lookup prunes
+    assert(spark.sql("SELECT count(*) FROM gsm.db.e WHERE p = 'y'")
+      .as[Long].head() === 30L)
+    assert(spark.sql("SELECT sum(v) FROM gsm.db.e WHERE k = 7")
+      .as[Double].head() === 14.0, "both p-copies of k=7")
+    // the next INSERT stages under the evolved bucket spec
+    spark.sql("INSERT INTO gsm.db.e VALUES (100, 1.0, 'z')")
+    assert(spark.sql("SELECT count(*) FROM gsm.db.e").as[Long].head() === 61L)
+    assert(AtomicTable.manifest(root).get.partitions.keySet
+      .subsetOf(Set("0", "1", "2", "3")))
+  }
+
   test("compact + vacuum on a days(ts) table; pruning survives the rewrite") {
     warehouse
     spark.sql("CREATE TABLE gsm.db.t (id BIGINT, ts TIMESTAMP) " +
