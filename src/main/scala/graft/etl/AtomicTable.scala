@@ -1068,6 +1068,9 @@ object AtomicTable {
         case (c, _) => // integral floors
           (col(c).cast("long") - pmod(col(c).cast("long"), lit(w.toLong)))
       }
+      case _ if level.endsWith("_hours") =>
+        typed(level.dropRight(6)).map { case (c, _) =>
+          date_format(col(c), "yyyy-MM-dd-HH") }
       case _ if level.endsWith("_days") =>
         typed(level.dropRight(5)).map { case (c, _) =>
           date_format(col(c), "yyyy-MM-dd") }

@@ -205,12 +205,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"bucket is not defined over ${schema(src).dataType.catalogString} " +
             s"(column '$src')")
         GraftBuckets.levelName(src, n)
-      case t if Seq("days", "months", "years").contains(t.name) &&
+      case t if Seq("hours", "days", "months", "years").contains(t.name) &&
           t.references.length == 1 =>
         // monotone time transforms: <col>_days / _months / _years —
         // range predicates on the source prune (see GraftTransforms)
         val src = t.references.head.fieldNames.mkString(".")
         val kind = t.name match {
+          case "hours" => GraftTransforms.Hours
           case "days" => GraftTransforms.Days
           case "months" => GraftTransforms.Months
           case _ => GraftTransforms.Years
@@ -494,6 +495,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => GraftBucketFunction
+      case "hours" => new GraftTimeFunction(GraftTransforms.Hours)
       case "days" => new GraftTimeFunction(GraftTransforms.Days)
       case "months" => new GraftTimeFunction(GraftTransforms.Months)
       case "years" => new GraftTimeFunction(GraftTransforms.Years)
@@ -504,7 +506,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
     if (namespace.isEmpty)
-      Array("bucket", "days", "months", "years", "truncate")
+      Array("bucket", "hours", "days", "months", "years", "truncate")
         .map(Identifier.of(Array.empty, _))
     else Array.empty
 

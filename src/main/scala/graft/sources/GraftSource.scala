@@ -296,6 +296,8 @@ object GraftSource {
     GraftBuckets.level(c) match {
       case Some((src, n)) => Expressions.bucket(n, src)
       case None => GraftTransforms.level(c) match {
+        case Some(GraftTransforms.Level(src, GraftTransforms.Hours)) =>
+          Expressions.hours(src)
         case Some(GraftTransforms.Level(src, GraftTransforms.Days)) =>
           Expressions.days(src)
         case Some(GraftTransforms.Level(src, GraftTransforms.Months)) =>

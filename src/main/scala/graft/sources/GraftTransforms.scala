@@ -25,6 +25,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * truncated number, string prefix). */
 private[sources] object GraftTransforms {
   sealed trait Kind
+  case object Hours extends Kind
   case object Days extends Kind
   case object Months extends Kind
   case object Years extends Kind
@@ -34,7 +35,8 @@ private[sources] object GraftTransforms {
 
   private val TruncPat = """^(.+)_trunc([0-9]+)$""".r
   def level(name: String): Option[Level] =
-    if (name.endsWith("_days")) Some(Level(name.dropRight(5), Days))
+    if (name.endsWith("_hours")) Some(Level(name.dropRight(6), Hours))
+    else if (name.endsWith("_days")) Some(Level(name.dropRight(5), Days))
     else if (name.endsWith("_months")) Some(Level(name.dropRight(7), Months))
     else if (name.endsWith("_years")) Some(Level(name.dropRight(6), Years))
     else name match {
@@ -43,6 +45,7 @@ private[sources] object GraftTransforms {
     }
 
   def levelName(src: String, kind: Kind): String = kind match {
+    case Hours => s"${src}_hours"
     case Days => s"${src}_days"
     case Months => s"${src}_months"
     case Years => s"${src}_years"
@@ -50,6 +53,7 @@ private[sources] object GraftTransforms {
   }
 
   def kindName(kind: Kind): String = kind match {
+    case Hours => "hours"
     case Days => "days"
     case Months => "months"
     case Years => "years"
@@ -57,6 +61,10 @@ private[sources] object GraftTransforms {
   }
 
   def supportedType(kind: Kind, dt: DataType): Boolean = kind match {
+    case Hours => dt match { // a DATE has no hour
+      case TimestampType | TimestampNTZType => true
+      case _ => false
+    }
     case Days | Months | Years => dt match {
       case DateType | TimestampType | TimestampNTZType => true
       case _ => false
@@ -82,6 +90,13 @@ private[sources] object GraftTransforms {
     * one definition the writer, the pruner, and the V2 functions share.
     * Requires non-null (the identity-level contract). */
   def dirValue(value: Any, dt: DataType, kind: Kind): String = kind match {
+    case Hours => // yyyy-MM-dd-HH, fixed width (lexicographic == time)
+      val eh = Math.floorDiv(
+        value.asInstanceOf[Number].longValue(), 3600000000L)
+      val t = java.time.LocalDateTime.ofEpochSecond(
+        eh * 3600L, 0, java.time.ZoneOffset.UTC)
+      f"${t.getYear}%04d-${t.getMonthValue}%02d-" +
+        f"${t.getDayOfMonth}%02d-${t.getHour}%02d"
     case Days => utcDate(value, dt).toString // ISO yyyy-MM-dd
     case Months =>
       val d = utcDate(value, dt)
@@ -107,6 +122,13 @@ private[sources] object GraftTransforms {
   def dirOrder(kind: Kind, dt: DataType, a: String, b: String): Option[Int] = {
     import scala.util.Try
     kind match {
+      case Hours =>
+        def h(s: String): Long = {
+          val p = s.split("-")
+          java.time.LocalDateTime.of(p(0).toInt, p(1).toInt, p(2).toInt,
+            p(3).toInt, 0).toEpochSecond(java.time.ZoneOffset.UTC)
+        }
+        Try(h(a).compare(h(b))).toOption
       case Days =>
         Try(LocalDate.parse(a).toEpochDay.compare(
           LocalDate.parse(b).toEpochDay)).toOption

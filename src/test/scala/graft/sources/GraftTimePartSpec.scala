@@ -165,6 +165,29 @@ class GraftTimePartSpec extends SparkSuite {
     assert(plannedParts(qr).toSet === Set("ab", "ba", "bb"))
   }
 
+  test("hours(ts): fixed-width dirs, range pruning at hour granularity") {
+    warehouse
+    spark.sql("CREATE TABLE gtp.db.th (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    spark.sql("INSERT INTO gtp.db.th VALUES " +
+      "(1, TIMESTAMP'2021-03-01 04:10:00'), " +
+      "(2, TIMESTAMP'2021-03-01 04:50:00'), " +
+      "(3, TIMESTAMP'2021-03-01 05:20:00'), " +
+      "(4, TIMESTAMP'2021-03-02 01:00:00')")
+    val m = AtomicTable.manifest(Paths.get(warehouse, "db", "th")).get
+    assert(m.partitions.keySet ===
+      Set("2021-03-01-04", "2021-03-01-05", "2021-03-02-01"))
+    val q = spark.sql("SELECT id FROM gtp.db.th " +
+      "WHERE ts >= TIMESTAMP'2021-03-01 05:00:00'")
+    assert(q.as[Long].collect().toSet === Set(3L, 4L))
+    assert(plannedParts(q).toSet === Set("2021-03-01-05", "2021-03-02-01"),
+      "hour 04 must prune away")
+    val qe = spark.sql("SELECT id FROM gtp.db.th " +
+      "WHERE ts = TIMESTAMP'2021-03-01 04:50:00'")
+    assert(qe.as[Long].collect().toSeq === Seq(2L))
+    assert(plannedParts(qe) === Seq("2021-03-01-04"))
+  }
+
   test("keyed DML narrows to the segment; the rewrite stays exact") {
     seedTs("t7")
     val root = Paths.get(warehouse, "db", "t7")
