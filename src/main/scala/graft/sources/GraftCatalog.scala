@@ -174,6 +174,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       meta.map("partition" -> _._2) ++
       meta.map(m => "stats_columns" -> m._4.mkString(","))
         .filter(_._2.nonEmpty) ++
+      (if (meta.isDefined) readSalt(dir).map { case (c, n) =>
+        "write_salt" -> s"$c:$n" } else None) ++
       version.map("versionasof" -> _.toString)
     new GraftTable(props, schema, validateWrites = true)
   }
@@ -283,12 +285,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       require(!partColList.contains(c),
         "cluster_by must not include a partition column")
     }
+    // write fan-out: TBLPROPERTIES ('write_salt'='col:N') makes every
+    // INSERT cluster on (partition levels, bucket(N, col)) — up to N
+    // writer tasks (= N files) per partition per commit, the knob for
+    // partitions too big for one task's write throughput
+    val writeSalt = Option(properties.get("write_salt"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "write_salt")))
+      .map(GraftCatalog.parseSalt(_, schema, partColList))
     Files.createDirectories(dir)
     // the catalog's only commit point: O_EXCL create-new of _table.json
     // linearizes two processes racing the same CREATE (same primitive
     // the manifest claim loop uses)
     try writeMeta(dir, schema, partCol, retain, statsCols, createNew = true,
-      clusterBy = clusterBy)
+      clusterBy = clusterBy, writeSalt = writeSalt)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -309,7 +318,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * zone-map columns are commit-time knobs; everything else (path,
     * partition layout) is structural — layout changes go through
     * [[repartitionDeclaredTable]], which rewrites data AND meta. */
-  private val MutableProperties = Set("retain", "stats_columns", "cluster_by")
+  private val MutableProperties =
+    Set("retain", "stats_columns", "cluster_by", "write_salt")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -363,17 +373,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var retain = retain0
       var statsCols = statsCols0
       var clusterBy = readClusterBy(dir)
+      var salt = readSalt(dir)
       sets.foreach(s => s.property match {
         case "retain" => retain = s.value.trim.toInt
         case "stats_columns" =>
           statsCols = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case "cluster_by" =>
           clusterBy = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case "write_salt" => salt = Some(GraftCatalog.parseSalt(
+          s.value, newSchema, AtomicTable.partCols(partCol)))
       })
       removes.foreach(_.property match {
         case "retain" => retain = DefaultRetain
         case "stats_columns" => statsCols = Nil
         case "cluster_by" => clusterBy = Nil
+        case "write_salt" => salt = None
       })
       require(retain >= 1, s"retain must be >= 1, got $retain")
       val pcols = AtomicTable.partCols(partCol)
@@ -390,7 +404,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "cluster_by must not include a partition column")
       }
       writeMeta(dir, newSchema, partCol, retain, statsCols,
-        clusterBy = clusterBy)
+        clusterBy = clusterBy, writeSalt = salt)
     }
     loadTable(ident)
   }
@@ -627,7 +641,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * written at CREATE, evolved only by ALTER ADD COLUMNS. */
   private def writeMeta(dir: Path, schema: StructType, partCol: String,
       retain: Int, statsCols: Seq[String] = Nil,
-      createNew: Boolean = false, clusterBy: Seq[String] = Nil): Unit = {
+      createNew: Boolean = false, clusterBy: Seq[String] = Nil,
+      writeSalt: Option[(String, Int)] = None): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("schema", schema.json)
@@ -635,6 +650,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     node.put("retain", retain)
     if (statsCols.nonEmpty) node.put("stats", statsCols.mkString(","))
     if (clusterBy.nonEmpty) node.put("cluster", clusterBy.mkString(","))
+    writeSalt.foreach { case (c, n) => node.put("salt", s"$c:$n") }
     val bytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (createNew)
       Files.write(metaFile(dir), bytes,
@@ -669,6 +685,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Option(mapper.readTree(Files.readAllBytes(f)).get("cluster"))
         .map(_.asText.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil)
+    }
+  }
+
+  /** Declared write fan-out (TBLPROPERTIES 'write_salt'='col:N'). */
+  private[sources] def readSalt(dir: Path): Option[(String, Int)] = {
+    val f = metaFile(dir)
+    if (!Files.exists(f)) None
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      Option(mapper.readTree(Files.readAllBytes(f)).get("salt"))
+        .map(_.asText.split(":", 2)).collect {
+          case Array(c, n) => (c, n.toInt)
+        }
     }
   }
 
@@ -901,6 +930,27 @@ private[sources] object GraftPartitionsReaderFactory
 }
 
 object GraftCatalog {
+  /** Parse + validate a 'write_salt'='col:N' property. The salt column
+    * must hash deterministically (the bucket function's type set) and
+    * must not be a partition level (salting by the partition key is a
+    * no-op — every row of a partition shares it). */
+  private[sources] def parseSalt(spec: String, schema: StructType,
+      partCols: Seq[String]): (String, Int) = {
+    val (c, n) = spec.split(":", 2) match {
+      case Array(col, num) => (col.trim, num.trim.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"write_salt takes '<col>:<n>', got '$spec'")
+    }
+    require(n > 1, s"write_salt fan-out must be > 1, got $n")
+    require(schema.fieldNames.contains(c),
+      s"write_salt column '$c' is not in the table schema")
+    require(GraftBuckets.supportedType(schema(c).dataType),
+      s"write_salt is not defined over ${schema(c).dataType.catalogString}")
+    require(!partCols.contains(c),
+      "write_salt must not be a partition column")
+    (c, n)
+  }
+
   /** Default commit-retention for catalog tables: deep enough that
     * VERSION AS OF and changefeed restarts have a real window out of the
     * box, small enough that GC still reclaims (Delta defaults to ~30

@@ -570,7 +570,9 @@ private[sources] class GraftTable(props: Map[String, String],
     // catalog-declared partition column and retention ride the props, so
     // INSERT INTO a catalog table needs no per-write options
     new GraftWriteBuilder(root, info, lower.get("partition"),
-      lower.get("retain").map(_.toInt), declaredStatsCols)
+      lower.get("retain").map(_.toInt), declaredStatsCols,
+      declaredSalt = lower.get("write_salt")
+        .map(_.split(":", 2)).collect { case Array(c, n) => (c, n.toInt) })
   }
 
   private def declaredStatsCols: Seq[String] =

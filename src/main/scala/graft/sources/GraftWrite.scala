@@ -37,7 +37,8 @@ private[sources] class GraftWriteBuilder(root: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
     declaredPartition: Option[String] = None,
     declaredRetain: Option[Int] = None,
-    declaredStats: Seq[String] = Nil)
+    declaredStats: Seq[String] = Nil,
+    declaredSalt: Option[(String, Int)] = None)
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -124,10 +125,20 @@ private[sources] class GraftWriteBuilder(root: String,
         // truncation), not the raw source: one task per dir value = one
         // file per dir per commit (bucket/transform resolution rides
         // the catalog's FunctionCatalog — write such tables through it)
+        // declared 'write_salt'='col:N' appends bucket(N, col): up to N
+        // writer tasks (= N files) per partition per commit — the
+        // fan-out knob for partitions too big for one task's write
+        // throughput (compaction folds the files back when asked)
         org.apache.spark.sql.connector.distributions.Distributions.clustered(
           graft.etl.AtomicTable.partCols(resolvePartitionCol()).toArray.map(c =>
             GraftSource.levelTransformOf(info.schema(), c)
-              : org.apache.spark.sql.connector.expressions.Expression))
+              : org.apache.spark.sql.connector.expressions.Expression) ++
+            declaredSalt.filter(s => info.schema().fieldNames.contains(s._1))
+              .map { case (c, n) =>
+                org.apache.spark.sql.connector.expressions.Expressions
+                  .bucket(n, c)
+                  : org.apache.spark.sql.connector.expressions.Expression
+              })
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
         Array.empty
