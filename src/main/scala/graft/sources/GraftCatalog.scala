@@ -176,6 +176,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .filter(_._2.nonEmpty) ++
       (if (meta.isDefined) readSalt(dir).map { case (c, n) =>
         "write_salt" -> s"$c:$n" } else None) ++
+      (if (meta.isDefined) Some(readOrder(dir)).filter(_.nonEmpty)
+        .map(o => "write_order" -> o.mkString(",")) else None) ++
       version.map("versionasof" -> _.toString)
     new GraftTable(props, schema, validateWrites = true)
   }
@@ -292,12 +294,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val writeSalt = Option(properties.get("write_salt"))
       .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "write_salt")))
       .map(GraftCatalog.parseSalt(_, schema, partColList))
+    // range-clustered INSERTs: TBLPROPERTIES ('write_order'='a[,b]')
+    // makes every write RANGE-distribute + sort on (partition levels,
+    // these columns) — each partition's files land range-DISJOINT in
+    // the order columns, so file-level zone maps prune immediately,
+    // without waiting for a clustered compaction
+    val writeOrder = Option(properties.get("write_order"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "write_order")))
+      .map(GraftCatalog.parseOrder(_, schema, partColList)).getOrElse(Nil)
+    require(writeSalt.isEmpty || writeOrder.isEmpty,
+      "write_salt and write_order are mutually exclusive (hash fan-out " +
+        "vs range clustering)")
     Files.createDirectories(dir)
     // the catalog's only commit point: O_EXCL create-new of _table.json
     // linearizes two processes racing the same CREATE (same primitive
     // the manifest claim loop uses)
     try writeMeta(dir, schema, partCol, retain, statsCols, createNew = true,
-      clusterBy = clusterBy, writeSalt = writeSalt)
+      clusterBy = clusterBy, writeSalt = writeSalt, writeOrder = writeOrder)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -319,7 +332,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * partition layout) is structural — layout changes go through
     * [[repartitionDeclaredTable]], which rewrites data AND meta. */
   private val MutableProperties =
-    Set("retain", "stats_columns", "cluster_by", "write_salt")
+    Set("retain", "stats_columns", "cluster_by", "write_salt",
+      "write_order")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -374,6 +388,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var statsCols = statsCols0
       var clusterBy = readClusterBy(dir)
       var salt = readSalt(dir)
+      var order = readOrder(dir)
       sets.foreach(s => s.property match {
         case "retain" => retain = s.value.trim.toInt
         case "stats_columns" =>
@@ -382,12 +397,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           clusterBy = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         case "write_salt" => salt = Some(GraftCatalog.parseSalt(
           s.value, newSchema, AtomicTable.partCols(partCol)))
+        case "write_order" => order = GraftCatalog.parseOrder(
+          s.value, newSchema, AtomicTable.partCols(partCol))
       })
       removes.foreach(_.property match {
         case "retain" => retain = DefaultRetain
         case "stats_columns" => statsCols = Nil
         case "cluster_by" => clusterBy = Nil
         case "write_salt" => salt = None
+        case "write_order" => order = Nil
       })
       require(retain >= 1, s"retain must be >= 1, got $retain")
       val pcols = AtomicTable.partCols(partCol)
@@ -403,8 +421,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(!pcols.contains(c),
           "cluster_by must not include a partition column")
       }
+      require(salt.isEmpty || order.isEmpty,
+        "write_salt and write_order are mutually exclusive")
       writeMeta(dir, newSchema, partCol, retain, statsCols,
-        clusterBy = clusterBy, writeSalt = salt)
+        clusterBy = clusterBy, writeSalt = salt, writeOrder = order)
     }
     loadTable(ident)
   }
@@ -642,7 +662,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def writeMeta(dir: Path, schema: StructType, partCol: String,
       retain: Int, statsCols: Seq[String] = Nil,
       createNew: Boolean = false, clusterBy: Seq[String] = Nil,
-      writeSalt: Option[(String, Int)] = None): Unit = {
+      writeSalt: Option[(String, Int)] = None,
+      writeOrder: Seq[String] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("schema", schema.json)
@@ -651,6 +672,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (statsCols.nonEmpty) node.put("stats", statsCols.mkString(","))
     if (clusterBy.nonEmpty) node.put("cluster", clusterBy.mkString(","))
     writeSalt.foreach { case (c, n) => node.put("salt", s"$c:$n") }
+    if (writeOrder.nonEmpty) node.put("order", writeOrder.mkString(","))
     val bytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (createNew)
       Files.write(metaFile(dir), bytes,
@@ -698,6 +720,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(_.asText.split(":", 2)).collect {
           case Array(c, n) => (c, n.toInt)
         }
+    }
+  }
+
+  /** Declared range-clustered write order ('write_order'='a,b'). */
+  private[sources] def readOrder(dir: Path): Seq[String] = {
+    val f = metaFile(dir)
+    if (!Files.exists(f)) Nil
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      Option(mapper.readTree(Files.readAllBytes(f)).get("order"))
+        .map(_.asText.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
     }
   }
 
@@ -949,6 +983,20 @@ object GraftCatalog {
     require(!partCols.contains(c),
       "write_salt must not be a partition column")
     (c, n)
+  }
+
+  /** Parse + validate 'write_order'='a[,b...]'. */
+  private[sources] def parseOrder(spec: String, schema: StructType,
+      partCols: Seq[String]): Seq[String] = {
+    val cols = spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(cols.nonEmpty, "write_order needs at least one column")
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"write_order column '$c' is not in the table schema")
+      require(!partCols.contains(c),
+        "write_order must not include a partition column")
+    }
+    cols
   }
 
   /** Default commit-retention for catalog tables: deep enough that

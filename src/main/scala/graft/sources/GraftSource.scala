@@ -572,7 +572,10 @@ private[sources] class GraftTable(props: Map[String, String],
     new GraftWriteBuilder(root, info, lower.get("partition"),
       lower.get("retain").map(_.toInt), declaredStatsCols,
       declaredSalt = lower.get("write_salt")
-        .map(_.split(":", 2)).collect { case Array(c, n) => (c, n.toInt) })
+        .map(_.split(":", 2)).collect { case Array(c, n) => (c, n.toInt) },
+      declaredOrder = lower.get("write_order")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil))
   }
 
   private def declaredStatsCols: Seq[String] =

@@ -38,7 +38,8 @@ private[sources] class GraftWriteBuilder(root: String,
     declaredPartition: Option[String] = None,
     declaredRetain: Option[Int] = None,
     declaredStats: Seq[String] = Nil,
-    declaredSalt: Option[(String, Int)] = None)
+    declaredSalt: Option[(String, Int)] = None,
+    declaredOrder: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -119,17 +120,33 @@ private[sources] class GraftWriteBuilder(root: String,
       // task = one file, the layout compaction maintains. An input
       // already hash-partitioned on the column satisfies the
       // distribution, so pre-repartitioned writers pay no extra shuffle.
+      private def orderSorts
+          : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+        (graft.etl.AtomicTable.partCols(resolvePartitionCol()).map(c =>
+          GraftSource.levelTransformOf(info.schema(), c)
+            : org.apache.spark.sql.connector.expressions.Expression) ++
+          declaredOrder.filter(info.schema().fieldNames.contains)
+            .map(Expressions.column(_)
+              : org.apache.spark.sql.connector.expressions.Expression))
+          .map(e => Expressions.sort(e, SortDirection.ASCENDING)).toArray
+      }
       override def requiredDistribution()
           : org.apache.spark.sql.connector.distributions.Distribution =
-        // cluster by each level's TRANSFORM value (bucket id / day /
-        // truncation), not the raw source: one task per dir value = one
-        // file per dir per commit (bucket/transform resolution rides
-        // the catalog's FunctionCatalog — write such tables through it)
-        // declared 'write_salt'='col:N' appends bucket(N, col): up to N
-        // writer tasks (= N files) per partition per commit — the
-        // fan-out knob for partitions too big for one task's write
-        // throughput (compaction folds the files back when asked)
-        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        // 'write_order'='a,b' RANGE-distributes on (partition levels,
+        // order cols): each partition's files land range-DISJOINT in
+        // the order columns — file-level zone maps prune immediately,
+        // no clustered compaction needed. Otherwise cluster by each
+        // level's TRANSFORM value (bucket id / day / truncation), not
+        // the raw source: one task per dir value = one file per dir per
+        // commit; a declared 'write_salt'='col:N' appends bucket(N,
+        // col) — up to N writer tasks (= N files) per partition per
+        // commit, the fan-out knob for partitions too big for one
+        // task's write throughput (compaction folds the files back)
+        if (declaredOrder.nonEmpty)
+          org.apache.spark.sql.connector.distributions.Distributions
+            .ordered(orderSorts)
+        else org.apache.spark.sql.connector.distributions.Distributions.clustered(
           graft.etl.AtomicTable.partCols(resolvePartitionCol()).toArray.map(c =>
             GraftSource.levelTransformOf(info.schema(), c)
               : org.apache.spark.sql.connector.expressions.Expression) ++
@@ -141,7 +158,9 @@ private[sources] class GraftWriteBuilder(root: String,
               })
       override def requiredOrdering()
           : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-        Array.empty
+        // the in-task sort that makes each file's zone map TIGHT (and
+        // parquet row-group stats inside it)
+        if (declaredOrder.nonEmpty) orderSorts else Array.empty
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = {
         val pc = resolvePartitionCol()
         new GraftBatchWrite(root, info.schema(), pc,
