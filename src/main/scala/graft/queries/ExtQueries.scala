@@ -85,6 +85,7 @@ object ExtQueries {
     "graft_limit_push" -> QueryDef(graftLimitPush, Some(graftLimitPushSql)),
     "graft_bucket_join" -> QueryDef(graftBucketJoin, Some(graftBucketJoinSql)),
     "graft_time_part" -> QueryDef(graftTimePart, Some(graftTimePartSql)),
+    "graft_write_order" -> QueryDef(graftWriteOrder, Some(graftWriteOrderSql)),
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),

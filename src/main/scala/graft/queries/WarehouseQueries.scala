@@ -1262,6 +1262,50 @@ object WarehouseQueries {
       |FROM orders WHERE o_orderdate >= DATE'1997-06-15'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Range-clustered ingestion: orders staged with
+    * `write_order='o_orderkey'` on year partitions — every INSERT
+    * range-sorts, so each year's files are key-disjoint AT WRITE TIME
+    * and the mid-range read below prunes to the files whose bounds
+    * admit (GraftWriteOrderSpec pins disjointness and the one-file
+    * point read; partition maps can't help here — every year spans the
+    * key range, only per-file bounds prune). Value-oracled. */
+  private[queries] def graftWriteOrder(s: SparkSession, dir: String): DataFrame = {
+    val cat = mergeStaged.computeIfAbsent(dir + "#worder", { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-woq").toString
+      val cat = "gw" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+        .createOrReplaceTempView(s"orders_wosrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.worders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_year STRING) " +
+        "PARTITIONED BY (o_year) TBLPROPERTIES ('retain'='5', " +
+        "'write_order'='o_orderkey', 'stats_columns'='o_orderkey')")
+      s.sql(s"INSERT INTO $cat.wh.worders SELECT * FROM orders_wosrc_$cat")
+      cat
+    })
+    s.sql(s"""SELECT o_year, count(*) AS n_rows,
+      CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM $cat.wh.worders
+      WHERE o_orderkey BETWEEN
+        (SELECT max(o_orderkey) DIV 4 FROM $cat.wh.worders) AND
+        (SELECT max(o_orderkey) DIV 2 FROM $cat.wh.worders)
+      GROUP BY o_year ORDER BY o_year""")
+  }
+
+  private[queries] val graftWriteOrderSql =
+    """SELECT strftime(o_orderdate, '%Y') AS o_year, count(*) AS n_rows,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey BETWEEN
+      |  (SELECT max(o_orderkey) // 4 FROM orders) AND
+      |  (SELECT max(o_orderkey) // 2 FROM orders)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val graftLimitPushSql =
     """SELECT probe, o_year, n FROM (
       |  SELECT 'topn' AS probe, o_year, count(*) AS n
