@@ -129,12 +129,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           m.deletes.getOrElse(k, Nil).size)
       }
       new GraftPartitionsTable(s"$catalogName:${ident.toString}", rows)
+    case FilesName(base) =>
+      // the FILE-level map: one row per committed data file with its
+      // recorded rows and [min, max] bounds — what LIMIT pushdown and
+      // file skipping consult, auditable from SQL (Iceberg's `files`
+      // metadata table)
+      val dir = nsDir(ident.namespace()).resolve(base)
+      if (!isTable(dir)) throw new NoSuchTableException(ident)
+      val m = AtomicTable.manifest(dir).getOrElse(
+        AtomicTable.Manifest(0L, Map.empty))
+      val rows = for {
+        (k, dirs) <- m.partitions.toSeq.sortBy(_._1)
+        d <- dirs
+        (f, st) <- m.fileStats.getOrElse(d,
+          Map.empty[String, AtomicTable.PartStats]).toSeq.sortBy(_._1)
+      } yield GraftPartitionsRow(k, s"$d/$f", 1, Some(st.rows),
+        st.mins, st.maxs, m.deletes.getOrElse(k, Nil).size)
+      new GraftPartitionsTable(s"$catalogName:${ident.toString}", rows)
     case _ => loadPinned(ident, None)
   }
 
   private val HistoryName = "(.+)\\$history".r
   private val PartitionsName = "(.+)\\$partitions".r
   private val DetailName = "(.+)\\$detail".r
+  private val FilesName = "(.+)\\$files".r
 
   /** `VERSION AS OF <v>` — Spark hands the SQL literal through verbatim. */
   override def loadTable(ident: Identifier, version: String): Table =

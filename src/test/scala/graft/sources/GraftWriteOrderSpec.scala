@@ -66,6 +66,26 @@ class GraftWriteOrderSpec extends SparkSuite {
       s"id=555 lives in one range-disjoint file, planned $planned")
   }
 
+  test("$files metadata table audits the per-file bounds from SQL") {
+    warehouse
+    // exercised against the range-clustered table t1 (seeded above by
+    // run order; re-seed defensively if running alone)
+    if (!spark.catalog.tableExists("gwo.db.t1")) cancel("t1 not seeded")
+    val rows = spark.sql(
+      "SELECT partition, dir, num_rows, mins['id'] AS lo, maxs['id'] AS hi " +
+        "FROM gwo.db.`t1$files` ORDER BY CAST(mins['id'] AS BIGINT)")
+      .collect()
+    assert(rows.length > 1, "one row per committed file")
+    assert(rows.map(_.getLong(2)).sum === 800L,
+      "file rows sum to the table count")
+    // the audited bounds ARE range-disjoint (write_order's contract)
+    val bounds = rows.map(r => (r.getString(3).toLong, r.getString(4).toLong))
+    bounds.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2)
+      case _ => ()
+    }
+  }
+
   test("write_order and write_salt refuse to combine") {
     warehouse
     val e = intercept[Exception] {
