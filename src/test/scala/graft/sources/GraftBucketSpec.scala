@@ -257,6 +257,26 @@ class GraftBucketSpec extends SparkSuite {
       s"runtime keys {3, 7} must map to buckets $want, planned $planned")
   }
 
+  test("streaming: a key filter over a bucketed table stays row-accurate") {
+    warehouse
+    spark.sql("CREATE TABLE gbk.db.t10 (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('retain'='10')")
+    spark.sql("INSERT INTO gbk.db.t10 VALUES (1,'a'),(2,'b'),(42,'x')")
+    spark.sql("INSERT INTO gbk.db.t10 VALUES (3,'c'),(42,'y')")
+    val dir = Paths.get(warehouse, "db", "t10").toString
+    // bucket admission on the stream is SKIP-ONLY (the filter stays
+    // residual): dirs whose bucket cannot hold k=42 skip, the rest
+    // re-check rows — either way exactly the k=42 rows must emit
+    val q = spark.readStream.format("graft").load(dir)
+      .filter($"k" === 42L).select("v")
+      .writeStream.format("memory").queryName("gbk_t10")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    assert(spark.sql("SELECT v FROM gbk_t10").collect()
+      .map(_.getString(0)).toSet === Set("x", "y"))
+  }
+
   test("unsupported bucket source types are refused at CREATE") {
     warehouse
     val e = intercept[Exception] {
