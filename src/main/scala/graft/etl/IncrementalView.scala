@@ -1,0 +1,255 @@
+package graft.etl
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Incrementally-maintained materialized aggregate view over an
+  * [[AtomicTable]] — the payoff of the row-level changefeed: a summary
+  * table that stays exact under INSERT / MERGE / DELETE / compaction on
+  * its source WITHOUT ever re-aggregating the source table.
+  *
+  * Classic self-maintainable IVM (SUM/COUNT algebra): every change row
+  * of [[ChangeFeed.changes]] carries a sign (+1 for `insert` /
+  * `update_postimage`, -1 for `delete` / `update_preimage`), the delta
+  * aggregate is the signed SUM per group, and applying a delta is one
+  * join against ONLY the view groups whose partitions the delta touches.
+  * SUM/COUNT (and AVG = SUM/COUNT) are closed under this algebra;
+  * MIN/MAX are not (a deleted extremum needs a source rescan) and are
+  * deliberately not offered.
+  *
+  * 100 TB shape: refresh cost is bounded by the CHANGE volume, never
+  * source size — the feed diffs manifests (appended dirs scan-free,
+  * rewrites one grouped join per commit), the delta aggregate shuffles
+  * change rows only, and the view rewrite touches only the partitions
+  * the delta's group keys land in (the view is partitioned by a group
+  * column, so a one-day merge refreshes a one-day summary slice).
+  *
+  * Exactly-once: the applied source version rides the SAME manifest
+  * commit as the refreshed rows (`graft.mv.source_version`), and the
+  * commit is optimistic (`expectedVersion`) — a crashed refresh changes
+  * nothing (re-run re-derives the same delta), a duplicate refresh
+  * no-ops (version already applied), and concurrent refreshes cannot
+  * double-apply (one loses the version claim).
+  *
+  * Exactness: SUM over double is order-dependent in IEEE arithmetic, so
+  * an incrementally-maintained double sum can drift from a recompute by
+  * last-ulp rounding. Callers who need bit-exactness use an exact
+  * decimal expression (see [[graft.functions.Stable]]) — decimal
+  * addition is associative and commutative, so delta application equals
+  * recomputation exactly.
+  *
+  * Reference analog: the upsert-maintained summary the reference's
+  * pipeline recomputes per run (`/root/reference/src/load.py:42-105`
+  * re-derives load stats from scratch); here the summary is maintained
+  * from the change stream instead. */
+object IncrementalView {
+
+  /** Manifest property holding the view definition (JSON). */
+  val DefProperty = "graft.mv.def"
+
+  /** Manifest property: the last SOURCE version folded into the view. */
+  val SourceVersionProperty = "graft.mv.source_version"
+
+  /** Internal liveness count: signed COUNT(*) per group — a group whose
+    * count reaches zero leaves the view (and its partition, when it was
+    * the last group, drops from the manifest in the same commit). */
+  val RowsCol = "_mv_rows"
+
+  /** Internal non-null contribution count of sum `alias` — what lets
+    * the rendered sum return to SQL NULL when deletes remove every
+    * non-null contributor (SUM over zero non-null rows is NULL). */
+  def nCol(alias: String): String = s"${alias}__n"
+
+  /** A view definition. `sums` are (alias, SQL expression) pairs summed
+    * per group; `groupCols` must contain every partition column of
+    * `partitionCol` (the view prunes its own rewrite by them);
+    * `keyCols` upgrade the source feed's rewrite diffs from set
+    * semantics to update classification (cheaper deltas, same algebra).
+    * `mvSchema` is the view's materialized schema, fixed at create. */
+  final case class Definition(source: String, sourceSchema: StructType,
+      groupCols: Seq[String], sums: Seq[(String, String)],
+      partitionCol: String, keyCols: Seq[String], retain: Int,
+      mvSchema: StructType)
+
+  /** The full aggregate of `df` in the view's materialized shape:
+    * group columns, then per sum `alias` the zero-coalesced exact sum
+    * and its non-null count `alias__n`, then the group's row count. */
+  def aggregate(df: DataFrame, groupCols: Seq[String],
+      sums: Seq[(String, String)]): DataFrame = {
+    val aggs = sums.flatMap { case (a, e) =>
+      Seq(sum(expr(e)).as(a), count(expr(e)).as(nCol(a)))
+    } :+ count(lit(1)).as(RowsCol)
+    val agg0 = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    agg0.select(groupCols.map(col) ++ sums.flatMap { case (a, _) =>
+      Seq(coalesce(col(a), lit(0).cast(agg0.schema(a).dataType)).as(a),
+        col(nCol(a)))
+    } :+ col(RowsCol): _*)
+  }
+
+  /** Create the view: one full aggregate of the source's CURRENT
+    * version (snapshot-pinned — a concurrent source commit lands after
+    * the recorded version and is picked up by the next refresh), the
+    * definition and applied version committed with the rows. */
+  def create(spark: SparkSession, source: String, sourceSchema: StructType,
+      mv: String, groupCols: Seq[String], sums: Seq[(String, String)],
+      partitionCol: String, keyCols: Seq[String] = Nil,
+      retain: Int = 3): AtomicTable.Manifest = {
+    val pcols = AtomicTable.partCols(partitionCol)
+    require(pcols.nonEmpty && pcols.forall(groupCols.contains),
+      s"view partition columns ${pcols.mkString(",")} must be group columns")
+    val names = groupCols ++ sums.map(_._1) ++ sums.map(s => nCol(s._1)) :+ RowsCol
+    require(names.distinct.size == names.size,
+      s"group/sum names collide: ${names.mkString(", ")}")
+    val srcHead = AtomicTable.currentVersion(Paths.get(source)).getOrElse(
+      throw new IllegalArgumentException(s"$source has no commits"))
+    val full = aggregate(
+      MergeInto.readMergedAt(spark, source, sourceSchema, srcHead),
+      groupCols, sums)
+    val d = Definition(source, sourceSchema, groupCols, sums, partitionCol,
+      keyCols, retain, full.schema)
+    AtomicTable.replacePartitions(spark, mv, full, partitionCol,
+      retain = retain, operation = "mv",
+      properties = Map(DefProperty -> toJson(d),
+        SourceVersionProperty -> srcHead.toString))
+  }
+
+  /** The stored definition and last-applied source version of `mv`. */
+  def definitionOf(mv: String): (Definition, Long) = {
+    val m = AtomicTable.manifest(Paths.get(mv)).getOrElse(
+      throw new IllegalArgumentException(s"$mv has no commits"))
+    val json = m.properties.getOrElse(DefProperty,
+      throw new IllegalArgumentException(s"$mv is not an incremental view " +
+        s"(no $DefProperty property)"))
+    (fromJson(json), m.properties(SourceVersionProperty).toLong)
+  }
+
+  /** Fold every source commit since the last refresh into the view.
+    * Returns (committed manifest, fromVersion, toVersion) — from ==
+    * to + 1 encodes "already current, nothing committed". */
+  def refresh(spark: SparkSession, mv: String)
+      : (AtomicTable.Manifest, Long, Long) = {
+    val root = Paths.get(mv)
+    val m = AtomicTable.manifest(root).get
+    val (d, last) = definitionOf(mv)
+    val srcHead = AtomicTable.currentVersion(Paths.get(d.source)).getOrElse(0L)
+    if (srcHead <= last) return (m, srcHead + 1L, srcHead)
+
+    val changes = ChangeFeed.changes(spark, d.source, d.sourceSchema,
+      last + 1L, srcHead, d.keyCols)
+    val sign = when(col(ChangeFeed.ChangeTypeCol)
+      .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
+    val signed = changes.withColumn(RowsCol, sign)
+    // the signed delta aggregate — one shuffle over CHANGE rows only
+    val aggs = d.sums.flatMap { case (a, e) =>
+      Seq(sum(expr(e) * col(RowsCol)).as(a),
+        sum(when(expr(e).isNotNull, col(RowsCol)).otherwise(lit(0L)))
+          .as(nCol(a)))
+    } :+ sum(col(RowsCol)).as(RowsCol)
+    val delta = signed.groupBy(d.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+    val affected = partitionValues(delta, d.partitionCol)
+    if (affected.isEmpty) {
+      // maintenance-only source commits (compaction, vacuum, stats):
+      // no change rows, but the applied version still advances — a
+      // properties-only commit, zero data bytes moved
+      val next = AtomicTable.commitManifest(root, Map.empty,
+        properties = Map(SourceVersionProperty -> srcHead.toString),
+        expectedVersion = Some(m.version), retain = d.retain,
+        operation = "mv")
+      return (next, last + 1L, srcHead)
+    }
+
+    // current view rows of ONLY the touched partitions; untouched view
+    // partitions carry through the commit by reference
+    val cur = AtomicTable.readPartitions(spark, mv, d.mvSchema, affected)
+    val o = cur.select(d.mvSchema.fieldNames.map(c => col(c).as(s"_o_$c")): _*)
+    val dl = delta.select(delta.columns.map(c => col(c).as(s"_d_$c")): _*)
+    val on: Column = d.groupCols.map(k => col(s"_o_$k") <=> col(s"_d_$k"))
+      .reduce(_ && _)
+    val sumCols = d.sums.flatMap(s => Seq(s._1, nCol(s._1))) :+ RowsCol
+    val combined = o.join(dl, on, "full_outer").select(
+      d.groupCols.map(c =>
+        coalesce(col(s"_o_$c"), col(s"_d_$c"))
+          .cast(d.mvSchema(c).dataType).as(c)) ++
+      sumCols.map { c =>
+        val zero = lit(0).cast(d.mvSchema(c).dataType)
+        (coalesce(col(s"_o_$c"), zero) + coalesce(col(s"_d_$c"), zero))
+          .cast(d.mvSchema(c).dataType).as(c)
+      }: _*)
+    // a negative group count means the feed and the view disagree
+    // (e.g. the view was edited out-of-band) — fail loudly rather than
+    // materialize a wrong summary; bounded: combined is delta-sized
+    val bad = combined.filter(col(RowsCol) < 0L).limit(1).collect()
+    require(bad.isEmpty,
+      s"inconsistent refresh of $mv: group ${bad.headOption} reached a " +
+        "negative row count — view and changefeed disagree")
+    val survivors = combined.filter(col(RowsCol) > 0L)
+    val stillThere = partitionValues(survivors, d.partitionCol)
+    val next = AtomicTable.replacePartitions(spark, mv, survivors,
+      d.partitionCol, retain = d.retain,
+      dropPartitions = affected -- stillThere,
+      expectedVersion = Some(m.version), operation = "mv",
+      properties = Map(SourceVersionProperty -> srcHead.toString))
+    (next, last + 1L, srcHead)
+  }
+
+  /** The view in its QUERY shape: group columns, each sum rendered with
+    * SQL SUM's null semantics (NULL when no non-null contributor
+    * remains), and the group row count. */
+  def read(spark: SparkSession, mv: String): DataFrame = {
+    val (d, _) = definitionOf(mv)
+    AtomicTable.read(spark, mv, d.mvSchema).select(
+      d.groupCols.map(col) ++ d.sums.map { case (a, _) =>
+        when(col(nCol(a)) === 0L, lit(null)).otherwise(col(a)).as(a)
+      } :+ col(RowsCol): _*)
+  }
+
+  /** Distinct partition keys of `rows` in the manifest's string form —
+    * the same bounded collect [[MergeInto]] uses (values, not rows). */
+  private def partitionValues(rows: DataFrame, partitionCol: String): Set[String] = {
+    val pcols = AtomicTable.partCols(partitionCol)
+    rows.select(pcols.map(c => col(c).cast("string")): _*).distinct()
+      .collect()
+      .map(r => AtomicTable.partKey(pcols.indices.map(r.getString)))
+      .toSet
+  }
+
+  // ----------------------------------------------------------- (de)json
+
+  private def toJson(d: Definition): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.createObjectNode()
+    n.put("source", d.source)
+    n.put("sourceSchema", d.sourceSchema.json)
+    n.put("mvSchema", d.mvSchema.json)
+    val g = n.putArray("group"); d.groupCols.foreach(g.add)
+    val s = n.putArray("sums")
+    d.sums.foreach { case (a, e) =>
+      val p = s.addObject(); p.put("alias", a); p.put("expr", e); ()
+    }
+    n.put("partition", d.partitionCol)
+    val k = n.putArray("keys"); d.keyCols.foreach(k.add)
+    n.put("retain", d.retain)
+    n.toString
+  }
+
+  private def fromJson(json: String): Definition = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(json)
+    Definition(
+      n.get("source").asText,
+      DataType.fromJson(n.get("sourceSchema").asText).asInstanceOf[StructType],
+      n.get("group").elements().asScala.map(_.asText).toSeq,
+      n.get("sums").elements().asScala
+        .map(p => (p.get("alias").asText, p.get("expr").asText)).toSeq,
+      n.get("partition").asText,
+      n.get("keys").elements().asScala.map(_.asText).toSeq,
+      n.get("retain").asInt,
+      DataType.fromJson(n.get("mvSchema").asText).asInstanceOf[StructType])
+  }
+}

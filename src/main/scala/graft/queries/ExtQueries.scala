@@ -87,6 +87,8 @@ object ExtQueries {
     "graft_time_part" -> QueryDef(graftTimePart, Some(graftTimePartSql)),
     "graft_write_order" -> QueryDef(graftWriteOrder, Some(graftWriteOrderSql)),
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
+    "graft_incr_mv" -> QueryDef(MvQueries.graftIncrMv, Some(MvQueries.graftIncrMvSql)),
+    "graft_sql_mv" -> QueryDef(MvQueries.graftSqlMv, Some(MvQueries.graftSqlMvSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),
     "graft_stream_sink" -> QueryDef(graftStreamSink, Some(graftStreamSinkSql)),

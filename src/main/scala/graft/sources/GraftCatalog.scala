@@ -526,15 +526,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "rollback") => GraftMaintenanceProcedures.rollback(this)
       case (Seq("system"), "clone") => GraftMaintenanceProcedures.clone(this)
       case (Seq("system"), "analyze") => GraftMaintenanceProcedures.analyze(this)
+      case (Seq("system"), "create_mv") => GraftMvProcedures.createMv(this)
+      case (Seq("system"), "refresh_mv") => GraftMvProcedures.refreshMv(this)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — graft provides system.{table_changes," +
-          "compact,vacuum,rollback,clone,analyze}")
+          "compact,vacuum,rollback,clone,analyze,create_mv,refresh_mv}")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("table_changes", "compact", "vacuum", "rollback", "clone",
-        "analyze").map(Identifier.of(Array("system"), _))
+        "analyze", "create_mv", "refresh_mv")
+        .map(Identifier.of(Array("system"), _))
     else Array.empty
 
   /** FunctionCatalog: serves the `bucket` transform function. Spark's
@@ -578,6 +581,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = readMeta(dir).map(_._1).getOrElse(
       GraftSource.inferredSchema(new Configuration(), dir.toString))
     (dir.toString, schema)
+  }
+
+  /** Resolve a `db.t` identifier to the dir a NEW table (e.g. an
+    * incremental view) may be created at: the namespace must exist, the
+    * table must not. */
+  private[sources] def dirForNew(tbl: String): Path = {
+    val ident = identOf(tbl)
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    if (!Files.isDirectory(dir.getParent))
+      throw new NoSuchNamespaceException(ident.namespace())
+    dir
   }
 
   /** Maintenance-grade resolution of a `db.t` identifier: table dir,

@@ -248,3 +248,90 @@ private[sources] object GraftMaintenanceProcedures {
       Array[Any](m.version, m.partitions.size.toLong)
     })
 }
+
+/** The incremental-materialized-view SQL surface — `CALL` twins of
+  * [[graft.etl.IncrementalView]] (the Databricks/Materialize shape:
+  * define an aggregate once, refresh it from the change stream, never
+  * re-aggregate the source). The view lands as an ordinary graft table
+  * inside this catalog, so `SELECT * FROM cat.db.mv` works directly;
+  * `refresh_mv` can also register the RENDERED form (SQL SUM null
+  * semantics) as a temp view, like `table_changes` does. */
+private[sources] object GraftMvProcedures {
+
+  private def tableParam = ProcedureParameter.in("table", StringType)
+    .comment("view identifier inside this catalog, e.g. 'db.mv'").build()
+
+  /** `create_mv('db.mv', 'db.src', 'g1,g2', 'a,b', 'e1;e2', 'part',
+    * 'k1,k2')` — create view `db.mv` over source `db.src`: group by the
+    * comma-joined `group_cols`, maintain one exact SUM per alias in
+    * `sum_aliases` (comma-joined) of the matching `;`-joined SQL
+    * expression in `sum_exprs`, partition the view by `partition_col`
+    * (must be group columns), and classify source rewrites by the
+    * comma-joined `key_cols` ('' = set semantics). */
+  def createMv(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "create_mv",
+    "create an incrementally-maintained aggregate view over a source table",
+    Array(tableParam,
+      ProcedureParameter.in("source", StringType)
+        .comment("source table identifier inside this catalog").build(),
+      ProcedureParameter.in("group_cols", StringType)
+        .comment("comma-joined group-by columns").build(),
+      ProcedureParameter.in("sum_aliases", StringType)
+        .comment("comma-joined result column names, one per sum").build(),
+      ProcedureParameter.in("sum_exprs", StringType)
+        .comment("';'-joined SQL expressions summed per group, " +
+          "positionally matching sum_aliases").build(),
+      ProcedureParameter.in("partition_col", StringType)
+        .comment("view partition spec (group columns), e.g. 'g1' or 'g1,g2'").build(),
+      ProcedureParameter.in("key_cols", StringType)
+        .comment("comma-joined source key columns for update " +
+          "classification; '' degrades rewrites to set semantics").build()),
+    StructType(Seq(
+      StructField("mv_version", LongType, nullable = false),
+      StructField("source_version", LongType, nullable = false))),
+    { input =>
+      val spark = SparkSession.active
+      val mvDir = catalog.dirForNew(input.getUTF8String(0).toString)
+      val (srcDir, srcSchema) =
+        catalog.resolveForChanges(input.getUTF8String(1).toString)
+      def csv(i: Int): Seq[String] = input.getUTF8String(i).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val aliases = csv(3)
+      val exprs = input.getUTF8String(4).toString
+        .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+      require(aliases.size == exprs.size,
+        s"sum_aliases (${aliases.size}) and sum_exprs (${exprs.size}) " +
+          "must pair positionally")
+      val m = graft.etl.IncrementalView.create(spark, srcDir, srcSchema,
+        mvDir.toString, csv(2), aliases.zip(exprs),
+        input.getUTF8String(5).toString, csv(6))
+      Array[Any](m.version,
+        m.properties(graft.etl.IncrementalView.SourceVersionProperty).toLong)
+    })
+
+  /** `refresh_mv('db.mv', 'view_name')` — fold every source commit
+    * since the last refresh into the view (cost bounded by change
+    * volume; exactly-once — the applied version rides the commit).
+    * A non-empty `view_name` also registers the RENDERED read (SQL
+    * SUM null semantics) as a temp view of that name. */
+  def refreshMv(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "refresh_mv",
+    "fold source changes since the last refresh into the view",
+    Array(tableParam,
+      ProcedureParameter.in("view_name", StringType)
+        .comment("temp view to register the rendered view under; '' skips").build()),
+    StructType(Seq(
+      StructField("mv_version", LongType, nullable = false),
+      StructField("from_version", LongType, nullable = false),
+      StructField("to_version", LongType, nullable = false))),
+    { input =>
+      val spark = SparkSession.active
+      val (dir, _) = catalog.resolveForChanges(input.getUTF8String(0).toString)
+      val (m, from, to) = graft.etl.IncrementalView.refresh(spark, dir)
+      val viewName = input.getUTF8String(1).toString
+      if (viewName.nonEmpty)
+        graft.etl.IncrementalView.read(spark, dir)
+          .createOrReplaceTempView(viewName)
+      Array[Any](m.version, from, to)
+    })
+}

@@ -9,7 +9,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
-import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DecimalLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -177,6 +177,21 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       case (BINARY, StringType) =>
         UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
       case (BINARY, BinaryType) => g.getBinary(i, 0).getBytes
+      // DECIMAL storage forms (Spark's parquet writer): unscaled INT32
+      // for precision <= 9, INT64 <= 18, big-endian fixed bytes above
+      case (INT32, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(
+          java.math.BigDecimal.valueOf(g.getInteger(i, 0).toLong, d.scale),
+          d.precision, d.scale)
+      case (INT64, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(
+          java.math.BigDecimal.valueOf(g.getLong(i, 0), d.scale),
+          d.precision, d.scale)
+      case (BINARY | FIXED_LEN_BYTE_ARRAY, d: DecimalType) =>
+        org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(
+            new java.math.BigInteger(g.getBinary(i, 0).getBytes), d.scale),
+          d.precision, d.scale)
       case (pt, st) => throw new IllegalArgumentException(
         s"unsupported ($pt -> $st) for column $name")
     }

@@ -12,7 +12,7 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.example.GroupReadSupport
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type => PType}
-import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
+import org.apache.parquet.schema.LogicalTypeAnnotation.{DateLogicalTypeAnnotation, DecimalLogicalTypeAnnotation, StringLogicalTypeAnnotation, TimestampLogicalTypeAnnotation}
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -477,16 +477,29 @@ object GraftSource {
       case INT96 => TimestampType
       case INT32 => p.getLogicalTypeAnnotation match {
         case _: DateLogicalTypeAnnotation => DateType
+        case d: DecimalLogicalTypeAnnotation =>
+          DecimalType(d.getPrecision, d.getScale)
         case _ => IntegerType
       }
       case INT64 => p.getLogicalTypeAnnotation match {
         case ts: TimestampLogicalTypeAnnotation =>
           if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+        case d: DecimalLogicalTypeAnnotation =>
+          DecimalType(d.getPrecision, d.getScale)
         case _ => LongType
       }
       case BINARY => p.getLogicalTypeAnnotation match {
         case _: StringLogicalTypeAnnotation => StringType
+        case d: DecimalLogicalTypeAnnotation =>
+          DecimalType(d.getPrecision, d.getScale)
         case _ => BinaryType
+      }
+      // Spark writes DECIMAL(p > 18) as fixed-length big-endian unscaled
+      case FIXED_LEN_BYTE_ARRAY => p.getLogicalTypeAnnotation match {
+        case d: DecimalLogicalTypeAnnotation =>
+          DecimalType(d.getPrecision, d.getScale)
+        case _ => throw new IllegalArgumentException(
+          s"unsupported parquet type $p for column ${t.getName}")
       }
       case other => throw new IllegalArgumentException(
         s"unsupported parquet type $other for column ${t.getName}")

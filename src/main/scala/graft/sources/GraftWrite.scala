@@ -264,6 +264,7 @@ private[sources] object GraftWriteStats {
   def supported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
          StringType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -277,6 +278,7 @@ private[sources] object GraftWriteStats {
       case FloatType => row.getFloat(i)
       case BooleanType => row.getBoolean(i)
       case StringType => row.getUTF8String(i).toString
+      case d: DecimalType => row.getDecimal(i, d.precision, d.scale)
       case other => throw new IllegalArgumentException(s"stats type $other")
     }
 
@@ -293,6 +295,9 @@ private[sources] object GraftWriteStats {
       java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float]) < 0
     case BooleanType => !a.asInstanceOf[Boolean] && b.asInstanceOf[Boolean]
     case StringType => a.asInstanceOf[String].compareTo(b.asInstanceOf[String]) < 0
+    case _: DecimalType =>
+      a.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .compare(b.asInstanceOf[org.apache.spark.sql.types.Decimal]) < 0
     case other => throw new IllegalArgumentException(s"stats type $other")
   }
 
@@ -606,6 +611,18 @@ private[sources] class GraftDataWriter(root: String, txn: String,
             LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
         case DateType => Types.optional(INT32)
           .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        // Spark's parquet decimal storage: unscaled INT32 for
+        // precision <= 9, INT64 <= 18, big-endian fixed bytes above
+        case d: DecimalType if d.precision <= 9 => Types.optional(INT32)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(f.name)
+        case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(f.name)
+        case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
+          .length(GraftDataWriter.decimalBytes(d.precision))
+          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
+          .named(f.name)
         case other => throw new IllegalArgumentException(
           s"unsupported write type $other for column ${f.name}")
       }
@@ -680,6 +697,22 @@ private[sources] class GraftDataWriter(root: String, txn: String,
           .fromConstantByteArray(row.getUTF8String(i).getBytes))
         case BinaryType => g.add(f.name, org.apache.parquet.io.api.Binary
           .fromConstantByteArray(row.getBinary(i)))
+        case d: DecimalType if d.precision <= 9 =>
+          g.add(f.name,
+            row.getDecimal(i, d.precision, d.scale).toUnscaledLong.toInt)
+        case d: DecimalType if d.precision <= 18 =>
+          g.add(f.name, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+        case d: DecimalType =>
+          // big-endian unscaled, sign-extended to the declared width
+          val unscaled = row.getDecimal(i, d.precision, d.scale)
+            .toJavaBigDecimal.unscaledValue()
+          val n = GraftDataWriter.decimalBytes(d.precision)
+          val raw = unscaled.toByteArray
+          val out = new Array[Byte](n)
+          if (unscaled.signum() < 0) java.util.Arrays.fill(out, 0xff.toByte)
+          System.arraycopy(raw, 0, out, n - raw.length, raw.length)
+          g.add(f.name,
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
         case _ => ()
       }
     }
@@ -719,5 +752,17 @@ private[sources] class GraftDataWriter(root: String, txn: String,
   }
   override def abort(): Unit = writers.values.foreach(_.close())
   override def close(): Unit = ()
+}
+
+private[sources] object GraftDataWriter {
+  /** Minimal byte width whose signed big-endian range covers `precision`
+    * decimal digits (Spark's ParquetWriteSupport table, computed). */
+  def decimalBytes(precision: Int): Int = {
+    var n = 1
+    while (java.math.BigInteger.TEN.pow(precision)
+      .subtract(java.math.BigInteger.ONE)
+      .bitLength() + 1 > 8 * n) n += 1
+    n
+  }
 }
 

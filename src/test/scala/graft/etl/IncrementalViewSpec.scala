@@ -1,0 +1,162 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSuite
+
+/** Incrementally-maintained aggregate views ([[IncrementalView]]): every
+  * refresh must land the view EXACTLY on the full recompute, with cost
+  * bounded by the change volume (touched partitions only) and
+  * exactly-once version accounting riding the commit. */
+class IncrementalViewSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("v", DoubleType),
+    StructField("p", StringType)))
+
+  private def df(rows: (Long, Double, String)*) = {
+    val rdd = spark.sparkContext.parallelize(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)))
+    spark.createDataFrame(rdd, schema)
+  }
+
+  private val sums = Seq(
+    "v_sum" -> "CAST(v AS DECIMAL(18,2))",
+    "id_sum" -> "id")
+
+  private def recompute(src: String): Set[(String, java.math.BigDecimal, Long, Long)] =
+    IncrementalView.aggregate(
+      MergeInto.readMerged(spark, src, schema), Seq("p"), sums)
+      .select(col("p"), col("v_sum"), col("id_sum"), col(IncrementalView.RowsCol))
+      .as[(String, java.math.BigDecimal, Long, Long)].collect().toSet
+
+  private def viewRows(mv: String): Set[(String, java.math.BigDecimal, Long, Long)] =
+    IncrementalView.read(spark, mv)
+      .select(col("p"), col("v_sum"), col("id_sum"), col(IncrementalView.RowsCol))
+      .as[(String, java.math.BigDecimal, Long, Long)].collect().toSet
+
+  test("refresh lands exactly on the full recompute across insert/rewrite/delete") {
+    val src = Files.createTempDirectory("mv-src").toString
+    val mv = Files.createTempDirectory("mv-view").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L, 1.5, "a"), (2L, 2.5, "a"), (5L, 5.0, "b")), "p",
+      retain = 100)                                                  // v1
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"))
+    assert(viewRows(mv) === recompute(src))
+
+    AtomicTable.appendPartitions(spark, src,
+      df((3L, 3.0, "a"), (7L, 7.0, "c")), "p", retain = 100)         // v2
+    MergeInto.upsert(spark, src, schema,
+      df((2L, 20.0, "a")), Seq("id"), "p", retain = 100)             // v3
+    MergeInto.deleteKeys(spark, src, schema,
+      Seq((5L, "b")).toDF("id", "p"), Seq("id"), "p", retain = 100)  // v4
+
+    val (m, from, to) = IncrementalView.refresh(spark, mv)
+    assert(from === 2L && to === 4L)
+    assert(viewRows(mv) === recompute(src))
+    assert(viewRows(mv).map(_._1) === Set("a", "c"),
+      "partition b's last group must leave the view")
+    assert(!m.partitions.contains("b"),
+      "the emptied group's view partition drops in the same commit")
+    assert(m.properties(IncrementalView.SourceVersionProperty) === "4")
+
+    // already current: no commit, from == to + 1
+    val (m2, f2, t2) = IncrementalView.refresh(spark, mv)
+    assert(m2.version === m.version && f2 === t2 + 1)
+  }
+
+  test("refresh rewrites only the partitions the delta touches") {
+    val src = Files.createTempDirectory("mv-src2").toString
+    val mv = Files.createTempDirectory("mv-view2").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "c")), "p", retain = 100)
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"))
+    val before = AtomicTable.manifest(Paths.get(mv)).get
+    AtomicTable.appendPartitions(spark, src,
+      df((10L, 10.0, "b")), "p", retain = 100)
+    IncrementalView.refresh(spark, mv)
+    val after = AtomicTable.manifest(Paths.get(mv)).get
+    assert(after.partitions("a") === before.partitions("a") &&
+      after.partitions("c") === before.partitions("c"),
+      "untouched view partitions must carry by reference (same data dirs)")
+    assert(after.partitions("b") !== before.partitions("b"))
+    assert(viewRows(mv) === recompute(src))
+  }
+
+  test("maintenance-only source commits advance the version with a properties-only commit") {
+    val src = Files.createTempDirectory("mv-src3").toString
+    val mv = Files.createTempDirectory("mv-view3").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L, 1.0, "a")), "p", retain = 100)
+    AtomicTable.appendPartitions(spark, src,
+      df((2L, 2.0, "a")), "p", retain = 100)
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"))
+    val before = AtomicTable.manifest(Paths.get(mv)).get
+    // v3: compaction — rewrites partition a with identical rows
+    AtomicTable.compactFragmented(spark, src, schema, "p",
+      minFiles = 2, retain = 100)
+    val (m, from, to) = IncrementalView.refresh(spark, mv)
+    assert(from === 3L && to === 3L)
+    assert(m.version === before.version + 1)
+    assert(m.partitions === before.partitions,
+      "a no-change delta must not restage any view partition")
+    assert(m.properties(IncrementalView.SourceVersionProperty) === "3")
+    assert(viewRows(mv) === recompute(src))
+  }
+
+  test("a sum returns to NULL when deletes remove every non-null contributor") {
+    val nullable = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", DoubleType, nullable = true),
+      StructField("p", StringType)))
+    def ndf(rows: (Long, java.lang.Double, String)*) = {
+      val rdd = spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3)))
+      spark.createDataFrame(rdd, nullable)
+    }
+    val src = Files.createTempDirectory("mv-src4").toString
+    val mv = Files.createTempDirectory("mv-view4").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      ndf((1L, 1.5, "a"), (2L, null, "a")), "p", retain = 100)
+    IncrementalView.create(spark, src, nullable, mv,
+      Seq("p"), Seq("v_sum" -> "CAST(v AS DECIMAL(18,2))"), "p",
+      keyCols = Seq("id"))
+    // delete the only non-null contributor; the null row remains
+    MergeInto.deleteKeys(spark, src, nullable,
+      Seq((1L, "a")).toDF("id", "p"), Seq("id"), "p", retain = 100)
+    IncrementalView.refresh(spark, mv)
+    val rows = IncrementalView.read(spark, mv)
+      .select("p", "v_sum", IncrementalView.RowsCol).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getString(0) === "a" && rows(0).isNullAt(1) &&
+      rows(0).getLong(2) === 1L,
+      "SUM over zero non-null contributors is NULL, and the group stays " +
+        "alive while null rows remain")
+  }
+
+  test("refresh applies updates by key (pre/post images cancel exactly)") {
+    val src = Files.createTempDirectory("mv-src5").toString
+    val mv = Files.createTempDirectory("mv-view5").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L, 10.0, "a"), (2L, 20.0, "a")), "p", retain = 100)
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"))
+    // reprice id=2: the feed emits update_preimage(-20) + postimage(+21)
+    MergeInto.upsert(spark, src, schema,
+      df((2L, 21.0, "a")), Seq("id"), "p", retain = 100)
+    IncrementalView.refresh(spark, mv)
+    assert(viewRows(mv) === recompute(src))
+    val r = viewRows(mv).head
+    assert(r._2.compareTo(new java.math.BigDecimal("31.00")) === 0 &&
+      r._4 === 2L)
+  }
+}
