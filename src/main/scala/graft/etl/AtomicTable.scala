@@ -109,7 +109,16 @@ object AtomicTable {
     * carried-forward dir keeps its file stats verbatim. Files without an
     * entry are never pruned. The row-level GROUP-replace scan must NOT
     * skip files (a scanned group is rewritten from scan output — see
-    * GraftRowLevelScan), only plain reads do. */
+    * GraftRowLevelScan), only plain reads do.
+    * sorted: optional dir -> comma-joined columns EVERY file of that dir
+    * is internally sorted by (ascending, nulls first) — recorded by the
+    * writes that actually sort (write_order INSERTs, clustered
+    * compaction), Iceberg's per-data-file sort-order-id. The scan
+    * reports the common prefix across planned dirs as its V2 output
+    * ordering, which is what lets a storage-partitioned join over
+    * clustered tables skip its sorts as well as its exchanges. Dirs
+    * without an entry claim nothing (safe: a missing marker only costs
+    * a sort). */
   final case class Manifest(version: Long, partitions: Map[String, Seq[String]],
       properties: Map[String, String] = Map.empty,
       stats: Map[String, PartStats] = Map.empty,
@@ -117,7 +126,8 @@ object AtomicTable {
       tsMs: Long = 0L, operation: String = "write",
       files: Map[String, Seq[String]] = Map.empty,
       bytes: Map[String, Long] = Map.empty,
-      fileStats: Map[String, Map[String, PartStats]] = Map.empty) {
+      fileStats: Map[String, Map[String, PartStats]] = Map.empty,
+      sorted: Map[String, String] = Map.empty) {
     /** Every data dir the manifest references, in stable order. */
     def allDirs: Seq[String] = partitions.values.flatten.toSeq.sorted
   }
@@ -211,11 +221,13 @@ object AtomicTable {
       e.getKey -> e.getValue.fields().asScala
         .map(f => f.getKey -> partStatsOf(f.getValue)).toMap
     }.toMap).getOrElse(Map.empty[String, Map[String, PartStats]])
+    val sorted = Option(n.get("sorted")).map(strMap)
+      .getOrElse(Map.empty[String, String])
     Manifest(n.get("version").asLong,
       strListMap(n.get("partitions")), props, stats, deletes,
       Option(n.get("tsMs")).map(_.asLong).getOrElse(0L),
       Option(n.get("operation")).map(_.asText).getOrElse("write"),
-      files, bytes, fileStats)
+      files, bytes, fileStats, sorted)
   }
 
   private def renderManifest(m: Manifest): String = {
@@ -258,6 +270,10 @@ object AtomicTable {
     if (m.bytes.nonEmpty) {
       val by = node.putObject("bytes")
       m.bytes.toSeq.sortBy(_._1).foreach { case (dir, n) => by.put(dir, n) }
+    }
+    if (m.sorted.nonEmpty) {
+      val so = node.putObject("sorted")
+      m.sorted.toSeq.sortBy(_._1).foreach { case (dir, o) => so.put(dir, o) }
     }
     if (m.fileStats.nonEmpty) {
       val fs = node.putObject("fileStats")
@@ -684,7 +700,8 @@ object AtomicTable {
       dropPartitions = cur.partitions.keySet -- target.partitions.keySet,
       expectedVersion = Some(cur.version), retain = retain,
       newDeletes = target.deletes, operation = s"restore(v$version)",
-      newFiles = target.files, newFileStats = target.fileStats)
+      newFiles = target.files, newFileStats = target.fileStats,
+      newSorted = target.sorted)
   }
 
   /** CLONE TABLE: materialize a retained snapshot of `src` as a brand-new
@@ -732,7 +749,7 @@ object AtomicTable {
         ("graft.clone.of" -> s"${src.toAbsolutePath}@v${m.version}"),
       newDeletes = m.deletes, retain = retain,
       operation = s"clone(v${m.version})", newFiles = m.files,
-      newFileStats = m.fileStats)
+      newFileStats = m.fileStats, newSorted = m.sorted)
   }
 
   /** One scan per txn dir over the manifest's data dirs (basePath
@@ -887,7 +904,8 @@ object AtomicTable {
       statsSchema: Option[StructType] = None,
       newFiles: Map[String, Seq[String]] = Map.empty,
       newFileStats: Map[String, Map[String, PartStats]] = Map.empty,
-      overrideStats: Map[String, PartStats] = Map.empty): Manifest =
+      overrideStats: Map[String, PartStats] = Map.empty,
+      newSorted: Map[String, String] = Map.empty): Manifest =
     commitLock(root).synchronized {
       var hookRan = false
       var committed: Manifest = null
@@ -961,6 +979,10 @@ object AtomicTable {
         // file-level zone maps follow their dirs exactly like `files`
         val nextFileStats = (prev.map(_.fileStats).getOrElse(Map.empty)
           .filter { case (d, _) => liveDirs(d) }) ++ newFileStats
+        // per-dir sort markers follow their dirs too (dirs immutable)
+        val nextSorted = (prev.map(_.sorted).getOrElse(Map.empty)
+          .filter { case (d, _) => liveDirs(d) }) ++
+          newSorted.filter { case (d, _) => liveDirs(d) }
         // per-dir byte totals, stat'd ONCE here for dirs this commit
         // introduces (bounded by the commit's change volume, and dirs
         // are immutable after commit) — what lets a reader's
@@ -976,7 +998,7 @@ object AtomicTable {
           nextStats,
           delBase ++ newDeletes.map { case (p, ds) =>
             p -> (delBase.getOrElse(p, Nil) ++ ds) },
-          ts, operation, nextFiles, nextBytes, nextFileStats)
+          ts, operation, nextFiles, nextBytes, nextFileStats, nextSorted)
         if (!hookRan) { beforeCommit(); hookRan = true }
         // the commit point: atomically claim the version slot; a lost
         // claim means another PROCESS committed meanwhile (threads are
@@ -1084,6 +1106,12 @@ object AtomicTable {
     }
   }
 
+  /** `sortedBy`: the caller asserts every staged FILE's rows are sorted
+    * by these columns (ascending, nulls first) — recorded per dir so the
+    * DSv2 scan can report output ordering. Only pass it when the input
+    * really is per-task sorted with the partition columns leading (the
+    * staged partitionBy write then keeps the arrival order: its required
+    * ordering is already satisfied, so no re-sort is inserted). */
   def replacePartitions(spark: SparkSession, table: String, rows: DataFrame,
       partitionCol: String, beforeCommit: () => Unit = () => (),
       properties: Map[String, String] = Map.empty, retain: Int = 1,
@@ -1091,7 +1119,8 @@ object AtomicTable {
       dropPartitions: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None,
       operation: String = "write",
-      append: Boolean = false): Manifest = {
+      append: Boolean = false,
+      sortedBy: Seq[String] = Nil): Manifest = {
     val pcols = partCols(partitionCol)
     require(pcols.nonEmpty, "replacePartitions needs a partition column")
     pcols.foreach(c => require(!statsColumns.contains(c),
@@ -1208,7 +1237,10 @@ object AtomicTable {
     commitManifest(root, written, newStats, properties, dropPartitions,
       expectedVersion, retain, beforeCommit, operation = operation,
       append = append, statsSchema = if (append) Some(rows.schema) else None,
-      newFileStats = newFileStats)
+      newFileStats = newFileStats,
+      newSorted =
+        if (sortedBy.isEmpty) Map.empty
+        else written.values.flatten.map(_ -> sortedBy.mkString(",")).toMap)
   }
 
   /** Fold two FILES' stats into their partition's: rows add, bounds
@@ -1305,7 +1337,15 @@ object AtomicTable {
   private def packForWrite(current: DataFrame, pcolExprs: Seq[org.apache.spark.sql.Column],
       schema: StructType, filesPerPartition: Int, clusterBy: Seq[String],
       nPartitions: Int): DataFrame =
-    if (clusterBy.nonEmpty) {
+    if (clusterBy.nonEmpty && filesPerPartition <= 1) {
+      // one task per partition VALUE (hash, not range: a range boundary
+      // need not align with partition boundaries, and a partition split
+      // across two range tasks would land two files where the caller
+      // asked for one) with the in-task sort that makes the single file
+      // cluster-sorted — the layout the scan's ordering report needs
+      val exprs = pcolExprs ++ clusterBy.map(col)
+      current.repartition(pcolExprs: _*).sortWithinPartitions(exprs: _*)
+    } else if (clusterBy.nonEmpty) {
       val exprs = pcolExprs ++ clusterBy.map(col)
       val n = math.max(1, nPartitions * math.max(filesPerPartition, 1))
       current.repartitionByRange(n, exprs: _*).sortWithinPartitions(exprs: _*)
@@ -1367,7 +1407,16 @@ object AtomicTable {
     replacePartitions(spark, table, rows, partitionCol,
       statsColumns = statsColumns, dropPartitions = fragmented,
       expectedVersion = Some(m.version), operation = "compact",
-      retain = retain)
+      retain = retain,
+      // the clustered rewrite range-sorts (partition cols, clusterBy)
+      // within tasks, so each staged file is internally clusterBy-sorted
+      // — but only identity levels keep that order through the staged
+      // partitionBy write (a synthetic level is re-derived as a new
+      // column there, whose required sort is not satisfied by the
+      // source-column order, and the inserted sort is not stable)
+      sortedBy =
+        if (partCols(partitionCol).forall(rows.columns.contains)) clusterBy
+        else Nil)
   }
 
   /** PARTITION-SPEC EVOLUTION: rewrite the table's current contents

@@ -1,0 +1,118 @@
+package graft.queries
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Stable.sqlDsum
+
+/** Layout-driven plan-shape queries: the manifest's per-dir sort
+  * markers (write_order / clustered compaction) let the DSv2 scan
+  * report output ordering, so a storage-partitioned join over two
+  * clustered tables plans with neither exchanges nor sorts. The staged
+  * setup RUNS that join once under the SPJ confs and hard-fails unless
+  * the merge join's subtree is exchange-free AND sort-free — the plan
+  * pin executes inside the oracled query, not just in a spec — while
+  * the returned frame is the ordinary lazy aggregate the DuckDB oracle
+  * value-checks. */
+object LayoutQueries {
+
+  private val staged = new ConcurrentHashMap[String, String]()
+
+  /** Two month-partitioned, o_orderkey-clustered order tables (distinct
+    * key subsets), compacted to one sorted file per partition; the
+    * equi-join on (month, key) is pinned zero-exchange + zero-sort,
+    * then value-oracled per month. */
+  private[queries] def graftSortedJoin(s: SparkSession, dir: String): DataFrame = {
+    val cat = staged.computeIfAbsent(dir, { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-sj").toString
+      val cat = "gj" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView(s"orders_sjsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.sj1 " +
+        "(o_ym STRING, o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (o_ym) " +
+        "TBLPROPERTIES ('cluster_by'='o_orderkey', 'retain'='5')")
+      s.sql(s"CREATE TABLE $cat.wh.sj2 " +
+        "(o_ym STRING, o_orderkey BIGINT, o_custkey BIGINT) " +
+        "PARTITIONED BY (o_ym) " +
+        "TBLPROPERTIES ('cluster_by'='o_orderkey', 'retain'='5')")
+      // two interleaved INSERTs each -> fragmented, unmarked dirs
+      s.sql(s"INSERT INTO $cat.wh.sj1 SELECT o_ym, o_orderkey, " +
+        s"o_totalprice FROM orders_sjsrc_$cat WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.wh.sj1 SELECT o_ym, o_orderkey, " +
+        s"o_totalprice FROM orders_sjsrc_$cat WHERE o_orderkey % 2 = 1")
+      s.sql(s"INSERT INTO $cat.wh.sj2 SELECT o_ym, o_orderkey, o_custkey " +
+        s"FROM orders_sjsrc_$cat WHERE o_orderkey % 3 = 0 AND " +
+        "o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $cat.wh.sj2 SELECT o_ym, o_orderkey, o_custkey " +
+        s"FROM orders_sjsrc_$cat WHERE o_orderkey % 3 = 0 AND " +
+        "o_orderkey % 2 = 1")
+      // clustered compaction of the WHOLE table (min_files=1 — the
+      // OPTIMIZE analog): one o_orderkey-sorted file per month, every
+      // dir marked sorted-by in the manifest. A sparse month whose
+      // second INSERT matched nothing would otherwise stay unmarked,
+      // and one unmarked dir honestly collapses the whole claim.
+      s.sql(s"CALL $cat.system.compact('wh.sj1', 1)")
+      s.sql(s"CALL $cat.system.compact('wh.sj2', 1)")
+      // THE PIN: under the SPJ confs the join must plan a merge join
+      // whose subtree has no exchange and no sort — scans straight in
+      val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled",
+        "spark.sql.requireAllClusterKeysForCoPartition")
+      val prev = keys.map(k => k -> s.conf.getOption(k))
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      try {
+        val j = s.sql(s"SELECT t1.o_ym, t1.o_orderkey FROM $cat.wh.sj1 t1 " +
+          s"JOIN $cat.wh.sj2 t2 ON t1.o_ym = t2.o_ym AND " +
+          "t1.o_orderkey = t2.o_orderkey")
+        j.collect()
+        val smj = j.queryExecution.executedPlan.collect {
+          case m: org.apache.spark.sql.execution.joins.SortMergeJoinExec => m
+        }
+        require(smj.nonEmpty,
+          "the clustered SPJ must plan a sort-merge join:\n" +
+            j.queryExecution.executedPlan)
+        require(!smj.head.toString.contains("Exchange") &&
+          smj.head.collect {
+            case so: org.apache.spark.sql.execution.SortExec => so
+          }.isEmpty,
+          "sorted single-file groups must join with zero exchanges and " +
+            "zero sorts:\n" + j.queryExecution.executedPlan)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+      cat
+    })
+    s.sql(s"""SELECT t1.o_ym, count(*) AS n_rows,
+      CAST(SUM(t2.o_custkey) AS BIGINT) AS sum_ckey,
+      CAST(SUM(CAST(t1.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM $cat.wh.sj1 t1 JOIN $cat.wh.sj2 t2
+        ON t1.o_ym = t2.o_ym AND t1.o_orderkey = t2.o_orderkey
+      GROUP BY t1.o_ym ORDER BY t1.o_ym""")
+  }
+
+  private[queries] val graftSortedJoinSql =
+    s"""WITH src AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS o_ym, o_orderkey,
+       |         o_custkey, o_totalprice
+       |  FROM orders),
+       |t2 AS (SELECT * FROM src WHERE o_orderkey % 3 = 0)
+       |SELECT t1.o_ym, count(*) AS n_rows,
+       |  CAST(sum(t2.o_custkey) AS BIGINT) AS sum_ckey,
+       |  ${sqlDsum("t1.o_totalprice", 2)} AS revenue
+       |FROM src t1 JOIN t2
+       |  ON t1.o_ym = t2.o_ym AND t1.o_orderkey = t2.o_orderkey
+       |GROUP BY t1.o_ym ORDER BY t1.o_ym""".stripMargin
+}

@@ -995,8 +995,49 @@ private[sources] class GraftScan(root: String, full: StructType,
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
+
+  /** V2 output ordering: every input split is ONE data file, and the
+    * manifest records per dir which columns that dir's files are
+    * internally sorted by (write_order INSERTs, clustered compaction) —
+    * so the scan can claim the common marker prefix across ALL live
+    * dirs, restricted to projected columns. Spark itself only honors
+    * the claim while each key group holds at most one split
+    * (DataSourceV2ScanExecBase), so multi-file partitions degrade to a
+    * sort, never to wrong results. The payoff: a storage-partitioned
+    * join over two write_order tables plans with NEITHER exchanges NOR
+    * sorts — scan straight into the merge join. A dir with no marker
+    * claims nothing (pre-sort commits, unordered writers): ordering is
+    * an optimization, absence only costs the sort back. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (changeFeed || startingVersion.isDefined) return Array.empty
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    GraftSource.manifestFor(root, pinned).filter(_.partitions.nonEmpty)
+      .map { m =>
+        val perDir = m.partitions.values.flatten.toSeq
+          .map(d => m.sorted.get(d).map(_.split(",").toSeq).getOrElse(Nil))
+        val common =
+          if (perDir.isEmpty) Nil
+          else perDir.reduce { (a, b) =>
+            a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1)
+          }
+        // identity partition columns are CONSTANT within a split (one
+        // file of one partition), so they lead the claim for free —
+        // what lets a join on (partition col, order col) skip its sorts
+        val constant = GraftSource.partitionColsOf(m)
+          .filterNot(GraftSource.syntheticLevel(full, _))
+          .filter(required.fieldNames.contains)
+        (constant ++
+          common.takeWhile(required.fieldNames.contains)
+            .filterNot(constant.contains))
+          .map(c =>
+            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING))
+          .toArray
+      }.getOrElse(Array.empty)
+  }
 
   // ---- dynamic partition pruning (runtime filtering) ----------------
   // Spark hands the scan the JOIN-side key values at execution time
@@ -1007,31 +1048,69 @@ private[sources] class GraftScan(root: String, full: StructType,
   // re-invokes after filter() fires.
   @volatile private var runtimeKeep: Option[Map[Int, Set[String]]] = None
 
+  /** Runtime ZONE-MAP skipping on non-partition columns: the join-side
+    * key values (the same DPP subquery result) are tested against the
+    * manifest's partition- and FILE-level [min, max] bounds, so a
+    * broadcast of one day's keys prunes an unclustered fact down to the
+    * files whose ranges could hold them — the second pruning
+    * granularity DPP alone cannot reach. column -> admitted values,
+    * rendered in the zone-map string encoding. */
+  @volatile private var runtimeStatKeep: Option[Map[String, Set[String]]] = None
+
+  /** Non-partition columns whose bounds SOME live partition tracks, in
+    * types whose internal-literal rendering matches the zone-map string
+    * encoding (timestamps don't: their internal form is epoch micros —
+    * offering them would intersect empty and over-prune). */
+  private def statColumns(m: AtomicTable.Manifest): Seq[String] = {
+    val tracked = (m.stats.valuesIterator.flatMap(_.mins.keysIterator) ++
+      m.fileStats.valuesIterator.flatMap(
+        _.valuesIterator.flatMap(_.mins.keysIterator))).toSet
+    val levelSources = GraftSource.partitionColsOf(m)
+      .map(GraftSource.levelSource(full, _)).toSet
+    required.fieldNames.toSeq
+      .filter(tracked)
+      .filterNot(levelSources)
+      .filter(c => full.fields.find(_.name == c).map(_.dataType).exists {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => false
+        case _ => true
+      })
+  }
+
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (changeFeed || startingVersion.isDefined) Array.empty
     else GraftSource.manifestFor(root, pinned)
       .filter(_.partitions.nonEmpty).toSeq
-      .flatMap(GraftSource.partitionColsOf)
-      // a bucket/transform level offers its SOURCE column: a DPP dim
-      // filter on the key then prunes the fact to the matching segments
-      .map(GraftSource.levelSource(full, _))
-      // Spark resolves these against the scan OUTPUT — a partition
-      // column pruned from the projection must not be offered
-      .filter(required.fieldNames.contains)
+      .flatMap { m =>
+        GraftSource.partitionColsOf(m)
+          // a bucket/transform level offers its SOURCE column: a DPP dim
+          // filter on the key then prunes the fact to the matching segments
+          .map(GraftSource.levelSource(full, _))
+          // Spark resolves these against the scan OUTPUT — a partition
+          // column pruned from the projection must not be offered
+          .filter(required.fieldNames.contains) ++
+          // zone-mapped data columns: runtime values skip by bounds
+          statColumns(m)
+      }.distinct
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    val pcols = GraftSource.manifestFor(root, pinned)
-      .filter(_.partitions.nonEmpty)
-      .map(GraftSource.partitionColsOf).getOrElse(return)
+    val m = GraftSource.manifestFor(root, pinned)
+      .filter(_.partitions.nonEmpty).getOrElse(return)
+    val pcols = GraftSource.partitionColsOf(m)
     val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
     for (p <- predicates; (c, i) <- pcols.zipWithIndex)
       GraftSource.runtimeKeepContribution(full, c, p).foreach(vs =>
         acc(i) = acc.get(i).fold(vs)(_ intersect vs))
     if (acc.nonEmpty) runtimeKeep = Some(acc.toMap)
+    val statAcc = scala.collection.mutable.Map.empty[String, Set[String]]
+    for (p <- predicates; c <- statColumns(m))
+      GraftV2Predicates.valuesFor(p, c).foreach(vs =>
+        statAcc(c) = statAcc.get(c).fold(vs)(_ intersect vs))
+    if (statAcc.nonEmpty) runtimeStatKeep = Some(statAcc.toMap)
   }
 
   /** Post-pushdown statistics from metadata alone: bytes are the sum of
@@ -1245,7 +1324,7 @@ private[sources] class GraftScan(root: String, full: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = truncate(
-    runtimeKeep match {
+    applyRuntimeStats(runtimeKeep match {
       case Some(byLevel) => planned.filter {
         case p: GraftInputPartition =>
           val segs = p.partValues
@@ -1253,7 +1332,52 @@ private[sources] class GraftScan(root: String, full: StructType,
         case _ => true
       }
       case None => planned
-    })
+    }))
+
+  /** Runtime zone-map skipping: drop partitions whose bounds refute
+    * every runtime value on every constrained column, and (plain reads
+    * only — the group-replace contract forbids it) empty the splits of
+    * refuted FILES, keeping their key visible to key-grouped planning.
+    * Missing bounds, unknown types, and unparseable values all ADMIT —
+    * pruning can only skip storage the values cannot touch. */
+  private def applyRuntimeStats(parts: Array[InputPartition])
+      : Array[InputPartition] = runtimeStatKeep match {
+    case None => parts
+    case Some(byCol) =>
+      val m = GraftSource.manifestFor(root, pinned).getOrElse(return parts)
+      def admits(mins: Map[String, String], maxs: Map[String, String]): Boolean =
+        byCol.forall { case (c, vs) =>
+          (mins.get(c), maxs.get(c),
+            full.fields.find(_.name == c).map(_.dataType)) match {
+            case (Some(lo), Some(hi), Some(dt)) =>
+              vs.exists(v => scala.util.Try(
+                AtomicTable.statsOrder(dt, lo, v) <= 0 &&
+                  AtomicTable.statsOrder(dt, v, hi) <= 0).getOrElse(true))
+            case _ => true
+          }
+        }
+      parts.flatMap {
+        case p: GraftInputPartition =>
+          val pAdmits = m.stats.get(p.partValue)
+            .forall(st => admits(st.mins, st.maxs))
+          if (!pAdmits) None
+          else if (!skipFilesByStats || p.dataFiles.isEmpty) Some(p)
+          else {
+            val f = p.dataFiles.head
+            val cut = f.lastIndexOf('/')
+            val parent = f.substring(0, math.max(cut, 0))
+            val fAdmits = m.partitions.getOrElse(p.partValue, Nil)
+              .find(d => parent.endsWith("/" + d))
+              .flatMap(d => m.fileStats
+                .getOrElse(d, Map.empty[String, AtomicTable.PartStats])
+                .get(f.substring(cut + 1)))
+              .forall(st => admits(st.mins, st.maxs))
+            if (fAdmits) Some(p)
+            else Some(p.copy(dataFiles = Nil): InputPartition)
+          }
+        case other => Some(other)
+      }
+  }
 
   /** Exact row count of each PLANNED data file, recorded while planning
     * — only for files in DV-free partitions carrying file-level stats

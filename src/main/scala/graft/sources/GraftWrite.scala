@@ -165,7 +165,8 @@ private[sources] class GraftWriteBuilder(root: String,
         val pc = resolvePartitionCol()
         new GraftBatchWrite(root, info.schema(), pc,
           overwritePreds, resolveRetain(), resolveStats(pc),
-          dynamicOverwrite)
+          dynamicOverwrite,
+          sortedBy = declaredOrder.filter(info.schema().fieldNames.contains))
       }
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -345,8 +346,17 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
     overwrite: Option[Array[org.apache.spark.sql.connector.expressions.filter.Predicate]],
     retain: Int = 1,
     statsColumns: Seq[String] = Nil,
-    dynamicOverwrite: Boolean = false)
+    dynamicOverwrite: Boolean = false,
+    sortedBy: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  /** Per-dir sort markers: a write_order INSERT range-sorts every task
+    * on (partition levels, order cols), so each staged file is sorted
+    * by the order columns — recorded so the scan can report ordering. */
+  private def sortMarkers(staged: GraftWriteCommit.Staged): Map[String, String] =
+    if (sortedBy.isEmpty) Map.empty
+    else staged.written.values.flatten
+      .map(_ -> sortedBy.mkString(",")).toMap
 
   private val txn = s"txn-${java.util.UUID.randomUUID().toString.take(12)}"
   private val readVersion =
@@ -380,16 +390,16 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
         AtomicTable.commitManifest(rootPath, staged.written,
           newStats = newStats, dropPartitions = drop, retain = retain,
           expectedVersion = Some(readVersion), newFiles = staged.files,
-          newFileStats = fStats)
+          newFileStats = fStats, newSorted = sortMarkers(staged))
       case None if dynamicOverwrite =>
         AtomicTable.commitManifest(rootPath, staged.written,
           newStats = newStats, retain = retain, newFiles = staged.files,
-          newFileStats = fStats)
+          newFileStats = fStats, newSorted = sortMarkers(staged))
       case None =>
         try AtomicTable.commitManifest(rootPath, staged.written,
           newStats = newStats, retain = retain, newFiles = staged.files,
           newFileStats = fStats, append = true, statsSchema = Some(schema),
-          operation = "append")
+          operation = "append", newSorted = sortMarkers(staged))
         catch {
           case _: IllegalStateException =>
             // a touched partition has outstanding delete vectors: fold
@@ -402,7 +412,7 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
             AtomicTable.commitManifest(rootPath, staged.written,
               newStats = newStats, retain = retain, newFiles = staged.files,
               newFileStats = fStats, append = true, statsSchema = Some(schema),
-              operation = "append")
+              operation = "append", newSorted = sortMarkers(staged))
         }
     }
     ()
