@@ -128,8 +128,12 @@ object IncrementalView {
 
   /** Fold every source commit since the last refresh into the view.
     * Returns (committed manifest, fromVersion, toVersion) — from ==
-    * to + 1 encodes "already current, nothing committed". */
-  def refresh(spark: SparkSession, mv: String)
+    * to + 1 encodes "already current, nothing committed". `beforeCommit`
+    * runs after the delta is derived but before the manifest swap —
+    * throwing there simulates a crash at the worst moment and must
+    * leave the view (and its applied version) unchanged. */
+  def refresh(spark: SparkSession, mv: String,
+      beforeCommit: () => Unit = () => ())
       : (AtomicTable.Manifest, Long, Long) = {
     val root = Paths.get(mv)
     val m = AtomicTable.manifest(root).get
@@ -159,7 +163,7 @@ object IncrementalView {
       val next = AtomicTable.commitManifest(root, Map.empty,
         properties = Map(SourceVersionProperty -> srcHead.toString),
         expectedVersion = Some(m.version), retain = d.retain,
-        operation = "mv")
+        beforeCommit = beforeCommit, operation = "mv")
       return (next, last + 1L, srcHead)
     }
 
@@ -182,17 +186,20 @@ object IncrementalView {
       }: _*)
     // a negative group count means the feed and the view disagree
     // (e.g. the view was edited out-of-band) — fail loudly rather than
-    // materialize a wrong summary; bounded: combined is delta-sized
-    val bad = combined.filter(col(RowsCol) < 0L).limit(1).collect()
-    require(bad.isEmpty,
-      s"inconsistent refresh of $mv: group ${bad.headOption} reached a " +
-        "negative row count — view and changefeed disagree")
-    val survivors = combined.filter(col(RowsCol) > 0L)
+    // materialize a wrong summary. The guard rides the survivor filter
+    // itself (raise_error fires only on a negative row), so the
+    // delta pipeline runs ONCE, not once for a probe and once to write
+    val survivors = combined.filter(
+      when(col(RowsCol) < 0L, expr(
+        s"raise_error(concat('inconsistent refresh of $mv: a group " +
+          "reached a negative row count — view and changefeed " +
+          "disagree'))")).otherwise(col(RowsCol) > 0L))
     val stillThere = partitionValues(survivors, d.partitionCol)
     val next = AtomicTable.replacePartitions(spark, mv, survivors,
       d.partitionCol, retain = d.retain,
       dropPartitions = affected -- stillThere,
-      expectedVersion = Some(m.version), operation = "mv",
+      expectedVersion = Some(m.version), beforeCommit = beforeCommit,
+      operation = "mv",
       properties = Map(SourceVersionProperty -> srcHead.toString))
     (next, last + 1L, srcHead)
   }

@@ -159,4 +159,68 @@ class IncrementalViewSpec extends SparkSuite {
     assert(r._2.compareTo(new java.math.BigDecimal("31.00")) === 0 &&
       r._4 === 2L)
   }
+
+  test("a refresh crash before the commit changes nothing; the retry lands once") {
+    val src = Files.createTempDirectory("mv-src6").toString
+    val mv = Files.createTempDirectory("mv-view6").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L, 1.0, "a"), (2L, 2.0, "b")), "p", retain = 100)
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"))
+    AtomicTable.appendPartitions(spark, src,
+      df((3L, 3.0, "a")), "p", retain = 100)
+    val before = AtomicTable.manifest(Paths.get(mv)).get
+    intercept[RuntimeException] {
+      IncrementalView.refresh(spark, mv,
+        beforeCommit = () => throw new RuntimeException("torn"))
+    }
+    val after = AtomicTable.manifest(Paths.get(mv)).get
+    assert(after.version === before.version &&
+      after.properties(IncrementalView.SourceVersionProperty) === "1",
+      "a crash before the swap must leave the view and its version intact")
+    // the retry derives the same delta and applies it exactly once
+    val (m, from, to) = IncrementalView.refresh(spark, mv)
+    assert(from === 2L && to === 2L)
+    assert(viewRows(mv) === recompute(src))
+    // and a second retry no-ops
+    val (m2, f2, t2) = IncrementalView.refresh(spark, mv)
+    assert(m2.version === m.version && f2 === t2 + 1)
+  }
+
+  test("multi-level view partitioning: refresh touches one (g1,g2) slice") {
+    val twoCol = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", DoubleType),
+      StructField("g1", StringType),
+      StructField("g2", StringType)))
+    def tdf(rows: (Long, Double, String, String)*) = {
+      val rdd = spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)))
+      spark.createDataFrame(rdd, twoCol)
+    }
+    val src = Files.createTempDirectory("mv-src7").toString
+    val mv = Files.createTempDirectory("mv-view7").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      tdf((1L, 1.0, "x", "m"), (2L, 2.0, "x", "n"), (3L, 3.0, "y", "m")),
+      "g1,g2", retain = 100)
+    IncrementalView.create(spark, src, twoCol, mv,
+      Seq("g1", "g2"), Seq("v_sum" -> "CAST(v AS DECIMAL(18,2))"),
+      "g1,g2", keyCols = Seq("id"))
+    val before = AtomicTable.manifest(Paths.get(mv)).get
+    AtomicTable.appendPartitions(spark, src,
+      tdf((4L, 4.0, "x", "n")), "g1,g2", retain = 100)
+    IncrementalView.refresh(spark, mv)
+    val after = AtomicTable.manifest(Paths.get(mv)).get
+    assert(after.partitions("x/m") === before.partitions("x/m") &&
+      after.partitions("y/m") === before.partitions("y/m"),
+      "only the (x, n) slice may restage")
+    assert(after.partitions("x/n") !== before.partitions("x/n"))
+    val got = IncrementalView.read(spark, mv)
+      .select("g1", "g2", "v_sum", IncrementalView.RowsCol)
+      .as[(String, String, java.math.BigDecimal, Long)].collect()
+      .map(r => (r._1, r._2, r._3.stripTrailingZeros.toPlainString, r._4))
+      .toSet
+    assert(got === Set(("x", "m", "1", 1L), ("x", "n", "6", 2L),
+      ("y", "m", "3", 1L)))
+  }
 }
