@@ -676,6 +676,49 @@ object AtomicTable {
       CommitInfo(v, commitTimeMs(root, v), m.operation, m.partitions.size, rows)
     }.toSeq
 
+  // ------------------------------------------------------------- tags
+
+  /** Property prefix of a snapshot tag: `graft.tag.<name> = <version>`.
+    * An empty value means the tag was removed (manifest properties only
+    * merge forward, they cannot be deleted). */
+  val TagPrefix = "graft.tag."
+
+  /** The versions the current manifest's tags pin against GC. */
+  private[etl] def taggedVersions(m: Manifest): Set[Long] =
+    m.properties.collect {
+      case (k, v) if k.startsWith(TagPrefix) && v.nonEmpty => v.toLong
+    }.toSet
+
+  /** TAG a retained snapshot with a durable name (Iceberg tags): the
+    * tag rides a commit, and from then on GC keeps `version`'s manifest
+    * and every data dir it references until [[untag]] — the
+    * reproducibility primitive a training corpus needs ("the exact
+    * snapshot run X read"). Resolvable as `VERSION AS OF '<name>'`. */
+  def tag(root: Path, name: String, version: Long,
+      retain: Int = 2): Manifest = {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag '$name' must be non-empty and not all digits " +
+        "(it would be ambiguous with a version number)")
+    require(Files.exists(manifestFile(root, version)),
+      s"version $version of $root is not retained — a tag can only pin " +
+        "a still-existing snapshot")
+    commitManifest(root, Map.empty,
+      properties = Map(TagPrefix + name -> version.toString),
+      retain = retain, operation = s"tag($name=v$version)")
+  }
+
+  /** Remove a tag; the pinned version ages out through normal retention
+    * at the NEXT commit's GC. */
+  def untag(root: Path, name: String, retain: Int = 2): Manifest =
+    commitManifest(root, Map.empty,
+      properties = Map(TagPrefix + name -> ""),
+      retain = retain, operation = s"untag($name)")
+
+  /** Resolve a tag name to its pinned version, None when absent. */
+  def tagVersion(root: Path, name: String): Option[Long] =
+    manifest(root).flatMap(_.properties.get(TagPrefix + name))
+      .filter(_.nonEmpty).map(_.toLong)
+
   /** RESTORE TABLE TO VERSION AS OF: commit a NEW version whose
     * partitions, stats, and delete vectors are exactly those of a
     * retained `version` — time travel made durable. History is preserved
@@ -1603,6 +1646,12 @@ object AtomicTable {
     val minKeep = current.version - (retain.max(1) - 1)
     val mDir = root.resolve("_manifests")
     if (!Files.isDirectory(mDir)) return
+    // TAGGED versions are pinned against retention: the tag names a
+    // reproducible snapshot (Iceberg tags — "the corpus run X trained
+    // on"), so its manifest and every dir it references survive until
+    // the tag is removed. Tags live in the CURRENT manifest's
+    // properties, so creating/removing one is itself an atomic commit.
+    val tagged = taggedVersions(current)
     // read the pruned manifests' dir references BEFORE deleting them —
     // they are the only record that those dirs were ever committed
     val (pruned, kept) = {
@@ -1610,7 +1659,7 @@ object AtomicTable {
       try ms.iterator.asScala.toList.flatMap { f =>
         f.getFileName.toString.stripPrefix("v").stripSuffix(".json")
           .toLongOption.map(v => (v, f))
-      }.partition(_._1 < minKeep)
+      }.partition { case (v, _) => v < minKeep && !tagged(v) }
       finally ms.close()
     }
     // tolerant reads: a CONCURRENT process's gc may delete a pruned

@@ -103,6 +103,50 @@ object LayoutQueries {
       GROUP BY t1.o_ym ORDER BY t1.o_ym""")
   }
 
+  /** Snapshot TAGS under churn: seed a retain=1 table (v1), tag it
+    * 'baseline', then overwrite the whole table twice — without the tag
+    * v1's manifest and data would be GC'd by the aggressive retention;
+    * with it, `VERSION AS OF 'baseline'` must still read EXACTLY the
+    * seed. The oracle aggregates the raw seed data, so a reclaimed dir,
+    * a tag resolving to the wrong version, or churn leaking into the
+    * pinned snapshot all shift a month's sum and fail the compare. */
+  private[queries] def graftTagTravel(s: SparkSession, dir: String): DataFrame = {
+    val cat = staged.computeIfAbsent("tag:" + dir, { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-tagq").toString
+      val cat = "gw" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+        .createOrReplaceTempView(s"orders_tagsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.torders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_ym STRING) " +
+        "PARTITIONED BY (o_ym) TBLPROPERTIES ('retain'='1')")
+      s.sql(s"INSERT INTO $cat.wh.torders " +
+        s"SELECT * FROM orders_tagsrc_$cat")                          // v1
+      s.sql(s"CALL $cat.system.tag('wh.torders', 'baseline', 1)")     // v2
+      // churn that rewrites every partition, twice, at retain=1
+      s.sql(s"INSERT OVERWRITE $cat.wh.torders SELECT o_orderkey, " +
+        s"o_totalprice + 5.0, o_ym FROM orders_tagsrc_$cat " +
+        "WHERE o_orderkey % 2 = 0")                                   // v3
+      s.sql(s"INSERT OVERWRITE $cat.wh.torders SELECT o_orderkey, " +
+        s"o_totalprice + 9.0, o_ym FROM orders_tagsrc_$cat " +
+        "WHERE o_orderkey % 5 = 0")                                   // v4
+      cat
+    })
+    s.sql(s"""SELECT o_ym, count(*) AS n_rows,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM $cat.wh.torders VERSION AS OF 'baseline'
+      GROUP BY o_ym ORDER BY o_ym""")
+  }
+
+  private[queries] val graftTagTravelSql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_ym, count(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   private[queries] val graftSortedJoinSql =
     s"""WITH src AS (
        |  SELECT strftime(o_orderdate, '%Y-%m') AS o_ym, o_orderkey,

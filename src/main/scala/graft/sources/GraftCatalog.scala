@@ -154,9 +154,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private val DetailName = "(.+)\\$detail".r
   private val FilesName = "(.+)\\$files".r
 
-  /** `VERSION AS OF <v>` — Spark hands the SQL literal through verbatim. */
-  override def loadTable(ident: Identifier, version: String): Table =
-    loadPinned(ident, Some(version.trim.toLong))
+  /** `VERSION AS OF <v>` — Spark hands the SQL literal through
+    * verbatim. A non-numeric literal resolves as a snapshot TAG
+    * (`CALL system.tag(...)` — `VERSION AS OF 'prod'` reads the pinned
+    * version, which GC keeps alive for as long as the tag exists). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = version.trim
+    v.toLongOption match {
+      case Some(n) => loadPinned(ident, Some(n))
+      case None =>
+        val dir = tableDir(ident)
+        if (!isTable(dir)) throw new NoSuchTableException(ident)
+        val tagged = AtomicTable.tagVersion(dir, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"table $ident has no tag '$v' — CALL system.tag to create one"))
+        loadPinned(ident, Some(tagged))
+    }
+  }
 
   /** `TIMESTAMP AS OF <ts>` — Spark resolves the literal to epoch MICROS;
     * the commit clock is millis. */
@@ -528,15 +542,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "analyze") => GraftMaintenanceProcedures.analyze(this)
       case (Seq("system"), "create_mv") => GraftMvProcedures.createMv(this)
       case (Seq("system"), "refresh_mv") => GraftMvProcedures.refreshMv(this)
+      case (Seq("system"), "tag") => GraftMaintenanceProcedures.tag(this)
+      case (Seq("system"), "untag") => GraftMaintenanceProcedures.untag(this)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — graft provides system.{table_changes," +
-          "compact,vacuum,rollback,clone,analyze,create_mv,refresh_mv}")
+          "compact,vacuum,rollback,clone,analyze,create_mv,refresh_mv," +
+          "tag,untag}")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("table_changes", "compact", "vacuum", "rollback", "clone",
-        "analyze", "create_mv", "refresh_mv")
+        "analyze", "create_mv", "refresh_mv", "tag", "untag")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

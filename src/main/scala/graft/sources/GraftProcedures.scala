@@ -227,6 +227,52 @@ private[sources] object GraftMaintenanceProcedures {
         m.fileStats.valuesIterator.map(_.size.toLong).sum)
     })
 
+  /** `tag('db.t', 'name', version)` — pin a retained snapshot under a
+    * durable name (Iceberg tags): GC keeps the tagged version's
+    * manifest and data alive until `untag`, and `VERSION AS OF 'name'`
+    * resolves it — the reproducibility primitive for "the exact corpus
+    * snapshot this training run read". version <= 0 tags the current. */
+  def tag(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "tag",
+    "pin a retained version under a durable snapshot name",
+    Array(tableParam,
+      ProcedureParameter.in("name", StringType)
+        .comment("tag name; resolvable as VERSION AS OF '<name>'").build(),
+      ProcedureParameter.in("version", LongType)
+        .comment("retained version to pin; <= 0 pins the current").build()),
+    StructType(Seq(
+      StructField("tagged_version", LongType, nullable = false),
+      StructField("current_version", LongType, nullable = false))),
+    { input =>
+      val (dir, _, _, retain, _) =
+        catalog.resolveMaintenance(input.getUTF8String(0).toString)
+      val v0 = input.getLong(2)
+      val v = if (v0 <= 0)
+        graft.etl.AtomicTable.currentVersion(dir).getOrElse(
+          throw new IllegalArgumentException(s"$dir has no commits"))
+      else v0
+      val m = graft.etl.AtomicTable.tag(dir,
+        input.getUTF8String(1).toString, v, retain)
+      Array[Any](v, m.version)
+    })
+
+  /** `untag('db.t', 'name')` — remove a tag; the pinned version ages
+    * out through normal retention at the next commit's GC. */
+  def untag(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "untag",
+    "remove a snapshot tag (the version then ages out normally)",
+    Array(tableParam,
+      ProcedureParameter.in("name", StringType).build()),
+    StructType(Seq(
+      StructField("current_version", LongType, nullable = false))),
+    { input =>
+      val (dir, _, _, retain, _) =
+        catalog.resolveMaintenance(input.getUTF8String(0).toString)
+      val m = graft.etl.AtomicTable.untag(dir,
+        input.getUTF8String(1).toString, retain)
+      Array[Any](m.version)
+    })
+
   /** `clone('db.t', 'db.t2', version)` — materialize a retained
     * snapshot (≤0 = current) as a brand-new INDEPENDENT table: data
     * bytes hard-linked, declared meta copied, separate lifetime. */

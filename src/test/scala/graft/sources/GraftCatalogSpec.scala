@@ -389,7 +389,7 @@ class GraftCatalogSpec extends SparkSuite {
       .asInstanceOf[GraftCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq ===
       Seq("table_changes", "compact", "vacuum", "rollback", "clone",
-        "analyze", "create_mv", "refresh_mv"))
+        "analyze", "create_mv", "refresh_mv", "tag", "untag"))
   }
 
   test("CALL system.compact folds small-file debt in fragmented partitions only") {
