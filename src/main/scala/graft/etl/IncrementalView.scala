@@ -72,21 +72,30 @@ object IncrementalView {
   final case class Definition(source: String, sourceSchema: StructType,
       groupCols: Seq[String], sums: Seq[(String, String)],
       partitionCol: String, keyCols: Seq[String], retain: Int,
-      mvSchema: StructType)
+      mvSchema: StructType,
+      extremes: Seq[(String, String, String)] = Nil)
+
+  /** One extreme's aggregate function: "min" or "max" over its expr. */
+  private def extremeAgg(f: String, e: Column): Column =
+    if (f == "min") min(e) else max(e)
 
   /** The full aggregate of `df` in the view's materialized shape:
     * group columns, then per sum `alias` the zero-coalesced exact sum
-    * and its non-null count `alias__n`, then the group's row count. */
+    * and its non-null count `alias__n`, then each min/max `alias`
+    * (nullable — NULL means no non-null contributor), then the group's
+    * row count. */
   def aggregate(df: DataFrame, groupCols: Seq[String],
-      sums: Seq[(String, String)]): DataFrame = {
+      sums: Seq[(String, String)],
+      extremes: Seq[(String, String, String)] = Nil): DataFrame = {
     val aggs = sums.flatMap { case (a, e) =>
       Seq(sum(expr(e)).as(a), count(expr(e)).as(nCol(a)))
-    } :+ count(lit(1)).as(RowsCol)
+    } ++ extremes.map { case (a, e, f) => extremeAgg(f, expr(e)).as(a) } :+
+      count(lit(1)).as(RowsCol)
     val agg0 = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     agg0.select(groupCols.map(col) ++ sums.flatMap { case (a, _) =>
       Seq(coalesce(col(a), lit(0).cast(agg0.schema(a).dataType)).as(a),
         col(nCol(a)))
-    } :+ col(RowsCol): _*)
+    } ++ extremes.map { case (a, _, _) => col(a) } :+ col(RowsCol): _*)
   }
 
   /** Create the view: one full aggregate of the source's CURRENT
@@ -96,20 +105,24 @@ object IncrementalView {
   def create(spark: SparkSession, source: String, sourceSchema: StructType,
       mv: String, groupCols: Seq[String], sums: Seq[(String, String)],
       partitionCol: String, keyCols: Seq[String] = Nil,
-      retain: Int = 3): AtomicTable.Manifest = {
+      retain: Int = 3,
+      extremes: Seq[(String, String, String)] = Nil): AtomicTable.Manifest = {
     val pcols = AtomicTable.partCols(partitionCol)
     require(pcols.nonEmpty && pcols.forall(groupCols.contains),
       s"view partition columns ${pcols.mkString(",")} must be group columns")
-    val names = groupCols ++ sums.map(_._1) ++ sums.map(s => nCol(s._1)) :+ RowsCol
+    extremes.foreach { case (a, _, f) => require(f == "min" || f == "max",
+      s"extreme '$a' must be min or max, got '$f'") }
+    val names = groupCols ++ sums.map(_._1) ++ sums.map(s => nCol(s._1)) ++
+      extremes.map(_._1) :+ RowsCol
     require(names.distinct.size == names.size,
       s"group/sum names collide: ${names.mkString(", ")}")
     val srcHead = AtomicTable.currentVersion(Paths.get(source)).getOrElse(
       throw new IllegalArgumentException(s"$source has no commits"))
     val full = aggregate(
       MergeInto.readMergedAt(spark, source, sourceSchema, srcHead),
-      groupCols, sums)
+      groupCols, sums, extremes)
     val d = Definition(source, sourceSchema, groupCols, sums, partitionCol,
-      keyCols, retain, full.schema)
+      keyCols, retain, full.schema, extremes)
     AtomicTable.replacePartitions(spark, mv, full, partitionCol,
       retain = retain, operation = "mv",
       properties = Map(DefProperty -> toJson(d),
@@ -146,12 +159,23 @@ object IncrementalView {
     val sign = when(col(ChangeFeed.ChangeTypeCol)
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
     val signed = changes.withColumn(RowsCol, sign)
-    // the signed delta aggregate — one shuffle over CHANGE rows only
+    // the signed delta aggregate — one shuffle over CHANGE rows only.
+    // SUM/COUNT are self-maintainable; MIN/MAX are maintainable on the
+    // INSERT side alone (least/greatest with the old value), and any
+    // group touched by a negative row (delete / update preimage) is
+    // flagged for a targeted per-group recompute below — the standard
+    // IVM treatment (an extremum's successor is not derivable from the
+    // deleted value).
+    val NegTouch = "_mv_neg"
     val aggs = d.sums.flatMap { case (a, e) =>
       Seq(sum(expr(e) * col(RowsCol)).as(a),
         sum(when(expr(e).isNotNull, col(RowsCol)).otherwise(lit(0L)))
           .as(nCol(a)))
-    } :+ sum(col(RowsCol)).as(RowsCol)
+    } ++ d.extremes.map { case (a, e, f) =>
+      extremeAgg(f, when(col(RowsCol) > 0L, expr(e))).as(a)
+    } ++ (if (d.extremes.isEmpty) Nil else Seq(
+      max(when(col(RowsCol) < 0L, lit(1L)).otherwise(lit(0L))).as(NegTouch))
+    ) :+ sum(col(RowsCol)).as(RowsCol)
     val delta = signed.groupBy(d.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
@@ -175,7 +199,33 @@ object IncrementalView {
     val on: Column = d.groupCols.map(k => col(s"_o_$k") <=> col(s"_d_$k"))
       .reduce(_ && _)
     val sumCols = d.sums.flatMap(s => Seq(s._1, nCol(s._1))) :+ RowsCol
-    val combined = o.join(dl, on, "full_outer").select(
+    val joined0 = o.join(dl, on, "full_outer")
+    // groups a negative row touched: their extremes recompute from the
+    // SOURCE snapshot, bounded to exactly those groups by a broadcast
+    // semi-join (change volume, not view size; the scan prunes further
+    // when the group columns include source partition columns)
+    val joined =
+      if (d.extremes.isEmpty) joined0
+      else {
+        val negGroups = delta.filter(col(NegTouch) > 0L)
+          .select(d.groupCols.map(c => col(c).as(s"_g_$c")): _*)
+        val semiOn = d.groupCols
+          .map(c => col(c) <=> col(s"_g_$c")).reduce(_ && _)
+        val rec = MergeInto
+          .readMergedAt(spark, d.source, d.sourceSchema, srcHead)
+          .join(broadcast(negGroups), semiOn, "left_semi")
+          .groupBy(d.groupCols.map(col): _*)
+          .agg(extremeAgg(d.extremes.head._3, expr(d.extremes.head._2))
+            .as(d.extremes.head._1),
+            d.extremes.tail.map { case (a, e, f) =>
+              extremeAgg(f, expr(e)).as(a) }: _*)
+        val r = rec.select(rec.columns.map(c => col(c).as(s"_r_$c")): _*)
+        val recOn = d.groupCols.map(c =>
+          coalesce(col(s"_o_$c"), col(s"_d_$c")) <=> col(s"_r_$c"))
+          .reduce(_ && _)
+        joined0.join(r, recOn, "left_outer")
+      }
+    val combined = joined.select(
       d.groupCols.map(c =>
         coalesce(col(s"_o_$c"), col(s"_d_$c"))
           .cast(d.mvSchema(c).dataType).as(c)) ++
@@ -183,6 +233,17 @@ object IncrementalView {
         val zero = lit(0).cast(d.mvSchema(c).dataType)
         (coalesce(col(s"_o_$c"), zero) + coalesce(col(s"_d_$c"), zero))
           .cast(d.mvSchema(c).dataType).as(c)
+      } ++
+      d.extremes.map { case (a, _, f) =>
+        // least/greatest skip nulls, so a group only in the view (no
+        // delta) keeps its value and a brand-new group takes the
+        // insert-side extreme; a neg-touched group takes the recompute
+        val insertMerge =
+          if (f == "min") least(col(s"_o_$a"), col(s"_d_$a"))
+          else greatest(col(s"_o_$a"), col(s"_d_$a"))
+        when(coalesce(col(s"_d_$NegTouch"), lit(0L)) > 0L, col(s"_r_$a"))
+          .otherwise(insertMerge)
+          .cast(d.mvSchema(a).dataType).as(a)
       }: _*)
     // a negative group count means the feed and the view disagree
     // (e.g. the view was edited out-of-band) — fail loudly rather than
@@ -212,7 +273,8 @@ object IncrementalView {
     AtomicTable.read(spark, mv, d.mvSchema).select(
       d.groupCols.map(col) ++ d.sums.map { case (a, _) =>
         when(col(nCol(a)) === 0L, lit(null)).otherwise(col(a)).as(a)
-      } :+ col(RowsCol): _*)
+      } ++ d.extremes.map { case (a, _, _) => col(a) } :+
+        col(RowsCol): _*)
   }
 
   /** Distinct partition keys of `rows` in the manifest's string form —
@@ -241,6 +303,11 @@ object IncrementalView {
     n.put("partition", d.partitionCol)
     val k = n.putArray("keys"); d.keyCols.foreach(k.add)
     n.put("retain", d.retain)
+    val x = n.putArray("extremes")
+    d.extremes.foreach { case (a, e, f) =>
+      val p = x.addObject(); p.put("alias", a); p.put("expr", e)
+      p.put("func", f); ()
+    }
     n.toString
   }
 
@@ -257,6 +324,9 @@ object IncrementalView {
       n.get("partition").asText,
       n.get("keys").elements().asScala.map(_.asText).toSeq,
       n.get("retain").asInt,
-      DataType.fromJson(n.get("mvSchema").asText).asInstanceOf[StructType])
+      DataType.fromJson(n.get("mvSchema").asText).asInstanceOf[StructType],
+      Option(n.get("extremes")).map(_.elements().asScala.map(p =>
+        (p.get("alias").asText, p.get("expr").asText, p.get("func").asText))
+        .toSeq).getOrElse(Nil))
   }
 }

@@ -52,7 +52,9 @@ object MvQueries {
         Seq("o_ym"),
         Seq("revenue" -> "CAST(o_totalprice AS DECIMAL(18,2))",
           "sum_okey" -> "o_orderkey"),
-        "o_ym", keyCols = Seq("o_orderkey"))
+        "o_ym", keyCols = Seq("o_orderkey"),
+        extremes = Seq(("min_price", "o_totalprice", "min"),
+          ("max_okey", "o_orderkey", "max")))
       val upd = base.filter(col("o_orderkey") % 97 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
         .withColumn("o_orderstatus", lit("U"))
@@ -76,7 +78,8 @@ object MvQueries {
     })
     IncrementalView.read(s, mv).select(
       col("o_ym"), col(IncrementalView.RowsCol).as("n_rows"),
-      col("sum_okey"), col("revenue").cast("double").as("revenue"))
+      col("sum_okey"), col("revenue").cast("double").as("revenue"),
+      col("min_price"), col("max_okey"))
       .orderBy("o_ym")
   }
 
@@ -101,7 +104,9 @@ object MvQueries {
        |final AS (SELECT * FROM merged WHERE o_custkey % 991 <> 0)
        |SELECT o_ym, count(*) AS n_rows,
        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
-       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue,
+       |  min(o_totalprice) AS min_price,
+       |  CAST(max(o_orderkey) AS BIGINT) AS max_okey
        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** SQL-ONLY twin: the source is a catalog table mutated by SQL UPDATE
@@ -125,8 +130,9 @@ object MvQueries {
         "o_ym STRING) PARTITIONED BY (o_ym) TBLPROPERTIES ('retain'='10')")
       s.sql(s"INSERT INTO $cat.wh.orders SELECT * FROM orders_mvsrc_$cat") // v1
       s.sql(s"CALL $cat.system.create_mv('wh.orders_mv', 'wh.orders', " +
-        "'o_ym', 'revenue,sum_okey', " +
-        "'CAST(o_totalprice AS DECIMAL(18,2));o_orderkey', " +
+        "'o_ym', 'revenue,sum_okey,min_price,max_okey', " +
+        "'CAST(o_totalprice AS DECIMAL(18,2));o_orderkey;" +
+        "min:o_totalprice;max:o_orderkey', " +
         "'o_ym', 'o_orderkey')")
       s.sql(s"UPDATE $cat.wh.orders SET o_totalprice = o_totalprice + " +
         "1000.0 WHERE o_orderkey % 97 = 0")                                // v2
@@ -135,7 +141,8 @@ object MvQueries {
       cat
     })
     s.sql(s"SELECT o_ym, ${IncrementalView.RowsCol} AS n_rows, sum_okey, " +
-      s"CAST(revenue AS DOUBLE) AS revenue FROM mv_read_$cat ORDER BY o_ym")
+      "CAST(revenue AS DOUBLE) AS revenue, min_price, max_okey " +
+      s"FROM mv_read_$cat ORDER BY o_ym")
   }
 
   private[queries] val graftSqlMvSql =
@@ -148,6 +155,8 @@ object MvQueries {
        |final AS (SELECT * FROM base WHERE o_custkey % 991 <> 0)
        |SELECT o_ym, count(*) AS n_rows,
        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
-       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue,
+       |  min(o_totalprice) AS min_price,
+       |  CAST(max(o_orderkey) AS BIGINT) AS max_okey
        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 }

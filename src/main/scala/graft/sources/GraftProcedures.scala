@@ -325,8 +325,9 @@ private[sources] object GraftMvProcedures {
       ProcedureParameter.in("sum_aliases", StringType)
         .comment("comma-joined result column names, one per sum").build(),
       ProcedureParameter.in("sum_exprs", StringType)
-        .comment("';'-joined SQL expressions summed per group, " +
-          "positionally matching sum_aliases").build(),
+        .comment("';'-joined SQL expressions aggregated per group, " +
+          "positionally matching sum_aliases; a 'min:' or 'max:' prefix " +
+          "maintains that extreme instead of a sum").build(),
       ProcedureParameter.in("partition_col", StringType)
         .comment("view partition spec (group columns), e.g. 'g1' or 'g1,g2'").build(),
       ProcedureParameter.in("key_cols", StringType)
@@ -348,9 +349,13 @@ private[sources] object GraftMvProcedures {
       require(aliases.size == exprs.size,
         s"sum_aliases (${aliases.size}) and sum_exprs (${exprs.size}) " +
           "must pair positionally")
+      val (ext, sums) = aliases.zip(exprs).partition(
+        p => p._2.startsWith("min:") || p._2.startsWith("max:"))
       val m = graft.etl.IncrementalView.create(spark, srcDir, srcSchema,
-        mvDir.toString, csv(2), aliases.zip(exprs),
-        input.getUTF8String(5).toString, csv(6))
+        mvDir.toString, csv(2), sums,
+        input.getUTF8String(5).toString, csv(6),
+        extremes = ext.map { case (a, e) =>
+          (a, e.substring(4), e.take(3)) })
       Array[Any](m.version,
         m.properties(graft.etl.IncrementalView.SourceVersionProperty).toLong)
     })

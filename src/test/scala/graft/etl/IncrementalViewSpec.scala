@@ -223,4 +223,69 @@ class IncrementalViewSpec extends SparkSuite {
     assert(got === Set(("x", "m", "1", 1L), ("x", "n", "6", 2L),
       ("y", "m", "3", 1L)))
   }
+
+  test("min/max: inserts merge directly, deletes recompute the touched group") {
+    val src = Files.createTempDirectory("mv-src8").toString
+    val mv = Files.createTempDirectory("mv-view8").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L, 10.0, "a"), (2L, 30.0, "a"), (3L, 5.0, "b")), "p", retain = 100)
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"),
+      extremes = Seq(("v_min", "v", "min"), ("v_max", "v", "max")))
+    def minmax(): Map[String, (Double, Double)] =
+      IncrementalView.read(spark, mv).select("p", "v_min", "v_max")
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(minmax() === Map("a" -> (10.0, 30.0), "b" -> (5.0, 5.0)))
+
+    // insert-only: extremes widen without any source rescan
+    AtomicTable.appendPartitions(spark, src,
+      df((4L, 50.0, "a"), (5L, 1.0, "a")), "p", retain = 100)
+    IncrementalView.refresh(spark, mv)
+    assert(minmax() === Map("a" -> (1.0, 50.0), "b" -> (5.0, 5.0)))
+
+    // delete the current max of a: the group recomputes to the runner-up
+    MergeInto.deleteKeys(spark, src, schema,
+      Seq((4L, "a")).toDF("id", "p"), Seq("id"), "p", retain = 100)
+    IncrementalView.refresh(spark, mv)
+    assert(minmax() === Map("a" -> (1.0, 30.0), "b" -> (5.0, 5.0)))
+
+    // an update that lowers the max: pre/post both touch the group
+    MergeInto.upsert(spark, src, schema,
+      df((2L, 2.0, "a")), Seq("id"), "p", retain = 100)
+    IncrementalView.refresh(spark, mv)
+    assert(minmax() === Map("a" -> (1.0, 10.0), "b" -> (5.0, 5.0)))
+    assert(viewRows(mv) === recompute(src),
+      "the sums stay exact alongside the extremes")
+  }
+
+  test("min/max agree with the full recompute after a mixed history") {
+    val src = Files.createTempDirectory("mv-src9").toString
+    val mv = Files.createTempDirectory("mv-view9").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L to 40L).map(i => (i, (i * 7 % 23).toDouble, s"p${i % 3}")): _*),
+      "p", retain = 100)
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"),
+      extremes = Seq(("v_min", "v", "min"), ("v_max", "v", "max")))
+    AtomicTable.appendPartitions(spark, src,
+      df((41L to 60L).map(i => (i, (i * 11 % 29).toDouble, s"p${i % 3}")): _*),
+      "p", retain = 100)
+    MergeInto.deleteKeys(spark, src, schema,
+      (1L to 60L by 4L).map(i => (i, s"p${i % 3}")).toDF("id", "p"),
+      Seq("id"), "p", retain = 100)
+    MergeInto.upsert(spark, src, schema,
+      df((2L, 100.0, "p2"), (6L, -1.0, "p0")), Seq("id"), "p", retain = 100)
+    IncrementalView.refresh(spark, mv)
+    val got = IncrementalView.read(spark, mv)
+      .select("p", "v_min", "v_max").as[(String, Double, Double)]
+      .collect().toSet
+    val want = IncrementalView.aggregate(
+      MergeInto.readMerged(spark, src, schema), Seq("p"), Nil,
+      Seq(("v_min", "v", "min"), ("v_max", "v", "max")))
+      .select("p", "v_min", "v_max").as[(String, Double, Double)]
+      .collect().toSet
+    assert(got === want)
+    assert(viewRows(mv) === recompute(src))
+  }
 }
