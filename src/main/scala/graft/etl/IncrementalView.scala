@@ -158,7 +158,13 @@ object IncrementalView {
       last + 1L, srcHead, d.keyCols)
     val sign = when(col(ChangeFeed.ChangeTypeCol)
       .isin("insert", "update_postimage"), lit(1L)).otherwise(lit(-1L))
-    val signed = changes.withColumn(RowsCol, sign)
+    // the sign column must not shadow a SOURCE column: a cascaded view
+    // (view over view) has the inner view's _mv_rows in its source
+    // schema, and naming the sign after it would sum signs instead of
+    // row counts
+    val SignCol = Iterator.from(0).map(i => s"_mv_sign$i")
+      .find(!d.sourceSchema.fieldNames.contains(_)).get
+    val signed = changes.withColumn(SignCol, sign)
     // the signed delta aggregate — one shuffle over CHANGE rows only.
     // SUM/COUNT are self-maintainable; MIN/MAX are maintainable on the
     // INSERT side alone (least/greatest with the old value), and any
@@ -168,14 +174,14 @@ object IncrementalView {
     // deleted value).
     val NegTouch = "_mv_neg"
     val aggs = d.sums.flatMap { case (a, e) =>
-      Seq(sum(expr(e) * col(RowsCol)).as(a),
-        sum(when(expr(e).isNotNull, col(RowsCol)).otherwise(lit(0L)))
+      Seq(sum(expr(e) * col(SignCol)).as(a),
+        sum(when(expr(e).isNotNull, col(SignCol)).otherwise(lit(0L)))
           .as(nCol(a)))
     } ++ d.extremes.map { case (a, e, f) =>
-      extremeAgg(f, when(col(RowsCol) > 0L, expr(e))).as(a)
+      extremeAgg(f, when(col(SignCol) > 0L, expr(e))).as(a)
     } ++ (if (d.extremes.isEmpty) Nil else Seq(
-      max(when(col(RowsCol) < 0L, lit(1L)).otherwise(lit(0L))).as(NegTouch))
-    ) :+ sum(col(RowsCol)).as(RowsCol)
+      max(when(col(SignCol) < 0L, lit(1L)).otherwise(lit(0L))).as(NegTouch))
+    ) :+ sum(col(SignCol)).as(RowsCol)
     val delta = signed.groupBy(d.groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 

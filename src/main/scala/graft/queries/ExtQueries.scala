@@ -89,6 +89,7 @@ object ExtQueries {
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
     "graft_sorted_join" -> QueryDef(LayoutQueries.graftSortedJoin, Some(LayoutQueries.graftSortedJoinSql)),
     "graft_tag_travel" -> QueryDef(LayoutQueries.graftTagTravel, Some(LayoutQueries.graftTagTravelSql)),
+    "graft_runtime_skip" -> QueryDef(LayoutQueries.graftRuntimeSkip, Some(LayoutQueries.graftRuntimeSkipSql)),
     "graft_incr_mv" -> QueryDef(MvQueries.graftIncrMv, Some(MvQueries.graftIncrMvSql)),
     "graft_sql_mv" -> QueryDef(MvQueries.graftSqlMv, Some(MvQueries.graftSqlMvSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),

@@ -103,6 +103,97 @@ object LayoutQueries {
       GROUP BY t1.o_ym ORDER BY t1.o_ym""")
   }
 
+  /** Runtime zone-map FILE skipping on a data column: orders land
+    * month-partitioned with three o_orderkey-range-disjoint files per
+    * month (clustered compaction), and a selective join against a
+    * narrow key band must runtime-prune FILES — the key is not a
+    * partition column, so partition pruning cannot help; only the
+    * runtime values tested against per-file bounds can. The staged
+    * setup pins (a) the runtime filter was delivered and (b) the
+    * planned file count dropped below 60% of the committed files; the
+    * returned aggregate is value-oracled, so over-skipping loses rows
+    * and fails the compare. */
+  private[queries] def graftRuntimeSkip(s: SparkSession, dir: String): DataFrame = {
+    import graft.etl.AtomicTable
+    val state = staged.computeIfAbsent("rts:" + dir, { _ =>
+      val t = java.nio.file.Files.createTempDirectory("graft-rtsq")
+        .resolve("orders").toString
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      AtomicTable.replacePartitions(s, t, base.repartition(col("o_ym")),
+        "o_ym", statsColumns = Seq("o_orderkey"), retain = 5)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("o_totalprice",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("o_ym",
+          org.apache.spark.sql.types.StringType)))
+      // three key-range-disjoint files per month, each with file bounds
+      AtomicTable.compactFragmented(s, t, schema, "o_ym", minFiles = 1,
+        statsColumns = Seq("o_orderkey"), retain = 5,
+        clusterBy = Seq("o_orderkey"), filesPerPartition = 3)
+      // the band: [mk/3, mk/3 + mk/50] — same integer arithmetic the
+      // oracle derives, so both engines join the same keys
+      val mk = base.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+      val lo = mk / 3L
+      val hi = lo + mk / 50L
+      // THE PIN, executed once: runtime values must skip files
+      val fact = s.read.format("graft").load(t)
+      val dim = fact.filter(col("o_orderkey").between(lo, hi))
+        .select("o_orderkey").distinct()
+      val j = fact.join(broadcast(dim), Seq("o_orderkey"))
+      j.collect()
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case o => o.children.flatMap(scansOf)
+        }
+      // the fact side is the scan WITH a delivered runtime filter
+      val scans = scansOf(j.queryExecution.executedPlan)
+        .filter(_.runtimeFilters.nonEmpty)
+      require(scans.nonEmpty,
+        "the selective join must deliver a runtime filter to the fact scan")
+      val planned = graft.sources.GraftSource
+        .plannedFileCount(scans.head.scan).get
+      val m = AtomicTable.manifest(java.nio.file.Paths.get(t)).get
+      val total = m.fileStats.valuesIterator.map(_.size).sum
+      require(total > 0 && planned * 10 < total * 6,
+        s"runtime key values must skip files by bounds: planned $planned " +
+          s"of $total")
+      s"$t|$lo|$hi"
+    })
+    val Array(t, lo, hi) = state.split('|')
+    val fact = s.read.format("graft").load(t)
+    val dim = fact
+      .filter(col("o_orderkey").between(lo.toLong, hi.toLong))
+      .select("o_orderkey").distinct()
+    fact.join(broadcast(dim), Seq("o_orderkey"))
+      .groupBy("o_ym")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("revenue"))
+      .orderBy("o_ym")
+  }
+
+  private[queries] val graftRuntimeSkipSql =
+    s"""WITH mk AS (SELECT max(o_orderkey) AS m FROM orders),
+       |dim AS (
+       |  SELECT DISTINCT o_orderkey FROM orders, mk
+       |  WHERE o_orderkey BETWEEN m // 3 AND m // 3 + m // 50)
+       |SELECT strftime(o.o_orderdate, '%Y-%m') AS o_ym,
+       |  count(*) AS n_rows,
+       |  ${sqlDsum("o.o_totalprice", 2)} AS revenue
+       |FROM orders o JOIN dim d ON o.o_orderkey = d.o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot TAGS under churn: seed a retain=1 table (v1), tag it
     * 'baseline', then overwrite the whole table twice — without the tag
     * v1's manifest and data would be GC'd by the aggressive retention;

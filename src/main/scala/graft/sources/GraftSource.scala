@@ -278,6 +278,17 @@ object GraftSource {
     !full.fieldNames.contains(c) &&
       (GraftBuckets.level(c).isDefined || GraftTransforms.level(c).isDefined)
 
+  /** Planned data-file count of a graft scan AFTER runtime filtering —
+    * public so plan-shape pins outside this package (e.g. the oracled
+    * queries' staged `require`s) can audit file skipping. None when the
+    * scan is not a graft batch scan. */
+  def plannedFileCount(scan: org.apache.spark.sql.connector.read.Scan)
+      : Option[Int] = scan match {
+    case g: GraftScan => Some(g.planInputPartitions()
+      .collect { case p: GraftInputPartition => p.dataFiles.size }.sum)
+    case _ => None
+  }
+
   /** The DATA column a partition level derives from: itself for
     * identity levels, the source column for bucket/transform levels. */
   private[sources] def levelSource(full: StructType, c: String): String =

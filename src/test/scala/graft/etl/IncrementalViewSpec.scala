@@ -288,4 +288,53 @@ class IncrementalViewSpec extends SparkSuite {
     assert(got === want)
     assert(viewRows(mv) === recompute(src))
   }
+
+  test("views cascade: a rollup view over a view refreshes hop by hop") {
+    // src --(by p, q)--> mv1 --(rollup by p)--> mv2: an MV is itself an
+    // AtomicTable with a changefeed, so the second hop needs nothing new
+    val twoCol = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", DoubleType),
+      StructField("p", StringType),
+      StructField("q", StringType)))
+    def tdf(rows: (Long, Double, String, String)*) = {
+      val rdd = spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)))
+      spark.createDataFrame(rdd, twoCol)
+    }
+    val src = Files.createTempDirectory("mv-csrc").toString
+    val mv1 = Files.createTempDirectory("mv-c1").toString + "/mv1"
+    val mv2 = Files.createTempDirectory("mv-c2").toString + "/mv2"
+    AtomicTable.replacePartitions(spark, src,
+      tdf((1L, 1.0, "a", "x"), (2L, 2.0, "a", "y"), (3L, 3.0, "b", "x")),
+      "p", retain = 100)
+    IncrementalView.create(spark, src, twoCol, mv1,
+      Seq("p", "q"), Seq("v_sum" -> "CAST(v AS DECIMAL(18,2))"), "p",
+      keyCols = Seq("id"), retain = 100)
+    val (d1, _) = IncrementalView.definitionOf(mv1)
+    // the rollup sums mv1's materialized v_sum per p (decimal: exact)
+    IncrementalView.create(spark, mv1, d1.mvSchema, mv2,
+      Seq("p"), Seq("v_total" -> "v_sum",
+        "n_rows" -> s"${IncrementalView.RowsCol}"), "p",
+      keyCols = Seq("p", "q"), retain = 100)
+
+    def rollup(): Map[String, (String, Long)] =
+      IncrementalView.read(spark, mv2)
+        .select(col("p"), col("v_total").cast("string"), col("n_rows"))
+        .as[(String, String, Long)].collect()
+        .map(r => r._1 -> (new java.math.BigDecimal(r._2)
+          .stripTrailingZeros.toPlainString, r._3)).toMap
+    assert(rollup() === Map("a" -> ("3", 2L), "b" -> ("3", 1L)))
+
+    // mutate the base, refresh hop by hop
+    AtomicTable.appendPartitions(spark, src,
+      tdf((4L, 10.0, "a", "y"), (5L, 5.0, "c", "z")), "p", retain = 100)
+    MergeInto.deleteKeys(spark, src, twoCol,
+      Seq((3L, "b")).toDF("id", "p"), Seq("id"), "p", retain = 100)
+    IncrementalView.refresh(spark, mv1)
+    IncrementalView.refresh(spark, mv2)
+    assert(rollup() === Map("a" -> ("13", 3L), "c" -> ("5", 1L)),
+      "the rollup must track base mutations through both hops " +
+        "(b's last row died, c was born, a grew)")
+  }
 }
