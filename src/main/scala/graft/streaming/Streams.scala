@@ -799,4 +799,31 @@ object Streams {
           Iterator.single(next)
       }
   }
+
+  /** Continuously-maintained incremental view: the source table's
+    * streaming changefeed is the WAKE signal, and each micro-batch runs
+    * one [[graft.etl.IncrementalView.refresh]] — which re-derives its
+    * own delta from the manifests and commits exactly-once, so the
+    * stream's replay/restart semantics cannot double-apply anything
+    * (the batch frame itself is deliberately ignored; a replayed epoch
+    * finds the version already applied and no-ops). Scope: the
+    * streaming changefeed is append-only by contract, so this fits
+    * sources fed by streaming sinks / INSERT ingest; batch-mutated
+    * sources (MERGE/DELETE) call refresh() directly after their
+    * commits instead. */
+  def maintainView(spark: SparkSession, mv: String, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val (d, _) = graft.etl.IncrementalView.definitionOf(mv)
+    spark.readStream.format("graft").option("readChangeFeed", "true")
+      .load(d.source)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        graft.etl.IncrementalView.refresh(spark, mv)
+        ()
+      }
+      .start()
+  }
 }
