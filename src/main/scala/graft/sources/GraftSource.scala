@@ -1071,8 +1071,20 @@ private[sources] class GraftScan(root: String, full: StructType,
   /** Non-partition columns whose bounds SOME live partition tracks, in
     * types whose internal-literal rendering matches the zone-map string
     * encoding (timestamps don't: their internal form is epoch micros —
-    * offering them would intersect empty and over-prune). */
+    * offering them would intersect empty and over-prune). Cached per
+    * manifest identity: the computation walks every file-stats entry
+    * (O(files), same order as planning itself), and Spark calls
+    * filterAttributes/filter several times per scan. */
+  private val statColumnsCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Seq[String])]()
   private def statColumns(m: AtomicTable.Manifest): Seq[String] = {
+    val cached = statColumnsCache.get()
+    if (cached != null && cached._1 == m.version) return cached._2
+    val computed = computeStatColumns(m)
+    statColumnsCache.set((m.version, computed))
+    computed
+  }
+  private def computeStatColumns(m: AtomicTable.Manifest): Seq[String] = {
     val tracked = (m.stats.valuesIterator.flatMap(_.mins.keysIterator) ++
       m.fileStats.valuesIterator.flatMap(
         _.valuesIterator.flatMap(_.mins.keysIterator))).toSet
