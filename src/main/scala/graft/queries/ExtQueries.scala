@@ -90,6 +90,7 @@ object ExtQueries {
     "graft_sorted_join" -> QueryDef(LayoutQueries.graftSortedJoin, Some(LayoutQueries.graftSortedJoinSql)),
     "graft_tag_travel" -> QueryDef(LayoutQueries.graftTagTravel, Some(LayoutQueries.graftTagTravelSql)),
     "graft_runtime_skip" -> QueryDef(LayoutQueries.graftRuntimeSkip, Some(LayoutQueries.graftRuntimeSkipSql)),
+    "graft_bloom_point" -> QueryDef(LayoutQueries.graftBloomPoint, Some(LayoutQueries.graftBloomPointSql)),
     "graft_incr_mv" -> QueryDef(MvQueries.graftIncrMv, Some(MvQueries.graftIncrMvSql)),
     "graft_sql_mv" -> QueryDef(MvQueries.graftSqlMv, Some(MvQueries.graftSqlMvSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),

@@ -194,6 +194,77 @@ object LayoutQueries {
        |FROM orders o JOIN dim d ON o.o_orderkey = d.o_orderkey
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-file BLOOM sidecars on an UNCLUSTERED key: orders land
+    * month-partitioned in three interleaved key-thirds (every file's
+    * key range spans the whole table — zone maps can never skip), then
+    * a 5-key point lookup must plan under a fifth of the committed
+    * files purely from the sidecars. The pin executes in the staged
+    * setup; the returned aggregate is value-oracled, so a wrong bit, a
+    * stale sidecar, or an over-skip loses a row and fails the compare. */
+  private[queries] def graftBloomPoint(s: SparkSession, dir: String): DataFrame = {
+    val state = staged.computeIfAbsent("bloom:" + dir, { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-blq").toString
+      val cat = "gp" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+        .createOrReplaceTempView(s"orders_blsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.borders " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE, o_ym STRING) " +
+        "PARTITIONED BY (o_ym) " +
+        "TBLPROPERTIES ('bloom_columns'='o_orderkey', 'retain'='5')")
+      for (k <- 0 to 2)
+        s.sql(s"INSERT INTO $cat.wh.borders SELECT * FROM " +
+          s"orders_blsrc_$cat WHERE o_orderkey % 3 = $k")
+      // the probe keys, by arithmetic both engines share
+      val keys = s.sql(s"SELECT o_orderkey FROM orders_blsrc_$cat " +
+        "WHERE o_orderkey % 97 = 0 ORDER BY 1 LIMIT 5")
+        .collect().map(_.getLong(0)).toSeq
+      val q = s.sql(s"SELECT o_orderkey, o_totalprice, o_ym FROM " +
+        s"$cat.wh.borders WHERE o_orderkey IN (${keys.mkString(",")})")
+      q.collect()
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case qq: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(qq.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case o => o.children.flatMap(scansOf)
+        }
+      val planned = graft.sources.GraftSource
+        .plannedFileCount(scansOf(q.queryExecution.executedPlan).head.scan).get
+      val m = graft.etl.AtomicTable.manifest(
+        java.nio.file.Paths.get(w, "wh", "borders")).get
+      val total = m.fileStats.valuesIterator.map(_.size).sum
+      require(total > 0 && planned * 5 < total,
+        s"5 point keys must bloom-skip an unclustered table: planned " +
+          s"$planned of $total files")
+      s"$cat|${keys.mkString(",")}"
+    })
+    val Array(cat, keyCsv) = state.split('|')
+    s.sql(s"""SELECT o_ym, count(*) AS n_rows,
+      CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM $cat.wh.borders WHERE o_orderkey IN ($keyCsv)
+      GROUP BY o_ym ORDER BY o_ym""")
+  }
+
+  private[queries] val graftBloomPointSql =
+    s"""WITH keys AS (
+       |  SELECT o_orderkey FROM orders
+       |  WHERE o_orderkey % 97 = 0 ORDER BY 1 LIMIT 5)
+       |SELECT strftime(o.o_orderdate, '%Y-%m') AS o_ym, count(*) AS n_rows,
+       |  CAST(sum(o.o_orderkey) AS BIGINT) AS sum_okey,
+       |  ${sqlDsum("o.o_totalprice", 2)} AS revenue
+       |FROM orders o JOIN keys k ON o.o_orderkey = k.o_orderkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Snapshot TAGS under churn: seed a retain=1 table (v1), tag it
     * 'baseline', then overwrite the whole table twice — without the tag
     * v1's manifest and data would be GC'd by the aggressive retention;

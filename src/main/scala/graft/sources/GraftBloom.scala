@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+
+/** Per-data-file BLOOM FILTERS for point lookups on UNCLUSTERED
+  * columns — the skipping zone maps cannot do: a [min, max] range over
+  * a column the layout does not sort admits every file, while a bloom
+  * refutes membership file by file (Delta's bloom filter index / the
+  * role of Iceberg's puffin blobs).
+  *
+  * Layout: the writer task drops one small sidecar per (data file,
+  * bloom column) NEXT to the file — `<file>.<col>.bloom` inside the
+  * immutable staged dir — so the index travels with the data through
+  * commit, restore, rollback, and GC with no manifest growth (a 100 TB
+  * table's manifest stays metadata-sized; sidecars are read lazily and
+  * only for partitions the zone maps already admitted). A missing
+  * sidecar simply never skips.
+  *
+  * Encoding: values are hashed in their ZONE-MAP STRING rendering (the
+  * one encoding the writer, the pushed-filter prober, and the runtime
+  * filter all share), double-hashed xxh64 into a fixed 8 KiB bitset
+  * with 5 probes — ~0.1% false positives at ~5k distinct values per
+  * file, and a false positive only costs reading a file that zone maps
+  * admitted anyway. */
+object GraftBloom {
+
+  /** Sidecar bytes: 8 KiB bitset. */
+  val Bits: Int = 8 * 1024 * 8
+  val Probes: Int = 5
+
+  /** Sidecar file name of a data file's bloom for `col`. */
+  def sidecarName(dataFile: String, col: String): String =
+    s"$dataFile.$col.bloom"
+
+  private def hashes(rendered: String): (Long, Long) = {
+    val b = rendered.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    (XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+      b.length, 0x9747b28cL),
+      XXH64.hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 0x5bd1e995L))
+  }
+
+  /** Mutable single-file builder (one writer task, one file). */
+  final class Builder {
+    private val bits = new Array[Long](Bits / 64)
+    def add(rendered: String): Unit = {
+      val (h1, h2) = hashes(rendered)
+      var i = 0
+      while (i < Probes) {
+        val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, Bits).toInt
+        bits(pos >> 6) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+    def toBytes: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(bb.putLong)
+      bb.array()
+    }
+  }
+
+  /** Membership probe against sidecar bytes: false = DEFINITELY absent
+    * (the file may be skipped), true = possibly present (must read). */
+  def mightContain(bloom: Array[Byte], rendered: String): Boolean = {
+    if (bloom.length * 8 != Bits) return true // unknown layout: never skip
+    val bb = java.nio.ByteBuffer.wrap(bloom)
+    val (h1, h2) = hashes(rendered)
+    var i = 0
+    while (i < Probes) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, Bits).toInt
+      if ((bb.getLong((pos >> 6) * 8) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  // sidecars are immutable once committed (they live in immutable data
+  // dirs), so a small process-wide cache makes repeated planning passes
+  // metadata-cheap; misses (absent sidecars) are cached too
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Byte]]]()
+  private val MaxCached = 4096
+
+  /** The sidecar of `dataFile` (absolute, possibly scheme-qualified
+    * path) for `col`, None when the write recorded none. */
+  def sidecarOf(dataFile: String, col: String): Option[Array[Byte]] = {
+    val key = s"$dataFile#$col"
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val data = new org.apache.hadoop.fs.Path(dataFile)
+    val p = new org.apache.hadoop.fs.Path(data.getParent,
+      sidecarName(data.getName, col))
+    val loaded =
+      try {
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (!fs.exists(p)) None
+        else {
+          val in = fs.open(p)
+          try {
+            val n = fs.getFileStatus(p).getLen.toInt
+            val buf = new Array[Byte](n)
+            in.readFully(0L, buf)
+            Some(buf)
+          } finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    if (cache.size < MaxCached) cache.put(key, loaded)
+    loaded
+  }
+}

@@ -210,6 +210,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         "write_salt" -> s"$c:$n" } else None) ++
       (if (meta.isDefined) Some(readOrder(dir)).filter(_.nonEmpty)
         .map(o => "write_order" -> o.mkString(",")) else None) ++
+      (if (meta.isDefined) Some(readBloomBy(dir)).filter(_.nonEmpty)
+        .map(b => "bloom_columns" -> b.mkString(",")) else None) ++
       version.map("versionasof" -> _.toString)
     new GraftTable(props, schema, validateWrites = true)
   }
@@ -337,12 +339,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(writeSalt.isEmpty || writeOrder.isEmpty,
       "write_salt and write_order are mutually exclusive (hash fan-out " +
         "vs range clustering)")
+    // per-file bloom sidecars: TBLPROPERTIES ('bloom_columns'='a,b')
+    // makes every write drop an 8 KiB membership filter next to each
+    // data file — point lookups on UNCLUSTERED columns skip files zone
+    // maps cannot (Delta's bloom filter index)
+    val bloomCols = Option(properties.get("bloom_columns"))
+      .orElse(Option(properties.get(TableCatalog.OPTION_PREFIX + "bloom_columns")))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    bloomCols.foreach { c =>
+      require(schema.fieldNames.contains(c), s"bloom column '$c' not in schema")
+      require(!partColList.contains(c),
+        "bloom_columns must not include a partition column")
+      require(!Seq(org.apache.spark.sql.types.TimestampType,
+        org.apache.spark.sql.types.TimestampNTZType).contains(schema(c).dataType),
+        s"bloom column '$c': timestamp literals render differently from " +
+          "the sidecar encoding — store epoch micros as BIGINT instead")
+    }
     Files.createDirectories(dir)
     // the catalog's only commit point: O_EXCL create-new of _table.json
     // linearizes two processes racing the same CREATE (same primitive
     // the manifest claim loop uses)
     try writeMeta(dir, schema, partCol, retain, statsCols, createNew = true,
-      clusterBy = clusterBy, writeSalt = writeSalt, writeOrder = writeOrder)
+      clusterBy = clusterBy, writeSalt = writeSalt, writeOrder = writeOrder,
+      bloomBy = bloomCols)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new TableAlreadyExistsException(ident)
@@ -365,7 +384,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[repartitionDeclaredTable]], which rewrites data AND meta. */
   private val MutableProperties =
     Set("retain", "stats_columns", "cluster_by", "write_salt",
-      "write_order")
+      "write_order", "bloom_columns")
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
@@ -421,6 +440,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       var clusterBy = readClusterBy(dir)
       var salt = readSalt(dir)
       var order = readOrder(dir)
+      var bloomBy = readBloomBy(dir)
       sets.foreach(s => s.property match {
         case "retain" => retain = s.value.trim.toInt
         case "stats_columns" =>
@@ -431,6 +451,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s.value, newSchema, AtomicTable.partCols(partCol)))
         case "write_order" => order = GraftCatalog.parseOrder(
           s.value, newSchema, AtomicTable.partCols(partCol))
+        case "bloom_columns" =>
+          bloomBy = s.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       })
       removes.foreach(_.property match {
         case "retain" => retain = DefaultRetain
@@ -438,6 +460,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         case "cluster_by" => clusterBy = Nil
         case "write_salt" => salt = None
         case "write_order" => order = Nil
+        case "bloom_columns" => bloomBy = Nil
       })
       require(retain >= 1, s"retain must be >= 1, got $retain")
       val pcols = AtomicTable.partCols(partCol)
@@ -455,8 +478,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       }
       require(salt.isEmpty || order.isEmpty,
         "write_salt and write_order are mutually exclusive")
+      bloomBy.foreach { c =>
+        require(newSchema.fieldNames.contains(c),
+          s"bloom column '$c' not in schema")
+        require(!pcols.contains(c),
+          "bloom_columns must not include a partition column")
+      }
       writeMeta(dir, newSchema, partCol, retain, statsCols,
-        clusterBy = clusterBy, writeSalt = salt, writeOrder = order)
+        clusterBy = clusterBy, writeSalt = salt, writeOrder = order,
+        bloomBy = bloomBy)
     }
     loadTable(ident)
   }
@@ -713,7 +743,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       retain: Int, statsCols: Seq[String] = Nil,
       createNew: Boolean = false, clusterBy: Seq[String] = Nil,
       writeSalt: Option[(String, Int)] = None,
-      writeOrder: Seq[String] = Nil): Unit = {
+      writeOrder: Seq[String] = Nil,
+      bloomBy: Seq[String] = Nil): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("schema", schema.json)
@@ -723,6 +754,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (clusterBy.nonEmpty) node.put("cluster", clusterBy.mkString(","))
     writeSalt.foreach { case (c, n) => node.put("salt", s"$c:$n") }
     if (writeOrder.nonEmpty) node.put("order", writeOrder.mkString(","))
+    if (bloomBy.nonEmpty) node.put("bloom", bloomBy.mkString(","))
     val bytes = node.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     if (createNew)
       Files.write(metaFile(dir), bytes,
@@ -770,6 +802,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map(_.asText.split(":", 2)).collect {
           case Array(c, n) => (c, n.toInt)
         }
+    }
+  }
+
+  /** Declared bloom-sidecar columns ('bloom_columns'='a,b'). */
+  private[sources] def readBloomBy(dir: Path): Seq[String] = {
+    val f = metaFile(dir)
+    if (!Files.exists(f)) Nil
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      Option(mapper.readTree(Files.readAllBytes(f)).get("bloom"))
+        .map(_.asText.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
     }
   }
 

@@ -96,6 +96,11 @@ class GraftSource extends TableProvider with DataSourceRegister {
 
 object GraftSource {
 
+  /** Manifest property naming the columns whose data files carry bloom
+    * sidecars ([[GraftBloom]]) — set by every write of a table that
+    * declares `bloom_columns`. */
+  val BloomColsProperty = "graft.bloom.cols"
+
   private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).orElse(Option(options.get("paths")))
     require(p.isDefined, "graft source needs a path (the AtomicTable root)")
@@ -599,6 +604,9 @@ private[sources] class GraftTable(props: Map[String, String],
         .map(_.split(":", 2)).collect { case Array(c, n) => (c, n.toInt) },
       declaredOrder = lower.get("write_order")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil),
+      declaredBloom = lower.get("bloom_columns")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
         .getOrElse(Nil))
   }
 
@@ -1087,7 +1095,11 @@ private[sources] class GraftScan(root: String, full: StructType,
   private def computeStatColumns(m: AtomicTable.Manifest): Seq[String] = {
     val tracked = (m.stats.valuesIterator.flatMap(_.mins.keysIterator) ++
       m.fileStats.valuesIterator.flatMap(
-        _.valuesIterator.flatMap(_.mins.keysIterator))).toSet
+        _.valuesIterator.flatMap(_.mins.keysIterator))).toSet ++
+      // bloom columns answer runtime point sets even with no zone maps
+      m.properties.get(GraftSource.BloomColsProperty)
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
     val levelSources = GraftSource.partitionColsOf(m)
       .map(GraftSource.levelSource(full, _)).toSet
     required.fieldNames.toSeq
@@ -1389,13 +1401,27 @@ private[sources] class GraftScan(root: String, full: StructType,
             val f = p.dataFiles.head
             val cut = f.lastIndexOf('/')
             val parent = f.substring(0, math.max(cut, 0))
-            val fAdmits = m.partitions.getOrElse(p.partValue, Nil)
+            val zoneAdmits = m.partitions.getOrElse(p.partValue, Nil)
               .find(d => parent.endsWith("/" + d))
               .flatMap(d => m.fileStats
                 .getOrElse(d, Map.empty[String, AtomicTable.PartStats])
                 .get(f.substring(cut + 1)))
               .forall(st => admits(st.mins, st.maxs))
-            if (fAdmits) Some(p)
+            // bloom sidecars also answer small runtime value sets on
+            // declared bloom columns (point-lookup joins on unclustered
+            // keys); large sets skip the probe — each value costs 5
+            // bit tests, and wide sets admit almost everything anyway
+            val bloomCols = m.properties
+              .get(GraftSource.BloomColsProperty)
+              .map(_.split(",").toSeq.map(_.trim).toSet)
+              .getOrElse(Set.empty[String])
+            val bloomAdmits = bloomCols.isEmpty || byCol.forall {
+              case (c, vs) =>
+                !bloomCols.contains(c) || vs.size > 128 ||
+                  GraftBloom.sidecarOf(f, c).forall(b =>
+                    vs.exists(GraftBloom.mightContain(b, _)))
+            }
+            if (zoneAdmits && bloomAdmits) Some(p)
             else Some(p.copy(dataFiles = Nil): InputPartition)
           }
         case other => Some(other)
@@ -1545,11 +1571,22 @@ private[sources] class GraftScan(root: String, full: StructType,
           if (skipFilesByStats && filters.nonEmpty)
             m.fileStats.getOrElse(d, Map.empty)
           else Map.empty[String, AtomicTable.PartStats]
-        if (fst.isEmpty) all
-        else all.filter { path =>
-          val name = path.substring(path.lastIndexOf('/') + 1)
-          fst.get(name).forall(st =>
-            filters.forall(f => statsAdmit(fileBounds(st, _), f)))
+        val afterStats =
+          if (fst.isEmpty) all
+          else all.filter { path =>
+            val name = path.substring(path.lastIndexOf('/') + 1)
+            fst.get(name).forall(st =>
+              filters.forall(f => statsAdmit(fileBounds(st, _), f)))
+          }
+        // bloom sidecars refute POINT predicates file by file — the
+        // skip zone maps cannot do on unclustered columns (same group
+        // contract: never on the row-level group-replace scan)
+        if (!skipFilesByStats || bloomChecks(m).isEmpty) afterStats
+        else afterStats.filter { path =>
+          bloomChecks(m).forall { case (c, vs) =>
+            GraftBloom.sidecarOf(path, c).forall(b =>
+              vs.exists(GraftBloom.mightContain(b, _)))
+          }
         }
       }
       val vecFiles = m.deletes.getOrElse(part, Nil)
@@ -1591,6 +1628,26 @@ private[sources] class GraftScan(root: String, full: StructType,
     * to false (group contract: scanned partitions rewrite from scan
     * output, so every file of a scanned group must be read). */
   protected def skipFilesByStats: Boolean = true
+
+  /** Pushed POINT predicates (=, IN) on the table's declared bloom
+    * columns, values in the shared zone-map rendering — what the
+    * per-file sidecar probes test. Conjunctive: every check must admit
+    * a file for it to plan. */
+  private def bloomChecks(m: AtomicTable.Manifest): Seq[(String, Set[String])] = {
+    val cols = m.properties.get(GraftSource.BloomColsProperty)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    if (cols.isEmpty) Nil
+    else filters.toSeq.flatMap {
+      case EqualTo(c, v) if cols.contains(c) && v != null =>
+        Some(c -> Set(GraftSource.filterValueString(v)))
+      case In(c, vs) if cols.contains(c) && vs != null &&
+          vs.exists(_ != null) =>
+        Some(c -> vs.filter(_ != null)
+          .map(GraftSource.filterValueString).toSet)
+      case _ => None
+    }
+  }
 
   private def listParquet(conf: Configuration, dir: String): Seq[String] = {
     val p = new Path(dir)

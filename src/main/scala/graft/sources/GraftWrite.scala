@@ -39,7 +39,8 @@ private[sources] class GraftWriteBuilder(root: String,
     declaredRetain: Option[Int] = None,
     declaredStats: Seq[String] = Nil,
     declaredSalt: Option[(String, Int)] = None,
-    declaredOrder: Seq[String] = Nil)
+    declaredOrder: Seq[String] = Nil,
+    declaredBloom: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwriteV2
   with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
@@ -166,7 +167,8 @@ private[sources] class GraftWriteBuilder(root: String,
         new GraftBatchWrite(root, info.schema(), pc,
           overwritePreds, resolveRetain(), resolveStats(pc),
           dynamicOverwrite,
-          sortedBy = declaredOrder.filter(info.schema().fieldNames.contains))
+          sortedBy = declaredOrder.filter(info.schema().fieldNames.contains),
+          bloomCols = declaredBloom.filter(info.schema().fieldNames.contains))
       }
       override def toStreaming
           : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
@@ -347,8 +349,15 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
     retain: Int = 1,
     statsColumns: Seq[String] = Nil,
     dynamicOverwrite: Boolean = false,
-    sortedBy: Seq[String] = Nil)
+    sortedBy: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  /** Commits record which columns carry per-file bloom sidecars, so
+    * the scan knows what point predicates can probe. */
+  private def bloomProps: Map[String, String] =
+    if (bloomCols.isEmpty) Map.empty
+    else Map(GraftSource.BloomColsProperty -> bloomCols.mkString(","))
 
   /** Per-dir sort markers: a write_order INSERT range-sorts every task
     * on (partition levels, order cols), so each staged file is sorted
@@ -365,7 +374,8 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new GraftWriterFactory(root, txn, schema, partitionCol, statsColumns)
+    new GraftWriterFactory(root, txn, schema, partitionCol, statsColumns,
+      bloomCols)
 
   override def commit(messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -390,16 +400,19 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
         AtomicTable.commitManifest(rootPath, staged.written,
           newStats = newStats, dropPartitions = drop, retain = retain,
           expectedVersion = Some(readVersion), newFiles = staged.files,
-          newFileStats = fStats, newSorted = sortMarkers(staged))
+          newFileStats = fStats, newSorted = sortMarkers(staged),
+          properties = bloomProps)
       case None if dynamicOverwrite =>
         AtomicTable.commitManifest(rootPath, staged.written,
           newStats = newStats, retain = retain, newFiles = staged.files,
-          newFileStats = fStats, newSorted = sortMarkers(staged))
+          newFileStats = fStats, newSorted = sortMarkers(staged),
+          properties = bloomProps)
       case None =>
         try AtomicTable.commitManifest(rootPath, staged.written,
           newStats = newStats, retain = retain, newFiles = staged.files,
           newFileStats = fStats, append = true, statsSchema = Some(schema),
-          operation = "append", newSorted = sortMarkers(staged))
+          operation = "append", newSorted = sortMarkers(staged),
+          properties = bloomProps)
         catch {
           case _: IllegalStateException =>
             // a touched partition has outstanding delete vectors: fold
@@ -412,7 +425,8 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
             AtomicTable.commitManifest(rootPath, staged.written,
               newStats = newStats, retain = retain, newFiles = staged.files,
               newFileStats = fStats, append = true, statsSchema = Some(schema),
-              operation = "append", newSorted = sortMarkers(staged))
+              operation = "append", newSorted = sortMarkers(staged),
+              properties = bloomProps)
         }
     }
     ()
@@ -559,12 +573,13 @@ private[sources] object GraftStreamingWriterFactory {
 }
 
 private[sources] class GraftWriterFactory(root: String, txn: String,
-    schema: StructType, partitionCol: String, statsColumns: Seq[String] = Nil)
+    schema: StructType, partitionCol: String, statsColumns: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftDataWriter(root, txn, schema, partitionCol, partitionId, taskId,
-      statsColumns)
+      statsColumns, bloomCols)
 }
 
 /** Task-side writer: one parquet file per partition VALUE this task
@@ -572,7 +587,7 @@ private[sources] class GraftWriterFactory(root: String, txn: String,
   * one-file-per-partition layout the maintenance operators keep). */
 private[sources] class GraftDataWriter(root: String, txn: String,
     schema: StructType, partitionCol: String, partitionId: Int, taskId: Long,
-    statsColumns: Seq[String] = Nil)
+    statsColumns: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -591,6 +606,12 @@ private[sources] class GraftDataWriter(root: String, txn: String,
     schema.fieldIndex(GraftSource.levelSource(schema, c))).toArray
   private val statsFields: Array[(String, Int, DataType)] =
     statsColumns.map(c => (c, schema.fieldIndex(c), schema(c).dataType)).toArray
+  private val bloomFields: Array[(String, Int, DataType)] =
+    bloomCols.map(c => (c, schema.fieldIndex(c), schema(c).dataType)).toArray
+  // partition value -> per-bloom-column builder (one file per partition
+  // value per task, so the builder IS the file's filter)
+  private val bloomAcc =
+    mutable.Map.empty[String, Array[GraftBloom.Builder]]
   // per partition VALUE: row count + typed running min/max per stats col
   private final class StatsAcc {
     var rows = 0L
@@ -732,6 +753,18 @@ private[sources] class GraftDataWriter(root: String, txn: String,
     // bounds only when stats_columns declares them
     val acc = statsAcc.getOrElseUpdate(partValue, new StatsAcc)
     acc.rows += 1L
+    if (bloomFields.nonEmpty) {
+      val bs = bloomAcc.getOrElseUpdate(partValue,
+        Array.fill(bloomFields.length)(new GraftBloom.Builder))
+      var k = 0
+      while (k < bloomFields.length) {
+        val (_, i, dt) = bloomFields(k)
+        // nulls never equality-match a literal, so they need no bit
+        val v = GraftWriteStats.valueAt(row, i, dt)
+        if (v != null) bs(k).add(GraftWriteStats.render(dt, v))
+        k += 1
+      }
+    }
     if (statsFields.nonEmpty) {
       var k = 0
       while (k < statsFields.length) {
@@ -750,6 +783,21 @@ private[sources] class GraftDataWriter(root: String, txn: String,
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     writers.values.foreach(_.close())
+    // bloom sidecars land NEXT to their data file inside the immutable
+    // staged dir — they travel with the bytes through commit/GC/restore
+    // and cost the manifest nothing
+    bloomAcc.foreach { case (part, builders) =>
+      val dir = s"$root/data/$txn/" +
+        graft.etl.AtomicTable.partDirSuffix(pcols, part)
+      var k = 0
+      while (k < bloomFields.length) {
+        val p = new Path(
+          s"$dir/${GraftBloom.sidecarName(fileNameFor(), bloomFields(k)._1)}")
+        val out = p.getFileSystem(new Configuration()).create(p, true)
+        try out.write(builders(k).toBytes) finally out.close()
+        k += 1
+      }
+    }
     val stats = statsAcc.map { case (part, acc) =>
       part -> GraftTaskStats(acc.rows,
         statsFields.zipWithIndex.flatMap { case ((c, _, dt), k) =>

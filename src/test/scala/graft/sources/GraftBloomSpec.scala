@@ -1,0 +1,122 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.etl.AtomicTable
+
+/** Per-file bloom sidecars (`bloom_columns`): point lookups on
+  * UNCLUSTERED columns skip files zone maps cannot — every file's
+  * [min, max] spans the whole key range when the layout doesn't sort,
+  * but the 8 KiB membership filter refutes file by file. Static (=, IN
+  * pushdown) and runtime (join-delivered value sets) paths both pinned;
+  * honesty guards: missing sidecars never skip, and a false positive
+  * only costs a read. */
+class GraftBloomSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-bloom").toString
+    spark.conf.set("spark.sql.catalog.gbl", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gbl.root", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbl.db")
+    w
+  }
+
+  private def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scansOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scansOf(q.plan)
+    case b: BatchScanExec => Seq(b)
+    case o => o.children.flatMap(scansOf)
+  }
+
+  private def plannedFiles(df: DataFrame): Int = {
+    df.collect()
+    GraftSource.plannedFileCount(
+      scansOf(df.queryExecution.executedPlan).head.scan).get
+  }
+
+  /** ids are SHUFFLED across the three inserts, so every file's id
+    * range spans ~[0, 300) and zone maps can never skip — only the
+    * blooms can. */
+  private def seed(t: String): Unit = {
+    warehouse
+    spark.sql(s"CREATE TABLE gbl.db.$t (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      "('bloom_columns'='id', 'stats_columns'='id', 'retain'='5')")
+    (0 until 3).foreach { k =>
+      (0L until 300L).filter(_ % 3 == k).map(i => (i, i * 1.5, "a"))
+        .toDF("id", "v", "p").coalesce(1)
+        .createOrReplaceTempView(s"src_$t")
+      spark.sql(s"INSERT INTO gbl.db.$t SELECT * FROM src_$t")
+    }
+  }
+
+  test("a point lookup reads exactly the file that holds the key") {
+    seed("t1")
+    val dir = Paths.get(warehouse, "db", "t1")
+    // sidecars exist next to every committed data file
+    val m = AtomicTable.manifest(dir).get
+    m.partitions("a").foreach { d =>
+      val s = Files.list(dir.resolve(d))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        s.iterator.asScala.map(_.getFileName.toString).toSet
+      } finally s.close()
+      val data = names.filter(_.endsWith(".parquet"))
+      assert(data.forall(f => names.contains(s"$f.id.bloom")),
+        s"every data file of $d must carry its id sidecar, got $names")
+    }
+    assert(m.properties(GraftSource.BloomColsProperty) === "id")
+    // interleaved ids: zone maps admit all three files...
+    assert(m.fileStats.values.flatMap(_.values)
+      .forall(st => st.mins("id").toLong <= 2), "every file spans the range")
+    // ...but the bloom reads ONE file for id = 7 (7 % 3 = 1 -> file 2)
+    val q = spark.sql("SELECT v FROM gbl.db.t1 WHERE id = 7")
+    assert(q.as[Double].collect().toSeq === Seq(10.5))
+    assert(plannedFiles(q) === 1,
+      "the point predicate must bloom-skip the two files without the key")
+    // IN over keys from two of the three files keeps exactly those two
+    val q2 = spark.sql("SELECT sum(id) FROM gbl.db.t1 WHERE id IN (3, 7)")
+    assert(q2.as[Long].head() === 10L)
+    assert(plannedFiles(q2) === 2)
+    // an absent key reads zero files, and answers exactly
+    val q3 = spark.sql("SELECT v FROM gbl.db.t1 WHERE id = 999999")
+    assert(q3.collect().isEmpty)
+    assert(plannedFiles(q3) === 0)
+  }
+
+  test("runtime value sets from a selective join probe the sidecars") {
+    seed("t2")
+    val dimPath = Files.createTempDirectory("graft-bloom-dim").toString
+    (0L until 300L).map(i => (i, if (i == 31 || i == 62) "keep" else "drop"))
+      .toDF("id", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    val j = spark.table("gbl.db.t2").join(broadcast(dim), Seq("id"))
+    val rows = j.collect()
+    assert(rows.length === 2)
+    val scans = scansOf(j.queryExecution.executedPlan)
+      .filter(_.runtimeFilters.nonEmpty)
+    assert(scans.nonEmpty, "the join must deliver a runtime filter")
+    // 31 % 3 = 1 and 62 % 3 = 2: two of three files admit
+    assert(GraftSource.plannedFileCount(scans.head.scan).get === 2,
+      "runtime values must bloom-skip the file holding neither key")
+  }
+
+  test("keyed DML on a bloom table stays exact (group scan never file-skips)") {
+    seed("t3")
+    spark.sql("DELETE FROM gbl.db.t3 WHERE id = 7")
+    assert(spark.sql("SELECT count(*) FROM gbl.db.t3").as[Long].head() === 299L)
+    spark.sql("UPDATE gbl.db.t3 SET v = -1.0 WHERE id = 8")
+    assert(spark.sql("SELECT v FROM gbl.db.t3 WHERE id = 8")
+      .as[Double].head() === -1.0)
+    assert(spark.sql("SELECT count(*) FROM gbl.db.t3").as[Long].head() === 299L)
+  }
+}
