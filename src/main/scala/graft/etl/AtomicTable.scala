@@ -1163,7 +1163,8 @@ object AtomicTable {
       expectedVersion: Option[Long] = None,
       operation: String = "write",
       append: Boolean = false,
-      sortedBy: Seq[String] = Nil): Manifest = {
+      sortedBy: Seq[String] = Nil,
+      bloomBy: Seq[String] = Nil): Manifest = {
     val pcols = partCols(partitionCol)
     require(pcols.nonEmpty, "replacePartitions needs a partition column")
     pcols.foreach(c => require(!statsColumns.contains(c),
@@ -1193,6 +1194,31 @@ object AtomicTable {
     staged.write.partitionBy(pcols: _*).parquet(root.resolve("data").resolve(txn).toString)
     val txnDir = root.resolve("data").resolve(txn)
     val written = stagedPartitionDirs(txnDir, txn, pcols)
+    // rebuild bloom sidecars for the rewritten files (a rewrite that
+    // dropped them would silently lose point-lookup skipping): one
+    // grouped aggregation over the staged bytes, one 8 KiB buffer per
+    // (file, column) to the driver — bounded by the rewrite's own size
+    if (bloomBy.nonEmpty && written.nonEmpty) {
+      val bloomAgg = graft.sources.GraftBloom.aggregator
+      val st = spark.read.option("basePath", txnDir.toString)
+        .parquet(txnDir.toString)
+        .select(bloomBy.map(c =>
+          col(c).cast("string").as(c)) :+
+          org.apache.spark.sql.functions.input_file_name().as("_f"): _*)
+      st.groupBy(col("_f"))
+        .agg(bloomAgg(col(bloomBy.head)).as(bloomBy.head),
+          bloomBy.tail.map(c => bloomAgg(col(c)).as(c)): _*)
+        .collect().foreach { r =>
+          val fp = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+          bloomBy.zipWithIndex.foreach { case (c, i) =>
+            val sp = new org.apache.hadoop.fs.Path(fp.getParent,
+              graft.sources.GraftBloom.sidecarName(fp.getName, c))
+            val out = sp.getFileSystem(
+              new org.apache.hadoop.conf.Configuration()).create(sp, true)
+            try out.write(r.getAs[Array[Byte]](i + 1)) finally out.close()
+          }
+        }
+    }
     val (newStats: Map[String, PartStats],
          newFileStats: Map[String, Map[String, PartStats]]) =
       if (statsColumns.isEmpty || written.isEmpty)
@@ -1277,7 +1303,12 @@ object AtomicTable {
           case (dir, sts) => dir -> sts.map(t => t._2 -> t._3).toMap
         })
       }
-    commitManifest(root, written, newStats, properties, dropPartitions,
+    commitManifest(root, written, newStats,
+      properties ++
+        (if (bloomBy.isEmpty) Map.empty
+         else Map(graft.sources.GraftSource.BloomColsProperty ->
+           bloomBy.mkString(","))),
+      dropPartitions,
       expectedVersion, retain, beforeCommit, operation = operation,
       append = append, statsSchema = if (append) Some(rows.schema) else None,
       newFileStats = newFileStats,
@@ -1408,7 +1439,8 @@ object AtomicTable {
   def compactFragmented(spark: SparkSession, table: String,
       schema: StructType, partitionCol: String, minFiles: Int,
       statsColumns: Seq[String] = Nil, retain: Int = 1,
-      clusterBy: Seq[String] = Nil, filesPerPartition: Int = 1): Manifest = {
+      clusterBy: Seq[String] = Nil, filesPerPartition: Int = 1,
+      bloomBy: Seq[String] = Nil): Manifest = {
     val root = Paths.get(table)
     val m = manifest(root).getOrElse(
       return Manifest(0L, Map.empty))
@@ -1459,7 +1491,8 @@ object AtomicTable {
       // source-column order, and the inserted sort is not stable)
       sortedBy =
         if (partCols(partitionCol).forall(rows.columns.contains)) clusterBy
-        else Nil)
+        else Nil,
+      bloomBy = bloomBy)
   }
 
   /** PARTITION-SPEC EVOLUTION: rewrite the table's current contents

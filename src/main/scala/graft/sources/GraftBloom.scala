@@ -59,6 +59,45 @@ object GraftBloom {
     }
   }
 
+  /** Set `rendered`'s bits directly in sidecar-encoded bytes — the SAME
+    * layout [[Builder.toBytes]] produces (big-endian longs), asserted
+    * equal by GraftBloomSpec, so distributed rebuilds and writer-task
+    * builds are interchangeable. */
+  def addToBytes(bits: Array[Byte], rendered: String): Unit = {
+    val (h1, h2) = hashes(rendered)
+    var i = 0
+    while (i < Probes) {
+      val pos = java.lang.Long.remainderUnsigned(h1 + i * h2, Bits).toInt
+      val k = pos & 63
+      val byteIdx = (pos >> 6) * 8 + 7 - (k >> 3)
+      bits(byteIdx) = (bits(byteIdx) | (1 << (k & 7))).toByte
+      i += 1
+    }
+  }
+
+  /** Per-file bloom as a SQL aggregate over the value's string
+    * rendering — what lets a REWRITE (clustered compaction, spec
+    * evolution) rebuild its output files' sidecars with one grouped
+    * aggregation over the staged bytes instead of losing the index.
+    * Bounded: the result is one 8 KiB buffer per (file, column). */
+  def aggregator: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new org.apache.spark.sql.expressions.Aggregator[
+        String, Array[Byte], Array[Byte]] {
+        def zero: Array[Byte] = new Array[Byte](Bits / 8)
+        def reduce(b: Array[Byte], a: String): Array[Byte] = {
+          if (a != null) addToBytes(b, a); b
+        }
+        def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = {
+          var i = 0
+          while (i < x.length) { x(i) = (x(i) | y(i)).toByte; i += 1 }
+          x
+        }
+        def finish(b: Array[Byte]): Array[Byte] = b
+        def bufferEncoder = org.apache.spark.sql.Encoders.BINARY
+        def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+      }, org.apache.spark.sql.Encoders.STRING)
+
   /** Membership probe against sidecar bytes: false = DEFINITELY absent
     * (the file may be skipped), true = possibly present (must read). */
   def mightContain(bloom: Array[Byte], rendered: String): Boolean = {

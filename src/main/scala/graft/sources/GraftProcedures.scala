@@ -152,7 +152,8 @@ private[sources] object GraftMaintenanceProcedures {
         schema, pcol, minFiles = input.getLong(1).toInt,
         statsColumns = statsCols, retain = retain,
         clusterBy = catalog.readClusterBy(dir),
-        filesPerPartition = input.getLong(2).toInt)
+        filesPerPartition = input.getLong(2).toInt,
+        bloomBy = catalog.readBloomBy(dir))
       Array[Any](m.version, before, graft.etl.AtomicTable.dataFileCount(dir))
     })
 

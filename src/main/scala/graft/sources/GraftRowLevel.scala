@@ -42,7 +42,7 @@ import graft.etl.AtomicTable
   * [[GraftTable]]'s `SupportsDeleteV2`. */
 private[sources] class GraftRowLevelOperation(root: String, full: StructType,
     partitionCol: String, retain: Int, cmd: Command,
-    statsColumns: Seq[String] = Nil)
+    statsColumns: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
   extends RowLevelOperation {
 
   /** Shared between this operation's scan and write: which snapshot the
@@ -60,7 +60,8 @@ private[sources] class GraftRowLevelOperation(root: String, full: StructType,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new GraftGroupReplaceWrite(
           root, info.schema(), partitionCol, retain, cmd, state,
-          statsColumns.filter(info.schema().fieldNames.contains))
+          statsColumns.filter(info.schema().fieldNames.contains),
+          bloomCols.filter(info.schema().fieldNames.contains))
       }
     }
 }
@@ -169,14 +170,16 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
   * all in one optimistic commit against the version the scan read. */
 private[sources] class GraftGroupReplaceWrite(root: String,
     schema: StructType, partitionCol: String, retain: Int, cmd: Command,
-    state: GraftGroupState, statsColumns: Seq[String] = Nil)
+    state: GraftGroupState, statsColumns: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil)
     extends BatchWrite {
 
   private val txn = s"txn-rl-${java.util.UUID.randomUUID().toString.take(12)}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory =
-    new GraftRowLevelWriterFactory(root, txn, schema, partitionCol, statsColumns)
+    new GraftRowLevelWriterFactory(root, txn, schema, partitionCol,
+      statsColumns, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val staged = GraftWriteCommit.pruneAndMap(root, txn, partitionCol, messages)
@@ -233,14 +236,15 @@ private[sources] class GraftGroupReplaceWrite(root: String,
   * the real writer; anything else shape-wise is a loud error, never a
   * misaligned write. */
 private[sources] class GraftRowLevelWriterFactory(root: String, txn: String,
-    schema: StructType, partitionCol: String, statsColumns: Seq[String] = Nil)
+    schema: StructType, partitionCol: String, statsColumns: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] = {
     val inner = new GraftDataWriter(root, txn, schema, partitionCol,
-      partitionId, taskId, statsColumns)
+      partitionId, taskId, statsColumns, bloomCols)
     new org.apache.spark.sql.connector.write.DataWriter[
         org.apache.spark.sql.catalyst.InternalRow] {
       private val strip = org.apache.spark.sql.catalyst.ProjectingInternalRow(

@@ -667,7 +667,10 @@ private[sources] class GraftTable(props: Map[String, String],
       s"$root has no partition column on record — commit data or declare " +
         "the table through the catalog first"))
     () => new GraftRowLevelOperation(root, schema0, pc, retainN, info.command,
-      declaredStatsCols.filter(schema0.fieldNames.contains))
+      declaredStatsCols.filter(schema0.fieldNames.contains),
+      bloomCols = lower.get("bloom_columns")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil).filter(schema0.fieldNames.contains))
   }
 }
 

@@ -119,4 +119,40 @@ class GraftBloomSpec extends SparkSuite {
       .as[Double].head() === -1.0)
     assert(spark.sql("SELECT count(*) FROM gbl.db.t3").as[Long].head() === 299L)
   }
+
+  test("builder and byte-level setter produce identical sidecars") {
+    val b = new GraftBloom.Builder
+    val bytes = new Array[Byte](GraftBloom.Bits / 8)
+    val vals = (0 until 500).map(i => s"value-$i")
+    vals.foreach(b.add)
+    vals.foreach(GraftBloom.addToBytes(bytes, _))
+    assert(java.util.Arrays.equals(b.toBytes, bytes),
+      "the distributed rebuild must write bit-identical sidecars")
+    vals.foreach(v => assert(GraftBloom.mightContain(bytes, v)))
+  }
+
+  test("compaction rebuilds the sidecars (point skipping survives rewrites)") {
+    warehouse
+    spark.sql("CREATE TABLE gbl.db.t4 (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      "('bloom_columns'='id', 'retain'='5')")
+    (0 until 3).foreach { k =>
+      (0L until 300L).filter(_ % 3 == k)
+        .map(i => (i, i * 1.5, if (i < 150) "a" else "b"))
+        .toDF("id", "v", "p").coalesce(1).createOrReplaceTempView("src_t4")
+      spark.sql("INSERT INTO gbl.db.t4 SELECT * FROM src_t4")
+    }
+    spark.sql("CALL gbl.system.compact('db.t4', 2)")
+    val m = AtomicTable.manifest(Paths.get(warehouse, "db", "t4")).get
+    assert(m.partitions.values.forall(_.size === 1), "compacted")
+    // the rewritten files carry REBUILT sidecars: a point key reads one
+    // file of two, an absent key reads zero
+    val q = spark.sql("SELECT v FROM gbl.db.t4 WHERE id = 7")
+    assert(q.as[Double].collect().toSeq === Seq(10.5))
+    assert(plannedFiles(q) === 1,
+      "the other partition's rebuilt bloom must refute the key")
+    val q2 = spark.sql("SELECT v FROM gbl.db.t4 WHERE id = 999999")
+    assert(q2.collect().isEmpty)
+    assert(plannedFiles(q2) === 0)
+  }
 }
