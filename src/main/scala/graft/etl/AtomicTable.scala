@@ -676,6 +676,53 @@ object AtomicTable {
       CommitInfo(v, commitTimeMs(root, v), m.operation, m.partitions.size, rows)
     }.toSeq
 
+  /** Aggregate one 8 KiB bloom per (file, column) of `frame` and write
+    * the sidecars next to the files. Bounded: one buffer per pair to
+    * the driver. Shared by rewrites and the backfill. */
+  private def writeBloomSidecars(frame: DataFrame,
+      bloomBy: Seq[String]): Unit = {
+    val bloomAgg = graft.sources.GraftBloom.aggregator
+    frame.select(bloomBy.map(c => col(c).cast("string").as(c)) :+
+        org.apache.spark.sql.functions.input_file_name().as("_f"): _*)
+      .groupBy(col("_f"))
+      .agg(bloomAgg(col(bloomBy.head)).as(bloomBy.head),
+        bloomBy.tail.map(c => bloomAgg(col(c)).as(c)): _*)
+      .collect().foreach { r =>
+        val fp = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
+        bloomBy.zipWithIndex.foreach { case (c, i) =>
+          val sp = new org.apache.hadoop.fs.Path(fp.getParent,
+            graft.sources.GraftBloom.sidecarName(fp.getName, c))
+          val out = sp.getFileSystem(
+            new org.apache.hadoop.conf.Configuration()).create(sp, true)
+          try out.write(r.getAs[Array[Byte]](i + 1)) finally out.close()
+        }
+      }
+  }
+
+  /** BACKFILL bloom sidecars for a table written before `bloom_columns`
+    * was declared (the analog of [[analyzeStats]] for zone maps): one
+    * column-pruned scan of the committed files builds each file's
+    * filter, the sidecars land next to the immutable bytes (additive —
+    * no data file changes), and a properties-only commit announces the
+    * covered columns to the scan. Blooms are built over RAW file
+    * contents (outstanding delete vectors only add false positives,
+    * never skip a live row). */
+  def rebuildBlooms(spark: SparkSession, table: String, schema: StructType,
+      bloomBy: Seq[String], retain: Int = 2): Manifest = {
+    require(bloomBy.nonEmpty, "rebuildBlooms needs at least one column")
+    val root = Paths.get(table)
+    val m = manifest(root).getOrElse(
+      throw new IllegalArgumentException(s"$table has no commits"))
+    if (m.partitions.nonEmpty)
+      writeBloomSidecars(
+        readManifest(spark, table, schema, m)
+          .select(bloomBy.map(col): _*), bloomBy)
+    commitManifest(root, Map.empty,
+      properties = Map(
+        graft.sources.GraftSource.BloomColsProperty -> bloomBy.mkString(",")),
+      retain = retain, operation = "blooms")
+  }
+
   // ------------------------------------------------------------- tags
 
   /** Property prefix of a snapshot tag: `graft.tag.<name> = <version>`.
@@ -1198,27 +1245,10 @@ object AtomicTable {
     // dropped them would silently lose point-lookup skipping): one
     // grouped aggregation over the staged bytes, one 8 KiB buffer per
     // (file, column) to the driver — bounded by the rewrite's own size
-    if (bloomBy.nonEmpty && written.nonEmpty) {
-      val bloomAgg = graft.sources.GraftBloom.aggregator
-      val st = spark.read.option("basePath", txnDir.toString)
-        .parquet(txnDir.toString)
-        .select(bloomBy.map(c =>
-          col(c).cast("string").as(c)) :+
-          org.apache.spark.sql.functions.input_file_name().as("_f"): _*)
-      st.groupBy(col("_f"))
-        .agg(bloomAgg(col(bloomBy.head)).as(bloomBy.head),
-          bloomBy.tail.map(c => bloomAgg(col(c)).as(c)): _*)
-        .collect().foreach { r =>
-          val fp = new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0)))
-          bloomBy.zipWithIndex.foreach { case (c, i) =>
-            val sp = new org.apache.hadoop.fs.Path(fp.getParent,
-              graft.sources.GraftBloom.sidecarName(fp.getName, c))
-            val out = sp.getFileSystem(
-              new org.apache.hadoop.conf.Configuration()).create(sp, true)
-            try out.write(r.getAs[Array[Byte]](i + 1)) finally out.close()
-          }
-        }
-    }
+    if (bloomBy.nonEmpty && written.nonEmpty)
+      writeBloomSidecars(
+        spark.read.option("basePath", txnDir.toString)
+          .parquet(txnDir.toString), bloomBy)
     val (newStats: Map[String, PartStats],
          newFileStats: Map[String, Map[String, PartStats]]) =
       if (statsColumns.isEmpty || written.isEmpty)

@@ -572,18 +572,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case (Seq("system"), "analyze") => GraftMaintenanceProcedures.analyze(this)
       case (Seq("system"), "create_mv") => GraftMvProcedures.createMv(this)
       case (Seq("system"), "refresh_mv") => GraftMvProcedures.refreshMv(this)
+      case (Seq("system"), "rebuild_blooms") =>
+        GraftMaintenanceProcedures.rebuildBlooms(this)
       case (Seq("system"), "tag") => GraftMaintenanceProcedures.tag(this)
       case (Seq("system"), "untag") => GraftMaintenanceProcedures.untag(this)
       case _ => throw new IllegalArgumentException(
         s"unknown procedure $ident — graft provides system.{table_changes," +
           "compact,vacuum,rollback,clone,analyze,create_mv,refresh_mv," +
-          "tag,untag}")
+          "tag,untag,rebuild_blooms}")
     }
 
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(Array("system")))
       Array("table_changes", "compact", "vacuum", "rollback", "clone",
-        "analyze", "create_mv", "refresh_mv", "tag", "untag")
+        "analyze", "create_mv", "refresh_mv", "tag", "untag",
+        "rebuild_blooms")
         .map(Identifier.of(Array("system"), _))
     else Array.empty
 

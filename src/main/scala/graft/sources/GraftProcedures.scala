@@ -228,6 +228,36 @@ private[sources] object GraftMaintenanceProcedures {
         m.fileStats.valuesIterator.map(_.size.toLong).sum)
     })
 
+  /** `rebuild_blooms('db.t', 'cols')` — backfill bloom sidecars for a
+    * table written before `bloom_columns` was declared (the
+    * [[analyze]] analog for the bloom index): one column-pruned scan
+    * builds each committed file's filter, and a properties-only commit
+    * announces the covered columns to the scan. '' uses the declared
+    * bloom_columns. */
+  def rebuildBlooms(catalog: GraftCatalog): UnboundProcedure = new GraftSimpleProcedure(
+    "rebuild_blooms",
+    "backfill per-file bloom sidecars for the given columns",
+    Array(tableParam,
+      ProcedureParameter.in("columns", StringType)
+        .comment("comma-joined columns; '' = the declared bloom_columns").build()),
+    StructType(Seq(
+      StructField("version", LongType, nullable = false))),
+    { input =>
+      val spark = SparkSession.active
+      val (dir, schema, _, retain, _) =
+        catalog.resolveMaintenance(input.getUTF8String(0).toString)
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq match {
+          case Nil => catalog.readBloomBy(dir)
+          case cs => cs
+        }
+      require(cols.nonEmpty,
+        s"$dir declares no bloom_columns — pass the columns to index")
+      val m = graft.etl.AtomicTable.rebuildBlooms(spark, dir.toString,
+        schema, cols, retain)
+      Array[Any](m.version)
+    })
+
   /** `tag('db.t', 'name', version)` — pin a retained snapshot under a
     * durable name (Iceberg tags): GC keeps the tagged version's
     * manifest and data alive until `untag`, and `VERSION AS OF 'name'`

@@ -155,4 +155,30 @@ class GraftBloomSpec extends SparkSuite {
     assert(q2.collect().isEmpty)
     assert(plannedFiles(q2) === 0)
   }
+
+  test("rebuild_blooms backfills a table indexed after the fact") {
+    warehouse
+    // created WITHOUT bloom_columns: three interleaved full-range files
+    spark.sql("CREATE TABLE gbl.db.t5 (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
+    (0 until 3).foreach { k =>
+      (0L until 300L).filter(_ % 3 == k).map(i => (i, i * 1.5, "a"))
+        .toDF("id", "v", "p").coalesce(1).createOrReplaceTempView("src_t5")
+      spark.sql("INSERT INTO gbl.db.t5 SELECT * FROM src_t5")
+    }
+    // no index yet: the point lookup reads all three files
+    val before = spark.sql("SELECT v FROM gbl.db.t5 WHERE id = 7")
+    assert(before.as[Double].collect().toSeq === Seq(10.5))
+    assert(plannedFiles(before) === 3)
+    // declare + backfill, one scan, properties-only commit
+    spark.sql("ALTER TABLE gbl.db.t5 SET TBLPROPERTIES " +
+      "('bloom_columns'='id')")
+    spark.sql("CALL gbl.system.rebuild_blooms('db.t5', '')")
+    val after = spark.sql("SELECT v FROM gbl.db.t5 WHERE id = 7")
+    assert(after.as[Double].collect().toSeq === Seq(10.5))
+    assert(plannedFiles(after) === 1,
+      "the backfilled sidecars must skip the two keyless files")
+    assert(AtomicTable.manifest(Paths.get(warehouse, "db", "t5")).get
+      .properties(GraftSource.BloomColsProperty) === "id")
+  }
 }

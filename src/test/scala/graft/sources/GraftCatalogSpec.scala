@@ -389,7 +389,8 @@ class GraftCatalogSpec extends SparkSuite {
       .asInstanceOf[GraftCatalog]
       .listProcedures(Array("system")).map(_.name()).toSeq ===
       Seq("table_changes", "compact", "vacuum", "rollback", "clone",
-        "analyze", "create_mv", "refresh_mv", "tag", "untag"))
+        "analyze", "create_mv", "refresh_mv", "tag", "untag",
+        "rebuild_blooms"))
   }
 
   test("CALL system.compact folds small-file debt in fragmented partitions only") {
