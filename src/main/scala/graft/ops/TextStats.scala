@@ -431,10 +431,13 @@ object TextStats {
     *     the gram string; partial aggregation absorbs the per-doc fan-in
     *     before the exchange), prefix counts c1 derived from the model,
     *     vocabulary size V as a broadcast scalar.
-    *  2. Score: per-doc bigram counts join the model on the gram key (the
-    *     same shuffle key, so the exchange is reused), Laplace-smoothed
-    *     probability p = (c12+1)/(c1+V), and the per-doc average
-    *     probability in integer micro-units.
+    *  2. Score: the Laplace-smoothed probability p = (c12+1)/(c1+V) is
+    *     composed model-side first into a distinct-gram-sized
+    *     (gram, p) table, then the per-doc bigram counts join it ONCE on
+    *     the gram key (the same key their own build aggregate shuffled
+    *     on), and the per-doc average probability lands in integer
+    *     micro-units. The corpus-sized table crosses exactly one
+    *     exchange end-to-end.
     *
     * Cross-engine determinism: each bigram is scored on the smoothed
     * PROBABILITY itself, quantized to integer micro-units
@@ -471,12 +474,28 @@ object TextStats {
       .agg(countDistinct("tok").cast("double").as("v")))
     val pMicro = round((col("c12") + lit(1.0)) / (col("c1") + col("v"))
       * lit(1000000.0), 0).cast("long")
-    docBg.join(model, "gram")
+    // Compose the per-gram probability FIRST, entirely on the model side:
+    // model JOIN prefix JOIN vocab is distinct-gram-sized (the n-gram
+    // vocabulary saturates sublinearly in corpus size), so those shuffles
+    // are cheap. The corpus-sized docBg table then joins ONCE, on `gram` —
+    // the same key its own build aggregate shuffled on. The previous shape
+    // joined docBg to the model on `gram` and then re-shuffled the
+    // already-joined doc-level rows AGAIN on the derived `w1` key: two
+    // full-corpus exchanges instead of one (measured 3.9x for 2x data at
+    // the 1000x scale point; see BASELINE.md). The computed-column select
+    // below also blocks Catalyst's inner-join flattening from re-deriving
+    // the old left-deep order. Zipf-skewed head grams (" the "-class keys)
+    // concentrate one shuffle partition; AQE's skew-join split (enabled in
+    // Bench/Verify sessions) re-balances that at runtime without inflating
+    // the model side the way a static salt would.
+    val gramP = model
       .join(prefix, substring_index(col("gram"), " ", 1) === col("w1"))
       .crossJoin(vocab)
+      .select(col("gram"), pMicro.as("p_gram_micro"))
+    docBg.join(gramP, "gram")
       .groupBy("doc_id")
       .agg(sum("cnt").as("n_bigrams"),
-        sum(col("cnt") * pMicro).as("p_micro"))
+        sum(col("cnt") * col("p_gram_micro")).as("p_micro"))
       // integer micro-units end to end: a trailing float division would
       // reintroduce engine-specific double rounding at the output edge
       .select(col("doc_id"), col("n_bigrams"),

@@ -166,6 +166,36 @@ class PlanAuditSpec extends SparkSuite {
       s"model, prefix AND probe must read the persisted docBg, got $cacheHits:\n$p")
   }
 
+  test("text_lm_score: the corpus-sized docBg table joins exactly once, on gram") {
+    // the per-gram probability must be composed model-side (distinct-gram-
+    // sized) BEFORE the probe join — a regression back to
+    // docBg JOIN model JOIN prefix re-shuffles the full corpus-sized
+    // doc-gram table a second time on the derived w1 key (the r11 1000x
+    // residual: 3.9x for 2x data). Structurally: the docBg cache read with
+    // NO intervening aggregate is the corpus-sized probe leg; exactly one
+    // join may touch it, and that join's key must be the raw gram column,
+    // not a substring_index derivation.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val physical = SparkEntry.queries("text_lm_score")(spark, sf0001)
+      .queryExecution.sparkPlan
+    def rawProbe(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case _: InMemoryTableScanExec => true
+      case other => other.children.exists(rawProbe)
+    }
+    val probeJoins = physical.collect {
+      case j: BaseJoinExec if rawProbe(j.left) || rawProbe(j.right) => j
+    }
+    assert(probeJoins.size === 1,
+      s"docBg must cross exactly one join, found ${probeJoins.size}:\n$physical")
+    val keys = (probeJoins.head.leftKeys ++ probeJoins.head.rightKeys).map(_.toString)
+    assert(keys.forall(k => !k.contains("substring_index")),
+      s"probe join must key on gram, not a derived w1: $keys")
+  }
+
   test("sample_weighted: weighted top-k plans TakeOrderedAndProject") {
     val p = plan("sample_weighted")
     assert(p.contains("TakeOrderedAndProject"),
