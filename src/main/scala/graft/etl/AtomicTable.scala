@@ -18,10 +18,36 @@ import org.apache.spark.sql.types.StructType
   * Layout:
   * {{{
   *   table/
-  *     _graft_version          <- current version number (the ONLY mutable file)
-  *     _manifests/v<N>.json    <- version -> {partition value -> data dir}
-  *     data/txn-<id>/source=X/ <- immutable parquet, one dir per (txn, partition)
+  *     _graft_version             <- current version number (the ONLY mutable file)
+  *     _manifests/v<N>.json       <- manifest ROOT: version, properties, and the
+  *                                   partition-granular planning state (dir lists,
+  *                                   zone maps, delete vectors) + per-partition
+  *                                   POINTERS into blobs/
+  *     _manifests/blobs/pm-*.json <- immutable per-PARTITION metadata blobs: the
+  *                                   file-granular state (committed file lists,
+  *                                   per-dir bytes, per-FILE zone maps, sort
+  *                                   markers) — O(files)-sized, so it must never
+  *                                   ride the root
+  *     data/txn-<id>/source=X/    <- immutable parquet, one dir per (txn, partition)
   * }}}
+  *
+  * Two-tier metadata (the Iceberg manifest-list shape): the root is
+  * O(partitions) — version, properties, each partition's dir list, its
+  * zone map, its delete-vector dirs, and a pointer to its blob. The
+  * blobs are O(that partition's files) and IMMUTABLE: a commit writes
+  * fresh blobs ONLY for the partitions it touches and carries every
+  * other partition's pointer forward verbatim, so commit metadata I/O
+  * is bounded by the commit's own footprint, never by table size — at
+  * 100 TB (millions of files × per-file stats) a one-partition revision
+  * writes one root + one blob, not hundreds of MB of re-rendered JSON.
+  * Planning is tiered the same way: partition pruning, aggregate
+  * pushdown, history, GC, and the changefeed diff read ONLY roots;
+  * file-granular planning (committed file lists, file zone maps, sort
+  * markers) hydrates ONLY the admitted partitions' blobs. Pre-split
+  * (format 1) manifests carry everything inline in the root and read
+  * transparently; the first commit over one migrates every partition
+  * into blobs (a one-time O(partitions) rewrite, after which commits
+  * are O(touched) again).
   *
   * Writers stage changed partitions into a fresh `data/txn-<id>/` dir and
   * build manifest v(N+1) = v(N) with those partitions' dirs replaced; the
@@ -138,11 +164,127 @@ object AtomicTable {
   final case class CommitInfo(version: Long, tsMs: Long, operation: String,
       numPartitions: Int, rows: Option[Long])
 
+  /** The FILE-granular half of one partition's metadata, stored in an
+    * immutable blob file next to the roots (`_manifests/blobs/pm-*`).
+    * Every map is keyed by that partition's own data dirs; every map is
+    * optional-by-contract (absent file list → list the dir, absent
+    * bytes → stat lazily, absent file stats → never prune, absent sort
+    * marker → claim nothing), which is what lets a commit carry an
+    * untouched partition's blob POINTER forward without reading it. */
+  final case class PartBlob(
+      files: Map[String, Seq[String]] = Map.empty,
+      bytes: Map[String, Long] = Map.empty,
+      fileStats: Map[String, Map[String, PartStats]] = Map.empty,
+      sorted: Map[String, String] = Map.empty) {
+    def isEmpty: Boolean =
+      files.isEmpty && bytes.isEmpty && fileStats.isEmpty && sorted.isEmpty
+  }
+
+  /** The manifest ROOT of one version: everything partition-granular
+    * (dir lists, zone maps, delete vectors, properties) plus one blob
+    * pointer per partition that has file-granular metadata. O(partitions)
+    * to parse — partition pruning, aggregate pushdown, history, GC, and
+    * changefeed diffs run entirely on roots; [[hydrate]] loads blobs only
+    * for the partitions a caller actually plans. `inline` carries a
+    * fully-parsed pre-split (format 1) manifest so old tables read
+    * without migration. */
+  final case class ManifestRoot(version: Long,
+      partitions: Map[String, Seq[String]],
+      properties: Map[String, String] = Map.empty,
+      stats: Map[String, PartStats] = Map.empty,
+      deletes: Map[String, Seq[String]] = Map.empty,
+      tsMs: Long = 0L, operation: String = "write",
+      blobs: Map[String, String] = Map.empty,
+      inline: Option[Manifest] = None) {
+    def allDirs: Seq[String] = partitions.values.flatten.toSeq.sorted
+  }
+
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   private def versionFile(root: Path): Path = root.resolve("_graft_version")
   private def manifestFile(root: Path, v: Long): Path =
     root.resolve("_manifests").resolve(s"v$v.json")
+  private def blobsDir(root: Path): Path =
+    root.resolve("_manifests").resolve("blobs")
+
+  /** Test instrumentation: when enabled, every blob file [[hydrate]]
+    * loads is recorded — the spec that pins "planning a pruned query
+    * reads only the admitted partitions' blobs" watches this. Off by
+    * default (an unbounded log has no place in a long-lived driver). */
+  @volatile private[graft] var recordBlobReads = false
+  private[graft] val blobReadLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  private def loadBlob(root: Path, name: String): PartBlob = {
+    if (recordBlobReads) blobReadLog.add(name)
+    val n = mapper.readTree(Files.readString(blobsDir(root).resolve(name)))
+    def strMap(node: com.fasterxml.jackson.databind.JsonNode): Map[String, String] =
+      node.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    def strListMap(node: com.fasterxml.jackson.databind.JsonNode)
+        : Map[String, Seq[String]] =
+      node.fields().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText).toSeq
+      }.toMap
+    def partStatsOf(v: com.fasterxml.jackson.databind.JsonNode): PartStats =
+      PartStats(v.get("rows").asLong,
+        Option(v.get("mins")).map(strMap).getOrElse(Map.empty),
+        Option(v.get("maxs")).map(strMap).getOrElse(Map.empty))
+    PartBlob(
+      Option(n.get("files")).map(strListMap).getOrElse(Map.empty),
+      Option(n.get("bytes")).map(_.fields().asScala
+        .map(e => e.getKey -> e.getValue.asLong).toMap).getOrElse(Map.empty),
+      Option(n.get("fileStats")).map(_.fields().asScala.map { e =>
+        e.getKey -> e.getValue.fields().asScala
+          .map(f => f.getKey -> partStatsOf(f.getValue)).toMap
+      }.toMap).getOrElse(Map.empty),
+      Option(n.get("sorted")).map(strMap).getOrElse(Map.empty))
+  }
+
+  private def renderBlob(b: PartBlob): String = {
+    val node = mapper.createObjectNode()
+    if (b.files.nonEmpty) {
+      val fl = node.putObject("files")
+      b.files.toSeq.sortBy(_._1).foreach { case (dir, names) =>
+        val a = fl.putArray(dir)
+        names.foreach(a.add)
+      }
+    }
+    if (b.bytes.nonEmpty) {
+      val by = node.putObject("bytes")
+      b.bytes.toSeq.sortBy(_._1).foreach { case (dir, n) => by.put(dir, n) }
+    }
+    if (b.sorted.nonEmpty) {
+      val so = node.putObject("sorted")
+      b.sorted.toSeq.sortBy(_._1).foreach { case (dir, o) => so.put(dir, o) }
+    }
+    if (b.fileStats.nonEmpty) {
+      val fs = node.putObject("fileStats")
+      b.fileStats.toSeq.sortBy(_._1).foreach { case (dir, perFile) =>
+        val d = fs.putObject(dir)
+        perFile.toSeq.sortBy(_._1).foreach { case (name, s) =>
+          val p = d.putObject(name)
+          p.put("rows", s.rows)
+          val mins = p.putObject("mins")
+          s.mins.toSeq.sortBy(_._1).foreach { case (c, v) => mins.put(c, v) }
+          val maxs = p.putObject("maxs")
+          s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) => maxs.put(c, v) }
+        }
+      }
+    }
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+  }
+
+  /** The partition key a data dir's path segments encode — the exact
+    * inverse of the keying [[stagedPartitionDirs]] commits under
+    * ("data/txn-x/c1=a/c2=b" -> partKey(Seq("a","b"))). What lets a
+    * commit attribute dir-keyed inputs (file lists, file stats) to the
+    * partition blob they belong in without any lookup state. */
+  private[graft] def partitionKeyOfDir(d: String): String =
+    partKey(d.split('/').iterator.drop(2).map { seg =>
+      val i = seg.indexOf('=')
+      require(i > 0, s"'$d' is not a partitioned data dir")
+      ExternalCatalogUtils.unescapePathName(seg.substring(i + 1))
+    }.toSeq)
 
   /** The latest committed version — authoritative: the max `v<N>.json`
     * present in `_manifests/` (a manifest file at its final name IS a
@@ -184,9 +326,56 @@ object AtomicTable {
     None // unreachable
   }
 
-  /** A specific version's manifest (the file must still exist — see
-    * `retainVersions`). */
+  /** The current manifest ROOT — the O(partitions) planning tier, no
+    * blob reads. Same GC-race re-probe as [[manifest]]. */
+  def rootOpt(root: Path): Option[ManifestRoot] = {
+    var attempt = 0
+    while (true) {
+      currentVersion(root) match {
+        case None => return None
+        case Some(v) =>
+          try return Some(rootAt(root, v))
+          catch {
+            case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException
+              if attempt < 5 => attempt += 1
+          }
+      }
+    }
+    None // unreachable
+  }
+
+  /** A specific version's fully-hydrated manifest (the root file must
+    * still exist — see `retainVersions`): the root plus EVERY
+    * partition's blob. Planning paths that prune should prefer
+    * [[rootAt]] + [[hydrate]] over a subset. */
   def manifestAt(root: Path, v: Long): Manifest = {
+    val r = rootAt(root, v)
+    hydrate(root, r, r.partitions.keySet)
+  }
+
+  /** Assemble a [[Manifest]] from a root, loading the file-granular
+    * blobs of ONLY the `keys` partitions — the partition-level fields
+    * (partitions, stats, deletes, properties) always carry the full
+    * root state, so pruning logic downstream sees the whole table while
+    * file-granular planning cost stays bounded by the admitted set. */
+  def hydrate(root: Path, r: ManifestRoot, keys: Set[String]): Manifest =
+    r.inline match {
+      case Some(m) => m // format 1: the root carried everything already
+      case None =>
+        val loaded = r.blobs.iterator
+          .filter { case (p, _) => keys(p) }
+          .map { case (_, name) => loadBlob(root, name) }.toSeq
+        Manifest(r.version, r.partitions, r.properties, r.stats, r.deletes,
+          r.tsMs, r.operation,
+          files = loaded.iterator.flatMap(_.files).toMap,
+          bytes = loaded.iterator.flatMap(_.bytes).toMap,
+          fileStats = loaded.iterator.flatMap(_.fileStats).toMap,
+          sorted = loaded.iterator.flatMap(_.sorted).toMap)
+    }
+
+  /** A specific version's manifest ROOT (O(partitions), zero blob
+    * reads). Format-1 files parse in full and ride along as `inline`. */
+  def rootAt(root: Path, v: Long): ManifestRoot = {
     val n = mapper.readTree(Files.readString(manifestFile(root, v)))
     val props = Option(n.get("properties")).map(_.fields().asScala
       .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
@@ -223,28 +412,39 @@ object AtomicTable {
     }.toMap).getOrElse(Map.empty[String, Map[String, PartStats]])
     val sorted = Option(n.get("sorted")).map(strMap)
       .getOrElse(Map.empty[String, String])
-    Manifest(n.get("version").asLong,
-      strListMap(n.get("partitions")), props, stats, deletes,
-      Option(n.get("tsMs")).map(_.asLong).getOrElse(0L),
-      Option(n.get("operation")).map(_.asText).getOrElse("write"),
-      files, bytes, fileStats, sorted)
+    val version = n.get("version").asLong
+    val partitions = strListMap(n.get("partitions"))
+    val ts = Option(n.get("tsMs")).map(_.asLong).getOrElse(0L)
+    val op = Option(n.get("operation")).map(_.asText).getOrElse("write")
+    if (Option(n.get("format")).map(_.asInt).getOrElse(1) >= 2)
+      ManifestRoot(version, partitions, props, stats, deletes, ts, op,
+        blobs = Option(n.get("blobs")).map(strMap).getOrElse(Map.empty),
+        inline = None)
+    else
+      // format 1: the file-granular maps ride the root — parse them all
+      // and hand the complete manifest back as `inline`
+      ManifestRoot(version, partitions, props, stats, deletes, ts, op,
+        blobs = Map.empty,
+        inline = Some(Manifest(version, partitions, props, stats, deletes,
+          ts, op, files, bytes, fileStats, sorted)))
   }
 
-  private def renderManifest(m: Manifest): String = {
+  private def renderRoot(r: ManifestRoot): String = {
     val node = mapper.createObjectNode()
-    node.put("version", m.version)
-    if (m.tsMs > 0L) node.put("tsMs", m.tsMs)
-    node.put("operation", m.operation)
+    node.put("format", 2)
+    node.put("version", r.version)
+    if (r.tsMs > 0L) node.put("tsMs", r.tsMs)
+    node.put("operation", r.operation)
     val parts = node.putObject("partitions")
-    m.partitions.toSeq.sortBy(_._1).foreach { case (k, dirs) =>
+    r.partitions.toSeq.sortBy(_._1).foreach { case (k, dirs) =>
       val a = parts.putArray(k)
       dirs.foreach(a.add)
     }
     val props = node.putObject("properties")
-    m.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
-    if (m.stats.nonEmpty) {
+    r.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    if (r.stats.nonEmpty) {
       val st = node.putObject("stats")
-      m.stats.toSeq.sortBy(_._1).foreach { case (part, s) =>
+      r.stats.toSeq.sortBy(_._1).foreach { case (part, s) =>
         val p = st.putObject(part)
         p.put("rows", s.rows)
         val mins = p.putObject("mins")
@@ -253,60 +453,40 @@ object AtomicTable {
         s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) => maxs.put(c, v) }
       }
     }
-    if (m.deletes.nonEmpty) {
+    if (r.deletes.nonEmpty) {
       val del = node.putObject("deletes")
-      m.deletes.toSeq.sortBy(_._1).foreach { case (part, dirs) =>
+      r.deletes.toSeq.sortBy(_._1).foreach { case (part, dirs) =>
         val a = del.putArray(part)
         dirs.foreach(a.add)
       }
     }
-    if (m.files.nonEmpty) {
-      val fl = node.putObject("files")
-      m.files.toSeq.sortBy(_._1).foreach { case (dir, names) =>
-        val a = fl.putArray(dir)
-        names.foreach(a.add)
-      }
-    }
-    if (m.bytes.nonEmpty) {
-      val by = node.putObject("bytes")
-      m.bytes.toSeq.sortBy(_._1).foreach { case (dir, n) => by.put(dir, n) }
-    }
-    if (m.sorted.nonEmpty) {
-      val so = node.putObject("sorted")
-      m.sorted.toSeq.sortBy(_._1).foreach { case (dir, o) => so.put(dir, o) }
-    }
-    if (m.fileStats.nonEmpty) {
-      val fs = node.putObject("fileStats")
-      m.fileStats.toSeq.sortBy(_._1).foreach { case (dir, perFile) =>
-        val d = fs.putObject(dir)
-        perFile.toSeq.sortBy(_._1).foreach { case (name, s) =>
-          val p = d.putObject(name)
-          p.put("rows", s.rows)
-          val mins = p.putObject("mins")
-          s.mins.toSeq.sortBy(_._1).foreach { case (c, v) => mins.put(c, v) }
-          val maxs = p.putObject("maxs")
-          s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) => maxs.put(c, v) }
-        }
+    if (r.blobs.nonEmpty) {
+      val bl = node.putObject("blobs")
+      r.blobs.toSeq.sortBy(_._1).foreach { case (part, name) =>
+        bl.put(part, name)
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
   }
 
-  /** Attempt to claim version `m.version`: stage the full content to a
-    * tmp file, then hard-link it to the final `v<N>.json` name —
+  /** Attempt to claim version `version`: stage the full root content to
+    * a tmp file, then hard-link it to the final `v<N>.json` name —
     * `Files.createLink` is link(2), which atomically fails with EEXIST
     * when the name is taken, and when it succeeds the final name carries
     * the COMPLETE content (no reader can observe a torn manifest).
     * Returns false when another writer — any thread, any process — won
     * the version slot. The tmp file is removed on every path; one
     * orphaned by a crash between write and link is reclaimed by
-    * [[vacuum]]'s tmp sweep. */
-  private def tryPublishManifest(root: Path, m: Manifest): Boolean = {
+    * [[vacuum]]'s tmp sweep. Blob files are written BEFORE this claim
+    * under fresh random names, so a lost race (or a crash) orphans
+    * unreferenced blobs, never tears a referenced one. */
+  private def tryPublishManifest(root: Path, version: Long,
+      content: String): Boolean = {
     val mDir = root.resolve("_manifests")
     Files.createDirectories(mDir)
     val tmp = mDir.resolve(s".tmp-${UUID.randomUUID().toString.take(12)}")
-    Files.writeString(tmp, renderManifest(m))
-    try { Files.createLink(manifestFile(root, m.version), tmp); true }
+    Files.writeString(tmp, content)
+    try { Files.createLink(manifestFile(root, version), tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }
     finally { Files.deleteIfExists(tmp); () }
   }
@@ -529,12 +709,12 @@ object AtomicTable {
       val dt = schema(c).dataType
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
     }.reduce(_ && _)
-    manifest(Paths.get(table)) match {
+    rootOpt(Paths.get(table)) match {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(m) =>
-        val kept = m.partitions.filter { case (part, _) =>
-          m.stats.get(part) match {
+      case Some(r) =>
+        val kept = r.partitions.filter { case (part, _) =>
+          r.stats.get(part) match {
             case Some(s) => bounds.forall { case (c, lo, hi) =>
               val dt = schema(c).dataType
               (s.mins.get(c), s.maxs.get(c)) match {
@@ -549,8 +729,12 @@ object AtomicTable {
         if (kept.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
           .filter(residual)
+        // hydrate ONLY the admitted partitions' blobs: the pruning above
+        // ran on the root alone, so a pruned metadata read costs
+        // O(admitted), never O(table files)
         else readManifest(spark, table, schema,
-          m.copy(partitions = kept)).filter(residual)
+          hydrate(Paths.get(table), r, kept.keySet).copy(partitions = kept))
+          .filter(residual)
     }
   }
 
@@ -593,14 +777,16 @@ object AtomicTable {
     * none match). */
   def readPartitions(spark: SparkSession, table: String, schema: StructType,
       parts: Set[String]): DataFrame =
-    manifest(Paths.get(table)) match {
+    rootOpt(Paths.get(table)) match {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(m) =>
-        val kept = m.partitions.filter { case (p, _) => parts(p) }
+      case Some(r) =>
+        val kept = r.partitions.filter { case (p, _) => parts(p) }
         if (kept.isEmpty) spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else readManifest(spark, table, schema, m.copy(partitions = kept))
+        // selected-partition blobs only — cost ∝ selected, never table
+        else readManifest(spark, table, schema,
+          hydrate(Paths.get(table), r, kept.keySet).copy(partitions = kept))
     }
 
   /** Time travel: read the table AS OF `version`. Valid while the version
@@ -624,7 +810,7 @@ object AtomicTable {
     * manifest file's mtime (the hard-link publish carries the staged
     * file's write time, i.e. commit time to within the link latency). */
   def commitTimeMs(root: Path, v: Long): Long = {
-    val m = manifestAt(root, v)
+    val m = rootAt(root, v) // root-only: no blob reads on the time axis
     if (m.tsMs > 0L) m.tsMs
     else Files.getLastModifiedTime(manifestFile(root, v)).toMillis
   }
@@ -668,7 +854,7 @@ object AtomicTable {
     * every partition carries stats (no scan, ever). */
   def history(root: Path): Seq[CommitInfo] =
     retainedVersions(root).reverseIterator.map { v =>
-      val m = manifestAt(root, v)
+      val m = rootAt(root, v) // row counts are root-level stats: no blobs
       val rows =
         if (m.partitions.nonEmpty && m.partitions.keySet.subsetOf(m.stats.keySet))
           Some(m.partitions.keysIterator.map(m.stats(_).rows).sum)
@@ -1000,7 +1186,9 @@ object AtomicTable {
       var hookRan = false
       var committed: Manifest = null
       while (committed == null) {
-        val prev = manifest(root)
+        // the O(partitions) root is all the merge needs — file-granular
+        // state is loaded below ONLY for the partitions being rewritten
+        val prev = rootOpt(root)
         expectedVersion.foreach { v =>
           val cur = prev.map(_.version).getOrElse(0L)
           if (cur != v) throw new java.util.ConcurrentModificationException(
@@ -1061,39 +1249,90 @@ object AtomicTable {
         // version (Delta's commit-timestamp monotonicity adjustment)
         val ts = math.max(System.currentTimeMillis(),
           prev.map(_.tsMs + 1L).getOrElse(1L))
-        // committed-file lists follow their dirs: keep entries whose dir
-        // the next manifest still references, add this commit's
-        val liveDirs = nextParts.values.flatten.toSet
-        val nextFiles = (prev.map(_.files).getOrElse(Map.empty)
-          .filter { case (d, _) => liveDirs(d) }) ++ newFiles
-        // file-level zone maps follow their dirs exactly like `files`
-        val nextFileStats = (prev.map(_.fileStats).getOrElse(Map.empty)
-          .filter { case (d, _) => liveDirs(d) }) ++ newFileStats
-        // per-dir sort markers follow their dirs too (dirs immutable)
-        val nextSorted = (prev.map(_.sorted).getOrElse(Map.empty)
-          .filter { case (d, _) => liveDirs(d) }) ++
-          newSorted.filter { case (d, _) => liveDirs(d) }
-        // per-dir byte totals, stat'd ONCE here for dirs this commit
-        // introduces (bounded by the commit's change volume, and dirs
-        // are immutable after commit) — what lets a reader's
-        // estimateStatistics come from the manifest instead of O(files)
-        // metadata RPCs per query planning pass
-        val prevBytes = prev.map(_.bytes).getOrElse(Map.empty[String, Long])
-        val nextBytes = prevBytes.filter { case (d, _) => liveDirs(d) } ++
-          (liveDirs -- prevBytes.keySet).iterator
-            .map(d => d -> dirParquetBytes(root.resolve(d))).toMap
-        val next = Manifest(prev.map(_.version).getOrElse(0L) + 1L,
+        val nextDeletes = delBase ++ newDeletes.map { case (p, ds) =>
+          p -> (delBase.getOrElse(p, Nil) ++ ds) }
+
+        // ---- two-tier file-granular metadata --------------------------
+        // Rebuild blobs ONLY for the partitions this commit touches;
+        // every other partition's blob pointer carries forward verbatim —
+        // commit metadata I/O bounded by the commit's own footprint.
+        val prevBlobs = prev.map(_.blobs).getOrElse(Map.empty[String, String])
+        val prevInline = prev.flatMap(_.inline)
+        val touched: Set[String] = written.keySet ++ dropPartitions ++
+          (newFiles.keySet ++ newFileStats.keySet ++ newSorted.keySet)
+            .map(partitionKeyOfDir)
+        val carried = nextParts.keySet -- touched
+        // format-1 upgrade: a pre-split manifest carries everything
+        // inline — re-home every carried partition's heavy state into a
+        // blob once; commits after that are O(touched) again
+        val upgrade: Set[String] =
+          if (prevInline.isDefined) carried else Set.empty
+        def prevHeavy(p: String): PartBlob = prevInline match {
+          case Some(m) =>
+            val ds = m.partitions.getOrElse(p, Nil).toSet
+            PartBlob(m.files.filter { case (d, _) => ds(d) },
+              m.bytes.filter { case (d, _) => ds(d) },
+              m.fileStats.filter { case (d, _) => ds(d) },
+              m.sorted.filter { case (d, _) => ds(d) })
+          case None =>
+            prevBlobs.get(p).map(loadBlob(root, _)).getOrElse(PartBlob())
+        }
+        val newBlobData: Map[String, PartBlob] =
+          (touched ++ upgrade).iterator.filter(nextParts.contains).map { p =>
+            // committed-file lists / file zone maps / sort markers follow
+            // their dirs (dirs are immutable): keep entries whose dir the
+            // partition still references, add this commit's own
+            val live = nextParts(p).toSet
+            val pb = prevHeavy(p)
+            def mine[A](m: Map[String, A]): Map[String, A] =
+              m.filter { case (d, _) => live(d) && partitionKeyOfDir(d) == p }
+            // per-dir byte totals, stat'd ONCE for dirs this commit
+            // introduces — what lets a reader's estimateStatistics come
+            // from metadata instead of O(files) RPCs per planning pass
+            val bytes0 = pb.bytes.filter { case (d, _) => live(d) }
+            p -> PartBlob(
+              pb.files.filter { case (d, _) => live(d) } ++ mine(newFiles),
+              bytes0 ++ (live -- bytes0.keySet).iterator
+                .map(d => d -> dirParquetBytes(root.resolve(d))).toMap,
+              pb.fileStats.filter { case (d, _) => live(d) } ++ mine(newFileStats),
+              pb.sorted.filter { case (d, _) => live(d) } ++ mine(newSorted))
+          }.toMap
+        // blob files land BEFORE the root claim under fresh random names:
+        // a lost race or crash orphans unreferenced blobs (vacuum sweeps
+        // them by age), never tears a referenced one
+        if (newBlobData.valuesIterator.exists(!_.isEmpty))
+          Files.createDirectories(blobsDir(root))
+        val newBlobNames: Map[String, String] = newBlobData.iterator
+          .filter { case (_, b) => !b.isEmpty }
+          .map { case (p, b) =>
+            val name = s"pm-${UUID.randomUUID().toString.take(12)}.json"
+            Files.writeString(blobsDir(root).resolve(name), renderBlob(b))
+            p -> name
+          }.toMap
+        val nextBlobs: Map[String, String] =
+          (carried -- upgrade).iterator
+            .flatMap(p => prevBlobs.get(p).map(p -> _)).toMap ++ newBlobNames
+
+        val nextRoot = ManifestRoot(prev.map(_.version).getOrElse(0L) + 1L,
           nextParts,
           prev.map(_.properties).getOrElse(Map.empty) ++ properties,
-          nextStats,
-          delBase ++ newDeletes.map { case (p, ds) =>
-            p -> (delBase.getOrElse(p, Nil) ++ ds) },
-          ts, operation, nextFiles, nextBytes, nextFileStats, nextSorted)
+          nextStats, nextDeletes, ts, operation, nextBlobs, None)
         if (!hookRan) { beforeCommit(); hookRan = true }
         // the commit point: atomically claim the version slot; a lost
         // claim means another PROCESS committed meanwhile (threads are
         // serialized by the lock) — re-read its manifest and re-merge
-        if (tryPublishManifest(root, next)) committed = next
+        if (tryPublishManifest(root, nextRoot.version, renderRoot(nextRoot)))
+          // the returned manifest's file-granular maps cover the
+          // partitions this commit rebuilt; carried partitions' blobs
+          // are deliberately NOT loaded (O(touched) commit contract) —
+          // all four maps are optional-by-contract, and a caller that
+          // needs the full view reads `manifest(root)`
+          committed = Manifest(nextRoot.version, nextParts,
+            nextRoot.properties, nextStats, nextDeletes, ts, operation,
+            files = newBlobData.iterator.flatMap(_._2.files).toMap,
+            bytes = newBlobData.iterator.flatMap(_._2.bytes).toMap,
+            fileStats = newBlobData.iterator.flatMap(_._2.fileStats).toMap,
+            sorted = newBlobData.iterator.flatMap(_._2.sorted).toMap)
       }
       advancePointer(root, committed.version)
       gc(root, committed, retain)
@@ -1727,17 +1966,30 @@ object AtomicTable {
     }
     // tolerant reads: a CONCURRENT process's gc may delete a pruned
     // manifest between our listing and the read — its dirs are then that
-    // process's to reclaim, skipping them here is exactly right
-    def partsOf(v: Long): Seq[String] =
-      try {
-        val m = manifestAt(root, v)
-        m.allDirs ++ m.deletes.values.flatten
-      }
+    // process's to reclaim, skipping them here is exactly right.
+    // ROOTS ONLY: data dirs and delete-vector dirs are root-level, and
+    // blob liveness diffs at the POINTER level — gc never opens a blob,
+    // so its cost is O(retained roots), not O(table files)
+    def rootOf(v: Long): Option[ManifestRoot] =
+      try Some(rootAt(root, v))
       catch { case _: java.nio.file.NoSuchFileException |
-                   _: java.io.FileNotFoundException => Nil }
-    val prunedDirs = pruned.flatMap { case (v, _) => partsOf(v) }.toSet
-    val keptDirs = kept.flatMap { case (v, _) => partsOf(v) }.toSet
+                   _: java.io.FileNotFoundException => None }
+    val prunedRoots = pruned.flatMap { case (v, _) => rootOf(v) }
+    val keptRoots = kept.flatMap { case (v, _) => rootOf(v) }
+    def dirsOf(r: ManifestRoot): Seq[String] =
+      r.allDirs ++ r.deletes.values.flatten
+    val prunedDirs = prunedRoots.flatMap(dirsOf).toSet
+    val keptDirs = keptRoots.flatMap(dirsOf).toSet
     pruned.foreach { case (_, f) => Files.deleteIfExists(f) }
+    // blob GC mirrors the data-dir rule: delete exactly the blobs the
+    // pruned roots referenced that no retained root still references —
+    // a blob shared by carry-forward across versions survives until the
+    // last root naming it ages out; never-referenced blobs (in-flight
+    // commits, crash orphans) are vacuum's to reclaim, not ours
+    val prunedBlobs = prunedRoots.flatMap(_.blobs.values).toSet
+    val keptBlobs = keptRoots.flatMap(_.blobs.values).toSet
+    (prunedBlobs -- keptBlobs)
+      .foreach(b => Files.deleteIfExists(blobsDir(root).resolve(b)))
     for (rel <- prunedDirs -- keptDirs) {
       val p = root.resolve(rel)
       if (Files.isDirectory(p)) deleteRecursively(p)
@@ -1790,26 +2042,38 @@ object AtomicTable {
           Files.deleteIfExists(f)
       } finally ts.close()
     }
-    if (!Files.isDirectory(dataDir)) return reclaimed
-    // every RETAINED manifest pins its txn dirs — a time-travel reader
-    // inside the retention window must keep its snapshot
-    val referenced: Set[String] =
-      if (!Files.isDirectory(mDir)) Set.empty
+    // every RETAINED manifest pins its txn dirs and blobs — a
+    // time-travel reader inside the retention window must keep its
+    // snapshot. Roots only: vacuum never opens a blob.
+    val retainedRoots: Seq[ManifestRoot] =
+      if (!Files.isDirectory(mDir)) Nil
       else {
         val ms = Files.list(mDir)
         try ms.iterator.asScala.toList.flatMap { f =>
           f.getFileName.toString.stripPrefix("v").stripSuffix(".json")
-            .toLongOption.toList.flatMap { v =>
-              try {
-                val m = manifestAt(root, v)
-                m.allDirs ++ m.deletes.values.flatten
-              }
+            .toLongOption.flatMap { v =>
+              try Some(rootAt(root, v))
               catch { case _: java.nio.file.NoSuchFileException |
-                           _: java.io.FileNotFoundException => Nil }
+                           _: java.io.FileNotFoundException => None }
             }
-        }.toSet
+        }
         finally ms.close()
       }
+    // reclaim blob files no retained root references (lost commit races,
+    // crashes between blob write and root claim) — same age gate
+    val refBlobs = retainedRoots.flatMap(_.blobs.values).toSet
+    val bDir = blobsDir(root)
+    if (Files.isDirectory(bDir)) {
+      val bs = Files.list(bDir)
+      try bs.iterator.asScala.toList.foreach { f =>
+        if (!refBlobs.contains(f.getFileName.toString) &&
+            Files.getLastModifiedTime(f).toMillis < tmpCutoff)
+          Files.deleteIfExists(f)
+      } finally bs.close()
+    }
+    if (!Files.isDirectory(dataDir)) return reclaimed
+    val referenced: Set[String] =
+      retainedRoots.flatMap(r => r.allDirs ++ r.deletes.values.flatten).toSet
     val refTxns = referenced.map(d => d.split("/")(1))
     val cutoff = System.currentTimeMillis() - olderThanMs
     val txns = Files.list(dataDir)

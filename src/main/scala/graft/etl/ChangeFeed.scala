@@ -64,10 +64,14 @@ object ChangeFeed {
   def changesAt(spark: SparkSession, table: String, schema: StructType,
       v: Long, keyCols: Seq[String] = Nil): DataFrame = {
     val root = Paths.get(table)
-    val cur = AtomicTable.manifestAt(root, v)
-    val prev =
-      if (v == 1L) AtomicTable.Manifest(0L, Map.empty)
-      else try AtomicTable.manifestAt(root, v - 1L)
+    // the version diff CLASSIFIES on the two roots alone (partitions,
+    // dir lists, and delete vectors are all root-level); the blobs of
+    // only the changed partitions hydrate below, right before their
+    // rows are actually read — diff cost ∝ the commit's change volume
+    val curR = AtomicTable.rootAt(root, v)
+    val prevR =
+      if (v == 1L) AtomicTable.ManifestRoot(0L, Map.empty)
+      else try AtomicTable.rootAt(root, v - 1L)
       catch {
         case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
           throw new IllegalArgumentException(
@@ -86,14 +90,14 @@ object ChangeFeed {
     // a properties-only commit on a still-empty table (both manifests
     // have no partitions) changes no rows — and has no dirs to derive
     // the partition columns from
-    if (cur.partitions.isEmpty && prev.partitions.isEmpty) return empty
+    if (curR.partitions.isEmpty && prevR.partitions.isEmpty) return empty
 
     // SYNTHETIC levels (bucket/transform specs) are not data columns —
     // they cannot join or project. Dropping them from the diff keys is
     // lossless: a bucket/transform value is a FUNCTION of data columns,
     // so rows equal on the remaining keys share the segment anyway.
     val partitionCols = graft.sources.GraftSource.partitionColsOf(
-      if (cur.partitions.nonEmpty) cur else prev)
+      if (curR.partitions.nonEmpty) curR else prevR)
       .filter(schema.fieldNames.contains)
 
     /** The listed partitions' rows at a manifest, vectors subtracted. */
@@ -103,11 +107,11 @@ object ChangeFeed {
           m.copy(partitions = m.partitions.view.filterKeys(ps).toMap)),
         Some(ps))
 
-    val curParts = cur.partitions
-    val prevParts = prev.partitions
+    val curParts = curR.partitions
+    val prevParts = prevR.partitions
     val dropped = prevParts.keySet -- curParts.keySet
 
-    // classify every current partition
+    // classify every current partition — roots only, no blob reads
     val appendedDirs = Map.newBuilder[String, Seq[String]] // incl. new parts
     val rewritten = Set.newBuilder[String]
     val dvGrownVecs = Seq.newBuilder[String]
@@ -116,23 +120,28 @@ object ChangeFeed {
       case None => appendedDirs += p -> ds
       case Some(pds) if ds.startsWith(pds) =>
         if (ds.size > pds.size) appendedDirs += p -> ds.drop(pds.size)
-        val prevVecs = prev.deletes.getOrElse(p, Nil)
-        val curVecs = cur.deletes.getOrElse(p, Nil)
+        val prevVecs = prevR.deletes.getOrElse(p, Nil)
+        val curVecs = curR.deletes.getOrElse(p, Nil)
         if (curVecs.size > prevVecs.size && curVecs.startsWith(prevVecs)) {
           dvGrownVecs ++= curVecs.drop(prevVecs.size)
           dvGrownParts += p
         } else if (curVecs != prevVecs) rewritten += p
       case Some(_) => rewritten += p
     }
+    val app = appendedDirs.result()
+    val dvParts = dvGrownParts.result()
+    val rw = rewritten.result()
+    // hydrate each side for exactly the partitions its rows are read
+    // from (committed-file lists ride the blobs)
+    val cur = AtomicTable.hydrate(root, curR, app.keySet ++ rw)
+    val prev = AtomicTable.hydrate(root, prevR, dropped ++ dvParts ++ rw)
 
     val out = Seq.newBuilder[DataFrame]
     if (dropped.nonEmpty)
       out += tag(merged(prev, dropped), "delete")
-    val app = appendedDirs.result()
     if (app.nonEmpty)
       out += tag(AtomicTable.readManifest(spark, table, schema,
         cur.copy(partitions = app)), "insert")
-    val dvParts = dvGrownParts.result()
     if (dvParts.nonEmpty) {
       // new vector keys are small by the maintenance contract: recover
       // the full preimages with one broadcast semi-join against the
@@ -143,7 +152,6 @@ object ChangeFeed {
       out += tag(merged(prev, dvParts).join(broadcast(newKeys),
         dvKeyCols, "left_semi"), "delete")
     }
-    val rw = rewritten.result()
     if (rw.nonEmpty)
       out += rewriteDiff(merged(prev, rw), merged(cur, rw),
         keyCols, partitionCols, schema, tag)

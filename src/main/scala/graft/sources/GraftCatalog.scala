@@ -372,12 +372,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
        else Map.empty), schema, validateWrites = true)
   }
 
-  /** `ALTER TABLE ... ADD COLUMNS (...)`: a METADATA-ONLY evolution —
-    * the declared schema in `_table.json` grows, no file is rewritten,
-    * and partitions written before the column existed read it as NULL
-    * (the `AtomicTable.readEvolved` contract, applied inside the DSv2
-    * reader). Appended top-level nullable columns only; rename/drop are
-    * rewrites, not evolutions, and stay off this path. */
+  /** `ALTER TABLE ... ADD COLUMNS / RENAME COLUMN / DROP COLUMN`: all
+    * METADATA-ONLY evolutions — no file is ever rewritten. ADD appends
+    * a nullable column that pre-evolution partitions read as NULL;
+    * RENAME records `graft.rename.<new>=<old>` so the reader and every
+    * pruning tier (zone maps, file stats, bloom sidecars, sort
+    * markers) resolve old files through the alias chain; DROP removes
+    * the column from the declared schema and marks the name retired —
+    * re-adding a retired name is REFUSED (stale file-level metadata
+    * under it would mis-prune), partition levels and delete-key
+    * columns refuse rename/drop loudly. */
   /** The table properties ALTER may change after CREATE: retention and
     * zone-map columns are commit-time knobs; everything else (path,
     * partition layout) is structural — layout changes go through
@@ -392,12 +396,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = changes.collect { case a: TableChange.AddColumn => a }
     val sets = changes.collect { case s: TableChange.SetProperty => s }
     val removes = changes.collect { case r: TableChange.RemoveProperty => r }
+    val renames = changes.collect { case r: TableChange.RenameColumn => r }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
     changes.foreach {
       case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
       case _: TableChange.AddColumn => ()
+      case _: TableChange.RenameColumn | _: TableChange.DeleteColumn => ()
       case other => throw new UnsupportedOperationException(
-        s"graft catalog does not support ALTER ${other.getClass.getSimpleName}" +
-          " — rename/drop are rewrites, use the Scala API")
+        s"graft catalog does not support ALTER ${other.getClass.getSimpleName}")
     }
     // accepted-and-ignored would be silent data-behavior drift: a user
     // who SET a property must get it or an error, never a shrug
@@ -408,7 +414,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "CREATE (partition layout changes are rewrites: " +
           "GraftCatalog.repartitionDeclaredTable)")
     }
-    if (adds.nonEmpty || sets.nonEmpty || removes.nonEmpty) {
+    if (adds.nonEmpty || sets.nonEmpty || removes.nonEmpty ||
+        renames.nonEmpty || drops.nonEmpty) {
       adds.foreach { a =>
         require(a.fieldNames.length == 1,
           s"nested column '${a.fieldNames.mkString(".")}' not supported")
@@ -427,20 +434,109 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             throw new IllegalArgumentException(s"$ident has no partition column"))
         (inferred, pc, DefaultRetain, Nil)
       }
-      val taken = schema0.fieldNames.toSet
+      val pcols0 = AtomicTable.partCols(partCol)
+      val tableProps = AtomicTable.rootOpt(dir)
+        .map(_.properties).getOrElse(Map.empty[String, String])
+      val dvKeys = tableProps.get(AtomicTable.DeleteKeysProperty)
+        .map(_.split(",").toSet).getOrElse(Set.empty[String])
+      val retired = GraftSource.retiredNames(tableProps)
+      // a column serving as the SOURCE of a synthetic partition level
+      // (<col>_bucketN / <col>_days / ...) is structurally pinned: the
+      // level name embeds it, and the dir derivation would silently
+      // stop matching after a rename/drop
+      def levelSource(c: String): Boolean = pcols0.exists(p =>
+        GraftBuckets.level(p).exists(_._1 == c) ||
+          GraftTransforms.level(p).exists(_.src == c))
+
+      // ---- RENAME COLUMN: metadata-only — the declared schema and the
+      // per-column knobs move to the new name, and one properties
+      // commit records `graft.rename.<new> = <old>` so readers and
+      // every pruning tier resolve old files through the alias chain.
+      // No data file is rewritten, ever.
+      renames.foreach { r =>
+        require(r.fieldNames.length == 1,
+          s"nested column '${r.fieldNames.mkString(".")}' not supported")
+      }
+      drops.foreach { d =>
+        require(d.fieldNames.length == 1,
+          s"nested column '${d.fieldNames.mkString(".")}' not supported")
+      }
+      val renamePairs: Seq[(String, String)] =
+        renames.map(r => r.fieldNames.head -> r.newName)
+      val dropNames: Seq[String] = drops.map { d =>
+        val c = d.fieldNames.head
+        if (!schema0.fieldNames.contains(c) && !d.ifExists)
+          throw new IllegalArgumentException(s"column '$c' does not exist")
+        c
+      }.filter(schema0.fieldNames.contains)
+      renamePairs.foreach { case (old, nw) =>
+        require(schema0.fieldNames.contains(old),
+          s"column '$old' does not exist")
+        require(!schema0.fieldNames.contains(nw),
+          s"column '$nw' already exists")
+        require(!pcols0.contains(old) && !levelSource(old),
+          s"cannot rename '$old': it is (or derives) a partition level — " +
+            "layout changes are rewrites (repartitionDeclaredTable)")
+        require(!retired.contains(nw),
+          s"cannot rename to '$nw': the name was used by a dropped or " +
+            "renamed column — stale zone maps/bloom sidecars recorded " +
+            "under it would mis-prune the new column")
+        if (dvKeys.contains(old))
+          require(AtomicTable.rootOpt(dir)
+              .forall(_.deletes.values.forall(_.isEmpty)),
+            s"cannot rename delete-key column '$old' while delete " +
+              "vectors are outstanding — fold them first " +
+              "(MergeInto.materializeDeletes)")
+      }
+      dropNames.foreach { c =>
+        require(!pcols0.contains(c) && !levelSource(c),
+          s"cannot drop '$c': it is (or derives) a partition level — " +
+            "layout changes are rewrites (repartitionDeclaredTable)")
+        require(!dvKeys.contains(c),
+          s"cannot drop delete-key column '$c': outstanding and future " +
+            "delete vectors are keyed by it")
+      }
+      val renameMap = renamePairs.toMap
+      def renamed(c: String): String = renameMap.getOrElse(c, c)
+      val schema1 = StructType(schema0.fields
+        .filterNot(f => dropNames.contains(f.name))
+        .map(f => if (renameMap.contains(f.name)) f.copy(name = renamed(f.name))
+          else f))
+      val taken = schema1.fieldNames.toSet
       val added = adds.map { a =>
         require(!taken.contains(a.fieldNames.head),
           s"column '${a.fieldNames.head}' already exists")
+        // name-reuse guard: zone maps / bloom sidecars recorded under a
+        // retired name would silently mis-prune a NEW column reusing it
+        require(!retired.contains(a.fieldNames.head) &&
+            !dropNames.contains(a.fieldNames.head),
+          s"column name '${a.fieldNames.head}' was previously dropped or " +
+            "renamed away — stale file-level metadata under it would " +
+            "mis-prune; pick a fresh name")
         org.apache.spark.sql.types.StructField(a.fieldNames.head, a.dataType,
           nullable = true)
       }
-      val newSchema = StructType(schema0.fields ++ added)
+      val newSchema = StructType(schema1.fields ++ added)
       var retain = retain0
-      var statsCols = statsCols0
+      // per-column knobs follow the rename and die with a drop
+      var statsCols = statsCols0.filterNot(dropNames.contains).map(renamed)
       var clusterBy = readClusterBy(dir)
-      var salt = readSalt(dir)
-      var order = readOrder(dir)
+        .filterNot(dropNames.contains).map(renamed)
+      var salt = readSalt(dir).map { case (c, n) =>
+        require(!dropNames.contains(c),
+          s"cannot drop '$c': it is the write_salt column — clear the " +
+            "property first")
+        (renamed(c), n)
+      }
+      var order = {
+        val o = readOrder(dir)
+        o.foreach(c => require(!dropNames.contains(c),
+          s"cannot drop '$c': it is a write_order column — clear the " +
+            "property first"))
+        o.map(renamed)
+      }
       var bloomBy = readBloomBy(dir)
+        .filterNot(dropNames.contains).map(renamed)
       sets.foreach(s => s.property match {
         case "retain" => retain = s.value.trim.toInt
         case "stats_columns" =>
@@ -483,6 +579,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"bloom column '$c' not in schema")
         require(!pcols.contains(c),
           "bloom_columns must not include a partition column")
+      }
+      // durable evolution markers ride a properties-only commit, landed
+      // BEFORE the meta flip: a crash in between leaves inert aliases
+      // (keyed by names not yet in the schema), never a schema reading
+      // old files without its alias. Skipped when the table has no
+      // commits — nothing on disk carries the old name yet.
+      if ((renamePairs.nonEmpty || dropNames.nonEmpty) &&
+          AtomicTable.currentVersion(dir).isDefined) {
+        val prevDropped = tableProps.get(GraftSource.DroppedColsProperty)
+          .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+        val evolveProps =
+          renamePairs.map { case (old, nw) =>
+            (GraftSource.RenamePrefix + nw) -> old }.toMap ++
+          (if (dropNames.isEmpty) Map.empty[String, String]
+           else Map(GraftSource.DroppedColsProperty ->
+             (prevDropped ++ dropNames).distinct.mkString(","))) ++
+          // delete-key contract follows the rename (vectors proven
+          // folded above), so later MOR deletes key on the new name
+          (if (dvKeys.exists(renameMap.contains))
+            Map(AtomicTable.DeleteKeysProperty ->
+              tableProps(AtomicTable.DeleteKeysProperty)
+                .split(",").toSeq.map(renamed).mkString(","))
+           else Map.empty[String, String])
+        AtomicTable.commitManifest(dir, Map.empty, properties = evolveProps,
+          retain = retain, operation = "evolve")
+        ()
       }
       writeMeta(dir, newSchema, partCol, retain, statsCols,
         clusterBy = clusterBy, writeSalt = salt, writeOrder = order,

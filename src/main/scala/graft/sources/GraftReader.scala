@@ -17,17 +17,26 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-private[sources] class GraftReaderFactory(required: StructType)
+private[sources] class GraftReaderFactory(required: StructType,
+    renames: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required)
+    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required,
+      renames)
 }
 
 /** Streams one table partition's parquet rows, applying its deletion
   * vectors from an in-memory key set (vectors are small by the
-  * maintenance contract — materializeDeletes folds them). */
+  * maintenance contract — materializeDeletes folds them). `renames`
+  * maps each current column name to its historical names (newest
+  * first): files written before an ALTER ... RENAME COLUMN keep the
+  * old parquet field name forever, and the reader resolves the
+  * declared name to whichever alias the file actually carries —
+  * metadata-only evolution, zero files rewritten. */
 private[sources] class GraftPartitionReader(part: GraftInputPartition,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType,
+    renames: Map[String, Seq[String]] = Map.empty)
+    extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
   // resolved by NAME from the manifest's own key form: with schema
@@ -50,15 +59,6 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       }))
     }.toMap
   }
-  private def fileHasColumn(n: String): Boolean = fileSchemaNames.contains(n)
-  private lazy val fileSchemaNames: Set[String] = {
-    val r = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(part.dataFiles.head), conf))
-    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
-      .map(_.getName).toSet
-    finally r.close()
-  }
-
   // deleted-key set: tuples of the key columns' raw values
   private val deleted: java.util.HashSet[Seq[Any]] = {
     val s = new java.util.HashSet[Seq[Any]]()
@@ -69,19 +69,15 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     s
   }
 
-  // columns the parquet reader must materialize: the required file
-  // columns, plus key columns while vectors are outstanding; a fully
-  // column-pruned scan (count(*)) still projects ONE column so row
-  // multiplicity survives the reader
-  private lazy val fileCols: Seq[String] = {
-    val req = required.fieldNames.filter(fileHasColumn).toSeq
-    val withKeys = if (deleted.isEmpty) req else (req ++ part.keyCols).distinct
-    if (withKeys.nonEmpty) withKeys else Seq(fileSchemaNames.min)
-  }
-
   private val files = part.dataFiles.iterator
   private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = _
   private var fieldIdx: Map[String, Int] = Map.empty
+  /** required column name -> THIS file's name for it: the column
+    * itself, or (pre-rename files) the newest historical alias the
+    * file carries. Absent = the file predates the column entirely
+    * (null fill). Resolved per FILE from its own footer — a split (or
+    * a streaming batch) may mix files from before and after a rename. */
+  private var resolvedName: Map[String, String] = Map.empty
   private var current: InternalRow = _
 
   private def openNext(): Boolean = {
@@ -91,6 +87,17 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
     val fileSchema = try footer.getFooter.getFileMetaData.getSchema
       finally footer.close()
+    val names = fileSchema.getFields.asScala.map(_.getName).toSet
+    resolvedName = required.fieldNames.iterator.flatMap { c =>
+      (c +: renames.getOrElse(c, Nil)).find(names.contains).map(c -> _)
+    }.toMap
+    // columns the parquet reader must materialize: the required file
+    // columns (under their FILE-side names), plus key columns while
+    // vectors are outstanding; a fully column-pruned scan (count(*))
+    // still projects ONE column so row multiplicity survives the reader
+    val req = required.fieldNames.toSeq.flatMap(resolvedName.get).distinct
+    val withKeys = if (deleted.isEmpty) req else (req ++ part.keyCols).distinct
+    val fileCols = if (withKeys.nonEmpty) withKeys else Seq(names.min)
     val projected = projectSchema(fileSchema, fileCols)
     val c = new Configuration()
     c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
@@ -216,9 +223,10 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
           var j = 0
           while (j < required.length) {
             val f = required(j)
+            val fileName = resolvedName.get(f.name)
             if (partValueAt.contains(j)) row.update(j, partValueAt(j))
-            else if (fieldIdx.contains(f.name))
-              row.update(j, catalystValue(g, f.name, f.dataType))
+            else if (fileName.exists(fieldIdx.contains))
+              row.update(j, catalystValue(g, fileName.get, f.dataType))
             // change-feed scans surface per-commit constants
             else if (part.changeVersion.isDefined &&
                 f.name == graft.etl.ChangeFeed.ChangeTypeCol)

@@ -186,7 +186,7 @@ private[sources] class GraftGroupReplaceWrite(root: String,
     val rootPath = Paths.get(root)
     val existedAtRead: Set[String] =
       if (state.readVersion == 0L) Set.empty
-      else try AtomicTable.manifestAt(rootPath, state.readVersion).partitions.keySet
+      else try AtomicTable.rootAt(rootPath, state.readVersion).partitions.keySet
       catch {
         case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
           throw new java.util.ConcurrentModificationException(

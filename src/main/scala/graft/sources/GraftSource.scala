@@ -76,7 +76,7 @@ class GraftSource extends TableProvider with DataSourceRegister {
     // (ACCEPT_ANY_SCHEMA); reads of the empty root still fail loudly
     // at scan planning
     if (pin.isEmpty &&
-      AtomicTable.manifest(java.nio.file.Paths.get(root)).isEmpty) StructType(Nil)
+      AtomicTable.rootOpt(java.nio.file.Paths.get(root)).isEmpty) StructType(Nil)
     else {
       val base = GraftSource.inferredSchema(new Configuration(), root, pin)
       if (options.getBoolean("readChangeFeed", false))
@@ -100,6 +100,59 @@ object GraftSource {
     * sidecars ([[GraftBloom]]) — set by every write of a table that
     * declares `bloom_columns`. */
   val BloomColsProperty = "graft.bloom.cols"
+
+  /** Property prefix of a METADATA-ONLY column rename:
+    * `graft.rename.<new> = <old>`, one entry per ALTER ... RENAME
+    * COLUMN step (chains compose: a→b then b→c leaves rename.c=b and
+    * rename.b=a). Files written before the rename keep their old
+    * column name forever — the reader and every pruning tier resolve
+    * the current name through the alias chain instead of rewriting a
+    * single byte of data. */
+  val RenamePrefix = "graft.rename."
+
+  /** Property listing column names DROPPED from the declared schema
+    * (comma-joined, append-only). A dropped column's bytes stay in the
+    * old files (never projected); the marker exists so a LATER re-add
+    * of the same name is refused — stale zone maps / bloom sidecars
+    * recorded under the name would silently mis-prune the new column. */
+  val DroppedColsProperty = "graft.dropped.cols"
+
+  /** current name -> historical names, NEWEST first, resolved through
+    * the rename chain (bounded: a chain longer than 32 steps would be
+    * a cycle, impossible by the refuse-reuse rule but guarded anyway). */
+  private[graft] def renameAliases(props: Map[String, String])
+      : Map[String, Seq[String]] = {
+    val step = props.collect {
+      case (k, v) if k.startsWith(RenamePrefix) && v.nonEmpty =>
+        k.stripPrefix(RenamePrefix) -> v
+    }
+    if (step.isEmpty) Map.empty
+    else step.keysIterator.map { c =>
+      val chain = Seq.newBuilder[String]
+      var cur = step.get(c)
+      var guard = 0
+      while (cur.isDefined && guard < 32) {
+        chain += cur.get
+        cur = step.get(cur.get)
+        guard += 1
+      }
+      c -> chain.result()
+    }.toMap
+  }
+
+  /** old name -> CURRENT name (the inverse chains), for translating
+    * metadata recorded pre-rename (sort markers, bloom declarations). */
+  private[graft] def currentNames(aliases: Map[String, Seq[String]])
+      : Map[String, String] =
+    aliases.iterator.flatMap { case (c, olds) => olds.map(_ -> c) }.toMap
+
+  /** Every name ever used for live OR dropped columns — the name-reuse
+    * guard ADD COLUMN checks against. */
+  private[graft] def retiredNames(props: Map[String, String]): Set[String] =
+    props.get(DroppedColsProperty)
+      .map(_.split(",").toSet.filter(_.nonEmpty)).getOrElse(Set.empty) ++
+      props.collect { case (k, v) if k.startsWith(RenamePrefix) &&
+        v.nonEmpty => v }
 
   private[sources] def rootOf(options: CaseInsensitiveStringMap): String = {
     val p = Option(options.get("path")).orElse(Option(options.get("paths")))
@@ -139,7 +192,11 @@ object GraftSource {
     }
   }
 
-  /** The manifest a read plans against: the pinned snapshot, or the head. */
+  /** The manifest a read plans against: the pinned snapshot, or the
+    * head. FULLY hydrated (every partition's blob) — planning paths
+    * that prune must use [[rootFor]] + `AtomicTable.hydrate` of the
+    * admitted keys instead, so file-granular metadata I/O stays
+    * bounded by the admitted set. */
   private[sources] def manifestFor(root: String, pin: Option[Long])
       : Option[AtomicTable.Manifest] = {
     val rootPath = java.nio.file.Paths.get(root)
@@ -155,15 +212,38 @@ object GraftSource {
     }
   }
 
+  /** The manifest ROOT a read plans against (O(partitions), zero blob
+    * reads): the pinned snapshot, or the head. Everything
+    * partition-granular — key sets, dir lists, zone maps, delete
+    * vectors, properties — is answerable from this alone. */
+  private[sources] def rootFor(root: String, pin: Option[Long])
+      : Option[AtomicTable.ManifestRoot] = {
+    val rootPath = java.nio.file.Paths.get(root)
+    pin match {
+      case None => AtomicTable.rootOpt(rootPath)
+      case Some(v) =>
+        try Some(AtomicTable.rootAt(rootPath, v))
+        catch {
+          case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
+            throw new IllegalArgumentException(
+              s"versionAsOf=$v of $root is outside the retention window")
+        }
+    }
+  }
+
   /** The partition columns a manifest's layout encodes, in level order
     * (from the dir names — the layout is self-describing). */
   private[graft] def partitionColsOf(m: AtomicTable.Manifest): Seq[String] =
     AtomicTable.partColsOfDir(m.allDirs.head)
+  private[graft] def partitionColsOf(r: AtomicTable.ManifestRoot): Seq[String] =
+    AtomicTable.partColsOfDir(r.allDirs.head)
 
   /** The comma-joined partition SPEC of a manifest's layout — the form
     * every `partitionCol` parameter accepts. */
   private[graft] def partitionColOf(m: AtomicTable.Manifest): String =
     partitionColsOf(m).mkString(",")
+  private[graft] def partitionColOf(r: AtomicTable.ManifestRoot): String =
+    partitionColsOf(r).mkString(",")
 
   /** A data dir's committed parquet paths: exactly the manifest's file
     * list when recorded (zombie attempts' stragglers excluded), else a
@@ -451,10 +531,14 @@ object GraftSource {
   private[sources] def cdfAppendManifest(root: String, v: Long)
       : AtomicTable.Manifest = {
     val rootPath = java.nio.file.Paths.get(root)
-    val cur = AtomicTable.manifestAt(rootPath, v)
+    // the version diff is partition-granular, so it runs on the two
+    // ROOTS alone; only the APPENDED partitions' blobs hydrate below —
+    // changefeed planning cost ∝ the commit's change volume, not table
+    // size
+    val cur = AtomicTable.rootAt(rootPath, v)
     val prev =
-      if (v == 1L) AtomicTable.Manifest(0L, Map.empty)
-      else try AtomicTable.manifestAt(rootPath, v - 1L)
+      if (v == 1L) AtomicTable.ManifestRoot(0L, Map.empty)
+      else try AtomicTable.rootAt(rootPath, v - 1L)
       catch {
         case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
@@ -479,7 +563,8 @@ object GraftSource {
         case Some(_) => fail(s"rewrites partition '$p'")
       }
     }
-    cur.copy(partitions = appended, deletes = Map.empty)
+    AtomicTable.hydrate(rootPath, cur, appended.keySet)
+      .copy(partitions = appended, deletes = Map.empty)
   }
 
   /** Spark type for a flat parquet primitive (the supported scope). */
@@ -528,7 +613,9 @@ object GraftSource {
     * evolution reads with its own (narrower) shape. */
   private[sources] def inferredSchema(conf: Configuration, root: String,
       pin: Option[Long] = None): StructType = {
-    val m = manifestFor(root, pin).getOrElse(
+    // root only: the first data file's footer and the dir-encoded
+    // partition columns need no blob
+    val m = rootFor(root, pin).getOrElse(
       throw new IllegalArgumentException(s"$root has no committed manifest"))
     require(m.partitions.nonEmpty, s"$root is empty — no partitions committed")
     val dir = new Path(s"$root/${m.allDirs.head}")
@@ -617,7 +704,7 @@ private[sources] class GraftTable(props: Map[String, String],
   private def retainN: Int = lower.get("retain").map(_.toInt).getOrElse(1)
   private def partitionColNow: Option[String] =
     lower.get("partition").orElse(
-      AtomicTable.manifest(java.nio.file.Paths.get(root))
+      AtomicTable.rootOpt(java.nio.file.Paths.get(root))
         .filter(_.partitions.nonEmpty).map(GraftSource.partitionColOf))
 
   /** Metadata-only SQL DELETE: when every predicate pins only the
@@ -629,7 +716,7 @@ private[sources] class GraftTable(props: Map[String, String],
   override def canDeleteWhere(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
     pinned.isEmpty && {
-      AtomicTable.manifest(java.nio.file.Paths.get(root)) match {
+      AtomicTable.rootOpt(java.nio.file.Paths.get(root)) match {
         case None => true // nothing committed: any delete is a no-op
         case Some(m) => partitionColNow.exists(pc =>
           GraftV2Predicates.partitionsFor(predicates, pc, m.partitions.keySet)
@@ -641,7 +728,7 @@ private[sources] class GraftTable(props: Map[String, String],
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
     require(pinned.isEmpty, "cannot DELETE through a time-travel read")
     val rootPath = java.nio.file.Paths.get(root)
-    AtomicTable.manifest(rootPath).foreach { m =>
+    AtomicTable.rootOpt(rootPath).foreach { m =>
       val pc = partitionColNow.getOrElse(return)
       val drop = GraftV2Predicates.partitionsFor(predicates, pc,
         m.partitions.keySet).getOrElse(throw new IllegalArgumentException(
@@ -708,7 +795,7 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
     // approximate, so Spark must re-check.
     val pcolTypes: Map[String, DataType] =
       if (changeFeed || startingVersion.isDefined) Map.empty
-      else GraftSource.manifestFor(root, pinned)
+      else GraftSource.rootFor(root, pinned)
         .filter(_.partitions.nonEmpty).map { m =>
           consumedPin = Some(m.version)
           GraftSource.partitionColsOf(m).map(c =>
@@ -768,8 +855,9 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
     import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection}
     if (changeFeed || startingVersion.isDefined || residual.nonEmpty)
       return false
-    val pcols = GraftSource.manifestFor(root, pinned.orElse(consumedPin))
-      .filter(_.partitions.nonEmpty).map(GraftSource.partitionColsOf)
+    val pcols = GraftSource.rootFor(root, pinned.orElse(consumedPin))
+      .filter(_.partitions.nonEmpty)
+      .map(r => GraftSource.partitionColsOf(r))
       .getOrElse(return false)
     // each sort key resolves to the LEVEL that decides it
     val cols: Seq[(String, Boolean)] = orders.toSeq.map { o =>
@@ -835,8 +923,11 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
     // below prunes by the same exact admission the scan would use
     if (changeFeed || startingVersion.isDefined || residual.nonEmpty)
       return None
-    val m = GraftSource.manifestFor(root, pinned.orElse(consumedPin))
-      .getOrElse(AtomicTable.Manifest(0L, Map.empty))
+    // metadata-only by construction: counts, bounds, keys, and the
+    // delete-vector check are all root-level — an aggregate pushdown
+    // at 100 TB parses one O(partitions) root and zero blobs
+    val m = GraftSource.rootFor(root, pinned.orElse(consumedPin))
+      .getOrElse(AtomicTable.ManifestRoot(0L, Map.empty))
     // delete vectors subtract rows at read — physical stats would lie
     if (m.deletes.values.exists(_.nonEmpty)) return None
     val pcols =
@@ -885,12 +976,15 @@ private[sources] class GraftScanBuilder(root: String, full: StructType,
     // the raw bound string of column c in partition k, None = no rows
     // contribute; a REJECTION (bound absent where rows exist, or an
     // unsupported/unparseable rendering) aborts the whole pushdown
+    val aliases = GraftSource.renameAliases(m.properties)
     def boundOf(k: String, c: String, isMin: Boolean): Option[String] =
       if (pcols.contains(c)) Some(values(k)(pcols.indexOf(c)))
       else {
         val st = m.stats(k)
         val side = if (isMin) st.mins else st.maxs
-        side.get(c) match {
+        // a partition written before a RENAME tracks the old name
+        (c +: aliases.getOrElse(c, Nil)).iterator
+          .flatMap(side.get).nextOption() match {
           case s @ Some(_) => s
           case None if st.rows == 0L => None
           // ambiguous — a dropped bound (append-merge over unknown) or
@@ -1021,6 +1115,54 @@ private[sources] class GraftScan(root: String, full: StructType,
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
 
+  /** current column name -> historical aliases (ALTER ... RENAME
+    * COLUMN chain): every metadata tier recorded under an old name —
+    * partition/file zone maps, bloom sidecars, sort markers — keeps
+    * pruning and ordering claims through the alias, so the rename is
+    * metadata-only WITHOUT losing a single skipping granularity. */
+  protected lazy val renames: Map[String, Seq[String]] =
+    if (changeFeed) Map.empty
+    else GraftSource.renameAliases(
+      GraftSource.rootFor(root, pinned).map(_.properties).getOrElse(Map.empty))
+  /** old name -> current name (for translating recorded metadata). */
+  private lazy val nowNamed: Map[String, String] =
+    GraftSource.currentNames(renames)
+
+  /** Does the pushed-filter set admit partition `part`? Key-exact
+    * admission (typed per level, bucket/transform aware) decides first;
+    * zone maps refute last. Shared by the root-level pruning below and
+    * [[planFromManifest]]'s own pruning so the two can never drift. */
+  private def filtersAdmit(part: String, pcols: Seq[String],
+      statsOf: String => Option[AtomicTable.PartStats]): Boolean =
+    filters.forall { f =>
+      GraftSource.partitionExact(full, pcols, f, part)
+        .orElse(GraftSource.bucketAdmits(full, pcols, f, part))
+        .orElse(GraftSource.transformAdmits(full, pcols, f, part))
+        .getOrElse(statsAdmit(c => statsOf(part).flatMap(s => colBounds(s, c)), f))
+    }
+
+  /** The snapshot every batch planning step shares, pruned and
+    * admitted-only: partition pruning runs on the O(partitions) ROOT
+    * (keys, typed key admission, partition zone maps), and ONLY the
+    * admitted partitions' file-granular blobs are hydrated — at 100 TB
+    * a point query plans by reading one root and one blob, never the
+    * table's metadata. One snapshot per scan: the pre-split code
+    * re-read the manifest per planning call, which a concurrent commit
+    * could skew mid-plan. */
+  private lazy val prunedManifest: Option[AtomicTable.Manifest] =
+    if (changeFeed || startingVersion.isDefined) None
+    else GraftSource.rootFor(root, pinned).map { r =>
+      if (r.partitions.isEmpty)
+        AtomicTable.hydrate(java.nio.file.Paths.get(root), r, Set.empty)
+      else {
+        val pcols = GraftSource.partitionColsOf(r)
+        val kept = r.partitions.keySet
+          .filter(filtersAdmit(_, pcols, r.stats.get))
+        val m = AtomicTable.hydrate(java.nio.file.Paths.get(root), r, kept)
+        m.copy(partitions = m.partitions.filter { case (p, _) => kept(p) })
+      }
+    }
+
   /** V2 output ordering: every input split is ONE data file, and the
     * manifest records per dir which columns that dir's files are
     * internally sorted by (write_order INSERTs, clustered compaction) —
@@ -1037,10 +1179,15 @@ private[sources] class GraftScan(root: String, full: StructType,
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     if (changeFeed || startingVersion.isDefined) return Array.empty
     import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
-    GraftSource.manifestFor(root, pinned).filter(_.partitions.nonEmpty)
+    // the claim only needs to hold for the PLANNED splits, so the
+    // pruned snapshot's dirs (and only their sort markers) decide it
+    prunedManifest.filter(_.partitions.nonEmpty)
       .map { m =>
         val perDir = m.partitions.values.flatten.toSeq
-          .map(d => m.sorted.get(d).map(_.split(",").toSeq).getOrElse(Nil))
+          // sort markers written before a rename name the old column
+          .map(d => m.sorted.get(d)
+            .map(_.split(",").toSeq.map(n => nowNamed.getOrElse(n, n)))
+            .getOrElse(Nil))
         val common =
           if (perDir.isEmpty) Nil
           else perDir.reduce { (a, b) =>
@@ -1096,13 +1243,16 @@ private[sources] class GraftScan(root: String, full: StructType,
     computed
   }
   private def computeStatColumns(m: AtomicTable.Manifest): Seq[String] = {
-    val tracked = (m.stats.valuesIterator.flatMap(_.mins.keysIterator) ++
+    val tracked = ((m.stats.valuesIterator.flatMap(_.mins.keysIterator) ++
       m.fileStats.valuesIterator.flatMap(
         _.valuesIterator.flatMap(_.mins.keysIterator))).toSet ++
       // bloom columns answer runtime point sets even with no zone maps
       m.properties.get(GraftSource.BloomColsProperty)
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-        .getOrElse(Nil)
+        .getOrElse(Nil))
+      // metadata recorded before a rename tracks the OLD name — offer
+      // the current one (the probes walk back through the aliases)
+      .map(n => nowNamed.getOrElse(n, n))
     val levelSources = GraftSource.partitionColsOf(m)
       .map(GraftSource.levelSource(full, _)).toSet
     required.fieldNames.toSeq
@@ -1118,7 +1268,7 @@ private[sources] class GraftScan(root: String, full: StructType,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (changeFeed || startingVersion.isDefined) Array.empty
-    else GraftSource.manifestFor(root, pinned)
+    else prunedManifest
       .filter(_.partitions.nonEmpty).toSeq
       .flatMap { m =>
         GraftSource.partitionColsOf(m)
@@ -1136,7 +1286,7 @@ private[sources] class GraftScan(root: String, full: StructType,
 
   override def filter(predicates: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    val m = GraftSource.manifestFor(root, pinned)
+    val m = prunedManifest
       .filter(_.partitions.nonEmpty).getOrElse(return)
     val pcols = GraftSource.partitionColsOf(m)
     val acc = scala.collection.mutable.Map.empty[Int, Set[String]]
@@ -1193,7 +1343,7 @@ private[sources] class GraftScan(root: String, full: StructType,
       // zero filesystem calls on the planning path; dirs a pre-upgrade
       // manifest doesn't carry are stat'd once per process (data dirs
       // are immutable after commit, so the cache can never go stale)
-      GraftSource.manifestFor(root, pinned).foreach { m =>
+      prunedManifest.foreach { m =>
         parts.foreach { p =>
           m.partitions.getOrElse(p.partValue, Nil).foreach { d =>
             val dirBytes = m.bytes.getOrElse(d,
@@ -1228,7 +1378,7 @@ private[sources] class GraftScan(root: String, full: StructType,
       // partitions — the manifest's per-partition counts don't apply
       if (changeFeed || startingVersion.isDefined ||
         parts.exists(_.vectorFiles.nonEmpty)) None
-      else GraftSource.manifestFor(root, pinned).flatMap { m =>
+      else prunedManifest.flatMap { m =>
         // when every planned file carries a file-level map, count
         // exactly the planned files (file skipping makes whole-partition
         // totals an overcount); else fall back to partition counts
@@ -1287,22 +1437,28 @@ private[sources] class GraftScan(root: String, full: StructType,
             require(to <= head, s"endingVersion=$to is beyond v$head of $root")
             require(from <= to + 1L,
               s"startingVersion=$from is after endingVersion=$to of $root")
-            val endM = AtomicTable.manifestAt(rootPath, to)
+            // the range diff is root-level; only CHANGED partitions'
+            // blobs hydrate — cost ∝ the range's change volume
+            val endR = AtomicTable.rootAt(rootPath, to)
             val startParts: Map[String, Seq[String]] =
               if (from <= 1L) Map.empty
-              else try AtomicTable.manifestAt(rootPath, from - 1L).partitions
+              else try AtomicTable.rootAt(rootPath, from - 1L).partitions
               catch {
                 case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
                   throw new IllegalArgumentException(
                     s"startingVersion=$from needs version ${from - 1} of $root, " +
                       "which is outside the retention window")
               }
-            planFromManifest(endM.copy(
-              partitions = GraftSource.changedDirs(startParts, endM.partitions),
-              deletes = Map.empty))
+            val changed = GraftSource.changedDirs(startParts, endR.partitions)
+            planFromManifest(
+              AtomicTable.hydrate(rootPath, endR, changed.keySet)
+                .copy(partitions = changed, deletes = Map.empty))
         }
       case None =>
-        GraftSource.manifestFor(root, pinned) match {
+        // the pruned snapshot: admitted keys decided on the root, only
+        // their blobs hydrated — planFromManifest's own pruning is then
+        // a no-op re-check over the already-admitted set
+        prunedManifest match {
           case None => Array.empty
           case Some(m) => planFromManifest(m)
         }
@@ -1341,7 +1497,7 @@ private[sources] class GraftScan(root: String, full: StructType,
     if (changeFeed)
       return new org.apache.spark.sql.connector.read.partitioning
         .UnknownPartitioning(0)
-    GraftSource.manifestFor(root, pinned)
+    GraftSource.rootFor(root, pinned)
       .filter(_.partitions.nonEmpty)
       .map { m =>
         // the honest transforms: Spark resolves bucket/days/... through
@@ -1382,12 +1538,15 @@ private[sources] class GraftScan(root: String, full: StructType,
       : Array[InputPartition] = runtimeStatKeep match {
     case None => parts
     case Some(byCol) =>
-      val m = GraftSource.manifestFor(root, pinned).getOrElse(return parts)
+      val m = prunedManifest.getOrElse(return parts)
       def admits(mins: Map[String, String], maxs: Map[String, String]): Boolean =
         byCol.forall { case (c, vs) =>
-          (mins.get(c), maxs.get(c),
-            full.fields.find(_.name == c).map(_.dataType)) match {
-            case (Some(lo), Some(hi), Some(dt)) =>
+          // alias-aware, same-name bounds only (see colBounds)
+          val bound = (c +: renames.getOrElse(c, Nil)).iterator
+            .map(n => (mins.get(n), maxs.get(n)))
+            .collectFirst { case (Some(lo), Some(hi)) => (lo, hi) }
+          (bound, full.fields.find(_.name == c).map(_.dataType)) match {
+            case (Some((lo, hi)), Some(dt)) =>
               vs.exists(v => scala.util.Try(
                 AtomicTable.statsOrder(dt, lo, v) <= 0 &&
                   AtomicTable.statsOrder(dt, v, hi) <= 0).getOrElse(true))
@@ -1416,12 +1575,13 @@ private[sources] class GraftScan(root: String, full: StructType,
             // bit tests, and wide sets admit almost everything anyway
             val bloomCols = m.properties
               .get(GraftSource.BloomColsProperty)
-              .map(_.split(",").toSeq.map(_.trim).toSet)
+              .map(_.split(",").toSeq.map(_.trim)
+                .map(n => nowNamed.getOrElse(n, n)).toSet)
               .getOrElse(Set.empty[String])
             val bloomAdmits = bloomCols.isEmpty || byCol.forall {
               case (c, vs) =>
                 !bloomCols.contains(c) || vs.size > 128 ||
-                  GraftBloom.sidecarOf(f, c).forall(b =>
+                  aliasSidecar(f, c).forall(b =>
                     vs.exists(GraftBloom.mightContain(b, _)))
             }
             if (zoneAdmits && bloomAdmits) Some(p)
@@ -1587,7 +1747,7 @@ private[sources] class GraftScan(root: String, full: StructType,
         if (!skipFilesByStats || bloomChecks(m).isEmpty) afterStats
         else afterStats.filter { path =>
           bloomChecks(m).forall { case (c, vs) =>
-            GraftBloom.sidecarOf(path, c).forall(b =>
+            aliasSidecar(path, c).forall(b =>
               vs.exists(GraftBloom.mightContain(b, _)))
           }
         }
@@ -1637,8 +1797,12 @@ private[sources] class GraftScan(root: String, full: StructType,
     * per-file sidecar probes test. Conjunctive: every check must admit
     * a file for it to plan. */
   private def bloomChecks(m: AtomicTable.Manifest): Seq[(String, Set[String])] = {
+    // declarations recorded before a rename name the old column —
+    // translate to the current name; the sidecar probe walks back
+    // through the aliases (aliasSidecar)
     val cols = m.properties.get(GraftSource.BloomColsProperty)
-      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty).toSet)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        .map(n => nowNamed.getOrElse(n, n)).toSet)
       .getOrElse(Set.empty[String])
     if (cols.isEmpty) Nil
     else filters.toSeq.flatMap {
@@ -1651,6 +1815,14 @@ private[sources] class GraftScan(root: String, full: StructType,
       case _ => None
     }
   }
+
+  /** The bloom sidecar for column `c` or its newest historical alias
+    * that exists next to `path` — pre-rename files carry their
+    * sidecars under the name the file was written with. */
+  private def aliasSidecar(path: String, c: String): Option[Array[Byte]] =
+    (c +: renames.getOrElse(c, Nil)).iterator
+      .map(GraftBloom.sidecarOf(path, _))
+      .collectFirst { case Some(b) => b }
 
   private def listParquet(conf: Configuration, dir: String): Seq[String] = {
     val p = new Path(dir)
@@ -1670,28 +1842,23 @@ private[sources] class GraftScan(root: String, full: StructType,
     // "10" < "9" would wrongly prune and LOSE rows) — the shared
     // partitionExact helper, same comparator as the zone maps; per
     // LEVEL on multi-level keys. Everything else falls to zone maps.
-    def admits(part: String): Boolean = filters.forall { f =>
-      GraftSource.partitionExact(full, pcols, f, part)
-        .orElse(GraftSource.bucketAdmits(full, pcols, f, part))
-        .orElse(GraftSource.transformAdmits(full, pcols, f, part))
-        .getOrElse(zoneAdmits(m, part, f))
-    }
-    m.partitions.filter { case (p, _) => admits(p) }
+    // Same filtersAdmit as the root-level pruning that fed this plan.
+    m.partitions.filter { case (p, _) =>
+      filtersAdmit(p, pcols, m.stats.get) }
   }
 
-  private def zoneAdmits(m: AtomicTable.Manifest, part: String,
-      f: Filter): Boolean =
-    statsAdmit(c => m.stats.get(part).flatMap(s => colBounds(s, c)), f)
-
   /** [min, max, type] of column `c` in a stats entry, None (never
-    * prune) when untracked or the column is unknown to the schema. */
+    * prune) when untracked or the column is unknown to the schema.
+    * Alias-aware: bounds recorded before a rename live under the old
+    * name — both bounds must come from the SAME name (a mixed pair
+    * could cross two generations of the column). */
   private def colBounds(s: AtomicTable.PartStats, c: String)
       : Option[(String, String, DataType)] =
     if (!full.fieldNames.contains(c)) None
-    else (s.mins.get(c), s.maxs.get(c)) match {
-      case (Some(mn), Some(mx)) => Some((mn, mx, full(c).dataType))
-      case _ => None
-    }
+    else (c +: renames.getOrElse(c, Nil)).iterator
+      .map(n => (s.mins.get(n), s.maxs.get(n)))
+      .collectFirst { case (Some(mn), Some(mx)) =>
+        (mn, mx, full(c).dataType) }
 
   private def fileBounds(s: AtomicTable.PartStats, c: String)
       : Option[(String, String, DataType)] = colBounds(s, c)
@@ -1720,7 +1887,9 @@ private[sources] class GraftScan(root: String, full: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, GraftSource.renameAliases(
+      GraftSource.rootFor(root, pinned).map(_.properties)
+        .getOrElse(Map.empty)))
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -1792,10 +1961,13 @@ private[sources] class GraftMicroBatchStream(root: String,
     if (e <= s) return Array.empty
     if (changeFeed) return planChangeFeedBatch(s, e)
     val rootPath = java.nio.file.Paths.get(root)
-    val endM = AtomicTable.manifestAt(rootPath, e)
+    // endpoint diff on the ROOTS; hydrate only the changed partitions'
+    // blobs for their committed-file lists — per-micro-batch planning
+    // cost ∝ the batch's change volume, never table size
+    val endR = AtomicTable.rootAt(rootPath, e)
     val startParts: Map[String, Seq[String]] =
       if (s == 0L) Map.empty
-      else try AtomicTable.manifestAt(rootPath, s).partitions
+      else try AtomicTable.rootAt(rootPath, s).partitions
       catch {
         case _: java.nio.file.NoSuchFileException | _: java.io.FileNotFoundException =>
           throw new IllegalStateException(
@@ -1803,7 +1975,7 @@ private[sources] class GraftMicroBatchStream(root: String,
               "retention window — recreate the stream (and write the " +
               "source table with a larger `retain`)")
       }
-    val pcols = GraftSource.partitionColsOf(endM)
+    val pcols = GraftSource.partitionColsOf(endR)
     // a stream outlives planning: if a mid-stream spec evolution makes
     // a CONSUMED filter's column stop being a partition column, the
     // exact admission below would silently stop applying it — fail
@@ -1813,8 +1985,9 @@ private[sources] class GraftMicroBatchStream(root: String,
         s"partition spec of $root evolved mid-stream: consumed filter " +
           s"column '$c' is no longer a partition column — restart the query")
     }
-    val changed = GraftSource.changedDirs(startParts, endM.partitions)
+    val changed = GraftSource.changedDirs(startParts, endR.partitions)
       .filter { case (p, _) => partitionFilterAdmits(p, pcols) }
+    val endM = AtomicTable.hydrate(rootPath, endR, changed.keySet)
     val conf = new Configuration()
     changed.toSeq.sortBy(_._1).map { case (part, dirs) =>
       val files = dirs.flatMap(d =>
@@ -1866,7 +2039,9 @@ private[sources] class GraftMicroBatchStream(root: String,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, GraftSource.renameAliases(
+      AtomicTable.rootOpt(java.nio.file.Paths.get(root))
+        .map(_.properties).getOrElse(Map.empty)))
 }
 
 private[sources] final case class GraftInputPartition(partValue: String,

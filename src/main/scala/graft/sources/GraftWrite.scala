@@ -79,7 +79,7 @@ private[sources] class GraftWriteBuilder(root: String,
 
   private def resolvePartitionCol(): String =
     Option(info.options.get("partition"))
-      .orElse(AtomicTable.manifest(java.nio.file.Paths.get(root))
+      .orElse(AtomicTable.rootOpt(java.nio.file.Paths.get(root))
         .filter(_.partitions.nonEmpty).map(GraftSource.partitionColOf))
       .orElse(declaredPartition)
       .getOrElse(throw new IllegalArgumentException(
@@ -213,7 +213,7 @@ private[sources] class GraftStreamingWrite(root: String, schema: StructType,
   override def commit(epochId: Long, messages: Array[
       org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
     val rootPath = java.nio.file.Paths.get(root)
-    val last = AtomicTable.manifest(rootPath)
+    val last = AtomicTable.rootOpt(rootPath)
       .flatMap(_.properties.get(epochProp)).map(_.toLong).getOrElse(-1L)
     if (epochId <= last) return // replayed epoch: already committed
     val staged = GraftWriteCommit.pruneAndMap(root, txnFor(epochId),
@@ -391,7 +391,7 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
     // partition both survive (list-level manifest merge)
     overwrite match {
       case Some(preds) =>
-        val keys = AtomicTable.manifest(rootPath).map(_.partitions.keySet)
+        val keys = AtomicTable.rootOpt(rootPath).map(_.partitions.keySet)
           .getOrElse(Set.empty)
         val drop = GraftV2Predicates.partitionsFor(preds, partitionCol, keys)
           .getOrElse(throw new IllegalArgumentException(
