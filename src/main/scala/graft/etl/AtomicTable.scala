@@ -1404,7 +1404,7 @@ object AtomicTable {
     * `_days`/`_months`/`_years`, `<col>_trunc<W>`); a name that IS a
     * data column is never synthetic (the caller checks first). None →
     * unknown shape, let partitionBy fail loudly. */
-  private def syntheticLevelColumn(level: String,
+  private[etl] def syntheticLevelColumn(level: String,
       schema: StructType): Option[org.apache.spark.sql.Column] = {
     val Bucket = """^(.+)_bucket([0-9]+)$""".r
     val Trunc = """^(.+)_trunc([0-9]+)$""".r

@@ -16,9 +16,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `update_postimage`, -1 for `delete` / `update_preimage`), the delta
   * aggregate is the signed SUM per group, and applying a delta is one
   * join against ONLY the view groups whose partitions the delta touches.
-  * SUM/COUNT (and AVG = SUM/COUNT) are closed under this algebra;
-  * MIN/MAX are not (a deleted extremum needs a source rescan) and are
-  * deliberately not offered.
+  * SUM/COUNT (and AVG = SUM/COUNT) are closed under this algebra.
+  * MIN/MAX are not (a deleted extremum needs a source rescan) — they
+  * are offered as a HYBRID instead ([[Definition.extremes]]): inserts
+  * merge directly (monotone), deletes trigger a recompute bounded to
+  * the affected groups by a broadcast semi-join, never the source.
   *
   * 100 TB shape: refresh cost is bounded by the CHANGE volume, never
   * source size — the feed diffs manifests (appended dirs scan-free,

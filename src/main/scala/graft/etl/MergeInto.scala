@@ -41,7 +41,18 @@ object MergeInto {
     * the composite key). */
   private def partitionValues(rows: DataFrame, partitionCol: String): Set[String] = {
     val pcols = AtomicTable.partCols(partitionCol)
-    rows.select(pcols.map(c => col(c).cast("string")): _*).distinct()
+    // SYNTHETIC levels (bucket/transform specs) are not data columns —
+    // derive each missing level's dir value exactly like the writers do
+    // (same murmur3 bucket, same pinned-UTC date_format), so a keyed
+    // DML on a bucketed/time-partitioned table locates its segments
+    val withLevels = pcols.foldLeft(rows) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else AtomicTable.syntheticLevelColumn(c, df.schema) match {
+        case Some(e) => df.withColumn(c, e)
+        case None => df // unknown level: resolution fails loudly below
+      }
+    }
+    withLevels.select(pcols.map(c => col(c).cast("string")): _*).distinct()
       .collect()
       .map(r => AtomicTable.partKey(pcols.indices.map(r.getString)))
       .toSet

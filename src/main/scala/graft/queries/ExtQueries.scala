@@ -88,6 +88,7 @@ object ExtQueries {
     "graft_write_order" -> QueryDef(graftWriteOrder, Some(graftWriteOrderSql)),
     "graft_two_level" -> QueryDef(graftTwoLevel, Some(graftTwoLevelSql)),
     "graft_sorted_join" -> QueryDef(LayoutQueries.graftSortedJoin, Some(LayoutQueries.graftSortedJoinSql)),
+    "wh_rename_evolve" -> QueryDef(LayoutQueries.graftRenameEvolve, Some(LayoutQueries.graftRenameEvolveSql)),
     "graft_tag_travel" -> QueryDef(LayoutQueries.graftTagTravel, Some(LayoutQueries.graftTagTravelSql)),
     "graft_runtime_skip" -> QueryDef(LayoutQueries.graftRuntimeSkip, Some(LayoutQueries.graftRuntimeSkipSql)),
     "graft_bloom_point" -> QueryDef(LayoutQueries.graftBloomPoint, Some(LayoutQueries.graftBloomPointSql)),

@@ -321,4 +321,55 @@ object LayoutQueries {
        |FROM src t1 JOIN t2
        |  ON t1.o_ym = t2.o_ym AND t1.o_orderkey = t2.o_orderkey
        |GROUP BY t1.o_ym ORDER BY t1.o_ym""".stripMargin
+
+  /** METADATA-ONLY column rename end-to-end through SQL: the pre-1996
+    * orders land under the ORIGINAL column names, `ALTER TABLE ...
+    * RENAME COLUMN` flips o_orderkey→o_key and o_totalprice→o_price
+    * without touching a data file (pinned: the partition dir lists are
+    * IDENTICAL across the rename commit), the remaining orders land
+    * under the NEW names, and the aggregate reads both generations
+    * through the alias chain — with a range predicate on the renamed
+    * key column, so alias-aware zone-map pruning is on the oracled
+    * path (old files' bounds live under o_orderkey, new files' under
+    * o_key; a lost alias loses rows and fails the value compare). */
+  private[queries] def graftRenameEvolve(s: SparkSession, dir: String): DataFrame = {
+    val cat = staged.computeIfAbsent("rn:" + dir, { _ =>
+      val w = java.nio.file.Files.createTempDirectory("graft-rnq").toString
+      val cat = "grn" + (dir.hashCode.toLong & 0xffffffL).toString
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.wh")
+      Tables.orders(s, dir).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"),
+        col("o_orderkey"), col("o_totalprice"))
+        .createOrReplaceTempView(s"orders_rnsrc_$cat")
+      s.sql(s"CREATE TABLE $cat.wh.rn " +
+        "(o_ym STRING, o_orderkey BIGINT, o_totalprice DOUBLE) " +
+        "PARTITIONED BY (o_ym) " +
+        "TBLPROPERTIES ('stats_columns'='o_orderkey', 'retain'='5')")
+      s.sql(s"INSERT INTO $cat.wh.rn SELECT o_ym, o_orderkey, " +
+        s"o_totalprice FROM orders_rnsrc_$cat WHERE o_ym < '1996-01'")
+      val root = java.nio.file.Paths.get(w, "wh", "rn")
+      val before = graft.etl.AtomicTable.rootOpt(root).get.partitions
+      s.sql(s"ALTER TABLE $cat.wh.rn RENAME COLUMN o_orderkey TO o_key")
+      s.sql(s"ALTER TABLE $cat.wh.rn RENAME COLUMN o_totalprice TO o_price")
+      // THE PIN: the rename moved zero data — same dirs, byte for byte
+      require(graft.etl.AtomicTable.rootOpt(root).get.partitions == before,
+        "RENAME COLUMN must be metadata-only (identical data dirs)")
+      s.sql(s"INSERT INTO $cat.wh.rn SELECT o_ym, o_orderkey AS o_key, " +
+        s"o_totalprice AS o_price FROM orders_rnsrc_$cat " +
+        "WHERE o_ym >= '1996-01'")
+      cat
+    })
+    s.sql(s"""SELECT o_ym, count(*) AS n_rows,
+      CAST(SUM(CAST(o_price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM $cat.wh.rn WHERE o_key <= 15000
+      GROUP BY o_ym ORDER BY o_ym""")
+  }
+
+  private[queries] val graftRenameEvolveSql =
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS o_ym, count(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue
+       |FROM orders WHERE o_orderkey <= 15000
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -192,7 +192,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // null-fill in the reader); a PINNED version instead reads with its
     // own snapshot shape, and undeclared tables (written by path into
     // the warehouse dir) fall back to file inference
-    val hasData = AtomicTable.manifest(dir).exists(_.partitions.nonEmpty) ||
+    // root-only: a table LOAD must not hydrate any blob — pruned reads
+    // would otherwise pay O(table) metadata before planning even starts
+    val hasData = AtomicTable.rootOpt(dir).exists(_.partitions.nonEmpty) ||
       version.isDefined
     val schema =
       if (version.isDefined)
@@ -429,7 +431,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // their meta materialized from inference first
       val (schema0, partCol, retain0, statsCols0) = readMeta(dir).getOrElse {
         val inferred = GraftSource.inferredSchema(new Configuration(), dir.toString)
-        val pc = AtomicTable.manifest(dir).filter(_.partitions.nonEmpty)
+        val pc = AtomicTable.rootOpt(dir).filter(_.partitions.nonEmpty)
           .map(GraftSource.partitionColOf).getOrElse(
             throw new IllegalArgumentException(s"$ident has no partition column"))
         (inferred, pc, DefaultRetain, Nil)
@@ -782,7 +784,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         (dir, schema, pcol, retain, stats)
       case None =>
         val schema = GraftSource.inferredSchema(new Configuration(), dir.toString)
-        val pcol = AtomicTable.manifest(dir).filter(_.partitions.nonEmpty)
+        val pcol = AtomicTable.rootOpt(dir).filter(_.partitions.nonEmpty)
           .map(GraftSource.partitionColOf).getOrElse("")
         (dir, schema, pcol, DefaultRetain, Nil)
     }

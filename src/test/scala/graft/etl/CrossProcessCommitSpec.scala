@@ -118,10 +118,15 @@ class CrossProcessCommitSpec extends AnyFunSuite {
     Files.createDirectories(root.resolve("_manifests"))
     val orphan = root.resolve("_manifests").resolve(".tmp-deadbeef")
     Files.writeString(orphan, "{\"version\": 99}")
+    // age the orphan explicitly: the gate is a strict mtime compare,
+    // and "write then vacuum(0)" can land in the same clock millisecond
+    Files.setLastModifiedTime(orphan,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 60_000L))
     // the orphan is invisible to version discovery ...
     assert(AtomicTable.currentVersion(root) === None)
     // ... and reclaimed by the age-gated vacuum
-    AtomicTable.vacuum(root, olderThanMs = 0L)
+    AtomicTable.vacuum(root, olderThanMs = 1000L)
     assert(!Files.exists(orphan))
   }
 }

@@ -337,4 +337,42 @@ class IncrementalViewSpec extends SparkSuite {
       "the rollup must track base mutations through both hops " +
         "(b's last row died, c was born, a grew)")
   }
+
+  test("source partition-spec evolution (identity -> bucket) between refreshes stays exact") {
+    // the adversarial case: repartitionTable changes the very layout
+    // the changefeed diffs by — every row moves dirs in one commit. The
+    // feed must express it as delete-all(old keys) + insert-all(new
+    // keys), a NET-ZERO delta per group, and the refresh must land the
+    // view exactly on the recompute — not double-count, not lose rows,
+    // not refuse.
+    val src = Files.createTempDirectory("mv-src-evo").toString
+    val mv = Files.createTempDirectory("mv-view-evo").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L, 1.0, "a"), (2L, 2.0, "b"), (3L, 3.0, "b"), (8L, 8.0, "c")),
+      "p", retain = 100)                                             // v1
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"))
+    val before = AtomicTable.manifest(Paths.get(mv)).get
+
+    // v2: identity("p") -> hash-bucket("id_bucket4") full-table rewrite
+    AtomicTable.repartitionTable(spark, src, schema, "id_bucket4",
+      retain = 100)
+    val (m1, f1, t1) = IncrementalView.refresh(spark, mv)
+    assert(f1 === 2L && t1 === 2L)
+    assert(viewRows(mv) === recompute(src),
+      "a net-zero spec-evolution delta must leave the view exact")
+    assert(m1.properties(IncrementalView.SourceVersionProperty) === "2")
+
+    // v3: life continues under the NEW layout — appends, then a keyed
+    // delete (vector keyed on id, located across bucket segments)
+    AtomicTable.appendPartitions(spark, src,
+      df((10L, 10.0, "b"), (11L, 11.0, "d")), "id_bucket4", retain = 100)
+    MergeInto.deleteKeys(spark, src, schema,
+      Seq(8L).toDF("id"), Seq("id"), "id_bucket4", retain = 100)     // v4
+    IncrementalView.refresh(spark, mv)
+    assert(viewRows(mv) === recompute(src),
+      "post-evolution commits must keep refreshing exactly " +
+        "(c's last row died, d was born, b grew)")
+    assert(viewRows(mv).map(_._1) === Set("a", "b", "d"))
+  }
 }

@@ -1,0 +1,206 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.SparkSuite
+import graft.etl.AtomicTable
+
+/** ALTER TABLE ... RENAME COLUMN / DROP COLUMN as METADATA-ONLY
+  * evolutions: zero files rewritten, reads resolve old files through
+  * the alias chain, and — the demanding half — every pruning tier
+  * stays CORRECT through the rename, not just disabled: partition
+  * zone maps recorded under the old name still prune (and the blob
+  * hydration proves which partitions planning touched), bloom
+  * sidecars written under the old name still answer point lookups
+  * file by file. Name reuse after a drop/rename is refused: stale
+  * file-level metadata under the name would silently mis-prune. */
+class GraftRenameSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-rename").toString
+    spark.conf.set("spark.sql.catalog.grn", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grn.root", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grn.db")
+    w
+  }
+
+  private def scansOf(p: SparkPlan): Seq[BatchScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      scansOf(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      scansOf(q.plan)
+    case b: BatchScanExec => Seq(b)
+    case o => o.children.flatMap(scansOf)
+  }
+  private def plannedFiles(df: DataFrame): Int = {
+    df.collect()
+    GraftSource.plannedFileCount(
+      scansOf(df.queryExecution.executedPlan).head.scan).get
+  }
+
+  test("rename is metadata-only; both generations read; zone maps prune through the alias") {
+    warehouse
+    spark.sql("CREATE TABLE grn.db.t1 (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('stats_columns'='k', 'retain'='5')")
+    (0L until 100L).map(i => (i, i * 1.0, "a")).toDF("k", "v", "p")
+      .createOrReplaceTempView("rn_a")
+    (1000L until 1100L).map(i => (i, i * 1.0, "b")).toDF("k", "v", "p")
+      .createOrReplaceTempView("rn_b")
+    spark.sql("INSERT INTO grn.db.t1 SELECT * FROM rn_a")
+    spark.sql("INSERT INTO grn.db.t1 SELECT * FROM rn_b")
+    val dir = Paths.get(warehouse, "db", "t1")
+    val dirsBefore = AtomicTable.rootOpt(dir).get.partitions
+
+    spark.sql("ALTER TABLE grn.db.t1 RENAME COLUMN k TO key")
+
+    // metadata-only: identical data dirs, and the alias is on record
+    assert(AtomicTable.rootOpt(dir).get.partitions === dirsBefore)
+    assert(AtomicTable.rootOpt(dir).get
+      .properties(GraftSource.RenamePrefix + "key") === "k")
+    assert(spark.table("grn.db.t1").schema.fieldNames.toSeq ===
+      Seq("key", "v", "p"))
+
+    // post-rename writes land under the NEW name
+    (2000L until 2100L).map(i => (i, i * 1.0, "c")).toDF("key", "v", "p")
+      .createOrReplaceTempView("rn_c")
+    spark.sql("INSERT INTO grn.db.t1 SELECT * FROM rn_c")
+
+    // both generations read through one name
+    assert(spark.sql("SELECT count(*) FROM grn.db.t1").as[Long].head() === 300L)
+    assert(spark.sql("SELECT sum(key) FROM grn.db.t1 WHERE key < 100")
+      .as[Long].head() === (0L until 100L).sum)
+
+    // THE PRUNING PIN: the range predicate on the RENAMED column must
+    // prune partitions via bounds recorded under the OLD name — and the
+    // blob-read log proves planning hydrated ONLY the admitted
+    // partition (pruning decided on the root, through the alias)
+    val blobOf = AtomicTable.rootOpt(dir).get.blobs
+    AtomicTable.blobReadLog.clear()
+    AtomicTable.recordBlobReads = true
+    try {
+      val got = spark.sql(
+        "SELECT sum(key) FROM grn.db.t1 WHERE key BETWEEN 1000 AND 1099")
+        .as[Long].head()
+      assert(got === (1000L until 1100L).sum)
+      val read = AtomicTable.blobReadLog.iterator()
+      val readSet = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(read).asScala.toSet
+      assert(readSet === Set(blobOf("b")),
+        s"alias-aware zone maps must admit only partition b; hydrated " +
+          s"$readSet of ${blobOf.values.toSet}")
+    } finally {
+      AtomicTable.recordBlobReads = false
+      AtomicTable.blobReadLog.clear()
+    }
+  }
+
+  test("bloom sidecars written under the old name keep point skipping after a rename") {
+    warehouse
+    spark.sql("CREATE TABLE grn.db.t2 (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES " +
+      "('bloom_columns'='id', 'retain'='5')")
+    // three interleaved key-thirds: every file spans the whole range,
+    // so only the blooms can skip
+    (0 until 3).foreach { k =>
+      (0L until 300L).filter(_ % 3 == k).map(i => (i, i * 1.5, "a"))
+        .toDF("id", "v", "p").coalesce(1).createOrReplaceTempView("rn_bl")
+      spark.sql("INSERT INTO grn.db.t2 SELECT * FROM rn_bl")
+    }
+    spark.sql("ALTER TABLE grn.db.t2 RENAME COLUMN id TO ident")
+    // declared bloom meta followed the rename
+    val q = spark.sql("SELECT v FROM grn.db.t2 WHERE ident = 7")
+    assert(q.as[Double].collect().toSeq === Seq(10.5))
+    assert(plannedFiles(q) === 1,
+      "the point lookup must skip two of three files via the OLD-name " +
+        "sidecars (alias probe)")
+    // and an absent key reads zero files
+    val q2 = spark.sql("SELECT v FROM grn.db.t2 WHERE ident = 999999")
+    assert(q2.collect().isEmpty)
+    assert(plannedFiles(q2) === 0)
+  }
+
+  test("drop column is metadata-only; retired names are refused for re-add and rename") {
+    warehouse
+    spark.sql("CREATE TABLE grn.db.t3 (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
+    (0L until 50L).map(i => (i, i * 2.0, "a")).toDF("k", "v", "p")
+      .createOrReplaceTempView("rn_d")
+    spark.sql("INSERT INTO grn.db.t3 SELECT * FROM rn_d")
+    val dir = Paths.get(warehouse, "db", "t3")
+    val dirsBefore = AtomicTable.rootOpt(dir).get.partitions
+
+    spark.sql("ALTER TABLE grn.db.t3 DROP COLUMN v")
+
+    assert(AtomicTable.rootOpt(dir).get.partitions === dirsBefore,
+      "DROP COLUMN must move zero data")
+    assert(spark.table("grn.db.t3").schema.fieldNames.toSeq === Seq("k", "p"))
+    assert(spark.sql("SELECT count(*) FROM grn.db.t3").as[Long].head() === 50L)
+    assert(AtomicTable.rootOpt(dir).get
+      .properties(GraftSource.DroppedColsProperty) === "v")
+
+    // re-adding the dropped name is refused: stale file metadata under
+    // 'v' could mis-prune a NEW column reusing it
+    val readd = intercept[Exception] {
+      spark.sql("ALTER TABLE grn.db.t3 ADD COLUMNS (v DOUBLE)")
+    }
+    assert(readd.getMessage.contains("previously dropped or renamed"),
+      s"got: ${readd.getMessage}")
+    // renaming ONTO a retired name is refused the same way
+    val onto = intercept[Exception] {
+      spark.sql("ALTER TABLE grn.db.t3 RENAME COLUMN k TO v")
+    }
+    assert(onto.getMessage.contains("stale zone maps"),
+      s"got: ${onto.getMessage}")
+    // a FRESH name is fine
+    spark.sql("ALTER TABLE grn.db.t3 ADD COLUMNS (w DOUBLE)")
+    assert(spark.table("grn.db.t3").schema.fieldNames.toSeq ===
+      Seq("k", "p", "w"))
+  }
+
+  test("partition levels refuse rename and drop loudly") {
+    warehouse
+    spark.sql("CREATE TABLE grn.db.t4 (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p)")
+    val rn = intercept[Exception] {
+      spark.sql("ALTER TABLE grn.db.t4 RENAME COLUMN p TO q")
+    }
+    assert(rn.getMessage.contains("partition level"), s"got: ${rn.getMessage}")
+    val dp = intercept[Exception] {
+      spark.sql("ALTER TABLE grn.db.t4 DROP COLUMN p")
+    }
+    assert(dp.getMessage.contains("partition level"), s"got: ${dp.getMessage}")
+    // a bucket level's SOURCE column is structurally pinned too
+    spark.sql("CREATE TABLE grn.db.t5 (k BIGINT, s STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val src = intercept[Exception] {
+      spark.sql("ALTER TABLE grn.db.t5 RENAME COLUMN k TO kk")
+    }
+    assert(src.getMessage.contains("partition level"), s"got: ${src.getMessage}")
+  }
+
+  test("rename chains compose: a->b then b->c reads all three generations") {
+    warehouse
+    spark.sql("CREATE TABLE grn.db.t6 (a BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
+    Seq((1L, "x")).toDF("a", "p").createOrReplaceTempView("rn_g1")
+    spark.sql("INSERT INTO grn.db.t6 SELECT * FROM rn_g1")
+    spark.sql("ALTER TABLE grn.db.t6 RENAME COLUMN a TO b")
+    Seq((2L, "y")).toDF("b", "p").createOrReplaceTempView("rn_g2")
+    spark.sql("INSERT INTO grn.db.t6 SELECT * FROM rn_g2")
+    spark.sql("ALTER TABLE grn.db.t6 RENAME COLUMN b TO c")
+    Seq((3L, "z")).toDF("c", "p").createOrReplaceTempView("rn_g3")
+    spark.sql("INSERT INTO grn.db.t6 SELECT * FROM rn_g3")
+    assert(spark.sql("SELECT sum(c) FROM grn.db.t6").as[Long].head() === 6L)
+    // and renaming BACK to a name in the chain is refused
+    val back = intercept[Exception] {
+      spark.sql("ALTER TABLE grn.db.t6 RENAME COLUMN c TO a")
+    }
+    assert(back.getMessage.contains("stale zone maps"),
+      s"got: ${back.getMessage}")
+  }
+}
