@@ -75,11 +75,27 @@ object IncrementalView {
       groupCols: Seq[String], sums: Seq[(String, String)],
       partitionCol: String, keyCols: Seq[String], retain: Int,
       mvSchema: StructType,
-      extremes: Seq[(String, String, String)] = Nil)
+      extremes: Seq[(String, String, String)] = Nil,
+      avgs: Seq[(String, String)] = Nil,
+      sketches: Seq[(String, String)] = Nil)
 
   /** One extreme's aggregate function: "min" or "max" over its expr. */
   private def extremeAgg(f: String, e: Column): Column =
     if (f == "min") min(e) else max(e)
+
+  /** `avgs` (alias -> SUM alias): AVG = SUM/COUNT is already CLOSED
+    * under the signed-delta algebra — no new materialized state; the
+    * avg renders at READ time from the maintained sum and its non-null
+    * count, as a double (decimal→double conversion and IEEE division
+    * are deterministic, so the rendered value is engine-stable).
+    *
+    * `sketches` (alias -> expr): APPROX_COUNT_DISTINCT as a mergeable
+    * HLL sketch materialized as a BINARY view column. Inserts MERGE
+    * (hll_union is the monoid); a sketch is not subtractable, so any
+    * group a negative row touched recomputes from the source snapshot
+    * — the SAME bounded broadcast-semi-join recompute path MIN/MAX
+    * use. [[read]] exposes the estimate (long), never the bytes. */
+  private def sketchAgg(e: Column): Column = hll_sketch_agg(e)
 
   /** The full aggregate of `df` in the view's materialized shape:
     * group columns, then per sum `alias` the zero-coalesced exact sum
@@ -88,16 +104,19 @@ object IncrementalView {
     * row count. */
   def aggregate(df: DataFrame, groupCols: Seq[String],
       sums: Seq[(String, String)],
-      extremes: Seq[(String, String, String)] = Nil): DataFrame = {
+      extremes: Seq[(String, String, String)] = Nil,
+      sketches: Seq[(String, String)] = Nil): DataFrame = {
     val aggs = sums.flatMap { case (a, e) =>
       Seq(sum(expr(e)).as(a), count(expr(e)).as(nCol(a)))
-    } ++ extremes.map { case (a, e, f) => extremeAgg(f, expr(e)).as(a) } :+
+    } ++ extremes.map { case (a, e, f) => extremeAgg(f, expr(e)).as(a) } ++
+      sketches.map { case (a, e) => sketchAgg(expr(e)).as(a) } :+
       count(lit(1)).as(RowsCol)
     val agg0 = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     agg0.select(groupCols.map(col) ++ sums.flatMap { case (a, _) =>
       Seq(coalesce(col(a), lit(0).cast(agg0.schema(a).dataType)).as(a),
         col(nCol(a)))
-    } ++ extremes.map { case (a, _, _) => col(a) } :+ col(RowsCol): _*)
+    } ++ extremes.map { case (a, _, _) => col(a) } ++
+      sketches.map { case (a, _) => col(a) } :+ col(RowsCol): _*)
   }
 
   /** Create the view: one full aggregate of the source's CURRENT
@@ -108,23 +127,27 @@ object IncrementalView {
       mv: String, groupCols: Seq[String], sums: Seq[(String, String)],
       partitionCol: String, keyCols: Seq[String] = Nil,
       retain: Int = 3,
-      extremes: Seq[(String, String, String)] = Nil): AtomicTable.Manifest = {
+      extremes: Seq[(String, String, String)] = Nil,
+      avgs: Seq[(String, String)] = Nil,
+      sketches: Seq[(String, String)] = Nil): AtomicTable.Manifest = {
     val pcols = AtomicTable.partCols(partitionCol)
     require(pcols.nonEmpty && pcols.forall(groupCols.contains),
       s"view partition columns ${pcols.mkString(",")} must be group columns")
     extremes.foreach { case (a, _, f) => require(f == "min" || f == "max",
       s"extreme '$a' must be min or max, got '$f'") }
+    avgs.foreach { case (a, s) => require(sums.exists(_._1 == s),
+      s"avg '$a' must reference a declared sum alias, got '$s'") }
     val names = groupCols ++ sums.map(_._1) ++ sums.map(s => nCol(s._1)) ++
-      extremes.map(_._1) :+ RowsCol
+      extremes.map(_._1) ++ avgs.map(_._1) ++ sketches.map(_._1) :+ RowsCol
     require(names.distinct.size == names.size,
       s"group/sum names collide: ${names.mkString(", ")}")
     val srcHead = AtomicTable.currentVersion(Paths.get(source)).getOrElse(
       throw new IllegalArgumentException(s"$source has no commits"))
     val full = aggregate(
       MergeInto.readMergedAt(spark, source, sourceSchema, srcHead),
-      groupCols, sums, extremes)
+      groupCols, sums, extremes, sketches)
     val d = Definition(source, sourceSchema, groupCols, sums, partitionCol,
-      keyCols, retain, full.schema, extremes)
+      keyCols, retain, full.schema, extremes, avgs, sketches)
     AtomicTable.replacePartitions(spark, mv, full, partitionCol,
       retain = retain, operation = "mv",
       properties = Map(DefProperty -> toJson(d),
@@ -181,7 +204,11 @@ object IncrementalView {
           .as(nCol(a)))
     } ++ d.extremes.map { case (a, e, f) =>
       extremeAgg(f, when(col(SignCol) > 0L, expr(e))).as(a)
-    } ++ (if (d.extremes.isEmpty) Nil else Seq(
+    } ++ d.sketches.map { case (a, e) =>
+      // insert-side sketch only: hll_union folds it into the view's;
+      // negative rows flag the group for recompute (not subtractable)
+      sketchAgg(when(col(SignCol) > 0L, expr(e))).as(a)
+    } ++ (if (d.extremes.isEmpty && d.sketches.isEmpty) Nil else Seq(
       max(when(col(SignCol) < 0L, lit(1L)).otherwise(lit(0L))).as(NegTouch))
     ) :+ sum(col(SignCol)).as(RowsCol)
     val delta = signed.groupBy(d.groupCols.map(col): _*)
@@ -213,20 +240,20 @@ object IncrementalView {
     // semi-join (change volume, not view size; the scan prunes further
     // when the group columns include source partition columns)
     val joined =
-      if (d.extremes.isEmpty) joined0
+      if (d.extremes.isEmpty && d.sketches.isEmpty) joined0
       else {
         val negGroups = delta.filter(col(NegTouch) > 0L)
           .select(d.groupCols.map(c => col(c).as(s"_g_$c")): _*)
         val semiOn = d.groupCols
           .map(c => col(c) <=> col(s"_g_$c")).reduce(_ && _)
+        val recAggs = d.extremes.map { case (a, e, f) =>
+          extremeAgg(f, expr(e)).as(a) } ++
+          d.sketches.map { case (a, e) => sketchAgg(expr(e)).as(a) }
         val rec = MergeInto
           .readMergedAt(spark, d.source, d.sourceSchema, srcHead)
           .join(broadcast(negGroups), semiOn, "left_semi")
           .groupBy(d.groupCols.map(col): _*)
-          .agg(extremeAgg(d.extremes.head._3, expr(d.extremes.head._2))
-            .as(d.extremes.head._1),
-            d.extremes.tail.map { case (a, e, f) =>
-              extremeAgg(f, expr(e)).as(a) }: _*)
+          .agg(recAggs.head, recAggs.tail: _*)
         val r = rec.select(rec.columns.map(c => col(c).as(s"_r_$c")): _*)
         val recOn = d.groupCols.map(c =>
           coalesce(col(s"_o_$c"), col(s"_d_$c")) <=> col(s"_r_$c"))
@@ -252,6 +279,16 @@ object IncrementalView {
         when(coalesce(col(s"_d_$NegTouch"), lit(0L)) > 0L, col(s"_r_$a"))
           .otherwise(insertMerge)
           .cast(d.mvSchema(a).dataType).as(a)
+      } ++
+      d.sketches.map { case (a, _) =>
+        // hll_union is the sketch monoid; null-guard both sides so a
+        // view-only group keeps its sketch and a new group takes the
+        // insert-side one; a neg-touched group takes the recompute
+        val merged = when(col(s"_o_$a").isNull, col(s"_d_$a"))
+          .when(col(s"_d_$a").isNull, col(s"_o_$a"))
+          .otherwise(hll_union(col(s"_o_$a"), col(s"_d_$a")))
+        when(coalesce(col(s"_d_$NegTouch"), lit(0L)) > 0L, col(s"_r_$a"))
+          .otherwise(merged).as(a)
       }: _*)
     // a negative group count means the feed and the view disagree
     // (e.g. the view was edited out-of-band) — fail loudly rather than
@@ -275,13 +312,25 @@ object IncrementalView {
 
   /** The view in its QUERY shape: group columns, each sum rendered with
     * SQL SUM's null semantics (NULL when no non-null contributor
-    * remains), and the group row count. */
+    * remains), min/max values, each avg rendered as sum/count in DOUBLE
+    * (deterministic: decimal→double conversion + one IEEE division),
+    * each sketch rendered as its ESTIMATE (the binary never surfaces),
+    * and the group row count. */
   def read(spark: SparkSession, mv: String): DataFrame = {
     val (d, _) = definitionOf(mv)
     AtomicTable.read(spark, mv, d.mvSchema).select(
       d.groupCols.map(col) ++ d.sums.map { case (a, _) =>
         when(col(nCol(a)) === 0L, lit(null)).otherwise(col(a)).as(a)
-      } ++ d.extremes.map { case (a, _, _) => col(a) } :+
+      } ++ d.extremes.map { case (a, _, _) => col(a) } ++
+      d.avgs.map { case (a, s) =>
+        when(col(nCol(s)) === 0L, lit(null))
+          .otherwise(col(s).cast("double") / col(nCol(s)).cast("double"))
+          .as(a)
+      } ++
+      d.sketches.map { case (a, _) =>
+        when(col(a).isNull, lit(0L))
+          .otherwise(hll_sketch_estimate(col(a))).as(a)
+      } :+
         col(RowsCol): _*)
   }
 
@@ -316,6 +365,14 @@ object IncrementalView {
       val p = x.addObject(); p.put("alias", a); p.put("expr", e)
       p.put("func", f); ()
     }
+    val av = n.putArray("avgs")
+    d.avgs.foreach { case (a, s) =>
+      val p = av.addObject(); p.put("alias", a); p.put("sum", s); ()
+    }
+    val sk = n.putArray("sketches")
+    d.sketches.foreach { case (a, e) =>
+      val p = sk.addObject(); p.put("alias", a); p.put("expr", e); ()
+    }
     n.toString
   }
 
@@ -335,6 +392,10 @@ object IncrementalView {
       DataType.fromJson(n.get("mvSchema").asText).asInstanceOf[StructType],
       Option(n.get("extremes")).map(_.elements().asScala.map(p =>
         (p.get("alias").asText, p.get("expr").asText, p.get("func").asText))
-        .toSeq).getOrElse(Nil))
+        .toSeq).getOrElse(Nil),
+      Option(n.get("avgs")).map(_.elements().asScala.map(p =>
+        (p.get("alias").asText, p.get("sum").asText)).toSeq).getOrElse(Nil),
+      Option(n.get("sketches")).map(_.elements().asScala.map(p =>
+        (p.get("alias").asText, p.get("expr").asText)).toSeq).getOrElse(Nil))
   }
 }

@@ -93,6 +93,7 @@ object ExtQueries {
     "graft_runtime_skip" -> QueryDef(LayoutQueries.graftRuntimeSkip, Some(LayoutQueries.graftRuntimeSkipSql)),
     "graft_bloom_point" -> QueryDef(LayoutQueries.graftBloomPoint, Some(LayoutQueries.graftBloomPointSql)),
     "graft_incr_mv" -> QueryDef(MvQueries.graftIncrMv, Some(MvQueries.graftIncrMvSql)),
+    "graft_mv_approx" -> QueryDef(MvQueries.graftMvApprox, Some(MvQueries.graftMvApproxSql)),
     "graft_sql_mv" -> QueryDef(MvQueries.graftSqlMv, Some(MvQueries.graftSqlMvSql)),
     "graft_stream_cdf" -> QueryDef(graftStreamCdf, Some(graftStreamCdfSql)),
     "graft_write_roundtrip" -> QueryDef(graftWriteRoundtrip, Some(graftWriteRoundtripSql)),

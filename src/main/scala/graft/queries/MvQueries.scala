@@ -109,6 +109,83 @@ object MvQueries {
        |  CAST(max(o_orderkey) AS BIGINT) AS max_okey
        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** AVG + APPROX_COUNT_DISTINCT in the maintained view: AVG renders
+    * from the maintained sum/count (closed under the delta algebra, no
+    * new state), and the distinct-customer count is a mergeable HLL
+    * sketch stored as a binary view column — inserts fold by
+    * hll_union, the delete commit forces the bounded per-group
+    * recompute. The sketch ESTIMATE is engine-bound (Spark's HLL), so
+    * the oracled columns are the EXACT aggregates; the estimate is
+    * verified IN-QUERY against the HLL error envelope and surfaces as
+    * a boolean the oracle states as literal TRUE — a sketch that lost
+    * the delete, double-merged, or drifted past the envelope flips the
+    * flag and fails the value compare (the sketch_bounds pattern). */
+  private[queries] def graftMvApprox(s: SparkSession, dir: String): DataFrame = {
+    val state = staged.computeIfAbsent("approx:" + dir, { _ =>
+      val base = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("o_ym"))
+      val t = java.nio.file.Files.createTempDirectory("graft-mvapx").toString
+      AtomicTable.replacePartitions(s, t,
+        base.repartition(col("o_ym")), "o_ym", retain = 10)          // v1
+      val mvDir = java.nio.file.Files.createTempDirectory("graft-mvap")
+        .resolve("orders_apx").toString
+      IncrementalView.create(s, t, ordSchema, mvDir,
+        Seq("o_ym"),
+        Seq("revenue" -> "CAST(o_totalprice AS DECIMAL(18,2))"),
+        "o_ym", keyCols = Seq("o_orderkey"),
+        avgs = Seq("avg_price" -> "revenue"),
+        sketches = Seq("cust_est" -> "o_custkey"))
+      // v2: inserts only — the sketch path must MERGE, never recompute
+      val ins = base.filter(col("o_orderkey") % 89 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(200000000L))
+      AtomicTable.appendPartitions(s, t, ins.repartition(col("o_ym")),
+        "o_ym", retain = 10)
+      // v3: a keyed delete — negative rows force the bounded per-group
+      // sketch recompute (an unsubtracted sketch would overcount)
+      val gone = AtomicTable.read(s, t, ordSchema)
+        .filter(col("o_custkey") % 113 === 0)
+        .select("o_orderkey", "o_ym")
+      MergeInto.deleteKeys(s, t, ordSchema, gone,
+        Seq("o_orderkey"), "o_ym", retain = 10)
+      IncrementalView.refresh(s, mvDir)
+      s"$t|$mvDir"
+    })
+    val Array(t, mv) = state.split('|')
+    val exact = AtomicTable.read(s, t, ordSchema)
+      .groupBy("o_ym")
+      .agg(count_distinct(col("o_custkey")).as("cust_exact"))
+    IncrementalView.read(s, mv).join(exact, Seq("o_ym"))
+      .select(col("o_ym"), col(IncrementalView.RowsCol).as("n_rows"),
+        col("revenue").cast("double").as("revenue"),
+        col("avg_price"), col("cust_exact"),
+        (abs(col("cust_est").cast("double") - col("cust_exact").cast("double"))
+          <= greatest(lit(2.0), col("cust_exact").cast("double") * lit(0.05)))
+          .as("est_in_bounds"))
+      .orderBy("o_ym")
+  }
+
+  private[queries] val graftMvApproxSql =
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey, o_totalprice,
+       |         strftime(o_orderdate, '%Y-%m') AS o_ym
+       |  FROM orders),
+       |ins AS (
+       |  SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey,
+       |         o_totalprice, o_ym
+       |  FROM base WHERE o_orderkey % 89 = 0),
+       |merged AS (
+       |  SELECT * FROM base UNION ALL SELECT * FROM ins),
+       |final AS (SELECT * FROM merged WHERE o_custkey % 113 <> 0)
+       |SELECT o_ym, count(*) AS n_rows,
+       |  ${sqlDsum("o_totalprice", 2)} AS revenue,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+       |    / CAST(count(o_totalprice) AS DOUBLE) AS avg_price,
+       |  count(DISTINCT o_custkey) AS cust_exact,
+       |  TRUE AS est_in_bounds
+       |FROM final GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** SQL-ONLY twin: the source is a catalog table mutated by SQL UPDATE
     * and DELETE, the view is created and refreshed through
     * `CALL system.create_mv / refresh_mv`, and the result reads the

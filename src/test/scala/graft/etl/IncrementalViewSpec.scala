@@ -338,6 +338,48 @@ class IncrementalViewSpec extends SparkSuite {
         "(b's last row died, c was born, a grew)")
   }
 
+  test("AVG renders from the maintained sum/count; HLL sketches merge on insert and recompute on delete") {
+    val src = Files.createTempDirectory("mv-src-avg").toString
+    val mv = Files.createTempDirectory("mv-view-avg").toString + "/mv"
+    AtomicTable.replacePartitions(spark, src,
+      df((1L, 10.0, "a"), (2L, 30.0, "a"), (5L, 5.0, "b")), "p",
+      retain = 100)                                                  // v1
+    IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), sums, "p", keyCols = Seq("id"),
+      avgs = Seq("v_avg" -> "v_sum"),
+      sketches = Seq("id_dist" -> "id"))
+
+    def rows(): Map[String, (Option[Double], Long, Long)] =
+      IncrementalView.read(spark, mv)
+        .select(col("p"), col("v_avg"), col("id_dist"),
+          col(IncrementalView.RowsCol))
+        .collect().map(r => r.getString(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1))),
+            r.getLong(2), r.getLong(3))).toMap
+
+    assert(rows() === Map(
+      "a" -> (Some(20.0), 2L, 2L), "b" -> (Some(5.0), 1L, 1L)))
+
+    // inserts: the avg tracks the new sum/count, the sketch MERGES
+    AtomicTable.appendPartitions(spark, src,
+      df((3L, 20.0, "a"), (7L, 7.0, "c")), "p", retain = 100)        // v2
+    IncrementalView.refresh(spark, mv)
+    assert(rows() === Map(
+      "a" -> (Some(20.0), 3L, 3L), "b" -> (Some(5.0), 1L, 1L),
+      "c" -> (Some(7.0), 1L, 1L)))
+
+    // a delete (negative rows) forces the bounded per-group RECOMPUTE:
+    // the dead id must leave the estimate — a merge-only sketch would
+    // still count it
+    MergeInto.deleteKeys(spark, src, schema,
+      Seq((2L, "a")).toDF("id", "p"), Seq("id"), "p", retain = 100)  // v3
+    IncrementalView.refresh(spark, mv)
+    assert(rows() === Map(
+      "a" -> (Some(15.0), 2L, 2L), "b" -> (Some(5.0), 1L, 1L),
+      "c" -> (Some(7.0), 1L, 1L)),
+      "after the delete, a's sketch must recompute to {1, 3}")
+  }
+
   test("source partition-spec evolution (identity -> bucket) between refreshes stays exact") {
     // the adversarial case: repartitionTable changes the very layout
     // the changefeed diffs by — every row moves dirs in one commit. The
