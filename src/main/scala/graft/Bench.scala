@@ -46,6 +46,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-FAMILY width is per-INVOCATION configuration, deliberately
+    // NOT a per-query runtime toggle: r12 measured that flipping
+    // initialPartitionNum via spark.conf.set around single queries is
+    // not equivalent to setting it at session build (text_bm25 at the
+    // 1000x corpus: 72.1 s with the env set globally vs 91.6 s toggled
+    // standalone vs 312 s toggled inside a mixed panel) — the same
+    // non-local AQE behavior the r11 ev_asof bisect found. The scale
+    // protocol therefore runs one invocation per width group
+    // (SPARK_GRAFT_ONLY selects the group, SPARK_GRAFT_INITIAL_PARTITIONS
+    // sets its width); see BASELINE.md round-12.
+
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
