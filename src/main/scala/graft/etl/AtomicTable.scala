@@ -967,17 +967,35 @@ object AtomicTable {
   def restore(root: Path, version: Long, retain: Int = 2): Manifest = {
     require(Files.exists(manifestFile(root, version)),
       s"version $version is outside the retention window of $root")
-    val target = manifestAt(root, version)
-    val cur = manifest(root).getOrElse(
+    val targetR = rootAt(root, version)
+    val cur = rootOpt(root).getOrElse(
       throw new IllegalStateException(s"$root has no commits"))
-    commitManifest(root, written = target.partitions,
-      newStats = target.stats,
-      properties = Map("graft.restore.of" -> version.toString),
-      dropPartitions = cur.partitions.keySet -- target.partitions.keySet,
-      expectedVersion = Some(cur.version), retain = retain,
-      newDeletes = target.deletes, operation = s"restore(v$version)",
-      newFiles = target.files, newFileStats = target.fileStats,
-      newSorted = target.sorted)
+    targetR.inline match {
+      case Some(target) =>
+        // format-1 snapshot: its heavy state is inline in the old root —
+        // commit it wholesale (one-time; the commit re-homes it into
+        // blobs like any format-1 upgrade)
+        commitManifest(root, written = target.partitions,
+          newStats = target.stats,
+          properties = Map("graft.restore.of" -> version.toString),
+          dropPartitions = cur.partitions.keySet -- target.partitions.keySet,
+          expectedVersion = Some(cur.version), retain = retain,
+          newDeletes = target.deletes, operation = s"restore(v$version)",
+          newFiles = target.files, newFileStats = target.fileStats,
+          newSorted = target.sorted)
+      case None =>
+        // the target's blobs are still retained (its root is) — CARRY
+        // the pointers instead of rewriting them: a restore is one new
+        // ROOT, zero blob writes, zero data moves, whatever the table
+        // size (the same O(touched)-metadata contract as any commit)
+        commitManifest(root, written = targetR.partitions,
+          newStats = targetR.stats,
+          properties = Map("graft.restore.of" -> version.toString),
+          dropPartitions = cur.partitions.keySet -- targetR.partitions.keySet,
+          expectedVersion = Some(cur.version), retain = retain,
+          newDeletes = targetR.deletes, operation = s"restore(v$version)",
+          carryBlobs = targetR.blobs)
+    }
   }
 
   /** CLONE TABLE: materialize a retained snapshot of `src` as a brand-new
@@ -1181,7 +1199,8 @@ object AtomicTable {
       newFiles: Map[String, Seq[String]] = Map.empty,
       newFileStats: Map[String, Map[String, PartStats]] = Map.empty,
       overrideStats: Map[String, PartStats] = Map.empty,
-      newSorted: Map[String, String] = Map.empty): Manifest =
+      newSorted: Map[String, String] = Map.empty,
+      carryBlobs: Map[String, String] = Map.empty): Manifest =
     commitLock(root).synchronized {
       var hookRan = false
       var committed: Manifest = null
@@ -1258,15 +1277,19 @@ object AtomicTable {
         // commit metadata I/O bounded by the commit's own footprint.
         val prevBlobs = prev.map(_.blobs).getOrElse(Map.empty[String, String])
         val prevInline = prev.flatMap(_.inline)
+        // `carryBlobs` (restore): the caller installs a still-retained
+        // version's blob POINTERS verbatim — those partitions are
+        // written at the root level but need no blob rebuild
         val touched: Set[String] = written.keySet ++ dropPartitions ++
           (newFiles.keySet ++ newFileStats.keySet ++ newSorted.keySet)
-            .map(partitionKeyOfDir)
+            .map(partitionKeyOfDir) -- carryBlobs.keySet
         val carried = nextParts.keySet -- touched
         // format-1 upgrade: a pre-split manifest carries everything
         // inline — re-home every carried partition's heavy state into a
         // blob once; commits after that are O(touched) again
         val upgrade: Set[String] =
-          if (prevInline.isDefined) carried else Set.empty
+          if (prevInline.isDefined) carried -- carryBlobs.keySet
+          else Set.empty
         def prevHeavy(p: String): PartBlob = prevInline match {
           case Some(m) =>
             val ds = m.partitions.getOrElse(p, Nil).toSet
@@ -1311,7 +1334,9 @@ object AtomicTable {
           }.toMap
         val nextBlobs: Map[String, String] =
           (carried -- upgrade).iterator
-            .flatMap(p => prevBlobs.get(p).map(p -> _)).toMap ++ newBlobNames
+            .flatMap(p => prevBlobs.get(p).map(p -> _)).toMap ++
+          carryBlobs.filter { case (p, _) => nextParts.contains(p) } ++
+          newBlobNames
 
         val nextRoot = ManifestRoot(prev.map(_.version).getOrElse(0L) + 1L,
           nextParts,

@@ -173,6 +173,31 @@ class ManifestTreeSpec extends SparkSuite {
       .where($"p" === "a").select($"x").as[Long].head() === 1000L)
   }
 
+  test("restore carries the target's blob pointers: one new root, zero blob writes") {
+    val dir = mkTable(parts = 6) // v1
+    AtomicTable.replacePartitions(spark, dir.toString,
+      Seq(("a", 9999L, "mut")).toDF("p", "x", "s"), "p",
+      statsColumns = Seq("x"), retain = 10) // v2 rewrites partition a
+    val before = manifestFiles(dir)
+    val m = AtomicTable.restore(dir, 1L, retain = 10) // v3 = v1 again
+    val added = manifestFiles(dir) -- before
+    assert(added.count(_.startsWith("_manifests/blobs/")) === 0,
+      s"restore must write ZERO blobs (pointers carry), got $added")
+    assert(added.size === 1, s"restore = one new root, got $added")
+    assert(AtomicTable.rootAt(dir, 3L).blobs === AtomicTable.rootAt(dir, 1L).blobs,
+      "the restored root must reference the target version's blobs verbatim")
+    assert(m.version === 3L)
+    // and the restored contents read exactly like v1
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType, true)))
+    assert(AtomicTable.read(spark, dir.toString, schema)
+      .where($"p" === "a").select($"x").as[Long].collect().sorted.toSeq ===
+      (0L until 4L).toSeq)
+  }
+
   test("vacuum reclaims orphaned blobs by age, never referenced ones") {
     val dir = mkTable(parts = 2)
     val bDir = dir.resolve("_manifests").resolve("blobs")
