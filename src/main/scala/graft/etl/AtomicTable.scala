@@ -195,7 +195,8 @@ object AtomicTable {
       deletes: Map[String, Seq[String]] = Map.empty,
       tsMs: Long = 0L, operation: String = "write",
       blobs: Map[String, String] = Map.empty,
-      inline: Option[Manifest] = None) {
+      inline: Option[Manifest] = None,
+      fileCounts: Map[String, Int] = Map.empty) {
     def allDirs: Seq[String] = partitions.values.flatten.toSeq.sorted
   }
 
@@ -419,7 +420,9 @@ object AtomicTable {
     if (Option(n.get("format")).map(_.asInt).getOrElse(1) >= 2)
       ManifestRoot(version, partitions, props, stats, deletes, ts, op,
         blobs = Option(n.get("blobs")).map(strMap).getOrElse(Map.empty),
-        inline = None)
+        inline = None,
+        fileCounts = Option(n.get("nfiles")).map(_.fields().asScala
+          .map(e => e.getKey -> e.getValue.asInt).toMap).getOrElse(Map.empty))
     else
       // format 1: the file-granular maps ride the root — parse them all
       // and hand the complete manifest back as `inline`
@@ -464,6 +467,12 @@ object AtomicTable {
       val bl = node.putObject("blobs")
       r.blobs.toSeq.sortBy(_._1).foreach { case (part, name) =>
         bl.put(part, name)
+      }
+    }
+    if (r.fileCounts.nonEmpty) {
+      val nf = node.putObject("nfiles")
+      r.fileCounts.toSeq.sortBy(_._1).foreach { case (part, n) =>
+        nf.put(part, n)
       }
     }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
@@ -994,7 +1003,7 @@ object AtomicTable {
           dropPartitions = cur.partitions.keySet -- targetR.partitions.keySet,
           expectedVersion = Some(cur.version), retain = retain,
           newDeletes = targetR.deletes, operation = s"restore(v$version)",
-          carryBlobs = targetR.blobs)
+          carryBlobs = targetR.blobs, carryCounts = targetR.fileCounts)
     }
   }
 
@@ -1200,7 +1209,8 @@ object AtomicTable {
       newFileStats: Map[String, Map[String, PartStats]] = Map.empty,
       overrideStats: Map[String, PartStats] = Map.empty,
       newSorted: Map[String, String] = Map.empty,
-      carryBlobs: Map[String, String] = Map.empty): Manifest =
+      carryBlobs: Map[String, String] = Map.empty,
+      carryCounts: Map[String, Int] = Map.empty): Manifest =
     commitLock(root).synchronized {
       var hookRan = false
       var committed: Manifest = null
@@ -1337,11 +1347,30 @@ object AtomicTable {
             .flatMap(p => prevBlobs.get(p).map(p -> _)).toMap ++
           carryBlobs.filter { case (p, _) => nextParts.contains(p) } ++
           newBlobNames
+        // per-partition committed-FILE counts ride the root, so
+        // maintenance scheduling (fragmentation scans, OPTIMIZE-where
+        // planning) reads O(partitions) metadata and hydrates nothing:
+        // rebuilt partitions count from their fresh blob (file lists
+        // when recorded, one dir listing otherwise — bounded by the
+        // commit's own footprint), untouched ones carry forward
+        val prevCounts = prev.map(_.fileCounts)
+          .getOrElse(Map.empty[String, Int])
+        val newCounts: Map[String, Int] = newBlobData.iterator
+          .map { case (p, b) =>
+            p -> nextParts(p).map(d => b.files.get(d).map(_.size)
+              .getOrElse(dirParquetCount(root.resolve(d)))).sum
+          }.toMap
+        val nextCounts: Map[String, Int] =
+          (carried -- upgrade).iterator
+            .flatMap(p => prevCounts.get(p).map(p -> _)).toMap ++
+          carryCounts.filter { case (p, _) => nextParts.contains(p) } ++
+          newCounts
 
         val nextRoot = ManifestRoot(prev.map(_.version).getOrElse(0L) + 1L,
           nextParts,
           prev.map(_.properties).getOrElse(Map.empty) ++ properties,
-          nextStats, nextDeletes, ts, operation, nextBlobs, None)
+          nextStats, nextDeletes, ts, operation, nextBlobs, None,
+          nextCounts)
         if (!hookRan) { beforeCommit(); hookRan = true }
         // the commit point: atomically claim the version slot; a lost
         // claim means another PROCESS committed meanwhile (threads are
@@ -1362,6 +1391,16 @@ object AtomicTable {
       advancePointer(root, committed.version)
       gc(root, committed, retain)
       committed
+    }
+
+  /** Committed parquet files in a dir — one listing, commit time only. */
+  private def dirParquetCount(dir: Path): Int =
+    if (!Files.isDirectory(dir)) 0
+    else {
+      val s = Files.list(dir)
+      try s.iterator.asScala.count(
+        _.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
     }
 
   /** Total bytes of a staged dir's parquet files — one listing, at
@@ -1736,23 +1775,29 @@ object AtomicTable {
       clusterBy: Seq[String] = Nil, filesPerPartition: Int = 1,
       bloomBy: Seq[String] = Nil): Manifest = {
     val root = Paths.get(table)
-    val m = manifest(root).getOrElse(
+    val r = rootOpt(root).getOrElse(
       return Manifest(0L, Map.empty))
-    val fragmented = m.partitions.filter { case (_, dirs) =>
-      dirs.map { d =>
-        m.files.get(d).map(_.size).getOrElse {
-          val dir = root.resolve(d)
-          if (!Files.isDirectory(dir)) 0
-          else {
-            val s = Files.list(dir)
-            try s.iterator.asScala.count(
-              _.getFileName.toString.endsWith(".parquet"))
-            finally s.close()
-          }
-        }
-      }.sum >= minFiles
-    }.keySet
-    if (fragmented.isEmpty) return m
+    // the fragmentation scan reads the ROOT's per-partition file
+    // counts — maintenance scheduling is O(partitions) metadata, zero
+    // blob reads; partitions a pre-counts root doesn't cover fall back
+    // to their own blobs/listings, bounded to exactly those
+    val unknown = r.partitions.keySet.filterNot(r.fileCounts.contains)
+    val fallbackCounts: Map[String, Int] =
+      if (unknown.isEmpty) Map.empty
+      else {
+        val mu = hydrate(root, r, unknown)
+        unknown.iterator.map { p =>
+          p -> r.partitions(p).map(d =>
+            mu.files.get(d).map(_.size)
+              .getOrElse(dirParquetCount(root.resolve(d)))).sum
+        }.toMap
+      }
+    val counts = r.fileCounts ++ fallbackCounts
+    val fragmented = r.partitions.keySet
+      .filter(p => counts.getOrElse(p, 0) >= minFiles)
+    if (fragmented.isEmpty) return hydrate(root, r, Set.empty)
+    // hydrate ONLY the fragmented partitions' blobs for the rewrite
+    val m = hydrate(root, r, fragmented)
     // read ONLY the fragmented partitions' dirs, selected by manifest
     // PATH — never by an isin on the restored partition column, whose
     // inferred type need not round-trip the manifest key (part=00123
@@ -1939,21 +1984,17 @@ object AtomicTable {
   }
 
   /** Number of data files the current manifest references — the metric a
-    * compaction job watches. */
-  def dataFileCount(root: Path): Long = manifest(root) match {
+    * compaction job watches. Root counts when recorded (zero blob
+    * reads); partitions without one fall back to their blob/listing. */
+  def dataFileCount(root: Path): Long = rootOpt(root) match {
     case None => 0L
-    case Some(m) =>
-      m.allDirs.map { d =>
-        m.files.get(d).map(_.size.toLong).getOrElse {
-          val dir = root.resolve(d)
-          if (!Files.isDirectory(dir)) 0L
-          else {
-            val s = Files.list(dir)
-            try s.iterator.asScala.count(p =>
-              p.getFileName.toString.endsWith(".parquet")).toLong
-            finally s.close()
-          }
-        }
+    case Some(r) =>
+      val unknown = r.partitions.keySet.filterNot(r.fileCounts.contains)
+      lazy val mu = hydrate(root, r, unknown)
+      r.partitions.iterator.map { case (p, dirs) =>
+        r.fileCounts.get(p).map(_.toLong).getOrElse(
+          dirs.map(d => mu.files.get(d).map(_.size.toLong)
+            .getOrElse(dirParquetCount(root.resolve(d)).toLong)).sum)
       }.sum
   }
 

@@ -358,7 +358,9 @@ private[sources] object GraftMvProcedures {
       ProcedureParameter.in("sum_exprs", StringType)
         .comment("';'-joined SQL expressions aggregated per group, " +
           "positionally matching sum_aliases; a 'min:' or 'max:' prefix " +
-          "maintains that extreme instead of a sum").build(),
+          "maintains that extreme instead of a sum, 'avg:<sum_alias>' " +
+          "renders sum/count of a declared sum, 'approx:<expr>' " +
+          "maintains a mergeable HLL distinct sketch").build(),
       ProcedureParameter.in("partition_col", StringType)
         .comment("view partition spec (group columns), e.g. 'g1' or 'g1,g2'").build(),
       ProcedureParameter.in("key_cols", StringType)
@@ -380,13 +382,19 @@ private[sources] object GraftMvProcedures {
       require(aliases.size == exprs.size,
         s"sum_aliases (${aliases.size}) and sum_exprs (${exprs.size}) " +
           "must pair positionally")
-      val (ext, sums) = aliases.zip(exprs).partition(
-        p => p._2.startsWith("min:") || p._2.startsWith("max:"))
+      val (special, sums) = aliases.zip(exprs).partition(p =>
+        p._2.startsWith("min:") || p._2.startsWith("max:") ||
+          p._2.startsWith("avg:") || p._2.startsWith("approx:"))
       val m = graft.etl.IncrementalView.create(spark, srcDir, srcSchema,
         mvDir.toString, csv(2), sums,
         input.getUTF8String(5).toString, csv(6),
-        extremes = ext.map { case (a, e) =>
-          (a, e.substring(4), e.take(3)) })
+        extremes = special.collect {
+          case (a, e) if e.startsWith("min:") || e.startsWith("max:") =>
+            (a, e.substring(4), e.take(3)) },
+        avgs = special.collect { case (a, e) if e.startsWith("avg:") =>
+          (a, e.stripPrefix("avg:").trim) },
+        sketches = special.collect { case (a, e) if e.startsWith("approx:") =>
+          (a, e.stripPrefix("approx:").trim) })
       Array[Any](m.version,
         m.properties(graft.etl.IncrementalView.SourceVersionProperty).toLong)
     })

@@ -173,6 +173,52 @@ class ManifestTreeSpec extends SparkSuite {
       .where($"p" === "a").select($"x").as[Long].head() === 1000L)
   }
 
+  test("fragmentation scans and file counts read the root alone: zero blob reads") {
+    val dir = mkTable(parts = 4)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType, false),
+      org.apache.spark.sql.types.StructField("x",
+        org.apache.spark.sql.types.LongType, true),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, true)))
+    // fragment partition a: two appends -> three dirs/files
+    AtomicTable.appendPartitions(spark, dir.toString,
+      Seq(("a", 50L, "x")).toDF("p", "x", "s"), "p",
+      statsColumns = Seq("x"), retain = 10)
+    AtomicTable.appendPartitions(spark, dir.toString,
+      Seq(("a", 51L, "y")).toDF("p", "x", "s"), "p",
+      statsColumns = Seq("x"), retain = 10)
+    val r = AtomicTable.rootOpt(dir).get
+    assert(r.fileCounts("a") === 3 && r.fileCounts("b") === 1,
+      s"the root must carry per-partition file counts: ${r.fileCounts}")
+    AtomicTable.blobReadLog.clear()
+    AtomicTable.recordBlobReads = true
+    try {
+      // below the threshold: the scan decides from the root and returns
+      AtomicTable.compactFragmented(spark, dir.toString, schema, "p",
+        minFiles = 99)
+      // the total file count answers from the root too
+      assert(AtomicTable.dataFileCount(dir) ===
+        r.fileCounts.values.sum.toLong)
+      assert(AtomicTable.blobReadLog.isEmpty,
+        "maintenance scheduling must read O(partitions) roots, zero blobs")
+      // above it: only the FRAGMENTED partition's metadata hydrates
+      AtomicTable.compactFragmented(spark, dir.toString, schema, "p",
+        minFiles = 3, statsColumns = Seq("x"), retain = 10)
+      val read = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(AtomicTable.blobReadLog.iterator()).asScala.toSet
+      assert(read.nonEmpty && read.forall(Set(r.blobs("a"))),
+        s"the rewrite must hydrate only partition a's blob, got $read " +
+          s"of ${r.blobs.values.toSet}")
+      assert(AtomicTable.rootOpt(dir).get.fileCounts("a") === 1,
+        "the compacted partition's root count must drop to one file")
+    } finally {
+      AtomicTable.recordBlobReads = false
+      AtomicTable.blobReadLog.clear()
+    }
+  }
+
   test("restore carries the target's blob pointers: one new root, zero blob writes") {
     val dir = mkTable(parts = 6) // v1
     AtomicTable.replacePartitions(spark, dir.toString,

@@ -483,4 +483,25 @@ class GraftCatalogSpec extends SparkSuite {
       spark.sql("CALL gcat.system.clone('db.clsrc', 'db.cldst', 0)").collect()
     }
   }
+
+  test("CALL system.create_mv maintains avg: and approx: aggregates") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.apxsrc (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='10')")
+    spark.sql("INSERT INTO gcat.db.apxsrc VALUES " +
+      "(1, 10.0, 'a'), (2, 30.0, 'a'), (3, 5.0, 'b')")
+    spark.sql("CALL gcat.system.create_mv('db.apxmv', 'db.apxsrc', 'p', " +
+      "'v_sum,v_avg,id_dist', 'CAST(v AS DECIMAL(18,2));avg:v_sum;approx:id', " +
+      "'p', 'id')")
+    // a keyed DELETE forces the sketch's bounded recompute; an INSERT
+    // exercises the hll_union merge
+    spark.sql("DELETE FROM gcat.db.apxsrc WHERE id = 2")
+    spark.sql("INSERT INTO gcat.db.apxsrc VALUES (9, 20.0, 'b')")
+    spark.sql("CALL gcat.system.refresh_mv('db.apxmv', 'apx_view')")
+    val got = spark.sql("SELECT p, v_avg, id_dist FROM apx_view ORDER BY p")
+      .as[(String, Double, Long)].collect().toSeq
+    assert(got === Seq(("a", 10.0, 1L), ("b", 12.5, 2L)),
+      s"avg must render sum/count and the sketch must survive " +
+        s"delete-recompute + insert-merge, got " + got)
+  }
 }
