@@ -1076,18 +1076,40 @@ object AtomicTable {
 
   private[etl] def readManifest(spark: SparkSession, table: String,
       schema: StructType, m: Manifest): DataFrame = {
-    val df = txnScans(spark, table, m).reduce(_.unionByName(_))
-    // the partition column comes back TYPE-INFERRED from dir names (an
-    // all-numeric value like "2" reads as int); cast any column whose
-    // read type differs from the caller's declared schema — compared by
-    // catalogString, which ignores nullability, because a bare cast
-    // between nullability variants of the same type is rejected — so
-    // the contract is the schema, not the inference
-    df.select(schema.map { f =>
-      if (df.schema(f.name).dataType.catalogString == f.dataType.catalogString)
-        col(f.name)
-      else col(f.name).cast(f.dataType).as(f.name)
-    }: _*)
+    // ALTER ... RENAME COLUMN is metadata-only: files written before
+    // the rename keep the old parquet name forever, and the manifest's
+    // own rename properties resolve the declared name per txn. Absent
+    // renames, the single-union shape below is byte-identical to the
+    // historical one; a column NO generation carries still fails
+    // loudly at resolution (usually a typo), exactly as before.
+    val renames = graft.sources.GraftSource.renameAliases(m.properties)
+    if (renames.isEmpty) {
+      val df = txnScans(spark, table, m).reduce(_.unionByName(_))
+      // the partition column comes back TYPE-INFERRED from dir names (an
+      // all-numeric value like "2" reads as int); cast any column whose
+      // read type differs from the caller's declared schema — compared by
+      // catalogString, which ignores nullability, because a bare cast
+      // between nullability variants of the same type is rejected — so
+      // the contract is the schema, not the inference
+      df.select(schema.map { f =>
+        if (df.schema(f.name).dataType.catalogString == f.dataType.catalogString)
+          col(f.name)
+        else col(f.name).cast(f.dataType).as(f.name)
+      }: _*)
+    } else txnScans(spark, table, m).map { df =>
+      // per-txn projection BEFORE the union: generations differ in
+      // column names, so the union only meets already-aligned shapes
+      val have = df.schema.fieldNames.toSet
+      df.select(schema.map { f =>
+        val n = (f.name +: renames.getOrElse(f.name, Nil))
+          .find(have.contains)
+          .getOrElse(f.name) // absent everywhere: fail loudly below
+        (if (have.contains(n) &&
+          df.schema(n).dataType.catalogString == f.dataType.catalogString)
+          col(n)
+         else col(n).cast(f.dataType)).as(f.name)
+      }: _*)
+    }.reduce(_.unionByName(_))
   }
 
   /** Schema-evolution read: the table under an EVOLVED schema, where
@@ -1105,23 +1127,45 @@ object AtomicTable {
     manifest(Paths.get(table)) match {
       case None => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(m) =>
-        val scans = txnScans(spark, table, m)
-        // per-scan: project to the target schema, null-filling columns
-        // this txn predates and casting the rest — BEFORE the union, so
-        // every branch has identical shape (allowMissingColumns would
-        // also reorder nothing, but an explicit projection keeps the
-        // cast-per-branch visible in the plan)
-        scans.map { df =>
-          val have = df.schema.fieldNames.toSet
-          df.select(schema.map { f =>
-            if (!have.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
-            else if (df.schema(f.name).dataType.catalogString == f.dataType.catalogString)
-              col(f.name)
-            else col(f.name).cast(f.dataType).as(f.name)
-          }: _*)
-        }.reduce(_.unionByName(_))
+      case Some(m) => readManifestEvolved(spark, table, schema, m)
     }
+
+  /** The evolved read of a SPECIFIC manifest, optionally RENAME-aware:
+    * per txn scan, each target column resolves to itself or (pre-rename
+    * txns) the newest historical alias the scan carries, columns the
+    * txn predates entirely null-fill, and narrower history widens by
+    * cast — all BEFORE the union, so every branch has identical shape.
+    * A target name that was itself RENAMED AWAY (it appears as an OLD
+    * name in the alias chains) fails LOUDLY instead of silently
+    * null-filling the post-rename generations — the caller's schema is
+    * stale (an incremental view defined before the rename) and must be
+    * recreated, not fed nulls. */
+  private[graft] def readManifestEvolved(spark: SparkSession, table: String,
+      schema: StructType, m: Manifest,
+      renames: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val renamedAway: Set[String] = renames.valuesIterator.flatten.toSet
+    if (m.partitions.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    txnScans(spark, table, m).map { df =>
+      val have = df.schema.fieldNames.toSet
+      df.select(schema.map { f =>
+        (f.name +: renames.getOrElse(f.name, Nil)).find(have.contains) match {
+          case None =>
+            if (renamedAway.contains(f.name))
+              throw new IllegalStateException(
+                s"column '${f.name}' of $table was renamed away — the " +
+                  "caller's schema predates the rename; re-derive it " +
+                  "from the current declared schema")
+            lit(null).cast(f.dataType).as(f.name)
+          case Some(n) =>
+            (if (df.schema(n).dataType.catalogString == f.dataType.catalogString)
+              col(n)
+             else col(n).cast(f.dataType)).as(f.name)
+        }
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
 
   /** Manifest property naming the key columns every delete vector of
     * this table is keyed by (comma-joined, committed with the first

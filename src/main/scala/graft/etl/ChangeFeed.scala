@@ -100,11 +100,22 @@ object ChangeFeed {
       if (curR.partitions.nonEmpty) curR else prevR)
       .filter(schema.fieldNames.contains)
 
+    // the feed spans GENERATIONS: a range crossing an ALTER ... RENAME
+    // COLUMN reads pre-rename dirs under their old parquet names — the
+    // evolved read resolves the declared schema through the alias chain
+    // per txn (and fails loudly on a schema that predates the rename).
+    // Aliases come from the HEAD root, not the diffed version's: rename
+    // properties only accumulate, and a version committed BEFORE the
+    // rename has no alias for the files the rename later re-labeled
+    val renames = graft.sources.GraftSource.renameAliases(
+      AtomicTable.rootOpt(root).map(_.properties).getOrElse(curR.properties))
+
     /** The listed partitions' rows at a manifest, vectors subtracted. */
     def merged(m: AtomicTable.Manifest, ps: Set[String]): DataFrame =
       AtomicTable.subtractDeletes(spark, table, schema,
-        m, AtomicTable.readManifest(spark, table, schema,
-          m.copy(partitions = m.partitions.view.filterKeys(ps).toMap)),
+        m, AtomicTable.readManifestEvolved(spark, table, schema,
+          m.copy(partitions = m.partitions.view.filterKeys(ps).toMap),
+          renames),
         Some(ps))
 
     val curParts = curR.partitions
@@ -140,8 +151,8 @@ object ChangeFeed {
     if (dropped.nonEmpty)
       out += tag(merged(prev, dropped), "delete")
     if (app.nonEmpty)
-      out += tag(AtomicTable.readManifest(spark, table, schema,
-        cur.copy(partitions = app)), "insert")
+      out += tag(AtomicTable.readManifestEvolved(spark, table, schema,
+        cur.copy(partitions = app), renames), "insert")
     if (dvParts.nonEmpty) {
       // new vector keys are small by the maintenance contract: recover
       // the full preimages with one broadcast semi-join against the

@@ -178,6 +178,19 @@ object IncrementalView {
     val (d, last) = definitionOf(mv)
     val srcHead = AtomicTable.currentVersion(Paths.get(d.source)).getOrElse(0L)
     if (srcHead <= last) return (m, srcHead + 1L, srcHead)
+    // a source column RENAMED since the view was defined makes the
+    // stored sourceSchema stale — refuse loudly up front (the evolved
+    // read would also throw, but only lazily and only when a
+    // post-rename file lands in the diff)
+    val renamedAway = graft.sources.GraftSource.renameAliases(
+      AtomicTable.rootOpt(Paths.get(d.source))
+        .map(_.properties).getOrElse(Map.empty))
+      .valuesIterator.flatten.toSet
+    val stale = d.sourceSchema.fieldNames.filter(renamedAway).toSeq
+    if (stale.nonEmpty) throw new IllegalStateException(
+      s"source column(s) ${stale.mkString(", ")} of ${d.source} were " +
+        s"renamed after view $mv was defined — recreate the view against " +
+        "the current declared schema")
 
     val changes = ChangeFeed.changes(spark, d.source, d.sourceSchema,
       last + 1L, srcHead, d.keyCols)

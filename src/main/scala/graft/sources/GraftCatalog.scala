@@ -104,7 +104,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     case DetailName(base) =>
       val dir = nsDir(ident.namespace()).resolve(base)
       if (!isTable(dir)) throw new NoSuchTableException(ident)
-      val m = AtomicTable.manifest(dir)
+      // root-only: version, layout, counts, and vector tallies are all
+      // partition-granular — DESCRIBE DETAIL never opens a blob
+      val m = AtomicTable.rootOpt(dir)
       val meta = readMeta(dir)
       new GraftDetailTable(s"$catalogName:${ident.toString}", GraftDetailRow(
         dir.toString,
@@ -119,8 +121,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     case PartitionsName(base) =>
       val dir = nsDir(ident.namespace()).resolve(base)
       if (!isTable(dir)) throw new NoSuchTableException(ident)
-      val m = AtomicTable.manifest(dir).getOrElse(
-        AtomicTable.Manifest(0L, Map.empty))
+      // root-only: the partition map IS the root's planning tier
+      val m = AtomicTable.rootOpt(dir).getOrElse(
+        AtomicTable.ManifestRoot(0L, Map.empty))
       val rows = m.partitions.toSeq.sortBy(_._1).map { case (k, d) =>
         val st = m.stats.get(k)
         GraftPartitionsRow(k, d.mkString(","), d.size, st.map(_.rows),

@@ -183,6 +183,52 @@ class GraftRenameSpec extends SparkSuite {
     assert(src.getMessage.contains("partition level"), s"got: ${src.getMessage}")
   }
 
+  test("the changefeed spans a rename boundary; stale-schema views refuse loudly") {
+    warehouse
+    spark.sql("CREATE TABLE grn.db.cf (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='10')")
+    spark.sql("INSERT INTO grn.db.cf VALUES (1, 1.0, 'a'), (2, 2.0, 'b')") // v1
+    spark.sql("ALTER TABLE grn.db.cf RENAME COLUMN v TO val")              // v2
+    spark.sql("INSERT INTO grn.db.cf VALUES (3, 3.0, 'a')")                // v3
+    // full-fidelity CDC ACROSS the rename: version 1's rows live in
+    // pre-rename files (parquet column 'v'), version 3's in post-rename
+    // ones ('val') — the feed reads both generations under the DECLARED
+    // name through the alias chain
+    val ch = spark.sql(
+      "CALL grn.system.table_changes('db.cf', 1, 3, 'k', 'cf_ch')")
+    assert(ch.collect().nonEmpty)
+    val rows = spark.sql(
+      "SELECT k, val, _change_type FROM cf_ch ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(rows.toSeq === Seq((1L, 1.0, "insert"), (2L, 2.0, "insert"),
+      (3L, 3.0, "insert")),
+      s"pre-rename generations must surface under the new name, got " +
+        rows.mkString(", "))
+
+    // an incremental view DEFINED BEFORE the rename holds a stale
+    // sourceSchema: its refresh must refuse loudly, never feed nulls
+    val mv = java.nio.file.Files.createTempDirectory("grn-mv")
+      .resolve("mv").toString
+    val src = java.nio.file.Paths.get(warehouse, "db", "cf").toString
+    val staleSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("val",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    graft.etl.IncrementalView.create(spark, src, staleSchema, mv,
+      Seq("p"), Seq("v_sum" -> "CAST(val AS DECIMAL(18,2))"), "p",
+      keyCols = Seq("k"))
+    spark.sql("ALTER TABLE grn.db.cf RENAME COLUMN val TO value2")     // v4
+    spark.sql("INSERT INTO grn.db.cf VALUES (9, 9.0, 'b')")            // v5
+    val err = intercept[IllegalStateException] {
+      graft.etl.IncrementalView.refresh(spark, mv)
+    }
+    assert(err.getMessage.contains("renamed after view"),
+      s"got: ${err.getMessage}")
+  }
+
   test("rename chains compose: a->b then b->c reads all three generations") {
     warehouse
     spark.sql("CREATE TABLE grn.db.t6 (a BIGINT, p STRING) " +
