@@ -229,6 +229,29 @@ class GraftRenameSpec extends SparkSuite {
       s"got: ${err.getMessage}")
   }
 
+  test("a streaming read spans the rename: both generations surface under the new name") {
+    warehouse
+    spark.sql("CREATE TABLE grn.db.st (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='10')")
+    spark.sql("INSERT INTO grn.db.st VALUES (1, 1.5, 'a')")            // v1
+    spark.sql("ALTER TABLE grn.db.st RENAME COLUMN v TO val")          // v2
+    spark.sql("INSERT INTO grn.db.st VALUES (2, 2.5, 'b')")            // v3
+    val ckpt = Files.createTempDirectory("grn-st").toString
+    // the stream plans v1's dirs (parquet column 'v') AND v3's ('val')
+    // in one drain; the micro-batch reader resolves per FILE through
+    // the head root's alias chain
+    val q = spark.readStream.table("grn.db.st")
+      .writeStream.format("memory").queryName("grn_st_out")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val got = spark.sql("SELECT k, val FROM grn_st_out ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1.5), (2L, 2.5)),
+      s"the pre-rename generation must stream under the NEW name, got $got")
+  }
+
   test("rename chains compose: a->b then b->c reads all three generations") {
     warehouse
     spark.sql("CREATE TABLE grn.db.t6 (a BIGINT, p STRING) " +
