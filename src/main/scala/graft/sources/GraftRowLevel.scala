@@ -141,9 +141,14 @@ private[sources] class GraftRowLevelScan(root: String, full: StructType,
   // the manifest is pinned at FIRST planning: Spark may re-plan after the
   // runtime filter fires, and a concurrent commit between the two calls
   // must not let the rewrite read one version while the commit's
-  // expectedVersion guard checks another
+  // expectedVersion guard checks another. The base scan's pruned
+  // snapshot serves both needs: pruning decided on the O(partitions)
+  // root, ONLY the admitted groups' blobs hydrated — a keyed SQL
+  // MERGE/DELETE on a 100 TB table plans one root + its touched
+  // groups' metadata, never the table's (file-level skipping stays
+  // off inside admitted groups, per the group contract below).
   private lazy val pinnedManifest: Option[AtomicTable.Manifest] =
-    GraftSource.manifestFor(root, None)
+    prunedManifest
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = pinnedManifest.getOrElse {

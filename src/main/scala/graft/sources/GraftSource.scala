@@ -1149,7 +1149,7 @@ private[sources] class GraftScan(root: String, full: StructType,
     * table's metadata. One snapshot per scan: the pre-split code
     * re-read the manifest per planning call, which a concurrent commit
     * could skew mid-plan. */
-  private lazy val prunedManifest: Option[AtomicTable.Manifest] =
+  protected lazy val prunedManifest: Option[AtomicTable.Manifest] =
     if (changeFeed || startingVersion.isDefined) None
     else GraftSource.rootFor(root, pinned).map { r =>
       if (r.partitions.isEmpty)

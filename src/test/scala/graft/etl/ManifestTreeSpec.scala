@@ -219,6 +219,42 @@ class ManifestTreeSpec extends SparkSuite {
     }
   }
 
+  test("a keyed SQL DELETE hydrates only the admitted group's metadata") {
+    val w = Files.createTempDirectory("mtree-rl").toString
+    spark.conf.set("spark.sql.catalog.gmt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmt.root", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gmt.db")
+    spark.sql("CREATE TABLE gmt.db.rl (k BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('stats_columns'='k', 'retain'='5')")
+    // six partitions with DISJOINT key ranges: the root's zone maps
+    // decide which single group a point key can live in
+    (0 until 6).flatMap(i =>
+      (0 until 4).map(j => (i * 1000L + j, ('a' + i).toChar.toString)))
+      .toDF("k", "p").createOrReplaceTempView("mtree_rl_src")
+    spark.sql("INSERT INTO gmt.db.rl SELECT * FROM mtree_rl_src")
+    val dir = Paths.get(w, "db", "rl")
+    val blobOf = AtomicTable.rootOpt(dir).get.blobs
+    AtomicTable.blobReadLog.clear()
+    AtomicTable.recordBlobReads = true
+    try {
+      // the row-level rewrite: group-filter scan, replace scan, and the
+      // commit's own carry-forward must all stay inside partition 'c'
+      spark.sql("DELETE FROM gmt.db.rl WHERE k = 2001")
+      val read = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(AtomicTable.blobReadLog.iterator()).asScala.toSet
+      assert(read.nonEmpty && read.forall(Set(blobOf("c"))),
+        s"a keyed DELETE at 100 TB must plan one root + one group's " +
+          s"blob; hydrated $read of ${blobOf.values.toSet}")
+    } finally {
+      AtomicTable.recordBlobReads = false
+      AtomicTable.blobReadLog.clear()
+    }
+    assert(spark.sql("SELECT count(*) FROM gmt.db.rl")
+      .collect().head.getLong(0) === 23L)
+    assert(spark.sql("SELECT count(*) FROM gmt.db.rl WHERE k = 2001")
+      .collect().head.getLong(0) === 0L)
+  }
+
   test("restore carries the target's blob pointers: one new root, zero blob writes") {
     val dir = mkTable(parts = 6) // v1
     AtomicTable.replacePartitions(spark, dir.toString,
