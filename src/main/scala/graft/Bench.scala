@@ -84,10 +84,41 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+
+    // DRIFT CANARY (frozen at round 13, see tools/BenchControl.scala):
+    // pure-Spark control queries over a deterministic spark.range-derived
+    // table, one control pass interleaved BEFORE each main pass in this
+    // same session. The headline is then reported raw AND normalized by
+    // the control's ratio to its freeze-round value, so host-window
+    // drift is measured by a standing in-run control instead of
+    // adjudicated by one-off experiments after the fact. On for full
+    // (headline) runs; SPARK_GRAFT_ONLY subsets skip it unless
+    // SPARK_GRAFT_CONTROL=1 forces it.
+    val controlOn = sys.env.get("SPARK_GRAFT_CONTROL") match {
+      case Some(v) => v != "0"
+      case None => only.isEmpty
+    }
+    val controlPath = if (controlOn) tools.BenchControl.setup(spark) else ""
+    val controlQs =
+      if (controlOn) tools.BenchControl.queries(spark, controlPath) else Nil
+    val byControl = scala.collection.mutable.Map(
+      controlQs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+
     val byQuery = scala.collection.mutable.Map(
       names.map(n => n -> Vector.empty[Double]): _*)
-    for (_ <- 1 to passes; n <- names)
-      byQuery(n) = byQuery(n) :+ materialize(n)
+    for (_ <- 1 to passes) {
+      for ((cn, q) <- controlQs) {
+        val t0 = System.nanoTime()
+        try q().write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $cn failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $cn%-28s $sec%8.2fs")
+        byControl(cn) = byControl(cn) :+ sec
+      }
+      for (n <- names) byQuery(n) = byQuery(n) :+ materialize(n)
+    }
 
     def median(xs: Vector[Double]): Double = {
       val s = xs.sorted
@@ -113,7 +144,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = mins.map(_._2).sum
     val totalMedian = medians.map(_._2).sum
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(mins)},"medians":${obj(medians)},"total_median":${fmt(totalMedian)},"passes":$raw,"n_passes":$passes,"sf":"$sfDir"}"""
+    // control block: per-query mins, the summed control_total, its ratio
+    // to the freeze-round reference, and the drift-normalized headline
+    // (`value` stays the raw measurement; comparisons should read
+    // `total_normalized` when control_drift strays from 1.0)
+    val controlJson = if (controlQs.isEmpty) "" else {
+      val cmins = controlQs.map { case (n, _) => n -> byControl(n).min }
+      val ctotal = cmins.map(_._2).sum
+      val cref = sys.env.get("SPARK_GRAFT_CONTROL_REF").map(_.toDouble)
+        .getOrElse(tools.BenchControl.Ref)
+      val drift = ctotal / cref
+      s""","control":${obj(cmins)},"control_total":${fmt(ctotal)},"control_ref":${fmt(cref)},"control_drift":${fmt(drift)},"total_normalized":${fmt(total / drift)}"""
+    }
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(mins)},"medians":${obj(medians)},"total_median":${fmt(totalMedian)},"passes":$raw,"n_passes":$passes$controlJson,"sf":"$sfDir"}"""
     println(json)
     // ALSO persist the full JSON as a repo artifact: the driver's capture
     // of stdout has truncated the tail before (r6 lost its headline), and

@@ -345,6 +345,32 @@ object AtomicTable {
     None // unreachable
   }
 
+  /** Head reads that go root → prune → hydrate in TWO steps get the
+    * same GC-race tolerance [[manifest]] gives its single step: a
+    * concurrent process's commit+gc may delete a blob between our root
+    * read and its hydration, so a vanished file re-probes from the
+    * CURRENT version — re-running the caller's pruning against the
+    * fresh root — instead of surfacing a NoSuchFileException mid-plan.
+    * `none` is the no-table result; version-PINNED readers must not use
+    * this (a pinned version aging out mid-read is a real error). */
+  def withHeadRoot[A](root: Path)(none: => A)(run: ManifestRoot => A): A = {
+    var attempt = 0
+    while (true) {
+      rootOpt(root) match {
+        case None => return none
+        case Some(r) =>
+          try return run(r)
+          catch {
+            case e @ (_: java.nio.file.NoSuchFileException |
+                _: java.io.FileNotFoundException) =>
+              if (attempt >= 5) throw e
+              attempt += 1
+          }
+      }
+    }
+    none // unreachable
+  }
+
   /** A specific version's fully-hydrated manifest (the root file must
     * still exist — see `retainVersions`): the root plus EVERY
     * partition's blob. Planning paths that prune should prefer
@@ -667,6 +693,32 @@ object AtomicTable {
     case _ => a.compareTo(b)
   }
 
+  /** Parse a zone-map rendered bound back to its CATALYST value — what
+    * the DSv2 scan reports as V2 column statistics min/max (Spark's
+    * CBO consumes Catalyst-typed values). None for types whose bounds
+    * the estimator doesn't use (strings, binary) or on parse failure —
+    * absent stats are always safe. */
+  private[graft] def statsValue(dt: org.apache.spark.sql.types.DataType,
+      rendered: String): Option[Any] = try {
+    dt match {
+      case org.apache.spark.sql.types.LongType => Some(rendered.toLong)
+      case org.apache.spark.sql.types.IntegerType => Some(rendered.toInt)
+      case org.apache.spark.sql.types.ShortType => Some(rendered.toShort)
+      case org.apache.spark.sql.types.ByteType => Some(rendered.toByte)
+      case org.apache.spark.sql.types.DoubleType => Some(rendered.toDouble)
+      case org.apache.spark.sql.types.FloatType => Some(rendered.toFloat)
+      case d: org.apache.spark.sql.types.DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(
+          new java.math.BigDecimal(rendered), d.precision, d.scale))
+      case org.apache.spark.sql.types.DateType =>
+        parseDateDays(rendered).map(_.toInt)
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        parseTsMicros(rendered)
+      case _ => None
+    }
+  } catch { case _: Exception => None }
+
   /** The zone-map comparator, shared with the DSv2 scan
     * (graft.sources.GraftSource) so its pushed-filter pruning orders
     * bounds exactly like [[readPruned]] does. */
@@ -718,32 +770,30 @@ object AtomicTable {
       val dt = schema(c).dataType
       col(c) >= lit(lo).cast(dt) && col(c) <= lit(hi).cast(dt)
     }.reduce(_ && _)
-    rootOpt(Paths.get(table)) match {
-      case None => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(r) =>
-        val kept = r.partitions.filter { case (part, _) =>
-          r.stats.get(part) match {
-            case Some(s) => bounds.forall { case (c, lo, hi) =>
-              val dt = schema(c).dataType
-              (s.mins.get(c), s.maxs.get(c)) match {
-                case (Some(mn), Some(mx)) =>
-                  statsCompare(dt, mn, hi) <= 0 && statsCompare(dt, mx, lo) >= 0
-                case _ => true // column untracked in this partition
-              }
+    withHeadRoot(Paths.get(table))(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)) { r =>
+      val kept = r.partitions.filter { case (part, _) =>
+        r.stats.get(part) match {
+          case Some(s) => bounds.forall { case (c, lo, hi) =>
+            val dt = schema(c).dataType
+            (s.mins.get(c), s.maxs.get(c)) match {
+              case (Some(mn), Some(mx)) =>
+                statsCompare(dt, mn, hi) <= 0 && statsCompare(dt, mx, lo) >= 0
+              case _ => true // column untracked in this partition
             }
-            case None => true // no zone map: cannot prune, must read
           }
+          case None => true // no zone map: cannot prune, must read
         }
-        if (kept.isEmpty) spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-          .filter(residual)
-        // hydrate ONLY the admitted partitions' blobs: the pruning above
-        // ran on the root alone, so a pruned metadata read costs
-        // O(admitted), never O(table files)
-        else readManifest(spark, table, schema,
-          hydrate(Paths.get(table), r, kept.keySet).copy(partitions = kept))
-          .filter(residual)
+      }
+      if (kept.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(residual)
+      // hydrate ONLY the admitted partitions' blobs: the pruning above
+      // ran on the root alone, so a pruned metadata read costs
+      // O(admitted), never O(table files)
+      else readManifest(spark, table, schema,
+        hydrate(Paths.get(table), r, kept.keySet).copy(partitions = kept))
+        .filter(residual)
     }
   }
 
@@ -786,16 +836,14 @@ object AtomicTable {
     * none match). */
   def readPartitions(spark: SparkSession, table: String, schema: StructType,
       parts: Set[String]): DataFrame =
-    rootOpt(Paths.get(table)) match {
-      case None => spark.createDataFrame(
+    withHeadRoot(Paths.get(table))(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)) { r =>
+      val kept = r.partitions.filter { case (p, _) => parts(p) }
+      if (kept.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(r) =>
-        val kept = r.partitions.filter { case (p, _) => parts(p) }
-        if (kept.isEmpty) spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        // selected-partition blobs only — cost ∝ selected, never table
-        else readManifest(spark, table, schema,
-          hydrate(Paths.get(table), r, kept.keySet).copy(partitions = kept))
+      // selected-partition blobs only — cost ∝ selected, never table
+      else readManifest(spark, table, schema,
+        hydrate(Paths.get(table), r, kept.keySet).copy(partitions = kept))
     }
 
   /** Time travel: read the table AS OF `version`. Valid while the version
@@ -877,6 +925,7 @@ object AtomicTable {
   private def writeBloomSidecars(frame: DataFrame,
       bloomBy: Seq[String]): Unit = {
     val bloomAgg = graft.sources.GraftBloom.aggregator
+    val touchedDirs = scala.collection.mutable.Set.empty[String]
     frame.select(bloomBy.map(c => col(c).cast("string").as(c)) :+
         org.apache.spark.sql.functions.input_file_name().as("_f"): _*)
       .groupBy(col("_f"))
@@ -891,7 +940,11 @@ object AtomicTable {
             new org.apache.hadoop.conf.Configuration()).create(sp, true)
           try out.write(r.getAs[Array[Byte]](i + 1)) finally out.close()
         }
+        touchedDirs += fp.getParent.toString
       }
+    // re-fold each touched dir's bundle so the one-read-per-dir probe
+    // sees the rebuilt (or backfilled) filters immediately
+    touchedDirs.foreach(graft.sources.GraftBloom.writeBundle)
   }
 
   /** BACKFILL bloom sidecars for a table written before `bloom_columns`
@@ -1292,7 +1345,22 @@ object AtomicTable {
         // zone maps: a replace installs the fresh stats; an append MERGES
         // (rows add, bounds widen) — but only when the column types are
         // known and BOTH sides carry the bound; otherwise the entry is
-        // dropped so a partial zone map can never wrongly prune
+        // dropped so a partial zone map can never wrongly prune.
+        // A partition's PREVIOUS map may be recorded under pre-rename
+        // column names (stats follow the data — they only re-render when
+        // the partition does), so translate it through the alias chain
+        // to current names first, or the bound intersection would come
+        // up empty on the first post-rename append and silently drop
+        // that partition's pruning forever
+        val oldToNew: Map[String, String] = graft.sources.GraftSource
+          .renameAliases(prev.map(_.properties).getOrElse(Map.empty) ++
+            properties)
+          .iterator.flatMap { case (cur, olds) => olds.map(_ -> cur) }.toMap
+        def statsToCurrentNames(s: PartStats): PartStats =
+          if (oldToNew.isEmpty) s
+          else PartStats(s.rows,
+            s.mins.map { case (c, v) => oldToNew.getOrElse(c, c) -> v },
+            s.maxs.map { case (c, v) => oldToNew.getOrElse(c, c) -> v })
         val nextStats = {
           val base = prevStats -- dropPartitions
           val merged = base -- written.keys ++ written.keys.flatMap { p =>
@@ -1300,7 +1368,7 @@ object AtomicTable {
             (if (!appends(p) || !hadDirs) newStats.get(p)
              else (base.get(p), newStats.get(p), statsSchema) match {
               case (Some(a), Some(b), Some(sch)) =>
-                Some(mergeStats(sch, a, b))
+                Some(mergeStats(sch, statsToCurrentNames(a), b))
               case _ => None
             }).map(p -> _)
           }
@@ -1394,14 +1462,18 @@ object AtomicTable {
         // per-partition committed-FILE counts ride the root, so
         // maintenance scheduling (fragmentation scans, OPTIMIZE-where
         // planning) reads O(partitions) metadata and hydrates nothing:
-        // rebuilt partitions count from their fresh blob (file lists
-        // when recorded, one dir listing otherwise — bounded by the
-        // commit's own footprint), untouched ones carry forward
+        // rebuilt partitions count from their fresh blob — committed
+        // file lists first, then per-file stats keys (also committed
+        // names), then one dir listing (an UPPER bound: a zombie
+        // attempt's straggler inflates it; compaction over-scheduling
+        // is the worst case, never a wrong read) — untouched partitions
+        // carry forward
         val prevCounts = prev.map(_.fileCounts)
           .getOrElse(Map.empty[String, Int])
         val newCounts: Map[String, Int] = newBlobData.iterator
           .map { case (p, b) =>
             p -> nextParts(p).map(d => b.files.get(d).map(_.size)
+              .orElse(b.fileStats.get(d).map(_.size))
               .getOrElse(dirParquetCount(root.resolve(d)))).sum
           }.toMap
         val nextCounts: Map[String, Int] =
@@ -1819,29 +1891,39 @@ object AtomicTable {
       clusterBy: Seq[String] = Nil, filesPerPartition: Int = 1,
       bloomBy: Seq[String] = Nil): Manifest = {
     val root = Paths.get(table)
-    val r = rootOpt(root).getOrElse(
-      return Manifest(0L, Map.empty))
     // the fragmentation scan reads the ROOT's per-partition file
     // counts — maintenance scheduling is O(partitions) metadata, zero
     // blob reads; partitions a pre-counts root doesn't cover fall back
-    // to their own blobs/listings, bounded to exactly those
-    val unknown = r.partitions.keySet.filterNot(r.fileCounts.contains)
-    val fallbackCounts: Map[String, Int] =
-      if (unknown.isEmpty) Map.empty
-      else {
-        val mu = hydrate(root, r, unknown)
-        unknown.iterator.map { p =>
-          p -> r.partitions(p).map(d =>
-            mu.files.get(d).map(_.size)
-              .getOrElse(dirParquetCount(root.resolve(d)))).sum
-        }.toMap
+    // to their own blobs/listings, bounded to exactly those. The whole
+    // derivation sits under withHeadRoot: a concurrent commit+gc can
+    // delete a blob between the root read and its hydration, in which
+    // case scheduling simply re-derives from the fresh root.
+    val derived: Either[Manifest, (Manifest, Set[String])] =
+      withHeadRoot[Either[Manifest, (Manifest, Set[String])]](root)(
+        Left(Manifest(0L, Map.empty))) { r =>
+        val unknown = r.partitions.keySet.filterNot(r.fileCounts.contains)
+        val fallbackCounts: Map[String, Int] =
+          if (unknown.isEmpty) Map.empty
+          else {
+            val mu = hydrate(root, r, unknown)
+            unknown.iterator.map { p =>
+              p -> r.partitions(p).map(d =>
+                mu.files.get(d).map(_.size)
+                  .orElse(mu.fileStats.get(d).map(_.size))
+                  .getOrElse(dirParquetCount(root.resolve(d)))).sum
+            }.toMap
+          }
+        val counts = r.fileCounts ++ fallbackCounts
+        val fragmented = r.partitions.keySet
+          .filter(p => counts.getOrElse(p, 0) >= minFiles)
+        if (fragmented.isEmpty) Left(hydrate(root, r, Set.empty))
+        // hydrate ONLY the fragmented partitions' blobs for the rewrite
+        else Right((hydrate(root, r, fragmented), fragmented))
       }
-    val counts = r.fileCounts ++ fallbackCounts
-    val fragmented = r.partitions.keySet
-      .filter(p => counts.getOrElse(p, 0) >= minFiles)
-    if (fragmented.isEmpty) return hydrate(root, r, Set.empty)
-    // hydrate ONLY the fragmented partitions' blobs for the rewrite
-    val m = hydrate(root, r, fragmented)
+    val (m, fragmented) = derived match {
+      case Left(asIs) => return asIs
+      case Right(t) => t
+    }
     // read ONLY the fragmented partitions' dirs, selected by manifest
     // PATH — never by an isin on the restored partition column, whose
     // inferred type need not round-trip the manifest key (part=00123
@@ -2021,25 +2103,76 @@ object AtomicTable {
         // inherits the other side's bound (never mergeStats's drop)
         p -> sts.map(_._2).reduce((a, b) => foldFileStats(schema, a, b))
       }
+    // TABLE-LEVEL column statistics for the OPTIMIZER (the warehouse
+    // half of ANALYZE: Iceberg/Delta both carry these): approximate
+    // NDV + null count per stats column, one extra column-pruned agg
+    // pass at analyze time, stored as properties and surfaced through
+    // the DSv2 scan's estimateStatistics so CBO sees graft tables like
+    // it sees catalog tables (filter selectivity, join sizing).
+    import org.apache.spark.sql.functions.{approx_count_distinct, sum => fsum, when => fwhen, length => flen}
+    val colAggs = statsColumns.flatMap(c => Seq(
+      approx_count_distinct(col(c)).as(s"_ndv_$c"),
+      fsum(fwhen(col(c).isNull, 1L).otherwise(0L)).as(s"_nulls_$c")) ++
+      (if (dataSchema(c).dataType == org.apache.spark.sql.types.StringType)
+        Seq(org.apache.spark.sql.functions.max(flen(col(c)))
+          .as(s"_maxlen_$c"),
+          org.apache.spark.sql.functions.avg(flen(col(c)))
+            .as(s"_avglen_$c"))
+       else Nil))
+    val colRow = spark.read.schema(dataSchema).parquet(paths: _*)
+      .select(statsColumns.map(col): _*)
+      .agg(colAggs.head, colAggs.tail: _*).head()
+    val colProps: Map[String, String] = statsColumns.map { c =>
+      val ndv = colRow.getAs[Long](s"_ndv_$c")
+      val nulls = Option(colRow.getAs[Any](s"_nulls_$c"))
+        .map(_.toString.toLong).getOrElse(0L)
+      val lens =
+        if (dataSchema(c).dataType == org.apache.spark.sql.types.StringType)
+          (Option(colRow.getAs[Any](s"_maxlen_$c")),
+            Option(colRow.getAs[Any](s"_avglen_$c"))) match {
+            case (Some(mx), Some(av)) =>
+              s";maxlen=$mx;avglen=${math.ceil(av.toString.toDouble).toLong}"
+            case _ => ""
+          }
+        else ""
+      (ColStatProperty + c) -> s"ndv=$ndv;nulls=$nulls$lens"
+    }.toMap
     commitManifest(root, Map.empty, operation = "analyze",
       expectedVersion = Some(m.version), retain = retain,
-      overrideStats = partStats,
+      overrideStats = partStats, properties = colProps,
       newFileStats = fileStats.map { case (d, mm) => d -> mm.toMap }.toMap)
   }
+
+  /** Property prefix of ANALYZE's table-level column statistics:
+    * `graft.colstat.<col> = ndv=N;nulls=N[;maxlen=N;avglen=N]`. */
+  val ColStatProperty = "graft.colstat."
+
+  /** Parsed `graft.colstat.<col>` entry. */
+  final case class ColStat(ndv: Option[Long], nulls: Option[Long],
+      maxLen: Option[Long], avgLen: Option[Long])
+
+  /** All column statistics recorded in `props`. */
+  private[graft] def colStats(props: Map[String, String]): Map[String, ColStat] =
+    props.collect { case (k, v) if k.startsWith(ColStatProperty) =>
+      val fields = v.split(";").iterator.map(_.split("=", 2))
+        .collect { case Array(n, x) => n -> x.toLongOption }
+        .collect { case (n, Some(x)) => n -> x }.toMap
+      k.stripPrefix(ColStatProperty) -> ColStat(fields.get("ndv"),
+        fields.get("nulls"), fields.get("maxlen"), fields.get("avglen"))
+    }
 
   /** Number of data files the current manifest references — the metric a
     * compaction job watches. Root counts when recorded (zero blob
     * reads); partitions without one fall back to their blob/listing. */
-  def dataFileCount(root: Path): Long = rootOpt(root) match {
-    case None => 0L
-    case Some(r) =>
-      val unknown = r.partitions.keySet.filterNot(r.fileCounts.contains)
-      lazy val mu = hydrate(root, r, unknown)
-      r.partitions.iterator.map { case (p, dirs) =>
-        r.fileCounts.get(p).map(_.toLong).getOrElse(
-          dirs.map(d => mu.files.get(d).map(_.size.toLong)
-            .getOrElse(dirParquetCount(root.resolve(d)).toLong)).sum)
-      }.sum
+  def dataFileCount(root: Path): Long = withHeadRoot(root)(0L) { r =>
+    val unknown = r.partitions.keySet.filterNot(r.fileCounts.contains)
+    lazy val mu = hydrate(root, r, unknown)
+    r.partitions.iterator.map { case (p, dirs) =>
+      r.fileCounts.get(p).map(_.toLong).getOrElse(
+        dirs.map(d => mu.files.get(d).map(_.size.toLong)
+          .orElse(mu.fileStats.get(d).map(_.size.toLong))
+          .getOrElse(dirParquetCount(root.resolve(d)).toLong)).sum)
+    }.sum
   }
 
   /** Best-effort post-commit GC: prune manifests older than the

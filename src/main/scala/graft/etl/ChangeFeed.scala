@@ -143,9 +143,21 @@ object ChangeFeed {
     val dvParts = dvGrownParts.result()
     val rw = rewritten.result()
     // hydrate each side for exactly the partitions its rows are read
-    // from (committed-file lists ride the blobs)
-    val cur = AtomicTable.hydrate(root, curR, app.keySet ++ rw)
-    val prev = AtomicTable.hydrate(root, prevR, dropped ++ dvParts ++ rw)
+    // from (committed-file lists ride the blobs). These versions are
+    // PINNED — if a concurrent commit's gc retires one mid-read, the
+    // right response is a loud retention error, not a silent re-probe
+    val (cur, prev) = try {
+      (AtomicTable.hydrate(root, curR, app.keySet ++ rw),
+        AtomicTable.hydrate(root, prevR, dropped ++ dvParts ++ rw))
+    } catch {
+      case e @ (_: java.nio.file.NoSuchFileException |
+          _: java.io.FileNotFoundException) =>
+        throw new IllegalStateException(
+          s"change-feed versions [${prevR.version}, ${curR.version}] of " +
+            s"$table aged out of retention mid-read (a concurrent " +
+            "commit's gc deleted their metadata) — raise 'retain' or " +
+            "restart the feed from a newer version", e)
+    }
 
     val out = Seq.newBuilder[DataFrame]
     if (dropped.nonEmpty)

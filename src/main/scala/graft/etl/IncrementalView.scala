@@ -182,10 +182,24 @@ object IncrementalView {
     // stored sourceSchema stale — refuse loudly up front (the evolved
     // read would also throw, but only lazily and only when a
     // post-rename file lands in the diff)
-    val renamedAway = graft.sources.GraftSource.renameAliases(
-      AtomicTable.rootOpt(Paths.get(d.source))
-        .map(_.properties).getOrElse(Map.empty))
-      .valuesIterator.flatten.toSet
+    val srcProps = AtomicTable.rootOpt(Paths.get(d.source))
+      .map(_.properties).getOrElse(Map.empty)
+    // an alias whose OLD name is still in the source's declared schema
+    // (and whose new name is not) is an inert orphan from a crashed
+    // evolve — the properties commit landed but the meta flip did not,
+    // so the rename never took effect and must not fail this check
+    val declared = graft.sources.GraftCatalog
+      .declaredFieldNames(Paths.get(d.source))
+    val effectiveProps = declared match {
+      case None => srcProps
+      case Some(live) => srcProps.filterNot { case (k, v) =>
+        k.startsWith(graft.sources.GraftSource.RenamePrefix) &&
+          live.contains(v) &&
+          !live.contains(k.stripPrefix(graft.sources.GraftSource.RenamePrefix))
+      }
+    }
+    val renamedAway = graft.sources.GraftSource
+      .renameAliases(effectiveProps).valuesIterator.flatten.toSet
     val stale = d.sourceSchema.fieldNames.filter(renamedAway).toSeq
     if (stale.nonEmpty) throw new IllegalStateException(
       s"source column(s) ${stale.mkString(", ")} of ${d.source} were " +

@@ -206,6 +206,33 @@ object Multimodal {
     Some(hash)
   }
 
+  /** DECODE POOL: process-wide cap on concurrent media decodes,
+    * independent of task count. Decode is allocation-heavy (raster
+    * buffers, PCM arrays) and at local[32] the 32 concurrent decoders
+    * contend in ONE heap — the r12 scale study measured the 8-thread
+    * control FASTER than 32 on the av-features family (GC/allocation
+    * contention, 10-17x per decade). Bounding the decode section (not
+    * the task) keeps shuffle/serialization parallel while the
+    * allocation firehose stays at a width the heap sustains; on a real
+    * cluster each executor JVM gets its own pool, so this caps nothing
+    * that matters there (executors run ~4-8 cores). Override with
+    * SPARK_GRAFT_DECODE_POOL. Reentrant per thread: the video path
+    * decodes frames via [[decodeImage]] while already holding the
+    * permit, which must not self-deadlock. */
+  private val DecodePool: Int =
+    sys.env.get("SPARK_GRAFT_DECODE_POOL").map(_.toInt).getOrElse(8).max(1)
+  private val decodePermits = new java.util.concurrent.Semaphore(DecodePool)
+  private val holdsPermit = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+  private def withDecodePermit[A](f: => A): A =
+    if (holdsPermit.get()) f
+    else {
+      decodePermits.acquire()
+      holdsPermit.set(true)
+      try f finally { holdsPermit.set(false); decodePermits.release() }
+    }
+
   /** Real image decode: JDK ImageIO (PNG/BMP/GIF/JPEG). None when the
     * bytes aren't a decodable image. */
   /** Pixel budget per image — the standard decompression-bomb guard: a
@@ -214,7 +241,7 @@ object Multimodal {
     * in any useful way and would take the executor down). */
   val MaxImagePixels: Long = 64L << 20
 
-  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+  def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = withDecodePermit {
     // NonFatal, not just IOException: ImageIO's format plugins throw
     // IllegalArgument/IndexOutOfBounds/NegativeArraySize on malformed
     // headers (same crash class as the fuzz-found Mp4 negative-stsz bug)
@@ -233,6 +260,7 @@ object Multimodal {
         } finally r.dispose()
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Image features: dim-bin luminance histogram (BT.709 integer weights),
     * normalized to a distribution — size-invariant and codec-independent
@@ -289,7 +317,7 @@ object Multimodal {
   /** Real audio decode: JDK javax.sound (WAV/PCM, any sample size the JDK
     * converts to 16-bit). None when the bytes aren't a decodable stream
     * or the decoded PCM exceeds [[MaxPcmBytes]]. */
-  def decodeAudio(payload: Array[Byte]): Option[Array[Short]] =
+  def decodeAudio(payload: Array[Byte]): Option[Array[Short]] = withDecodePermit {
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -325,6 +353,7 @@ object Multimodal {
       // error, at corpus scale
       case scala.util.control.NonFatal(_) => None
     }
+  }
 
   /** Audio features: dim-window RMS energy envelope, normalized to full
     * scale (each value in [0, 1]) — the standard cheap audio signature. */
@@ -372,7 +401,7 @@ object Multimodal {
     * like [[imageHistCounts]]. None when the container doesn't parse or
     * any keyframe fails to decode — all-or-nothing keeps the emitted
     * values a pure function of the payload bytes. */
-  def decodeVideoHist(payload: Array[Byte], dim: Int): Option[Array[Long]] =
+  def decodeVideoHist(payload: Array[Byte], dim: Int): Option[Array[Long]] = withDecodePermit {
     Mp4.parseKeyframes(payload).flatMap { kfs =>
       val acc = new Array[Long](dim)
       kfs.foreach { k =>
@@ -380,6 +409,7 @@ object Multimodal {
           return None
         val frame = java.util.Arrays.copyOfRange(
           payload, k.offset.toInt, (k.offset + k.size).toInt)
+        // reentrant: this thread already holds the decode permit
         decodeImage(frame) match {
           case Some(img) =>
             val h = imageHistCounts(img, dim)
@@ -390,6 +420,7 @@ object Multimodal {
       }
       Some(acc)
     }
+  }
 
   /** Kind-dispatched decode: images through the real ImageIO path, audio
     * through the real javax.sound path, video through the real MP4

@@ -120,13 +120,152 @@ object GraftBloom {
     new java.util.concurrent.ConcurrentHashMap[String, Option[Array[Byte]]]()
   private val MaxCached = 4096
 
+  // ------------------------------------------------------ dir bundles
+  //
+  // On object-store media (10-50 ms/GET) a one-sidecar-per-file probe
+  // is a scale-killer: a 10k-file point lookup pays 10k sequential GETs
+  // of 8 KiB each at PLANNING time. The commit therefore folds each
+  // staged dir's sidecars into ONE offset-indexed bundle file (the
+  // Iceberg-puffin shape), and the probe loads one bundle per admitted
+  // DIR instead of one sidecar per admitted file — planning cost is
+  // bounded by the commit structure, not the file count. Per-file
+  // sidecars stay the write-side format (task-local, no coordination);
+  // the bundle is derived, and a probe that misses the bundle (or a key
+  // inside it — e.g. a backfilled column newer than the fold) falls
+  // back to the per-file read, so skipping NEVER depends on the bundle.
+
+  /** Bundle file name inside a data dir. Leading underscore: never
+    * matches the `.parquet` data listing or the `.bloom` fold listing. */
+  val BundleName = "_blooms.bundle"
+  private val BundleMagic = 0x47424C42 // "GBLB"
+
+  /** Test/scale hook: simulated latency per remote READ (ms) — models
+    * object-store GET round-trips in BloomProbeBench. Applied once per
+    * sidecar read and once per bundle read. Off (0) in production. */
+  @volatile var simulatedReadDelayMs: Long = 0L
+  private def simDelay(): Unit = {
+    val d = simulatedReadDelayMs
+    if (d > 0L) Thread.sleep(d)
+  }
+
+  /** Fold every per-file sidecar in `dir` into one bundle file —
+    * called by the committing driver for each staged dir (and by bloom
+    * rebuilds/backfills after re-writing sidecars). Layout: magic,
+    * int32 index length, JSON index `{"<file>.<col>": [offset, len]}`
+    * (offsets into the payload that follows), payload = concatenated
+    * filter bytes. Returns the number of entries folded (0 = no
+    * sidecars, no bundle written). */
+  def writeBundle(dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    try {
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      if (!fs.exists(p)) return 0
+      val sidecars = fs.listStatus(p)
+        .filter(_.getPath.getName.endsWith(".bloom")).sortBy(_.getPath.getName)
+      if (sidecars.isEmpty) return 0
+      val entries = sidecars.map { st =>
+        val in = fs.open(st.getPath)
+        try {
+          val n = st.getLen.toInt
+          val buf = new Array[Byte](n)
+          in.readFully(0L, buf)
+          st.getPath.getName.stripSuffix(".bloom") -> buf
+        } finally in.close()
+      }
+      val index = new StringBuilder("{")
+      var off = 0
+      entries.zipWithIndex.foreach { case ((name, bytes), i) =>
+        if (i > 0) index.append(',')
+        index.append('"').append(name).append("\":[")
+          .append(off).append(',').append(bytes.length).append(']')
+        off += bytes.length
+      }
+      index.append('}')
+      val idxBytes = index.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, BundleName), true)
+      try {
+        val head = java.nio.ByteBuffer.allocate(8)
+        head.putInt(BundleMagic).putInt(idxBytes.length)
+        out.write(head.array())
+        out.write(idxBytes)
+        entries.foreach { case (_, b) => out.write(b) }
+      } finally out.close()
+      bundleCache.remove(dir)
+      entries.length
+    } catch { case _: java.io.IOException => 0 }
+  }
+
+  // dir path -> parsed bundle (None = dir has no bundle; cached too).
+  // One entry holds the dir's full filter set (files x cols x 8 KiB) —
+  // bounded by evicting wholesale at the byte cap, which repeated
+  // planning refills at one READ per dir, the cost the bundle exists
+  // to bound
+  private val bundleCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Map[String, Array[Byte]]]]()
+  private val MaxBundleBytes = 256L * 1024 * 1024
+  private val bundleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def bundleOf(dir: String): Option[Map[String, Array[Byte]]] = {
+    val hit = bundleCache.get(dir)
+    if (hit != null) return hit
+    val p = new org.apache.hadoop.fs.Path(dir, BundleName)
+    val loaded =
+      try {
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (!fs.exists(p)) None
+        else {
+          simDelay() // ONE simulated GET per dir
+          val in = fs.open(p)
+          try {
+            val n = fs.getFileStatus(p).getLen.toInt
+            val buf = new Array[Byte](n)
+            in.readFully(0L, buf)
+            val bb = java.nio.ByteBuffer.wrap(buf)
+            if (bb.getInt() != BundleMagic) None
+            else {
+              val idxLen = bb.getInt()
+              val idx = new String(buf, 8, idxLen,
+                java.nio.charset.StandardCharsets.UTF_8)
+              val payloadStart = 8 + idxLen
+              val node = new com.fasterxml.jackson.databind.ObjectMapper()
+                .readTree(idx)
+              val b = Map.newBuilder[String, Array[Byte]]
+              node.fields().forEachRemaining { e =>
+                val off = e.getValue.get(0).asInt
+                val len = e.getValue.get(1).asInt
+                b += e.getKey -> java.util.Arrays.copyOfRange(
+                  buf, payloadStart + off, payloadStart + off + len)
+              }
+              Some(b.result())
+            }
+          } finally in.close()
+        }
+      } catch { case _: java.io.IOException => None }
+    if (bundleBytes.get() > MaxBundleBytes) {
+      bundleCache.clear()
+      bundleBytes.set(0L)
+    }
+    bundleCache.put(dir, loaded)
+    loaded.foreach(m => bundleBytes.addAndGet(
+      m.valuesIterator.map(_.length.toLong).sum))
+    loaded
+  }
+
   /** The sidecar of `dataFile` (absolute, possibly scheme-qualified
-    * path) for `col`, None when the write recorded none. */
+    * path) for `col`, None when the write recorded none. Probes the
+    * dir's BUNDLE first (one read per dir); a missing bundle or a key
+    * the fold predates falls back to the per-file sidecar read. */
   def sidecarOf(dataFile: String, col: String): Option[Array[Byte]] = {
+    val data = new org.apache.hadoop.fs.Path(dataFile)
+    val entry = sidecarName(data.getName, col).stripSuffix(".bloom")
+    bundleOf(data.getParent.toString).flatMap(_.get(entry)) match {
+      case some @ Some(_) => return some
+      case None => ()
+    }
     val key = s"$dataFile#$col"
     val hit = cache.get(key)
     if (hit != null) return hit
-    val data = new org.apache.hadoop.fs.Path(dataFile)
     val p = new org.apache.hadoop.fs.Path(data.getParent,
       sidecarName(data.getName, col))
     val loaded =
@@ -134,6 +273,7 @@ object GraftBloom {
         val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
         if (!fs.exists(p)) None
         else {
+          simDelay() // one simulated GET per (file, col)
           val in = fs.open(p)
           try {
             val n = fs.getFileStatus(p).getLen.toInt
@@ -145,5 +285,12 @@ object GraftBloom {
       } catch { case _: java.io.IOException => None }
     if (cache.size < MaxCached) cache.put(key, loaded)
     loaded
+  }
+
+  /** Test hook: drop both probe caches (bundle + per-sidecar). */
+  private[graft] def clearCaches(): Unit = {
+    cache.clear()
+    bundleCache.clear()
+    bundleBytes.set(0L)
   }
 }

@@ -1223,6 +1223,26 @@ object GraftCatalog {
     cols
   }
 
+  /** The DECLARED schema's field names, when `dir` is a catalog-created
+    * table (`_table.json` present) — path-written tables return None.
+    * Lets non-catalog readers distinguish a LIVE column from one merely
+    * named by an evolution property: a crash between the evolve
+    * properties commit and the meta flip leaves a `graft.rename.*`
+    * alias whose old name is still declared (the rename never took
+    * effect), and staleness checks must treat that orphan as inert. */
+  private[graft] def declaredFieldNames(dir: java.nio.file.Path)
+      : Option[Set[String]] = {
+    val f = dir.resolve("_table.json")
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = mapper.readTree(java.nio.file.Files.readAllBytes(f))
+      Some(org.apache.spark.sql.types.DataType
+        .fromJson(n.get("schema").asText).asInstanceOf[StructType]
+        .fieldNames.toSet)
+    }
+  }
+
   /** Default commit-retention for catalog tables: deep enough that
     * VERSION AS OF and changefeed restarts have a real window out of the
     * box, small enough that GC still reclaims (Delta defaults to ~30

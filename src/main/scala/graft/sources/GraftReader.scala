@@ -59,12 +59,28 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       }))
     }.toMap
   }
-  // deleted-key set: tuples of the key columns' raw values
+  /** The candidate parquet field names for key column `c`, newest
+    * first: the declared name, then its historical aliases. Delete-key
+    * columns are renameable once vectors are folded, so PRE-RENAME data
+    * files keep the key under its old field name forever — the probe
+    * must resolve per FILE exactly like the data columns do. */
+  private def keyAliases(c: String): Seq[String] =
+    c +: renames.getOrElse(c, Nil)
+
+  // deleted-key set: tuples of the key columns' raw values. Vector
+  // files are written at delete time under the THEN-current key names;
+  // the rename contract folds vectors first, so current names match —
+  // but resolve through the alias chain anyway (same code path as the
+  // data side, and robust to a vector retained across a later rename).
   private val deleted: java.util.HashSet[Seq[Any]] = {
     val s = new java.util.HashSet[Seq[Any]]()
+    val candidates = part.keyCols.flatMap(keyAliases).toSet
     for (vf <- part.vectorFiles)
-      readGroups(vf, part.keyCols.toSet) { (g, names) =>
-        s.add(part.keyCols.map(c => rawValue(g, names(c))))
+      readGroups(vf, candidates) { (g, names) =>
+        s.add(part.keyCols.map(c =>
+          keyAliases(c).collectFirst {
+            case a if names.contains(a) => rawValue(g, names(a))
+          }.orNull))
       }
     s
   }
@@ -78,6 +94,11 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     * (null fill). Resolved per FILE from its own footer — a split (or
     * a streaming batch) may mix files from before and after a rename. */
   private var resolvedName: Map[String, String] = Map.empty
+  /** key column -> THIS file's field name for it (alias-resolved like
+    * [[resolvedName]], but for the delete-key probe — key columns need
+    * not be in `required`). Absent = the file predates the key column
+    * (probes as null, the ADD-COLUMN contract below). */
+  private var resolvedKey: Map[String, String] = Map.empty
   private var current: InternalRow = _
 
   private def openNext(): Boolean = {
@@ -91,12 +112,18 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     resolvedName = required.fieldNames.iterator.flatMap { c =>
       (c +: renames.getOrElse(c, Nil)).find(names.contains).map(c -> _)
     }.toMap
+    resolvedKey = part.keyCols.iterator.flatMap { c =>
+      keyAliases(c).find(names.contains).map(c -> _)
+    }.toMap
     // columns the parquet reader must materialize: the required file
     // columns (under their FILE-side names), plus key columns while
-    // vectors are outstanding; a fully column-pruned scan (count(*))
-    // still projects ONE column so row multiplicity survives the reader
+    // vectors are outstanding — under THIS FILE's names for them
+    // (pre-rename files carry a renamed delete key under its old field
+    // name); a fully column-pruned scan (count(*)) still projects ONE
+    // column so row multiplicity survives the reader
     val req = required.fieldNames.toSeq.flatMap(resolvedName.get).distinct
-    val withKeys = if (deleted.isEmpty) req else (req ++ part.keyCols).distinct
+    val withKeys = if (deleted.isEmpty) req
+      else (req ++ part.keyCols.flatMap(resolvedKey.get)).distinct
     val fileCols = if (withKeys.nonEmpty) withKeys else Seq(names.min)
     val projected = projectSchema(fileSchema, fileCols)
     val c = new Configuration()
@@ -211,13 +238,16 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
       if (g == null) {
         if (!openNext()) return false
       } else {
-        // key columns probe through `get` with a null fill: a vector
-        // keyed on a column ADDED after this partition's files were
-        // written must compare that key as null (the same contract the
-        // data columns use below), not crash on Map.apply
+        // key columns probe through the file-side ALIAS-RESOLVED name
+        // (pre-rename files store a renamed key under its old field
+        // name) with a null fill: a vector keyed on a column ADDED
+        // after this partition's files were written must compare that
+        // key as null (the same contract the data columns use below),
+        // not crash on Map.apply
         val isDeleted = !deleted.isEmpty &&
           deleted.contains(part.keyCols.map(c =>
-            fieldIdx.get(c).map(rawValue(g, _)).orNull))
+            resolvedKey.get(c).flatMap(fieldIdx.get)
+              .map(rawValue(g, _)).orNull))
         if (!isDeleted) {
           val row = new GenericInternalRow(required.length)
           var j = 0

@@ -1151,16 +1151,23 @@ private[sources] class GraftScan(root: String, full: StructType,
     * could skew mid-plan. */
   protected lazy val prunedManifest: Option[AtomicTable.Manifest] =
     if (changeFeed || startingVersion.isDefined) None
-    else GraftSource.rootFor(root, pinned).map { r =>
-      if (r.partitions.isEmpty)
-        AtomicTable.hydrate(java.nio.file.Paths.get(root), r, Set.empty)
-      else {
-        val pcols = GraftSource.partitionColsOf(r)
-        val kept = r.partitions.keySet
-          .filter(filtersAdmit(_, pcols, r.stats.get))
-        val m = AtomicTable.hydrate(java.nio.file.Paths.get(root), r, kept)
-        m.copy(partitions = m.partitions.filter { case (p, _) => kept(p) })
-      }
+    else if (pinned.isDefined) // version-pinned: aging out IS an error
+      GraftSource.rootFor(root, pinned).map(pruneAndHydrate)
+    else // head read: tolerate a concurrent commit+gc deleting a blob
+      // between the root read and hydration — re-prune the fresh root
+      AtomicTable.withHeadRoot(java.nio.file.Paths.get(root))(
+        Option.empty[AtomicTable.Manifest])(r => Some(pruneAndHydrate(r)))
+
+  private def pruneAndHydrate(r: AtomicTable.ManifestRoot)
+      : AtomicTable.Manifest =
+    if (r.partitions.isEmpty)
+      AtomicTable.hydrate(java.nio.file.Paths.get(root), r, Set.empty)
+    else {
+      val pcols = GraftSource.partitionColsOf(r)
+      val kept = r.partitions.keySet
+        .filter(filtersAdmit(_, pcols, r.stats.get))
+      val m = AtomicTable.hydrate(java.nio.file.Paths.get(root), r, kept)
+      m.copy(partitions = m.partitions.filter { case (p, _) => kept(p) })
     }
 
   /** V2 output ordering: every input split is ONE data file, and the
@@ -1399,12 +1406,81 @@ private[sources] class GraftScan(root: String, full: StructType,
           else None
         }
       }
+    // V2 COLUMN statistics — what Spark's CBO eats (transformV2Stats →
+    // attributeStats): min/max folded from the PLANNED partitions' zone
+    // maps (alias-resolved, so pre-rename bounds still count), NDV and
+    // null counts from ANALYZE's table-level column properties. All are
+    // estimates by contract; absent entries are always safe. With these,
+    // a selective filter on an analyzed graft table shrinks the join
+    // estimate below the broadcast threshold STATICALLY — no AQE needed.
+    val colStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (!changeFeed && startingVersion.isEmpty) prunedManifest.foreach { m =>
+        val keys = parts.map(_.partValue)
+        val analyzed = AtomicTable.colStats(m.properties)
+        val aliases = GraftSource.renameAliases(m.properties)
+        full.fields.foreach { f =>
+          val cands = f.name +: aliases.getOrElse(f.name, Nil)
+          def bound(of: AtomicTable.PartStats => Map[String, String])
+              : Option[Seq[String]] = {
+            val per = keys.map(k => m.stats.get(k)
+              .flatMap(s => cands.iterator.map(of(s).get)
+                .collectFirst { case Some(v) => v }))
+            if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten)
+            else None
+          }
+          val mn = bound(_.mins)
+            .map(_.reduce((a, x) =>
+              if (AtomicTable.statsOrder(f.dataType, x, a) < 0) x else a))
+            .flatMap(AtomicTable.statsValue(f.dataType, _))
+          val mx = bound(_.maxs)
+            .map(_.reduce((a, x) =>
+              if (AtomicTable.statsOrder(f.dataType, x, a) > 0) x else a))
+            .flatMap(AtomicTable.statsValue(f.dataType, _))
+          val an = cands.iterator.flatMap(analyzed.get).nextOption()
+          if (mn.isDefined || mx.isDefined || an.isDefined) {
+            def optLong(v: Option[Long]): java.util.OptionalLong =
+              v.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+            // NDV can never exceed the planned row estimate
+            val ndv = an.flatMap(_.ndv)
+              .map(n => rows.fold(n)(r => math.min(n, r)))
+            val cs = new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong = optLong(ndv)
+              override def nullCount(): java.util.OptionalLong =
+                optLong(an.flatMap(_.nulls))
+              override def avgLen(): java.util.OptionalLong =
+                optLong(an.flatMap(_.avgLen))
+              override def maxLen(): java.util.OptionalLong =
+                optLong(an.flatMap(_.maxLen))
+              override def min(): java.util.Optional[Object] =
+                mn.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+              override def max(): java.util.Optional[Object] =
+                mx.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+            }
+            out.put(org.apache.spark.sql.connector.expressions.Expressions
+              .column(f.name), cs)
+            ()
+          }
+        }
+      }
+      out
+    }
     val b = bytes
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(b)
       override def numRows(): java.util.OptionalLong =
         rows.fold(java.util.OptionalLong.empty())(java.util.OptionalLong.of)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
   override def toBatch: Batch = this

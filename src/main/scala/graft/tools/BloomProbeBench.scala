@@ -3,24 +3,31 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Measures the DRIVER-side planning cost of the bloom-sidecar probe
-  * at a large zone-admitted file set (the r11 verdict's watch item #7):
-  * a point lookup on a bloom column loads one 8 KiB sidecar per
-  * admitted file on the driver during split planning
-  * (GraftSource.planFromManifest), lazily and through a bounded
-  * process cache (GraftBloom). This tool builds an N-file
-  * single-partition bloom table (keys interleaved so zone maps admit
-  * EVERY file — the worst case: only the blooms can skip), then times
-  * the same point query cold (every sidecar read from disk) and warm
-  * (served from the process cache), against a full-scan control.
+import graft.sources.GraftBloom
+
+/** Measures the DRIVER-side planning cost of the bloom probe at a
+  * large zone-admitted file set (r11 watch item #7; r12 verdict weak
+  * #3): a point lookup on a bloom column consults one filter per
+  * admitted file during split planning (GraftSource.planFromManifest).
+  * Since round 13 the probe reads ONE offset-indexed BUNDLE per
+  * admitted dir (folded at commit) instead of one 8 KiB sidecar per
+  * file, with per-file sidecars as the fallback — this tool measures
+  * both, cold and warm, against a full-scan control.
+  *
+  * The optional third arg simulates object-store GET latency
+  * (GraftBloom.simulatedReadDelayMs, applied once per remote read):
+  * at 10 ms/GET a 10k-file probe is ~100 s under per-file sidecars and
+  * one GET under the bundle — the number that proves planning is
+  * bounded by the commit structure, not the file count.
   *
   * Usage: runMain graft.tools.BloomProbeBench [nFiles] [rowsPerFile]
-  * (defaults 10000 x 20). Prints one JSON line.
+  * [simReadMs] (defaults 10000 x 20 x 0). Prints one JSON line.
   */
 object BloomProbeBench {
   def main(args: Array[String]): Unit = {
     val nFiles = args.headOption.map(_.toInt).getOrElse(10000)
     val rowsPer = args.drop(1).headOption.map(_.toInt).getOrElse(20)
+    val simMs = args.drop(2).headOption.map(_.toLong).getOrElse(0L)
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-bloom-probe")
@@ -28,14 +35,13 @@ object BloomProbeBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    import spark.implicits._
 
     val dir = java.nio.file.Files.createTempDirectory("graft-bloomprobe")
       .resolve("t").toString
     val n = nFiles.toLong * rowsPer
     // id i lands in file (i % nFiles): every file's id range spans the
     // whole key space, so file zone maps admit everything — the probe
-    // is the only skipping tier, and it must touch every admitted file
+    // is the only skipping tier, and it must consult every admitted file
     spark.range(n).select(col("id"), lit("a").as("p"))
       .repartition(nFiles, pmod(col("id"), lit(nFiles.toLong)))
       .write.format("graft").option("partition", "p")
@@ -52,13 +58,34 @@ object BloomProbeBench {
       .filter(col("id") === key).count()
     val (fullMs, total) = timeMs(
       spark.read.format("graft").load(dir).count())
-    val (coldMs, c1) = timeMs(point())
-    val (warmMs, c2) = timeMs(point())
-    require(c1 == 1L && c2 == 1L && total == n,
-      s"probe must find exactly its row: $c1/$c2 of $total")
+
+    // --- bundled probe (the committed layout): one read per dir
+    GraftBloom.clearCaches()
+    GraftBloom.simulatedReadDelayMs = simMs
+    val (bundleColdMs, c1) = timeMs(point())
+    val (bundleWarmMs, c2) = timeMs(point())
+
+    // --- per-file fallback (pre-r13 posture): delete the bundles so
+    // the probe pays one read per (file, col) — the object-store
+    // worst case the bundle exists to bound
+    GraftBloom.simulatedReadDelayMs = 0L
+    val dataDir = java.nio.file.Paths.get(dir, "data")
+    val walk = java.nio.file.Files.walk(dataDir)
+    try walk.filter(_.getFileName.toString == GraftBloom.BundleName)
+      .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    GraftBloom.clearCaches()
+    GraftBloom.simulatedReadDelayMs = simMs
+    val (sidecarColdMs, c3) = timeMs(point())
+    val (sidecarWarmMs, c4) = timeMs(point())
+    GraftBloom.simulatedReadDelayMs = 0L
+
+    require(c1 == 1L && c2 == 1L && c3 == 1L && c4 == 1L && total == n,
+      s"probe must find exactly its row: $c1/$c2/$c3/$c4 of $total")
     println(s"""{"metric":"bloom_probe","n_files":$nFiles,""" +
-      s""""full_scan_ms":$fullMs,"point_cold_ms":$coldMs,""" +
-      s""""point_warm_ms":$warmMs}""")
+      s""""sim_read_ms":$simMs,"full_scan_ms":$fullMs,""" +
+      s""""bundle_cold_ms":$bundleColdMs,"bundle_warm_ms":$bundleWarmMs,""" +
+      s""""sidecar_cold_ms":$sidecarColdMs,"sidecar_warm_ms":$sidecarWarmMs}""")
     spark.stop()
   }
 }

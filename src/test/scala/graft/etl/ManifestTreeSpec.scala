@@ -280,6 +280,36 @@ class ManifestTreeSpec extends SparkSuite {
       (0L until 4L).toSeq)
   }
 
+  test("withHeadRoot re-probes the root+hydrate pair across a simulated gc race") {
+    val dir = mkTable(parts = 3)
+    // the race: a concurrent process's commit+gc deletes a blob BETWEEN
+    // our root read and its hydration. Simulated by a run body that
+    // throws the gc race's signature once — the helper must re-read the
+    // CURRENT root and re-run the caller's pruning, not surface the
+    // NoSuchFileException mid-plan (the pre-split manifest() loop's
+    // documented cross-process tolerance, kept through the tree split)
+    var calls = 0
+    val m = AtomicTable.withHeadRoot(dir)(
+      fail("table exists — the none branch must not run"): AtomicTable.Manifest) { r =>
+      calls += 1
+      if (calls == 1)
+        throw new java.nio.file.NoSuchFileException("simulated gc race")
+      AtomicTable.hydrate(dir, r, r.partitions.keySet)
+    }
+    assert(calls === 2, "one re-probe after the simulated race")
+    assert(m.partitions.keySet === Set("a", "b", "c"))
+    assert(AtomicTable.rootOpt(dir).get.blobs.nonEmpty &&
+      (m.files.nonEmpty || m.bytes.nonEmpty || m.fileStats.nonEmpty),
+      "the retry hydrated the fresh root's blobs")
+    // and a persistent failure still surfaces (bounded retries)
+    val persistent = intercept[java.nio.file.NoSuchFileException] {
+      AtomicTable.withHeadRoot(dir)(fail(): AtomicTable.Manifest) { _ =>
+        throw new java.nio.file.NoSuchFileException("always")
+      }
+    }
+    assert(persistent.getMessage.contains("always"))
+  }
+
   test("vacuum reclaims orphaned blobs by age, never referenced ones") {
     val dir = mkTable(parts = 2)
     val bDir = dir.resolve("_manifests").resolve("blobs")

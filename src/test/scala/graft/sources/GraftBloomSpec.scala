@@ -93,6 +93,43 @@ class GraftBloomSpec extends SparkSuite {
     assert(plannedFiles(q3) === 0)
   }
 
+  test("the commit folds sidecars into one bundle per dir; bundle-only probes skip identically") {
+    seed("tb")
+    val dir = Paths.get(warehouse, "db", "tb")
+    val m = AtomicTable.manifest(dir).get
+    import scala.jdk.CollectionConverters._
+    // every committed dir carries the bundle the commit folded
+    m.partitions("a").foreach { d =>
+      assert(Files.exists(dir.resolve(d).resolve(GraftBloom.BundleName)),
+        s"commit must fold $d's sidecars into a bundle")
+    }
+    // DELETE every per-file sidecar: the probe must now answer from the
+    // bundles alone — one read per DIR, the object-store posture
+    m.partitions("a").foreach { d =>
+      val s = Files.list(dir.resolve(d))
+      try s.iterator.asScala.filter(_.getFileName.toString.endsWith(".bloom"))
+        .toList.foreach(Files.delete)
+      finally s.close()
+    }
+    GraftBloom.clearCaches()
+    val q = spark.sql("SELECT v FROM gbl.db.tb WHERE id = 7")
+    assert(q.as[Double].collect().toSeq === Seq(10.5))
+    assert(plannedFiles(q) === 1,
+      "bundle-only probing must skip exactly like per-file sidecars")
+    val q2 = spark.sql("SELECT v FROM gbl.db.tb WHERE id = 999999")
+    assert(q2.collect().isEmpty)
+    assert(plannedFiles(q2) === 0)
+    // ...and DELETING the bundles too degrades honestly: nothing skips,
+    // answers stay exact (missing index never loses rows)
+    m.partitions("a").foreach { d =>
+      Files.deleteIfExists(dir.resolve(d).resolve(GraftBloom.BundleName))
+    }
+    GraftBloom.clearCaches()
+    val q3 = spark.sql("SELECT v FROM gbl.db.tb WHERE id = 7")
+    assert(q3.as[Double].collect().toSeq === Seq(10.5))
+    assert(plannedFiles(q3) === 3, "no index at all: every file reads")
+  }
+
   test("runtime value sets from a selective join probe the sidecars") {
     seed("t2")
     val dimPath = Files.createTempDirectory("graft-bloom-dim").toString

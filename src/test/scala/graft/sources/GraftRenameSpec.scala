@@ -252,6 +252,82 @@ class GraftRenameSpec extends SparkSuite {
       s"the pre-rename generation must stream under the NEW name, got $got")
   }
 
+  test("a renamed delete-key column still hides MOR-deleted rows in pre-rename files") {
+    warehouse
+    // contract under test: rename of a (folded) delete-key column is
+    // metadata-only, and a LATER MOR delete keyed on the NEW name must
+    // subtract rows from PRE-RENAME files too — those parquet files
+    // store the key under the OLD field name, so the reader's probe
+    // has to resolve the key through the alias chain per file
+    spark.sql("CREATE TABLE grn.db.t7 (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='10')")
+    spark.sql("INSERT INTO grn.db.t7 VALUES (1, 1.0, 'a'), (2, 2.0, 'a'), " +
+      "(3, 3.0, 'a')")
+    spark.sql("ALTER TABLE grn.db.t7 RENAME COLUMN k TO key")
+    spark.sql("INSERT INTO grn.db.t7 VALUES (4, 4.0, 'a'), (5, 5.0, 'a')")
+    val dir = Paths.get(warehouse, "db", "t7").toString
+    val schema = spark.table("grn.db.t7").schema
+    // one vector, keys spanning BOTH generations (2 pre-rename, 4 post)
+    graft.etl.MergeInto.deleteKeysMor(spark, dir, schema,
+      Seq((2L, "a"), (4L, "a")).toDF("key", "p"), Seq("key"), "p",
+      retain = 10)
+    assert(AtomicTable.rootOpt(Paths.get(dir)).get.deletes.nonEmpty)
+    // the pre-rename victim (parquet field 'k') must stay hidden
+    assert(spark.sql("SELECT key FROM grn.db.t7 ORDER BY key")
+      .as[Long].collect().toSeq === Seq(1L, 3L, 5L))
+    // ... including when the key column is NOT in the projection (the
+    // reader must still materialize it under the file-side alias)
+    assert(spark.sql("SELECT count(*) FROM grn.db.t7").as[Long].head() === 3L)
+    assert(spark.sql("SELECT sum(v) FROM grn.db.t7").as[Double].head() === 9.0)
+  }
+
+  test("an append after a rename keeps (and widens) the partition zone map") {
+    warehouse
+    // the previous zone map is recorded under the PRE-RENAME name; the
+    // first post-rename append must translate it through the alias
+    // chain before the bound merge — a raw name intersection would come
+    // up empty and silently drop this partition's pruning forever
+    spark.sql("CREATE TABLE grn.db.t8 (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('stats_columns'='k', 'retain'='5')")
+    spark.sql("INSERT INTO grn.db.t8 VALUES (10, 1.0, 'a'), (20, 2.0, 'a')")
+    spark.sql("ALTER TABLE grn.db.t8 RENAME COLUMN k TO key")
+    spark.sql("INSERT INTO grn.db.t8 VALUES (30, 3.0, 'a')") // APPEND
+    val st = AtomicTable.rootOpt(Paths.get(warehouse, "db", "t8"))
+      .get.stats("a")
+    assert(st.rows === 3L)
+    assert(st.mins.get("key").map(_.toLong) === Some(10L),
+      s"merged zone map must carry the old-name lower bound, got $st")
+    assert(st.maxs.get("key").map(_.toLong) === Some(30L),
+      s"merged zone map must widen to the appended upper bound, got $st")
+  }
+
+  test("an orphaned rename alias from a crashed evolve is inert for MV refresh") {
+    warehouse
+    spark.sql("CREATE TABLE grn.db.t9 (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='10')")
+    spark.sql("INSERT INTO grn.db.t9 VALUES (1, 1.0, 'a')")
+    val src = Paths.get(warehouse, "db", "t9").toString
+    val schema = spark.table("grn.db.t9").schema
+    val mv = Files.createTempDirectory("grn-mv9").resolve("mv").toString
+    graft.etl.IncrementalView.create(spark, src, schema, mv,
+      Seq("p"), Seq("v_sum" -> "CAST(v AS DECIMAL(18,2))"), "p",
+      keyCols = Seq("k"))
+    // simulate the evolve crash window: the properties commit landed
+    // but the meta flip did not — 'v' is still the live declared column
+    // and nothing on disk was ever written under 'v2'
+    AtomicTable.commitManifest(Paths.get(src), Map.empty,
+      properties = Map(GraftSource.RenamePrefix + "v2" -> "v"),
+      retain = 10, operation = "evolve")
+    spark.sql("INSERT INTO grn.db.t9 VALUES (2, 2.0, 'a')")
+    // the staleness check must see the alias is an inert orphan (old
+    // name still declared) and fold the new row, not refuse
+    graft.etl.IncrementalView.refresh(spark, mv)
+    val got = graft.etl.IncrementalView.read(spark, mv)
+      .select($"p", $"v_sum".cast("double"))
+      .as[(String, Double)].collect().toSeq
+    assert(got === Seq(("a", 3.0)), s"got $got")
+  }
+
   test("rename chains compose: a->b then b->c reads all three generations") {
     warehouse
     spark.sql("CREATE TABLE grn.db.t6 (a BIGINT, p STRING) " +
