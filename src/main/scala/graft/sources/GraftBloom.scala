@@ -216,6 +216,7 @@ object GraftBloom {
         if (!fs.exists(p)) None
         else {
           simDelay() // ONE simulated GET per dir
+          bundleReads.incrementAndGet()
           val in = fs.open(p)
           try {
             val n = fs.getFileStatus(p).getLen.toInt
@@ -274,6 +275,7 @@ object GraftBloom {
         if (!fs.exists(p)) None
         else {
           simDelay() // one simulated GET per (file, col)
+          sidecarReads.incrementAndGet()
           val in = fs.open(p)
           try {
             val n = fs.getFileStatus(p).getLen.toInt
@@ -293,4 +295,9 @@ object GraftBloom {
     bundleCache.clear()
     bundleBytes.set(0L)
   }
+
+  /** Instrumentation: REMOTE reads performed (bundle loads + per-file
+    * sidecar loads) — what an object store would bill as GETs. */
+  private[graft] val bundleReads = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] val sidecarReads = new java.util.concurrent.atomic.AtomicLong(0L)
 }

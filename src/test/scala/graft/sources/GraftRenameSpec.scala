@@ -328,6 +328,32 @@ class GraftRenameSpec extends SparkSuite {
     assert(got === Seq(("a", 3.0)), s"got $got")
   }
 
+  test("rename of a grouped view column between refreshes refuses loudly") {
+    warehouse
+    // the cross-feature seam after the aggregated-column pin: the
+    // RENAMED column is the view's GROUP KEY. The changefeed diffs on
+    // schema columns, so a silently-stale group key would mis-group
+    // the delta — refresh must refuse up front, exactly like the
+    // aggregated-column case
+    spark.sql("CREATE TABLE grn.db.t10 (k BIGINT, g STRING, v DOUBLE, " +
+      "p STRING) PARTITIONED BY (p) TBLPROPERTIES ('retain'='10')")
+    spark.sql("INSERT INTO grn.db.t10 VALUES (1, 'x', 1.0, 'a'), " +
+      "(2, 'y', 2.0, 'a')")
+    val src = Paths.get(warehouse, "db", "t10").toString
+    val schema = spark.table("grn.db.t10").schema
+    val mv = Files.createTempDirectory("grn-mv10").resolve("mv").toString
+    graft.etl.IncrementalView.create(spark, src, schema, mv,
+      Seq("p", "g"), Seq("v_sum" -> "CAST(v AS DECIMAL(18,2))"), "p",
+      keyCols = Seq("k"))
+    spark.sql("ALTER TABLE grn.db.t10 RENAME COLUMN g TO grp")
+    spark.sql("INSERT INTO grn.db.t10 VALUES (3, 'x', 3.0, 'a')")
+    val err = intercept[IllegalStateException] {
+      graft.etl.IncrementalView.refresh(spark, mv)
+    }
+    assert(err.getMessage.contains("renamed after view") &&
+      err.getMessage.contains("g"), s"got: ${err.getMessage}")
+  }
+
   test("rename chains compose: a->b then b->c reads all three generations") {
     warehouse
     spark.sql("CREATE TABLE grn.db.t6 (a BIGINT, p STRING) " +
