@@ -402,6 +402,13 @@ object AtomicTable {
 
   /** A specific version's manifest ROOT (O(partitions), zero blob
     * reads). Format-1 files parse in full and ride along as `inline`. */
+  /** A specific version's manifest ROOT (O(partitions), zero blob
+    * reads). Tree parse, DELIBERATELY: an A/B at the 100k-partition
+    * root (RootScaleBench r13) measured Jackson's DOM readTree at
+    * 354 ms warm vs 732 ms for a hand-rolled streaming-token walk —
+    * the DOM's batched parsing beats per-token Scala closures, so the
+    * "optimization" was reverted on the measurement. Format-1 files
+    * parse in full and ride along as `inline`. */
   def rootAt(root: Path, v: Long): ManifestRoot = {
     val n = mapper.readTree(Files.readString(manifestFile(root, v)))
     val props = Option(n.get("properties")).map(_.fields().asScala
@@ -458,50 +465,78 @@ object AtomicTable {
           ts, op, files, bytes, fileStats, sorted)))
   }
 
+  /** Render a format-2 root — STREAMING generator, compact output.
+    * The tree render it replaced (ObjectNode + pretty printer) both
+    * built a DOM and paid ~25-30% size in indentation; at 100k
+    * partitions the compact streaming form shrinks the root file and
+    * the per-commit render time together (RootScaleBench r13). Keys
+    * stay sorted so renders are deterministic byte-for-byte. */
   private def renderRoot(r: ManifestRoot): String = {
-    val node = mapper.createObjectNode()
-    node.put("format", 2)
-    node.put("version", r.version)
-    if (r.tsMs > 0L) node.put("tsMs", r.tsMs)
-    node.put("operation", r.operation)
-    val parts = node.putObject("partitions")
+    val sw = new java.io.StringWriter(
+      math.min(1 << 24, 256 + r.partitions.size * 192))
+    val g = mapper.getFactory.createGenerator(sw)
+    g.writeStartObject()
+    g.writeNumberField("format", 2)
+    g.writeNumberField("version", r.version)
+    if (r.tsMs > 0L) g.writeNumberField("tsMs", r.tsMs)
+    g.writeStringField("operation", r.operation)
+    g.writeObjectFieldStart("partitions")
     r.partitions.toSeq.sortBy(_._1).foreach { case (k, dirs) =>
-      val a = parts.putArray(k)
-      dirs.foreach(a.add)
+      g.writeArrayFieldStart(k)
+      dirs.foreach(g.writeString)
+      g.writeEndArray()
     }
-    val props = node.putObject("properties")
-    r.properties.toSeq.sortBy(_._1).foreach { case (k, v) => props.put(k, v) }
+    g.writeEndObject()
+    g.writeObjectFieldStart("properties")
+    r.properties.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      g.writeStringField(k, v)
+    }
+    g.writeEndObject()
     if (r.stats.nonEmpty) {
-      val st = node.putObject("stats")
+      g.writeObjectFieldStart("stats")
       r.stats.toSeq.sortBy(_._1).foreach { case (part, s) =>
-        val p = st.putObject(part)
-        p.put("rows", s.rows)
-        val mins = p.putObject("mins")
-        s.mins.toSeq.sortBy(_._1).foreach { case (c, v) => mins.put(c, v) }
-        val maxs = p.putObject("maxs")
-        s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) => maxs.put(c, v) }
+        g.writeObjectFieldStart(part)
+        g.writeNumberField("rows", s.rows)
+        g.writeObjectFieldStart("mins")
+        s.mins.toSeq.sortBy(_._1).foreach { case (c, v) =>
+          g.writeStringField(c, v)
+        }
+        g.writeEndObject()
+        g.writeObjectFieldStart("maxs")
+        s.maxs.toSeq.sortBy(_._1).foreach { case (c, v) =>
+          g.writeStringField(c, v)
+        }
+        g.writeEndObject()
+        g.writeEndObject()
       }
+      g.writeEndObject()
     }
     if (r.deletes.nonEmpty) {
-      val del = node.putObject("deletes")
+      g.writeObjectFieldStart("deletes")
       r.deletes.toSeq.sortBy(_._1).foreach { case (part, dirs) =>
-        val a = del.putArray(part)
-        dirs.foreach(a.add)
+        g.writeArrayFieldStart(part)
+        dirs.foreach(g.writeString)
+        g.writeEndArray()
       }
+      g.writeEndObject()
     }
     if (r.blobs.nonEmpty) {
-      val bl = node.putObject("blobs")
+      g.writeObjectFieldStart("blobs")
       r.blobs.toSeq.sortBy(_._1).foreach { case (part, name) =>
-        bl.put(part, name)
+        g.writeStringField(part, name)
       }
+      g.writeEndObject()
     }
     if (r.fileCounts.nonEmpty) {
-      val nf = node.putObject("nfiles")
+      g.writeObjectFieldStart("nfiles")
       r.fileCounts.toSeq.sortBy(_._1).foreach { case (part, n) =>
-        nf.put(part, n)
+        g.writeNumberField(part, n)
       }
+      g.writeEndObject()
     }
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+    g.writeEndObject()
+    g.close()
+    sw.toString
   }
 
   /** Attempt to claim version `version`: stage the full root content to
@@ -1086,11 +1121,19 @@ object AtomicTable {
       val to = dst.resolve(rel)
       Files.createDirectories(to)
       // clone only the COMMITTED files when the manifest lists them —
-      // a zombie attempt's straggler stays behind in the source
+      // a zombie attempt's straggler stays behind in the source. Bloom
+      // index files RIDE with their committed data file: `<file>.<col>
+      // .bloom` sidecars of committed files and the dir's fold bundle
+      // clone too, or the clone would silently lose its point skipping
       val committedOnly = m.files.get(rel).map(_.toSet)
+      def keeps(name: String): Boolean = committedOnly.forall { set =>
+        set(name) || name == graft.sources.GraftBloom.BundleName ||
+          (name.endsWith(".bloom") &&
+            set.exists(n => name.startsWith(n + ".")))
+      }
       val s = Files.list(from)
       try s.iterator.asScala.filter(f => Files.isRegularFile(f) &&
-        committedOnly.forall(_(f.getFileName.toString))).foreach { f =>
+        keeps(f.getFileName.toString)).foreach { f =>
         val t = to.resolve(f.getFileName.toString)
         try { Files.createLink(t, f); () }
         catch {

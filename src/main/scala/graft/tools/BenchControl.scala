@@ -26,12 +26,17 @@ import org.apache.spark.sql.functions._
   * and record the re-baseline in BASELINE.md. */
 object BenchControl {
 
-  /** Freeze-round control_total in seconds (min over interleaved
-    * passes, summed over the control queries) on the round-13 bench
-    * host, measured INTERLEAVED with the full suite at round-13 close
-    * (the same conditions every later round-close run sees). The
-    * normalized headline is `total * Ref / control_total`. */
-  val Ref = 9.472
+  /** Freeze-round control_total in seconds: the round-13 COMMITTED
+    * artifact's own interleaved control (bench_full_latest.json at the
+    * r13 close — the post-everything run, a clean window, drift 1.0 by
+    * construction for the freeze round). The four r13 close runs read
+    * 16.12 / 13.67 / 11.49 / 10.26 — the spread IS the host's stall
+    * weather, which the canary now measures in-run; standalone (no
+    * main suite sharing the heap) the control reads ~9.5 s, and the
+    * delta is deliberate: the control runs under round-close
+    * conditions. The normalized headline is
+    * `total * Ref / control_total`. */
+  val Ref = 10.258
 
   private val Rows = 10_000_000L
 

@@ -59,6 +59,40 @@ class CloneSpec extends SparkSuite {
     assert(AtomicTable.read(spark, src, schema).count() === 1)
   }
 
+  test("a clone carries the bloom index: sidecars and bundles of committed files") {
+    val wh = Files.createTempDirectory("graft-clone-bloom").toString
+    spark.conf.set("spark.sql.catalog.gcb",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcb.root", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcb.db")
+    spark.sql("CREATE TABLE gcb.db.t (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('bloom_columns'='id', 'retain'='5')")
+    spark.sql("INSERT INTO gcb.db.t VALUES (1, 'a'), (2, 'a')")
+    val src = Paths.get(wh, "db", "t")
+    val dst = Files.createTempDirectory("graft-clone-bloom-dst").resolve("t")
+    AtomicTable.cloneTable(src, dst)
+    // every committed data file's sidecar AND the dir's fold bundle
+    // must ride the clone, or the snapshot silently loses its point
+    // skipping (reads stay correct either way — that is the honesty
+    // contract — but a clone is a full-fidelity snapshot)
+    val m = AtomicTable.manifest(dst).get
+    m.partitions.values.flatten.foreach { d =>
+      val names = {
+        val s = Files.list(dst.resolve(d))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator.asScala.map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+      val data = names.filter(_.endsWith(".parquet"))
+      assert(data.nonEmpty)
+      data.foreach(f => assert(names.contains(s"$f.id.bloom"),
+        s"sidecar of $f must clone, got $names"))
+      assert(names.contains(graft.sources.GraftBloom.BundleName),
+        s"the fold bundle must clone, got $names")
+    }
+  }
+
   test("a versioned clone pins the requested snapshot and carries vectors") {
     val src = Files.createTempDirectory("graft-clone-src3").toString
     val dst = Files.createTempDirectory("graft-clone3").resolve("t").toString
