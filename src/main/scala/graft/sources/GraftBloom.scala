@@ -232,17 +232,32 @@ object GraftBloom {
               val node = new com.fasterxml.jackson.databind.ObjectMapper()
                 .readTree(idx)
               val b = Map.newBuilder[String, Array[Byte]]
+              var valid = true
               node.fields().forEachRemaining { e =>
                 val off = e.getValue.get(0).asInt
                 val len = e.getValue.get(1).asInt
-                b += e.getKey -> java.util.Arrays.copyOfRange(
+                // explicit bounds check: copyOfRange ZERO-PADS past the
+                // end, and a zero-padded filter answers "absent" for
+                // every key — a truncated bundle would silently skip
+                // files that hold the key. Out of range = the whole
+                // bundle is corrupt; fall back to per-file sidecars.
+                if (off < 0 || len <= 0 ||
+                    payloadStart.toLong + off + len > buf.length)
+                  valid = false
+                else b += e.getKey -> java.util.Arrays.copyOfRange(
                   buf, payloadStart + off, payloadStart + off + len)
               }
-              Some(b.result())
+              if (valid) Some(b.result()) else None
             }
           } finally in.close()
         }
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // NonFatal, not just IOException: a truncated or corrupt bundle
+        // (bad index offsets, torn payload) must degrade to "no bundle"
+        // — the per-file sidecars still answer, and a missing index
+        // never loses rows, it only stops skipping
+        case scala.util.control.NonFatal(_) => None
+      }
     if (bundleBytes.get() > MaxBundleBytes) {
       bundleCache.clear()
       bundleBytes.set(0L)

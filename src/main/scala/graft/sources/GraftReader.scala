@@ -72,18 +72,27 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   // the rename contract folds vectors first, so current names match —
   // but resolve through the alias chain anyway (same code path as the
   // data side, and robust to a vector retained across a later rename).
-  private val deleted: java.util.HashSet[Seq[Any]] = {
-    val s = new java.util.HashSet[Seq[Any]]()
-    val candidates = part.keyCols.flatMap(keyAliases).toSet
-    for (vf <- part.vectorFiles)
-      readGroups(vf, candidates) { (g, names) =>
-        s.add(part.keyCols.map(c =>
-          keyAliases(c).collectFirst {
-            case a if names.contains(a) => rawValue(g, names(a))
-          }.orNull))
-      }
-    s
-  }
+  // CACHED process-wide per (vector files, key cols): every SPLIT of a
+  // partition shares the same vectors, and one split per data file
+  // means a 100-file partition would otherwise re-read them 100 times
+  // per scan (100 object-store GETs each at scale). Vector dirs are
+  // immutable once committed, so the cache can never go stale.
+  private val deleted: java.util.HashSet[Seq[Any]] =
+    if (part.vectorFiles.isEmpty) GraftPartitionReader.EmptyKeys
+    else GraftPartitionReader.deletedKeys(
+      part.vectorFiles.mkString(",") + "#" + part.keyCols.mkString(","),
+      () => {
+        val s = new java.util.HashSet[Seq[Any]]()
+        val candidates = part.keyCols.flatMap(keyAliases).toSet
+        for (vf <- part.vectorFiles)
+          readGroups(vf, candidates) { (g, names) =>
+            s.add(part.keyCols.map(c =>
+              keyAliases(c).collectFirst {
+                case a if names.contains(a) => rawValue(g, names(a))
+              }.orNull))
+          }
+        s
+      })
 
   private val files = part.dataFiles.iterator
   private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = _
@@ -280,5 +289,43 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = if (reader != null) reader.close()
+}
+
+private[sources] object GraftPartitionReader {
+  private[sources] val EmptyKeys = new java.util.HashSet[Seq[Any]]()
+
+  // (vector-file list, key cols) -> decoded key set. Vector files are
+  // immutable once committed and a new vector commit changes the LIST,
+  // so entries never go stale; keys are small by the maintenance
+  // contract (materializeDeletes folds them), and the cache evicts
+  // wholesale at a coarse cap as a leak backstop.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashSet[Seq[Any]]]()
+  private val MaxEntries = 256
+
+  /** Test instrumentation: number of cache-miss vector LOADS (each one
+    * reads every vector file of one partition). */
+  private[graft] val loads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private[sources] def deletedKeys(key: String,
+      load: () => java.util.HashSet[Seq[Any]]): java.util.HashSet[Seq[Any]] = {
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    // eviction OUTSIDE the compute function (mutating a CHM inside its
+    // own computeIfAbsent is forbidden); computeIfAbsent then runs the
+    // decode ONCE even when a partition's splits all miss concurrently
+    // — concurrent tasks block briefly on the per-key load instead of
+    // issuing duplicate vector reads
+    if (cache.size >= MaxEntries) cache.clear()
+    cache.computeIfAbsent(key, _ => {
+      loads.incrementAndGet()
+      load()
+    })
+  }
+
+  private[graft] def clearDvCache(): Unit = {
+    cache.clear()
+    loads.set(0L)
+  }
 }
 

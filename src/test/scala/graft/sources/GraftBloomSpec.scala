@@ -130,6 +130,26 @@ class GraftBloomSpec extends SparkSuite {
     assert(plannedFiles(q3) === 3, "no index at all: every file reads")
   }
 
+  test("a corrupt or truncated bundle degrades to the sidecar fallback, never crashes") {
+    seed("tc")
+    val dir = Paths.get(warehouse, "db", "tc")
+    val m = AtomicTable.manifest(dir).get
+    val bundles = m.partitions("a").map(d =>
+      dir.resolve(d).resolve(GraftBloom.BundleName))
+    // truncate one bundle mid-payload, garbage another's bytes — the
+    // probe must fall back to the per-file sidecars and keep skipping
+    val b0 = bundles.head
+    val bytes = Files.readAllBytes(b0)
+    Files.write(b0, java.util.Arrays.copyOfRange(bytes, 0, bytes.length / 3))
+    bundles.drop(1).headOption.foreach(b =>
+      Files.write(b, "not a bundle at all".getBytes))
+    GraftBloom.clearCaches()
+    val q = spark.sql("SELECT v FROM gbl.db.tc WHERE id = 7")
+    assert(q.as[Double].collect().toSeq === Seq(10.5))
+    assert(plannedFiles(q) === 1,
+      "corrupt bundles must degrade to sidecar probing, same skipping")
+  }
+
   test("runtime value sets from a selective join probe the sidecars") {
     seed("t2")
     val dimPath = Files.createTempDirectory("graft-bloom-dim").toString

@@ -220,4 +220,35 @@ class GraftRowLevelSpec extends SparkSuite {
     // the racing write survived
     assert(rows("r1").contains((99L, 990L, "a")))
   }
+
+  test("delete vectors decode ONCE per scan, not once per file split") {
+    warehouse
+    // one partition, three data files (= three splits: one split per
+    // file), one outstanding vector: without the process-wide key-set
+    // cache every split re-reads the vector files — 3 loads here, 100
+    // object-store GET rounds per 100-file partition at scale
+    spark.sql("CREATE TABLE rl.db.dvc (id BIGINT, v BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
+    (1 to 3).foreach(i => spark.sql(
+      s"INSERT INTO rl.db.dvc VALUES (${i * 10}, ${i * 100}, 'a')"))
+    val dir = Paths.get(warehouse, "db", "dvc").toString
+    val schema = spark.table("rl.db.dvc").schema
+    graft.etl.MergeInto.deleteKeysMor(spark, dir, schema,
+      Seq((20L, "a")).toDF("id", "p"), Seq("id"), "p", retain = 5)
+    GraftPartitionReader.clearDvCache()
+    assert(spark.sql("SELECT id FROM rl.db.dvc ORDER BY id")
+      .as[Long].collect().toSeq === Seq(10L, 30L))
+    assert(GraftPartitionReader.loads.get() === 1L,
+      "three splits must share ONE vector decode")
+    // a second scan hits the cache outright (vector dirs are immutable)
+    assert(spark.sql("SELECT count(*) FROM rl.db.dvc")
+      .as[Long].head() === 2L)
+    assert(GraftPartitionReader.loads.get() === 1L)
+    // a NEW vector commit changes the file list = a new cache key
+    graft.etl.MergeInto.deleteKeysMor(spark, dir, schema,
+      Seq((30L, "a")).toDF("id", "p"), Seq("id"), "p", retain = 5)
+    assert(spark.sql("SELECT id FROM rl.db.dvc").as[Long].collect().toSeq ===
+      Seq(10L))
+    assert(GraftPartitionReader.loads.get() === 2L)
+  }
 }
