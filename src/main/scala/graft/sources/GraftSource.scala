@@ -1419,7 +1419,14 @@ private[sources] class GraftScan(root: String, full: StructType,
       val out = new java.util.HashMap[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
-      if (!changeFeed && startingVersion.isEmpty) prunedManifest.foreach { m =>
+      // only when CBO will actually consume them: with cbo off (the
+      // default) attributeStats are dead weight, and folding bounds
+      // over every planned partition x column is real planning work at
+      // a 100k-partition root
+      val cboOn = try org.apache.spark.sql.internal.SQLConf.get.cboEnabled
+        catch { case _: Exception => false }
+      if (cboOn && !changeFeed && startingVersion.isEmpty)
+        prunedManifest.foreach { m =>
         val keys = parts.map(_.partValue)
         val analyzed = AtomicTable.colStats(m.properties)
         val aliases = GraftSource.renameAliases(m.properties)
