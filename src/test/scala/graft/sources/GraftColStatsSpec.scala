@@ -99,6 +99,30 @@ class GraftColStatsSpec extends SparkSuite {
     }
   }
 
+  test("column stats survive RENAME COLUMN: alias-resolved bounds and NDV still reach CBO") {
+    warehouse
+    spark.sql("CREATE TABLE gcs.db.t2 (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('stats_columns'='k', 'retain'='5')")
+    (0L until 10000L).map(i => (i, i * 1.0, "a"))
+      .toDF("k", "v", "p").createOrReplaceTempView("cs_rn")
+    spark.sql("INSERT INTO gcs.db.t2 SELECT * FROM cs_rn")
+    spark.sql("CALL gcs.system.analyze('db.t2', 'k')")
+    // ANALYZE recorded everything under 'k'; the rename is metadata-only
+    spark.sql("ALTER TABLE gcs.db.t2 RENAME COLUMN k TO key")
+    withSQLConf(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.adaptive.enabled" -> "false") {
+      val df = spark.sql("SELECT key, v FROM gcs.db.t2")
+      val kStat = df.queryExecution.optimizedPlan.stats.attributeStats
+        .find(_._1.name == "key").map(_._2)
+      assert(kStat.exists(_.distinctCount.exists(_.toLong > 8000L)),
+        s"old-name NDV must resolve through the alias chain, got $kStat")
+      assert(kStat.exists(_.min.contains(0L)) &&
+        kStat.exists(_.max.contains(9999L)),
+        s"old-name zone-map bounds must resolve, got $kStat")
+    }
+  }
+
   test("a selective filter on an analyzed column plans a STATIC broadcast join (AQE off)") {
     warehouse
     spark.sql("CREATE TABLE gcs.db.big (k BIGINT, pay STRING, p STRING) " +
