@@ -5,7 +5,7 @@ import java.util.UUID
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions.{col, date_format, hash, lit, pmod, substring, xxhash64}
 import org.apache.spark.sql.types.StructType
@@ -2099,11 +2099,34 @@ object AtomicTable {
     if (paths.isEmpty) return m
     // data files never carry the partition columns physically
     val dataSchema = StructType(schema.filterNot(f => pcols.contains(f.name)))
+    // Pre-rename files store a stats column under its OLD parquet field
+    // name, and this whole-table read resolves by CURRENT name only —
+    // so those files contributed all-nulls (inflated null counts,
+    // deflated NDV feeding CBO, and min/max blind to old-generation
+    // values). The scan path alias-resolves per file; a whole-table agg
+    // can't — but reading current + alias names (explicit-schema
+    // parquet null-fills missing columns) and COALESCING is equivalent:
+    // exactly one generation's field exists in any given file. An alias
+    // colliding with a DIFFERENT live column's name is skipped
+    // (conservative — never folds another column's values in).
+    val aliasesOf: Map[String, Seq[String]] =
+      graft.sources.GraftSource.renameAliases(m.properties)
+        .map { case (c, olds) =>
+          c -> olds.filterNot(dataSchema.fieldNames.contains) }
+    val aliasFields = statsColumns.flatMap { c =>
+      aliasesOf.getOrElse(c, Nil).map(a => dataSchema(c).copy(name = a)) }
+    val readSchema = StructType(dataSchema ++ aliasFields)
+    def resolvedCol(c: String): Column = {
+      val names = c +: aliasesOf.getOrElse(c, Nil)
+      if (names.size == 1) col(c)
+      else org.apache.spark.sql.functions.coalesce(names.map(col): _*)
+    }
     val aggs = Seq(count(lit(1)).as("_rows")) ++ statsColumns.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"_min_$c"),
       max(col(c)).cast("string").as(s"_max_$c")))
-    val perFile = spark.read.schema(dataSchema).parquet(paths: _*)
-      .select(statsColumns.map(col) :+ input_file_name().as("_f"): _*)
+    val perFile = spark.read.schema(readSchema).parquet(paths: _*)
+      .select(statsColumns.map(c => resolvedCol(c).as(c)) :+
+        input_file_name().as("_f"): _*)
       .groupBy(col("_f")).agg(aggs.head, aggs.tail: _*)
       .collect() // one row per committed FILE — metadata-bounded
     // map each scanned path back to its committed (dir, name):
@@ -2162,8 +2185,8 @@ object AtomicTable {
           org.apache.spark.sql.functions.avg(flen(col(c)))
             .as(s"_avglen_$c"))
        else Nil))
-    val colRow = spark.read.schema(dataSchema).parquet(paths: _*)
-      .select(statsColumns.map(col): _*)
+    val colRow = spark.read.schema(readSchema).parquet(paths: _*)
+      .select(statsColumns.map(c => resolvedCol(c).as(c)): _*)
       .agg(colAggs.head, colAggs.tail: _*).head()
     val colProps: Map[String, String] = statsColumns.map { c =>
       val ndv = colRow.getAs[Long](s"_ndv_$c")

@@ -172,17 +172,21 @@ object GraftBloom {
           st.getPath.getName.stripSuffix(".bloom") -> buf
         } finally in.close()
       }
-      val index = new StringBuilder("{")
+      // Jackson writes the index (not string concatenation): an entry
+      // name — data-file name + column name — containing JSON
+      // metacharacters must be ESCAPED, or a pathological name could
+      // parse into in-range-but-wrong offsets and hand the probe the
+      // wrong filter bytes (a silent false negative that skips files
+      // holding the key)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val idxNode = mapper.createObjectNode()
       var off = 0
-      entries.zipWithIndex.foreach { case ((name, bytes), i) =>
-        if (i > 0) index.append(',')
-        index.append('"').append(name).append("\":[")
-          .append(off).append(',').append(bytes.length).append(']')
+      entries.foreach { case (name, bytes) =>
+        val arr = idxNode.putArray(name)
+        arr.add(off); arr.add(bytes.length)
         off += bytes.length
       }
-      index.append('}')
-      val idxBytes = index.toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val idxBytes = mapper.writeValueAsBytes(idxNode)
       val out = fs.create(new org.apache.hadoop.fs.Path(p, BundleName), true)
       try {
         val head = java.nio.ByteBuffer.allocate(8)
@@ -191,7 +195,7 @@ object GraftBloom {
         out.write(idxBytes)
         entries.foreach { case (_, b) => out.write(b) }
       } finally out.close()
-      bundleCache.remove(dir)
+      invalidateDir(dir)
       entries.length
     } catch { case _: java.io.IOException => 0 }
   }
@@ -205,9 +209,52 @@ object GraftBloom {
     String, Option[Map[String, Array[Byte]]]]()
   private val MaxBundleBytes = 256L * 1024 * 1024
   private val bundleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  // guards every bundleCache MUTATION together with its bundleBytes
+  // accounting: the unsynchronized put-then-add left a window where a
+  // cap-triggered clear() between them stranded bytes for an entry no
+  // longer cached, permanently inflating the counter and driving
+  // repeated whole-cache clears (performance, never wrong results —
+  // fixed per ADVICE r13). Loads stay OUTSIDE the lock.
+  private val bundleLock = new Object
+
+  /** Canonical cache key of a dir: local paths normalize to their
+    * scheme-less form — the probe plans with the manifest's plain
+    * paths while writer-side invalidation sees input_file_name's
+    * `file:/...`-qualified form, and a key mismatch made writeBundle's
+    * eviction silently miss (the probe then paid per-file reads until
+    * restart). Non-local schemes keep their full URI: the authority
+    * distinguishes buckets, and `getPath` alone would collide them. */
+  private def bundleKey(dir: String): String = {
+    val u = new org.apache.hadoop.fs.Path(dir).toUri
+    if (u.getScheme == null || u.getScheme == "file") u.getPath
+    else u.toString
+  }
+
+  /** Writer-side invalidation after a sidecar rebuild/backfill: drops
+    * the dir's bundle entry (bytes-accounted) AND its per-file sidecar
+    * entries, so the probe sees the rebuilt filters immediately. */
+  private[graft] def invalidateDir(dir: String): Unit = {
+    val nk = bundleKey(dir)
+    bundleLock.synchronized {
+      val removed = bundleCache.remove(nk)
+      if (removed != null) removed.foreach(m => bundleBytes.addAndGet(
+        -m.valuesIterator.map(_.length.toLong).sum))
+    }
+    val it = cache.keySet.iterator
+    while (it.hasNext) {
+      val k = it.next()
+      val cut = k.lastIndexOf('#')
+      if (cut > 0) {
+        val parent = new org.apache.hadoop.fs.Path(
+          k.substring(0, cut)).getParent
+        if (parent != null && bundleKey(parent.toString) == nk) it.remove()
+      }
+    }
+  }
 
   private def bundleOf(dir: String): Option[Map[String, Array[Byte]]] = {
-    val hit = bundleCache.get(dir)
+    val key = bundleKey(dir)
+    val hit = bundleCache.get(key)
     if (hit != null) return hit
     val p = new org.apache.hadoop.fs.Path(dir, BundleName)
     val loaded =
@@ -258,14 +305,21 @@ object GraftBloom {
         // never loses rows, it only stops skipping
         case scala.util.control.NonFatal(_) => None
       }
-    if (bundleBytes.get() > MaxBundleBytes) {
-      bundleCache.clear()
-      bundleBytes.set(0L)
+    val entryBytes = loaded.map(
+      _.valuesIterator.map(_.length.toLong).sum).getOrElse(0L)
+    bundleLock.synchronized {
+      val prev = bundleCache.get(key)
+      if (prev != null) prev // a concurrent load won; ours is discarded
+      else {
+        if (bundleBytes.get() + entryBytes > MaxBundleBytes) {
+          bundleCache.clear()
+          bundleBytes.set(0L)
+        }
+        bundleCache.put(key, loaded)
+        bundleBytes.addAndGet(entryBytes)
+        loaded
+      }
     }
-    bundleCache.put(dir, loaded)
-    loaded.foreach(m => bundleBytes.addAndGet(
-      m.valuesIterator.map(_.length.toLong).sum))
-    loaded
   }
 
   /** The sidecar of `dataFile` (absolute, possibly scheme-qualified
@@ -307,8 +361,10 @@ object GraftBloom {
   /** Test hook: drop both probe caches (bundle + per-sidecar). */
   private[graft] def clearCaches(): Unit = {
     cache.clear()
-    bundleCache.clear()
-    bundleBytes.set(0L)
+    bundleLock.synchronized {
+      bundleCache.clear()
+      bundleBytes.set(0L)
+    }
   }
 
   /** Instrumentation: REMOTE reads performed (bundle loads + per-file

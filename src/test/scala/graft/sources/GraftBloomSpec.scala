@@ -177,6 +177,52 @@ class GraftBloomSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM gbl.db.t3").as[Long].head() === 299L)
   }
 
+  test("bundle entry names with JSON metacharacters still probe through the bundle") {
+    // a data-file (or column) name containing quote/backslash corrupted
+    // the hand-concatenated index: at best the parse failed and every
+    // probe fell back to per-file GETs; at worst in-range-but-wrong
+    // offsets handed back the WRONG filter (silent mis-skip). Jackson
+    // escapes — the bundle must serve BOTH entries with zero sidecar
+    // reads, and each entry must get ITS OWN bytes.
+    val dir = Files.createTempDirectory("graft-bloom-esc")
+    val hostile = "a\"b\\c.parquet"
+    val b1 = new GraftBloom.Builder; b1.add("k1")
+    val b2 = new GraftBloom.Builder; b2.add("k2")
+    Files.write(dir.resolve(hostile + ".id.bloom"), b1.toBytes)
+    Files.write(dir.resolve("plain.parquet.id.bloom"), b2.toBytes)
+    assert(GraftBloom.writeBundle(dir.toString) === 2)
+    GraftBloom.clearCaches()
+    val sidecarGets = GraftBloom.sidecarReads.get()
+    val h = GraftBloom.sidecarOf(dir.resolve(hostile).toString, "id").get
+    val p = GraftBloom.sidecarOf(dir.resolve("plain.parquet").toString, "id").get
+    assert(GraftBloom.mightContain(h, "k1") && !GraftBloom.mightContain(h, "k2"),
+      "the hostile-named entry must map to its own filter bytes")
+    assert(GraftBloom.mightContain(p, "k2") && !GraftBloom.mightContain(p, "k1"))
+    assert(GraftBloom.sidecarReads.get() === sidecarGets,
+      "both probes must answer from the bundle, not per-file fallback")
+  }
+
+  test("scheme-qualified writer-side rebuild evicts the plain-keyed bundle cache") {
+    // the probe caches bundles under the manifest's PLAIN dir path; the
+    // sidecar rebuild refolds via input_file_name's file:/-qualified
+    // parent — the un-normalized remove() missed the entry and the
+    // probe served the stale bundle until restart
+    val dir = Files.createTempDirectory("graft-bloom-inv")
+    val b1 = new GraftBloom.Builder; b1.add("oldkey")
+    Files.write(dir.resolve("f.parquet.id.bloom"), b1.toBytes)
+    GraftBloom.writeBundle(dir.toString)
+    GraftBloom.clearCaches()
+    val got = GraftBloom.sidecarOf(dir.resolve("f.parquet").toString, "id").get
+    assert(GraftBloom.mightContain(got, "oldkey"))
+    val b2 = new GraftBloom.Builder; b2.add("newkey")
+    Files.write(dir.resolve("f.parquet.id.bloom"), b2.toBytes)
+    GraftBloom.writeBundle("file:" + dir.toString)
+    val got2 = GraftBloom.sidecarOf(dir.resolve("f.parquet").toString, "id").get
+    assert(GraftBloom.mightContain(got2, "newkey") &&
+      !GraftBloom.mightContain(got2, "oldkey"),
+      "the file:-qualified refold must evict the plain-keyed cache entry")
+  }
+
   test("builder and byte-level setter produce identical sidecars") {
     val b = new GraftBloom.Builder
     val bytes = new Array[Byte](GraftBloom.Bits / 8)

@@ -123,6 +123,42 @@ class GraftColStatsSpec extends SparkSuite {
     }
   }
 
+  test("ANALYZE after RENAME COLUMN folds old-generation files through the alias chain") {
+    warehouse
+    spark.sql("CREATE TABLE gcs.db.t3 (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('stats_columns'='k', 'retain'='5')")
+    // generation 1 under the ORIGINAL name: k in [0, 5000)
+    (0L until 5000L).map(i => (i, i * 1.0, "a"))
+      .toDF("k", "v", "p").createOrReplaceTempView("cs_g1")
+    spark.sql("INSERT INTO gcs.db.t3 SELECT * FROM cs_g1")
+    spark.sql("ALTER TABLE gcs.db.t3 RENAME COLUMN k TO key")
+    // generation 2 under the NEW name: key in [10000, 15000)
+    (10000L until 15000L).map(i => (i, i * 1.0, "a"))
+      .toDF("key", "v", "p").createOrReplaceTempView("cs_g2")
+    spark.sql("INSERT INTO gcs.db.t3 SELECT * FROM cs_g2")
+    spark.sql("CALL gcs.system.analyze('db.t3', 'key')")
+
+    val dir = java.nio.file.Paths.get(warehouse, "db", "t3")
+    val root = AtomicTable.rootOpt(dir).get
+    // pre-fix, gen-1 files read all-null under the current name: NDV
+    // halved (~5000), null count inflated to 5000, and — the row-losing
+    // shape — the partition zone map claimed min=10000, so `key = 42`
+    // would PRUNE the partition holding it
+    val stats = AtomicTable.colStats(root.properties)("key")
+    assert(stats.ndv.exists(n => n > 9000L && n < 11000L),
+      s"NDV must cover both generations (~10000), got ${stats.ndv}")
+    assert(stats.nulls.contains(0L),
+      s"no value is null in either generation, got ${stats.nulls}")
+    val pstats = root.stats("a")
+    assert(pstats.mins.get("key").exists(_.toLong === 0L),
+      s"partition min must see gen-1 values under the old field name, " +
+        s"got ${pstats.mins}")
+    assert(pstats.maxs.get("key").exists(_.toLong === 14999L))
+    // and the old value stays REACHABLE through a pruned point read
+    assert(spark.sql("SELECT v FROM gcs.db.t3 WHERE key = 42")
+      .as[Double].head() === 42.0)
+  }
+
   test("a selective filter on an analyzed column plans a STATIC broadcast join (AQE off)") {
     warehouse
     spark.sql("CREATE TABLE gcs.db.big (k BIGINT, pay STRING, p STRING) " +
