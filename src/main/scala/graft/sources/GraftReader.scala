@@ -17,12 +17,28 @@ import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, Par
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** `columnar` is a PER-SCAN decision made by the planner (Spark forbids
+  * mixing columnar and row input partitions in one scan): true only
+  * when every required type vectorizes AND no partition of the scan
+  * carries outstanding delete vectors — vectors subtract rows at read,
+  * which the row reader does per row and the columnar path does not
+  * attempt (the maintenance contract folds vectors, so steady-state
+  * scans are columnar). */
 private[sources] class GraftReaderFactory(required: StructType,
-    renames: Map[String, Seq[String]] = Map.empty)
+    renames: Map[String, Seq[String]] = Map.empty,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required,
       renames)
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    require(gp.vectorFiles.isEmpty,
+      "columnar scan planned over a vector-carrying partition")
+    new GraftColumnarPartitionReader(gp, required, renames)
+  }
 }
 
 /** Streams one table partition's parquet rows, applying its deletion

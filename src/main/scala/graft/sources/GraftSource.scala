@@ -1969,10 +1969,23 @@ private[sources] class GraftScan(root: String, full: StructType,
     }
   }
 
+  /** Columnar leaf decode for this scan (see [[GraftReaderFactory]]):
+    * all required types must vectorize, and no partition of the pruned
+    * snapshot may carry outstanding delete vectors (the row reader
+    * subtracts them per row; the columnar path never sees them). CDF
+    * scans qualify — their per-commit append manifests never reference
+    * vectors, and the change columns ride as constant vectors. */
+  private lazy val columnarEligible: Boolean =
+    GraftColumnar.enabled &&
+    required.fields.forall(f => GraftColumnar.vectorizable(f.dataType)) && {
+      if (changeFeed || startingVersion.isDefined) true
+      else prunedManifest.forall(_.deletes.forall(_._2.isEmpty))
+    }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, GraftSource.renameAliases(
       GraftSource.rootFor(root, pinned).map(_.properties)
-        .getOrElse(Map.empty)))
+        .getOrElse(Map.empty)), columnar = columnarEligible)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
