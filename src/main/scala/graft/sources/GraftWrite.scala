@@ -596,8 +596,6 @@ private[sources] class GraftDataWriter(root: String, txn: String,
     schema: StructType, partitionCol: String, partitionId: Int, taskId: Long,
     statsColumns: Seq[String] = Nil, bloomCols: Seq[String] = Nil)
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  import org.apache.parquet.example.data.simple.SimpleGroupFactory
-  import org.apache.parquet.hadoop.example.ExampleParquetWriter
 
   private val pcols = graft.etl.AtomicTable.partCols(partitionCol)
   // a bucket level hashes its SOURCE column, a transform level derives
@@ -628,64 +626,38 @@ private[sources] class GraftDataWriter(root: String, txn: String,
   private val statsAcc = mutable.Map.empty[String, StatsAcc]
   private val dataFields =
     schema.fields.zipWithIndex.filterNot(f => pcols.contains(f._1.name))
-  private val msgType: MessageType = {
-    import org.apache.parquet.schema.Types
-    val b = Types.buildMessage()
-    dataFields.foreach { case (f, _) =>
-      val t = f.dataType match {
-        case LongType => Types.optional(INT64).named(f.name)
-        case IntegerType => Types.optional(INT32).named(f.name)
-        case DoubleType => Types.optional(DOUBLE).named(f.name)
-        case FloatType => Types.optional(FLOAT).named(f.name)
-        case BooleanType => Types.optional(BOOLEAN).named(f.name)
-        case StringType => Types.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case BinaryType => Types.optional(BINARY).named(f.name)
-        case TimestampType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(true,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case TimestampNTZType => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS)).named(f.name)
-        case DateType => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        // Spark's parquet decimal storage: unscaled INT32 for
-        // precision <= 9, INT64 <= 18, big-endian fixed bytes above
-        case d: DecimalType if d.precision <= 9 => Types.optional(INT32)
-          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-          .named(f.name)
-        case d: DecimalType if d.precision <= 18 => Types.optional(INT64)
-          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-          .named(f.name)
-        case d: DecimalType => Types.optional(FIXED_LEN_BYTE_ARRAY)
-          .length(GraftDataWriter.decimalBytes(d.precision))
-          .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
-          .named(f.name)
-        case other => throw new IllegalArgumentException(
-          s"unsupported write type $other for column ${f.name}")
-      }
-      b.addField(t)
-      ()
-    }
-    b.named("graft")
-  }
-  private val factory = new SimpleGroupFactory(msgType)
+  /** The file schema: the data columns only (partition values live in
+    * the dir structure). Spark's own [[org.apache.spark.sql.execution
+    * .datasources.parquet.ParquetWriteSupport]] converts it — the SAME
+    * physical layout the old hand-built message type produced (BINARY
+    * UTF8 strings, INT64 MICROS timestamps, the INT32/INT64/FIXED
+    * decimal widths), plus the nested types the hand-built path
+    * refused. */
+  private val dataSchema = StructType(dataFields.map(_._1).toSeq)
+  /** Codegen'd projection full row -> data-only row in file order (the
+    * write support consumes positions of [[dataSchema]]). */
+  private val project = org.apache.spark.sql.catalyst.expressions
+    .UnsafeProjection.create(dataFields.map { case (f, i) =>
+      org.apache.spark.sql.catalyst.expressions
+        .BoundReference(i, f.dataType, f.nullable)
+        : org.apache.spark.sql.catalyst.expressions.Expression
+    }.toSeq)
   private val writers = mutable.Map.empty[String,
-    org.apache.parquet.hadoop.ParquetWriter[Group]]
+    org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
 
   private[sources] def fileNameFor(): String =
     s"part-$partitionId-$taskId.parquet"
 
-  private def writerFor(part: String): org.apache.parquet.hadoop.ParquetWriter[Group] =
+  private def writerFor(part: String)
+      : org.apache.parquet.hadoop.ParquetWriter[InternalRow] =
     writers.getOrElseUpdate(part, {
       val dir = s"$root/data/$txn/" +
         graft.etl.AtomicTable.partDirSuffix(pcols, part)
       val file = new Path(s"$dir/${fileNameFor()}")
-      ExampleParquetWriter.builder(
-          org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(
-            file, new Configuration()))
-        .withType(msgType)
-        .withConf(new Configuration())
+      val conf = GraftParquetWriter.conf(dataSchema)
+      new GraftParquetWriter.Builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+        .withConf(conf)
         .build()
     })
 
@@ -722,39 +694,7 @@ private[sources] class GraftDataWriter(root: String, txn: String,
             }
         }
       })
-    val g = factory.newGroup()
-    dataFields.foreach { case (f, i) =>
-      if (!row.isNullAt(i)) f.dataType match {
-        case LongType | TimestampType | TimestampNTZType =>
-          g.add(f.name, row.getLong(i))
-        case IntegerType | DateType => g.add(f.name, row.getInt(i))
-        case DoubleType => g.add(f.name, row.getDouble(i))
-        case FloatType => g.add(f.name, row.getFloat(i))
-        case BooleanType => g.add(f.name, row.getBoolean(i))
-        case StringType => g.add(f.name, org.apache.parquet.io.api.Binary
-          .fromConstantByteArray(row.getUTF8String(i).getBytes))
-        case BinaryType => g.add(f.name, org.apache.parquet.io.api.Binary
-          .fromConstantByteArray(row.getBinary(i)))
-        case d: DecimalType if d.precision <= 9 =>
-          g.add(f.name,
-            row.getDecimal(i, d.precision, d.scale).toUnscaledLong.toInt)
-        case d: DecimalType if d.precision <= 18 =>
-          g.add(f.name, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-        case d: DecimalType =>
-          // big-endian unscaled, sign-extended to the declared width
-          val unscaled = row.getDecimal(i, d.precision, d.scale)
-            .toJavaBigDecimal.unscaledValue()
-          val n = GraftDataWriter.decimalBytes(d.precision)
-          val raw = unscaled.toByteArray
-          val out = new Array[Byte](n)
-          if (unscaled.signum() < 0) java.util.Arrays.fill(out, 0xff.toByte)
-          System.arraycopy(raw, 0, out, n - raw.length, raw.length)
-          g.add(f.name,
-            org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
-        case _ => ()
-      }
-    }
-    writerFor(partValue).write(g)
+    writerFor(partValue).write(project(row))
     // row counts are tracked UNCONDITIONALLY (they cost one increment
     // and unlock count(*)/LIMIT pushdown on untracked tables); column
     // bounds only when stats_columns declares them
@@ -819,15 +759,43 @@ private[sources] class GraftDataWriter(root: String, txn: String,
   override def close(): Unit = ()
 }
 
-private[sources] object GraftDataWriter {
-  /** Minimal byte width whose signed big-endian range covers `precision`
-    * decimal digits (Spark's ParquetWriteSupport table, computed). */
-  def decimalBytes(precision: Int): Int = {
-    var n = 1
-    while (java.math.BigInteger.TEN.pow(precision)
-      .subtract(java.math.BigInteger.ONE)
-      .bitLength() + 1 > 8 * n) n += 1
-    n
+/** Spark-native parquet writing for the graft task writers: the
+  * parquet-mr `ParquetWriter` driven by Spark's own
+  * `ParquetWriteSupport` over [[InternalRow]] — the exact write path
+  * `df.write.parquet` uses, minus the FileFormat layer. Replaces the
+  * old `ExampleParquetWriter`/`SimpleGroupFactory` path, which built a
+  * heap `Group` object tree per row (r13 verdict #4); the physical
+  * file layout is unchanged (same logical annotations, widths, and
+  * MICROS timestamps), so every reader generation sees identical
+  * bytes-level semantics. */
+private[sources] object GraftParquetWriter {
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+  import org.apache.spark.sql.internal.SQLConf
+
+  final class Builder(f: org.apache.parquet.io.OutputFile)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        InternalRow, Builder](f) {
+    override def self(): Builder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new ParquetWriteSupport()
+  }
+
+  /** The conf `ParquetWriteSupport.init` asserts on: schema under
+    * SPARK_ROW_SCHEMA plus the session keys a FileFormat write would
+    * copy from SQLConf — pinned to the values that reproduce the graft
+    * on-disk contract (modern layout, INT64 MICROS timestamps, no
+    * rebase, no field ids). */
+  def conf(dataSchema: StructType): Configuration = {
+    val c = new Configuration()
+    ParquetWriteSupport.setSchema(dataSchema, c)
+    c.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    c.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS")
+    c.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    c.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "false")
+    c.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    c
   }
 }
 

@@ -42,7 +42,11 @@ object ScanThroughputBench {
       (col("id") % 100000).cast("decimal(12,2)").as("dec"),
       (col("id") % 4).cast("string").as("p"))
       .createOrReplaceTempView("fact_src")
+    // time the WRITE too (the task writers’ parquet encode is the
+    // other half of the r13 leaf-decode finding)
+    val writeT0 = System.nanoTime()
     spark.sql("INSERT INTO gst.db.fact SELECT * FROM fact_src")
+    val writeMs = (System.nanoTime() - writeT0) / 1000000L
 
     val queries: Seq[(String, String)] = Seq(
       "wide_agg" -> ("SELECT sum(id) a, sum(v) b, avg(w) c, " +
@@ -82,7 +86,7 @@ object ScanThroughputBench {
       f""""$name":{"row_ms":$r,"columnar_ms":$c,"speedup":${r.toDouble / c}%.2f}"""
     }.mkString(",")
     println(s"""{"metric":"scan_throughput","rows":$rows,"passes":$passes,""" +
-      s""""queries":{$qjson}}""")
+      s""""write_ms":$writeMs,"queries":{$qjson}}""")
     spark.stop()
   }
 }
