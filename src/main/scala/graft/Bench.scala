@@ -103,6 +103,17 @@ object Bench {
       if (controlOn) tools.BenchControl.queries(spark, controlPath) else Nil
     val byControl = scala.collection.mutable.Map(
       controlQs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
+    // I/O limb (frozen at round 14, tools/BenchControlIO.scala): the
+    // compute control cannot see fs-stall windows (r13: drift 1.21 vs a
+    // 15x commit-family inflation), so a small-file commit + cold point
+    // probe + many-file scan run beside it and report their own drift.
+    // The headline normalization stays COMPUTE-drift-based; the I/O
+    // drift attributes a stalled window in-run.
+    val ioCtx = if (controlOn) Some(tools.BenchControlIO.setup(spark)) else None
+    val ioQs = ioCtx.map(c => tools.BenchControlIO.queries(spark, c))
+      .getOrElse(Nil)
+    val byIo = scala.collection.mutable.Map(
+      ioQs.map { case (n, _) => n -> Vector.empty[Double] }: _*)
 
     val byQuery = scala.collection.mutable.Map(
       names.map(n => n -> Vector.empty[Double]): _*)
@@ -116,6 +127,16 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[bench] $cn%-28s $sec%8.2fs")
         byControl(cn) = byControl(cn) :+ sec
+      }
+      for ((cn, act) <- ioQs) {
+        val t0 = System.nanoTime()
+        try act()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $cn failed: ${e.getMessage}")
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $cn%-28s $sec%8.2fs")
+        byIo(cn) = byIo(cn) :+ sec
       }
       for (n <- names) byQuery(n) = byQuery(n) :+ materialize(n)
     }
@@ -154,7 +175,14 @@ object Bench {
       val cref = sys.env.get("SPARK_GRAFT_CONTROL_REF").map(_.toDouble)
         .getOrElse(tools.BenchControl.Ref)
       val drift = ctotal / cref
-      s""","control":${obj(cmins)},"control_total":${fmt(ctotal)},"control_ref":${fmt(cref)},"control_drift":${fmt(drift)},"total_normalized":${fmt(total / drift)}"""
+      val ioJson = if (ioQs.isEmpty) "" else {
+        val iomins = ioQs.map { case (n, _) => n -> byIo(n).min }
+        val iototal = iomins.map(_._2).sum
+        val ioref = sys.env.get("SPARK_GRAFT_CONTROL_IO_REF").map(_.toDouble)
+          .getOrElse(tools.BenchControlIO.Ref)
+        s""","control_io":${obj(iomins)},"control_io_total":${fmt(iototal)},"control_io_ref":${fmt(ioref)},"control_io_drift":${fmt(iototal / ioref)}"""
+      }
+      s""","control":${obj(cmins)},"control_total":${fmt(ctotal)},"control_ref":${fmt(cref)},"control_drift":${fmt(drift)},"total_normalized":${fmt(total / drift)}$ioJson"""
     }
     val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(mins)},"medians":${obj(medians)},"total_median":${fmt(totalMedian)},"passes":$raw,"n_passes":$passes$controlJson,"sf":"$sfDir"}"""
     println(json)
