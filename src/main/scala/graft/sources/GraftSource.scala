@@ -1166,9 +1166,32 @@ private[sources] class GraftScan(root: String, full: StructType,
       val pcols = GraftSource.partitionColsOf(r)
       val kept = r.partitions.keySet
         .filter(filtersAdmit(_, pcols, r.stats.get))
+      // pruning observability: what the root-level admission skipped,
+      // counted WITHOUT hydrating the skipped partitions' blobs (file
+      // counts ride the root exactly so this stays O(partitions))
+      mPartsSkippedStatic.set(r.partitions.size - kept.size)
+      mFilesSkippedPartition.set(
+        r.partitions.keysIterator.filterNot(kept)
+          .map(p => r.fileCounts.getOrElse(p, 0).toLong).sum)
       val m = AtomicTable.hydrate(java.nio.file.Paths.get(root), r, kept)
       m.copy(partitions = m.partitions.filter { case (p, _) => kept(p) })
     }
+
+  // ---- scan pruning metrics (driver-side DSv2 CustomMetrics) --------
+  // Static tiers record once (under the lazy manifest/plan inits; the
+  // batch-CDF path accumulates per version); runtime tiers overwrite on
+  // every planInputPartitions call, so the values Spark collects after
+  // the FINAL planning pass describe the plan that actually ran.
+  private val mPartsSkippedStatic = new java.util.concurrent.atomic.AtomicLong
+  private val mFilesSkippedPartition = new java.util.concurrent.atomic.AtomicLong
+  private val mFilesSkippedZoneMap = new java.util.concurrent.atomic.AtomicLong
+  private val mFilesSkippedBloom = new java.util.concurrent.atomic.AtomicLong
+  @volatile private var mPartsSkippedRuntime = 0L
+  @volatile private var mFilesSkippedRuntime = 0L
+  @volatile private var mFilesSkippedLimit = 0L
+  @volatile private var mPartsPlanned = 0L
+  @volatile private var mFilesPlanned = 0L
+  @volatile private var mBytesPlanned = 0L
 
   /** V2 output ordering: every input split is ONE data file, and the
     * manifest records per dir which columns that dir's files are
@@ -1600,16 +1623,77 @@ private[sources] class GraftScan(root: String, full: StructType,
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0))
   }
 
-  override def planInputPartitions(): Array[InputPartition] = truncate(
-    applyRuntimeStats(runtimeKeep match {
-      case Some(byLevel) => planned.filter {
+  override def planInputPartitions(): Array[InputPartition] = {
+    def keysOf(ps: Array[InputPartition]) = ps.iterator
+      .collect { case p: GraftInputPartition => p.partValue }.toSet
+    def filesOf(ps: Array[InputPartition]) = ps.iterator
+      .collect { case p: GraftInputPartition => p.dataFiles.size.toLong }.sum
+    val base = planned
+    val afterDpp = runtimeKeep match {
+      case Some(byLevel) => base.filter {
         case p: GraftInputPartition =>
           val segs = p.partValues
           byLevel.forall { case (i, vs) => vs.contains(segs(i)) }
         case _ => true
       }
-      case None => planned
-    }))
+      case None => base
+    }
+    val dppDropped = keysOf(base).size - keysOf(afterDpp).size
+    val afterRt = applyRuntimeStats(afterDpp) // sets the runtime file tier
+    mPartsSkippedRuntime =
+      dppDropped.toLong + (keysOf(afterDpp).size - keysOf(afterRt).size)
+    val fin = truncate(afterRt)
+    mFilesSkippedLimit = filesOf(afterRt) - filesOf(fin)
+    mPartsPlanned = keysOf(fin).size.toLong
+    mFilesPlanned = filesOf(fin)
+    mBytesPlanned = plannedBytesOf(fin)
+    fin
+  }
+
+  /** Manifest-only byte estimate of the final plan (the same per-dir
+    * totals estimateStatistics uses, scaled by the planned fraction of
+    * each dir's files; dirs a pre-upgrade manifest doesn't size
+    * contribute 0 — a metric never pays a filesystem call). */
+  private def plannedBytesOf(ps: Array[InputPartition]): Long = {
+    val m = prunedManifest.getOrElse(return 0L)
+    val keptPerDir = scala.collection.mutable.Map.empty[String, Int]
+    ps.foreach {
+      case p: GraftInputPartition => p.dataFiles.foreach { f =>
+        val cut = f.lastIndexOf('/')
+        val parent = f.substring(0, math.max(cut, 0))
+        m.partitions.getOrElse(p.partValue, Nil)
+          .find(d => parent.endsWith("/" + d))
+          .foreach(d => keptPerDir(d) = keptPerDir.getOrElse(d, 0) + 1)
+      }
+      case _ => ()
+    }
+    keptPerDir.iterator.map { case (d, kept) =>
+      val dirBytes = m.bytes.getOrElse(d, 0L)
+      val total = m.files.get(d).map(_.size)
+        .orElse(m.fileStats.get(d).map(_.size)).getOrElse(-1)
+      if (total > 0 && kept < total) dirBytes * kept / total else dirBytes
+    }.sum
+  }
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    GraftScanMetrics.all
+
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    import GraftScanMetrics._
+    Array(
+      Value(PartitionsPlanned, mPartsPlanned),
+      Value(PartitionsSkippedStatic, mPartsSkippedStatic.get),
+      Value(PartitionsSkippedRuntime, mPartsSkippedRuntime),
+      Value(FilesPlanned, mFilesPlanned),
+      Value(FilesSkippedPartition, mFilesSkippedPartition.get),
+      Value(FilesSkippedZoneMap, mFilesSkippedZoneMap.get),
+      Value(FilesSkippedBloom, mFilesSkippedBloom.get),
+      Value(FilesSkippedRuntime, mFilesSkippedRuntime),
+      Value(FilesSkippedLimit, mFilesSkippedLimit),
+      Value(BytesPlanned, mBytesPlanned))
+  }
 
   /** Runtime zone-map skipping: drop partitions whose bounds refute
     * every runtime value on every constrained column, and (plain reads
@@ -1619,9 +1703,10 @@ private[sources] class GraftScan(root: String, full: StructType,
     * pruning can only skip storage the values cannot touch. */
   private def applyRuntimeStats(parts: Array[InputPartition])
       : Array[InputPartition] = runtimeStatKeep match {
-    case None => parts
+    case None => mFilesSkippedRuntime = 0L; parts
     case Some(byCol) =>
-      val m = prunedManifest.getOrElse(return parts)
+      val m = prunedManifest.getOrElse { mFilesSkippedRuntime = 0L; return parts }
+      var rtFileSkips = 0L
       def admits(mins: Map[String, String], maxs: Map[String, String]): Boolean =
         byCol.forall { case (c, vs) =>
           // alias-aware, same-name bounds only (see colBounds)
@@ -1636,7 +1721,7 @@ private[sources] class GraftScan(root: String, full: StructType,
             case _ => true
           }
         }
-      parts.flatMap {
+      val out = parts.flatMap {
         case p: GraftInputPartition =>
           val pAdmits = m.stats.get(p.partValue)
             .forall(st => admits(st.mins, st.maxs))
@@ -1668,10 +1753,15 @@ private[sources] class GraftScan(root: String, full: StructType,
                     vs.exists(GraftBloom.mightContain(b, _)))
             }
             if (zoneAdmits && bloomAdmits) Some(p)
-            else Some(p.copy(dataFiles = Nil): InputPartition)
+            else {
+              rtFileSkips += p.dataFiles.size
+              Some(p.copy(dataFiles = Nil): InputPartition)
+            }
           }
         case other => Some(other)
       }
+      mFilesSkippedRuntime = rtFileSkips
+      out
   }
 
   /** Exact row count of each PLANNED data file, recorded while planning
@@ -1827,13 +1917,17 @@ private[sources] class GraftScan(root: String, full: StructType,
         // bloom sidecars refute POINT predicates file by file — the
         // skip zone maps cannot do on unclustered columns (same group
         // contract: never on the row-level group-replace scan)
-        if (!skipFilesByStats || bloomChecks(m).isEmpty) afterStats
-        else afterStats.filter { path =>
-          bloomChecks(m).forall { case (c, vs) =>
-            aliasSidecar(path, c).forall(b =>
-              vs.exists(GraftBloom.mightContain(b, _)))
+        val afterBloom =
+          if (!skipFilesByStats || bloomChecks(m).isEmpty) afterStats
+          else afterStats.filter { path =>
+            bloomChecks(m).forall { case (c, vs) =>
+              aliasSidecar(path, c).forall(b =>
+                vs.exists(GraftBloom.mightContain(b, _)))
+            }
           }
-        }
+        mFilesSkippedZoneMap.addAndGet((all.size - afterStats.size).toLong)
+        mFilesSkippedBloom.addAndGet((afterStats.size - afterBloom.size).toLong)
+        afterBloom
       }
       val vecFiles = m.deletes.getOrElse(part, Nil)
         .flatMap(d => listParquet(conf, s"$root/$d"))
