@@ -137,6 +137,64 @@ class GraftColumnarSpec extends SparkSuite {
     assert(rows.drop(50).map(_._2) === (100L until 150L).map(i => Some(s"e$i")))
   }
 
+  test("all three decimal storage widths decode columnar, through a rename, zone maps intact") {
+    warehouse
+    // precision 7 -> INT32, 15 -> INT64, 25 -> FIXED_LEN_BYTE_ARRAY:
+    // three distinct physical decodes in the vectorized reader
+    spark.sql("CREATE TABLE gcol.db.t5 (k BIGINT, d7 DECIMAL(7,2), " +
+      "d15 DECIMAL(15,4), d25 DECIMAL(25,6), p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5', " +
+      "'stats_columns'='d15')")
+    def gen(r: Range, p: String) = r.map(i => (i.toLong,
+      BigDecimal(i).setScale(2) + BigDecimal("0.25"),
+      BigDecimal(i).setScale(4) * 1000,
+      BigDecimal(i).setScale(6) * BigDecimal("1000000000000"),
+      p)).toDF("k", "d7", "d15", "d25", "p")
+    gen(0 until 50, "a").createOrReplaceTempView("dec_g1")
+    spark.sql("INSERT INTO gcol.db.t5 SELECT * FROM dec_g1")
+    // rename the INT64-width decimal, then append a second generation:
+    // one scan must decode BOTH file generations columnar, resolving
+    // the old footer name positionally
+    spark.sql("ALTER TABLE gcol.db.t5 RENAME COLUMN d15 TO m15")
+    gen(100 until 150, "a")
+      .withColumnRenamed("d15", "m15").createOrReplaceTempView("dec_g2")
+    spark.sql("INSERT INTO gcol.db.t5 SELECT k, d7, m15, d25, p FROM dec_g2")
+
+    val df = spark.sql("SELECT k, d7, m15, d25 FROM gcol.db.t5 ORDER BY k")
+    assert(allColumnar(df), "decimal widths must all vectorize")
+    val rows = df.collect()
+    assert(rows.length === 100)
+    val r7 = rows(7)
+    assert(r7.getDecimal(1) === new java.math.BigDecimal("7.25"))
+    assert(r7.getDecimal(2) === new java.math.BigDecimal("7000.0000"))
+    assert(r7.getDecimal(3) ===
+      new java.math.BigDecimal("7000000000000.000000"))
+    val r57 = rows(57) // gen 2, k=107
+    assert(r57.getDecimal(2) === new java.math.BigDecimal("107000.0000"),
+      "gen-2 renamed decimal must decode through the current name")
+    // zone maps recorded under the OLD name still prune files through
+    // the alias — and the pruned scan stays columnar
+    val pruned = spark.sql(
+      "SELECT k FROM gcol.db.t5 WHERE m15 = CAST(107000 AS DECIMAL(15,4))")
+    assert(allColumnar(pruned))
+    pruned.collect()
+    val scan = scansOf(pruned.queryExecution.executedPlan)
+      .head.scan.asInstanceOf[GraftScan]
+    val files = scan.planInputPartitions()
+      .flatMap(_.asInstanceOf[GraftInputPartition].dataFiles)
+    assert(files.length === 1, s"alias zone map must prune to one file, got ${files.length}")
+
+    // group-replace (UPDATE) over the columnar-eligible table: the
+    // rewrite must be exact, and the table stays columnar after it
+    spark.sql("UPDATE gcol.db.t5 SET d7 = d7 + 1 WHERE k = 7")
+    val after = spark.sql("SELECT d7 FROM gcol.db.t5 WHERE k = 7")
+    assert(allColumnar(after), "post-rewrite reads stay columnar")
+    assert(after.collect().head.getDecimal(0) ===
+      new java.math.BigDecimal("8.25"))
+    assert(spark.sql("SELECT count(*) FROM gcol.db.t5").as[Long].head()
+      === 100L, "group replace must not lose rows")
+  }
+
   test("batch CDF scans decode columnar with per-commit constant vectors") {
     warehouse
     spark.sql("CREATE TABLE gcol.db.t4 (k BIGINT, p STRING) " +
