@@ -216,6 +216,19 @@ private[sources] object GraftColumnar {
     case _ => false
   }
 
+  /** Delete-key types whose [[GraftPartitionReader.rawValue]] raw form
+    * is exactly recoverable from a catalyst column vector — the gate
+    * for the vectorized row path over a DV-carrying partition.
+    * Decimals are excluded (their raw form depends on the file's
+    * physical width); short/byte are excluded (stored INT32, raw form
+    * is Int, but a catalyst Short/Byte vector renders Short/Byte). */
+  def simpleKeyType(dt: DataType): Boolean = dt match {
+    case BooleanType | IntegerType | DateType | LongType | TimestampType |
+        TimestampNTZType | FloatType | DoubleType | StringType |
+        BinaryType => true
+    case _ => false
+  }
+
   /** The Hadoop conf a bare [[VectorizedParquetRecordReader]] needs:
     * `SpecificParquetRecordReaderBase.initialize` rebuilds Spark's
     * parquet-to-catalyst converter from these SQLConf keys (Spark's own

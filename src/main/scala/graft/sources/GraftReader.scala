@@ -26,11 +26,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * scans are columnar). */
 private[sources] class GraftReaderFactory(required: StructType,
     renames: Map[String, Seq[String]] = Map.empty,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    colTypes: Map[String, DataType] = Map.empty)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new GraftPartitionReader(p.asInstanceOf[GraftInputPartition], required,
-      renames)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    // the ROW path still decodes VECTORIZED whenever it can: a scan
+    // plans row-based because SOME partition carries delete vectors
+    // (or the kill switch fired), but each partition independently
+    // keeps the columnar decode — DV subtraction probes the batch's
+    // key vectors per row. Per-partition fallback to the Group reader
+    // only for non-vectorizable required types or delete-key types
+    // whose raw probe form a catalyst vector cannot render.
+    val vectorized = GraftColumnar.enabled &&
+      required.fields.forall(f => GraftColumnar.vectorizable(f.dataType)) &&
+      (gp.vectorFiles.isEmpty ||
+        gp.keyCols.forall(c =>
+          colTypes.get(c).exists(GraftColumnar.simpleKeyType)))
+    if (vectorized) new GraftVectorizedRowReader(gp, required, renames, colTypes)
+    else new GraftPartitionReader(gp, required, renames)
+  }
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -94,21 +109,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   // per scan (100 object-store GETs each at scale). Vector dirs are
   // immutable once committed, so the cache can never go stale.
   private val deleted: java.util.HashSet[Seq[Any]] =
-    if (part.vectorFiles.isEmpty) GraftPartitionReader.EmptyKeys
-    else GraftPartitionReader.deletedKeys(
-      part.vectorFiles.mkString(",") + "#" + part.keyCols.mkString(","),
-      () => {
-        val s = new java.util.HashSet[Seq[Any]]()
-        val candidates = part.keyCols.flatMap(keyAliases).toSet
-        for (vf <- part.vectorFiles)
-          readGroups(vf, candidates) { (g, names) =>
-            s.add(part.keyCols.map(c =>
-              keyAliases(c).collectFirst {
-                case a if names.contains(a) => rawValue(g, names(a))
-              }.orNull))
-          }
-        s
-      })
+    GraftPartitionReader.deletedKeysFor(part, renames)
 
   private val files = part.dataFiles.iterator
   private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = _
@@ -161,48 +162,11 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
     true
   }
 
-  private def projectSchema(file: MessageType, cols: Seq[String]): MessageType = {
-    val kept = file.getFields.asScala.filter(f => cols.contains(f.getName))
-    new MessageType(file.getName, kept.asJava)
-  }
+  private def projectSchema(file: MessageType, cols: Seq[String]): MessageType =
+    GraftPartitionReader.projectSchema(file, cols)
 
-  private def readGroups(file: String, cols: Set[String])(
-      f: (Group, Map[String, Int]) => Unit): Unit = {
-    val path = new Path(file)
-    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
-      finally footer.close()
-    val projected = projectSchema(fileSchema, cols.toSeq)
-    val c = new Configuration()
-    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      projected.toString)
-    val idx = projected.getFields.asScala.zipWithIndex
-      .map { case (g, i) => g.getName -> i }.toMap
-    val r = org.apache.parquet.hadoop.ParquetReader
-      .builder(new GroupReadSupport(), path).withConf(c).build()
-    try {
-      var g = r.read()
-      while (g != null) { f(g, idx); g = r.read() }
-    } finally r.close()
-  }
-
-  /** The raw comparable value of field `i` of `g` (null-safe): what the
-    * deleted-key tuples and the row-side probe both use. */
-  private def rawValue(g: Group, i: Int): Any = {
-    if (g.getFieldRepetitionCount(i) == 0) return null
-    val t = g.getType.getType(i).asPrimitiveType()
-    t.getPrimitiveTypeName match {
-      case BOOLEAN => g.getBoolean(i, 0)
-      case INT32 => g.getInteger(i, 0)
-      case INT64 => g.getLong(i, 0)
-      case FLOAT => g.getFloat(i, 0)
-      case DOUBLE => g.getDouble(i, 0)
-      case BINARY | INT96 | FIXED_LEN_BYTE_ARRAY =>
-        new String(java.util.Base64.getEncoder.encode(
-          g.getBinary(i, 0).getBytes))
-      case other => throw new IllegalArgumentException(s"unsupported key type $other")
-    }
-  }
+  private def rawValue(g: Group, i: Int): Any =
+    GraftPartitionReader.rawValue(g, i)
 
   /** Catalyst value for required field `name` from the group. */
   private def catalystValue(g: Group, name: String, dt: DataType): Any = {
@@ -307,8 +271,171 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   override def close(): Unit = if (reader != null) reader.close()
 }
 
+/** Row-emitting reader over the VECTORIZED decode: batches come from a
+  * [[GraftColumnarPartitionReader]] over (required ++ the partition's
+  * delete-key columns), delete-vector subtraction probes the key
+  * column vectors per row, and surviving rows hand out as the batch's
+  * mutable row view restricted to the required width. This is what a
+  * DV-carrying partition reads through when its key types allow: the
+  * decode stays columnar (the r14 3x leaf win) even though the scan
+  * reports rows — Spark forbids mixing columnar and row partitions in
+  * one scan, and a ColumnarBatch cannot subtract keys. */
+private[sources] class GraftVectorizedRowReader(part: GraftInputPartition,
+    required: StructType, renames: Map[String, Seq[String]],
+    colTypes: Map[String, DataType])
+    extends PartitionReader[InternalRow] {
+  GraftVectorizedRowReader.opened.incrementAndGet()
+
+  // key columns ride the batch only while vectors are outstanding
+  private val extraKeys: Seq[StructField] =
+    if (part.vectorFiles.isEmpty) Nil
+    else part.keyCols.filterNot(required.fieldNames.contains)
+      .map(c => StructField(c, colTypes(c)))
+  private val extended = StructType(required.fields ++ extraKeys)
+  private val inner = new GraftColumnarPartitionReader(part, extended, renames)
+  private val deleted = GraftPartitionReader.deletedKeysFor(part, renames)
+  private val keyOrds: Array[Int] =
+    if (part.vectorFiles.isEmpty) Array.empty
+    else part.keyCols.map(extended.fieldNames.indexOf(_)).toArray
+  private val keyTypes: Array[DataType] = keyOrds.map(extended(_).dataType)
+
+  private var wrapper: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  private var reqBatch: org.apache.spark.sql.vectorized.ColumnarBatch = _
+  private var nRows = 0
+  private var rowId = 0
+  private var current = 0
+
+  /** The probe value of key `k` at `row` — the SAME raw comparable form
+    * [[GraftPartitionReader.rawValue]] renders from the vector files
+    * (the factory only routes here for key types whose raw form is
+    * recoverable from the catalyst vector). */
+  private def probe(k: Int, row: Int): Any = {
+    val v = wrapper.column(keyOrds(k))
+    if (v.isNullAt(row)) return null
+    keyTypes(k) match {
+      case BooleanType => v.getBoolean(row)
+      case IntegerType | DateType => v.getInt(row)
+      case LongType | TimestampType | TimestampNTZType => v.getLong(row)
+      case FloatType => v.getFloat(row)
+      case DoubleType => v.getDouble(row)
+      case StringType => new String(java.util.Base64.getEncoder
+        .encode(v.getUTF8String(row).getBytes))
+      case BinaryType => new String(java.util.Base64.getEncoder
+        .encode(v.getBinary(row)))
+      case other => throw new IllegalArgumentException(
+        s"unsupported delete-key type $other")
+    }
+  }
+
+  private def isDeleted(row: Int): Boolean =
+    !deleted.isEmpty && {
+      val t = Seq.newBuilder[Any]
+      var k = 0
+      while (k < keyOrds.length) { t += probe(k, row); k += 1 }
+      deleted.contains(t.result())
+    }
+
+  override def next(): Boolean = {
+    while (true) {
+      while (rowId < nRows) {
+        if (!isDeleted(rowId)) { current = rowId; rowId += 1; return true }
+        rowId += 1
+      }
+      if (!inner.next()) return false
+      val w = inner.get()
+      if (w ne wrapper) { // new file: rebuild the required-width view
+        wrapper = w
+        reqBatch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+          Array.tabulate(required.length)(w.column(_)
+            : org.apache.spark.sql.vectorized.ColumnVector))
+      }
+      nRows = w.numRows()
+      reqBatch.setNumRows(nRows)
+      rowId = 0
+    }
+    false
+  }
+
+  override def get(): InternalRow = reqBatch.getRow(current)
+  override def close(): Unit = inner.close()
+}
+
+private[sources] object GraftVectorizedRowReader {
+  /** Test instrumentation: readers opened on the vectorized row path. */
+  private[graft] val opened = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 private[sources] object GraftPartitionReader {
   private[sources] val EmptyKeys = new java.util.HashSet[Seq[Any]]()
+
+  private[sources] def projectSchema(file: MessageType,
+      cols: Seq[String]): MessageType = {
+    val kept = file.getFields.asScala.filter(f => cols.contains(f.getName))
+    new MessageType(file.getName, kept.asJava)
+  }
+
+  private def readGroups(file: String, cols: Set[String])(
+      f: (Group, Map[String, Int]) => Unit): Unit = {
+    val conf = new Configuration()
+    val path = new Path(file)
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val fileSchema = try footer.getFooter.getFileMetaData.getSchema
+      finally footer.close()
+    val projected = projectSchema(fileSchema, cols.toSeq)
+    val c = new Configuration()
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projected.toString)
+    val idx = projected.getFields.asScala.zipWithIndex
+      .map { case (g, i) => g.getName -> i }.toMap
+    val r = org.apache.parquet.hadoop.ParquetReader
+      .builder(new GroupReadSupport(), path).withConf(c).build()
+    try {
+      var g = r.read()
+      while (g != null) { f(g, idx); g = r.read() }
+    } finally r.close()
+  }
+
+  /** The raw comparable value of field `i` of `g` (null-safe): what the
+    * deleted-key tuples and both row-side probes use. */
+  private[sources] def rawValue(g: Group, i: Int): Any = {
+    if (g.getFieldRepetitionCount(i) == 0) return null
+    val t = g.getType.getType(i).asPrimitiveType()
+    t.getPrimitiveTypeName match {
+      case BOOLEAN => g.getBoolean(i, 0)
+      case INT32 => g.getInteger(i, 0)
+      case INT64 => g.getLong(i, 0)
+      case FLOAT => g.getFloat(i, 0)
+      case DOUBLE => g.getDouble(i, 0)
+      case BINARY | INT96 | FIXED_LEN_BYTE_ARRAY =>
+        new String(java.util.Base64.getEncoder.encode(
+          g.getBinary(i, 0).getBytes))
+      case other => throw new IllegalArgumentException(s"unsupported key type $other")
+    }
+  }
+
+  /** The partition's deleted-key set (process-wide cached; see the
+    * cache notes below). Shared by BOTH row readers so the decode-once
+    * contract and the `loads` instrumentation hold regardless of which
+    * decode path a partition takes. */
+  private[sources] def deletedKeysFor(part: GraftInputPartition,
+      renames: Map[String, Seq[String]]): java.util.HashSet[Seq[Any]] = {
+    if (part.vectorFiles.isEmpty) return EmptyKeys
+    def keyAliases(c: String): Seq[String] = c +: renames.getOrElse(c, Nil)
+    deletedKeys(
+      part.vectorFiles.mkString(",") + "#" + part.keyCols.mkString(","),
+      () => {
+        val s = new java.util.HashSet[Seq[Any]]()
+        val candidates = part.keyCols.flatMap(keyAliases).toSet
+        for (vf <- part.vectorFiles)
+          readGroups(vf, candidates) { (g, names) =>
+            s.add(part.keyCols.map(c =>
+              keyAliases(c).collectFirst {
+                case a if names.contains(a) => rawValue(g, names(a))
+              }.orNull))
+          }
+        s
+      })
+  }
 
   // (vector-file list, key cols) -> decoded key set. Vector files are
   // immutable once committed and a new vector commit changes the LIST,

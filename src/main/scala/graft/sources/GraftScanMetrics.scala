@@ -9,18 +9,18 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
   * Spark aggregates one value per scan node (driver metrics arrive as a
   * single synthetic task update).
   *
+  * Each metric is its own TOP-LEVEL class with a zero-arg constructor:
+  * the SQL UI listener re-instantiates metric classes reflectively to
+  * aggregate values (`CustomMetrics.buildV2CustomMetricTypeName` /
+  * SQLAppStatusListener), so a parameterized shared class would make
+  * every aggregation throw.
+  *
   * Naming: `partitions` are table partitions (manifest keys), `files`
   * are committed data files. "static" = decided from pushed filters
   * against manifest metadata at plan time; "runtime" = decided from
   * join-side values delivered through SupportsRuntimeV2Filtering (DPP
-  * and runtime zone-map/bloom skipping).
-  */
+  * and runtime zone-map/bloom skipping). */
 private[sources] object GraftScanMetrics {
-  private class M(n: String, d: String) extends CustomSumMetric {
-    override def name(): String = n
-    override def description(): String = d
-  }
-
   val PartitionsPlanned = "partitionsPlanned"
   val PartitionsSkippedStatic = "partitionsSkippedStatic"
   val PartitionsSkippedRuntime = "partitionsSkippedRuntime"
@@ -34,20 +34,56 @@ private[sources] object GraftScanMetrics {
 
   /** The scan's advertised metric set (order is display order). */
   def all: Array[CustomMetric] = Array(
-    new M(PartitionsPlanned, "partitions planned"),
-    new M(PartitionsSkippedStatic, "partitions skipped (key/zone-map)"),
-    new M(PartitionsSkippedRuntime, "partitions skipped (DPP/runtime)"),
-    new M(FilesPlanned, "files planned"),
-    new M(FilesSkippedPartition, "files inside skipped partitions"),
-    new M(FilesSkippedZoneMap, "files skipped (zone map)"),
-    new M(FilesSkippedBloom, "files skipped (bloom)"),
-    new M(FilesSkippedRuntime, "files skipped (runtime zone-map/bloom)"),
-    new M(FilesSkippedLimit, "files skipped (LIMIT/TopN)"),
-    new M(BytesPlanned, "bytes planned (manifest estimate)"))
+    new PartitionsPlannedMetric, new PartitionsSkippedStaticMetric,
+    new PartitionsSkippedRuntimeMetric, new FilesPlannedMetric,
+    new FilesSkippedPartitionMetric, new FilesSkippedZoneMapMetric,
+    new FilesSkippedBloomMetric, new FilesSkippedRuntimeMetric,
+    new FilesSkippedLimitMetric, new BytesPlannedMetric)
 
   final case class Value(metricName: String, metricValue: Long)
       extends CustomTaskMetric {
     override def name(): String = metricName
     override def value(): Long = metricValue
   }
+}
+
+private[sources] class PartitionsPlannedMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.PartitionsPlanned
+  override def description(): String = "partitions planned"
+}
+private[sources] class PartitionsSkippedStaticMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.PartitionsSkippedStatic
+  override def description(): String = "partitions skipped (key/zone-map)"
+}
+private[sources] class PartitionsSkippedRuntimeMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.PartitionsSkippedRuntime
+  override def description(): String = "partitions skipped (DPP/runtime)"
+}
+private[sources] class FilesPlannedMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.FilesPlanned
+  override def description(): String = "files planned"
+}
+private[sources] class FilesSkippedPartitionMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.FilesSkippedPartition
+  override def description(): String = "files inside skipped partitions"
+}
+private[sources] class FilesSkippedZoneMapMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.FilesSkippedZoneMap
+  override def description(): String = "files skipped (zone map)"
+}
+private[sources] class FilesSkippedBloomMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.FilesSkippedBloom
+  override def description(): String = "files skipped (bloom)"
+}
+private[sources] class FilesSkippedRuntimeMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.FilesSkippedRuntime
+  override def description(): String = "files skipped (runtime zone-map/bloom)"
+}
+private[sources] class FilesSkippedLimitMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.FilesSkippedLimit
+  override def description(): String = "files skipped (LIMIT/TopN)"
+}
+private[sources] class BytesPlannedMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.BytesPlanned
+  override def description(): String = "bytes planned (manifest estimate)"
 }

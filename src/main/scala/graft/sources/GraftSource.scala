@@ -2079,7 +2079,8 @@ private[sources] class GraftScan(root: String, full: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, GraftSource.renameAliases(
       GraftSource.rootFor(root, pinned).map(_.properties)
-        .getOrElse(Map.empty)), columnar = columnarEligible)
+        .getOrElse(Map.empty)), columnar = columnarEligible,
+      colTypes = full.fields.map(f => f.name -> f.dataType).toMap)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -2231,7 +2232,8 @@ private[sources] class GraftMicroBatchStream(root: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required, GraftSource.renameAliases(
       AtomicTable.rootOpt(java.nio.file.Paths.get(root))
-        .map(_.properties).getOrElse(Map.empty)))
+        .map(_.properties).getOrElse(Map.empty)),
+      colTypes = full.fields.map(f => f.name -> f.dataType).toMap)
 }
 
 private[sources] final case class GraftInputPartition(partValue: String,

@@ -85,8 +85,47 @@ object ScanThroughputBench {
       val r = rowMs(name); val c = colMs(name)
       f""""$name":{"row_ms":$r,"columnar_ms":$c,"speedup":${r.toDouble / c}%.2f}"""
     }.mkString(",")
+    // ---- DV phase (r14): the same scans over OUTSTANDING delete
+    // vectors. The scan must plan row-based either way (a batch cannot
+    // subtract keys), but the vectorized row path keeps the columnar
+    // DECODE and probes the key vectors per row; the kill switch is
+    // again the before-lever (it routes the row path to the parquet-mr
+    // Group reader).
+    val factSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("dec",
+        org.apache.spark.sql.types.DecimalType(12, 2)),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    graft.etl.MergeInto.deleteKeysMor(spark,
+      java.nio.file.Paths.get(warehouse, "db", "fact").toString, factSchema,
+      spark.range(rows).filter(col("id") % 101 === 0)
+        .select(col("id"), (col("id") % 4).cast("string").as("p")),
+      Seq("id"), "p", retain = 2)
+
+    System.setProperty("graft.scan.columnar", "false")
+    val dvRowFp = fingerprint()
+    val dvRowMs = run("dv_row")
+    System.setProperty("graft.scan.columnar", "true")
+    val dvVecFp = fingerprint()
+    require(dvRowFp == dvVecFp,
+      s"DV row/vectorized answers diverge:\n$dvRowFp\n$dvVecFp")
+    require(dvRowFp != rowFp, "the MOR delete must change the answers")
+    val dvVecMs = run("dv_vectorized")
+
+    val dvjson = queries.map { case (name, _) =>
+      val r = dvRowMs(name); val c = dvVecMs(name)
+      f""""$name":{"group_ms":$r,"vectorized_ms":$c,"speedup":${r.toDouble / c}%.2f}"""
+    }.mkString(",")
     println(s"""{"metric":"scan_throughput","rows":$rows,"passes":$passes,""" +
-      s""""write_ms":$writeMs,"queries":{$qjson}}""")
+      s""""write_ms":$writeMs,"queries":{$qjson},"dv_queries":{$dvjson}}""")
     spark.stop()
   }
 }

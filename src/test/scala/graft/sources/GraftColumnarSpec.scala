@@ -102,6 +102,7 @@ class GraftColumnarSpec extends SparkSuite {
     graft.etl.MergeInto.deleteKeysMor(spark,
       java.nio.file.Paths.get(warehouse, "db", "t2").toString, schema,
       Seq((7L, "a"), (13L, "a")).toDF("k", "p"), Seq("k"), "p", retain = 5)
+    val opened0 = GraftVectorizedRowReader.opened.get()
     val after = spark.sql("SELECT k FROM gcol.db.t2")
     after.collect()
     val scan = scansOf(after.queryExecution.executedPlan).head
@@ -110,6 +111,44 @@ class GraftColumnarSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM gcol.db.t2").as[Long].head() === 98L)
     assert(spark.sql("SELECT k FROM gcol.db.t2 WHERE k IN (7, 13)")
       .collect().isEmpty, "vector-hidden keys must not resurface")
+    // the ROW path still DECODES vectorized: simple key types (here a
+    // BIGINT) probe the batch's key vectors per row instead of falling
+    // back to the parquet-mr Group reader
+    assert(GraftVectorizedRowReader.opened.get() > opened0,
+      "DV scans with simple key types must take the vectorized row path")
+  }
+
+  test("decimal delete keys fall back to the Group reader, results exact") {
+    warehouse
+    spark.sql("CREATE TABLE gcol.db.t6 (dec DECIMAL(12,3), v DOUBLE, " +
+      "p STRING) PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
+    (0 until 50).map(i => (BigDecimal(i).setScale(3) + BigDecimal("0.125"),
+      i * 1.0, "a")).toDF("dec", "v", "p").createOrReplaceTempView("col_dk")
+    spark.sql("INSERT INTO gcol.db.t6 SELECT * FROM col_dk")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dec",
+        org.apache.spark.sql.types.DecimalType(12, 3)),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    graft.etl.MergeInto.deleteKeysMor(spark,
+      java.nio.file.Paths.get(warehouse, "db", "t6").toString, schema,
+      Seq(("7.125", "a"), ("13.125", "a")).toDF("dec", "p")
+        .select(org.apache.spark.sql.functions.col("dec")
+          .cast("decimal(12,3)").as("dec"),
+          org.apache.spark.sql.functions.col("p")),
+      Seq("dec"), "p", retain = 5)
+    // a decimal's raw probe form depends on the file's physical width —
+    // the vectorized row path must NOT claim this partition
+    val opened0 = GraftVectorizedRowReader.opened.get()
+    assert(spark.sql("SELECT count(*) FROM gcol.db.t6").as[Long].head()
+      === 48L, "decimal-keyed MOR delete must subtract exactly")
+    assert(spark.sql(
+      "SELECT v FROM gcol.db.t6 WHERE dec = CAST(7.125 AS DECIMAL(12,3))")
+      .collect().isEmpty, "deleted decimal key must not resurface")
+    assert(GraftVectorizedRowReader.opened.get() === opened0,
+      "decimal delete keys must take the Group-reader fallback")
   }
 
   test("mixed-generation RENAME files decode columnar in ONE scan; added columns null-fill") {
