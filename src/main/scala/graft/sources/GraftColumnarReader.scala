@@ -56,10 +56,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * are vector-free and columnar. */
 private[sources] class GraftColumnarPartitionReader(
     part: GraftInputPartition, required: StructType,
-    renames: Map[String, Seq[String]])
+    renames: Map[String, Seq[String]],
+    countRows: Boolean = true) // false when nested in the row path,
+    // which tallies its own (post-subtraction) rows
     extends PartitionReader[ColumnarBatch] {
 
   private val conf = GraftColumnar.readerConf()
+  private val ctr = GraftTaskDecodeCounters.forCurrentTask()
 
   // required index -> typed partition-level constant (same name-based
   // resolution and typed-constant contract as GraftPartitionReader)
@@ -172,6 +175,7 @@ private[sources] class GraftColumnarPartitionReader(
       if (inner == null && !openNext()) return false
       if (inner.nextBatch()) {
         wrapper.setNumRows(innerBatch.numRows())
+        if (countRows) ctr.columnar += innerBatch.numRows()
         return true
       }
       if (!openNext()) return false
@@ -180,6 +184,10 @@ private[sources] class GraftColumnarPartitionReader(
   }
 
   override def get(): ColumnarBatch = wrapper
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ctr.values
 
   private def closeInner(): Unit =
     if (inner != null) { inner.close(); inner = null }

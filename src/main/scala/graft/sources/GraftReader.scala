@@ -110,6 +110,7 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   // immutable once committed, so the cache can never go stale.
   private val deleted: java.util.HashSet[Seq[Any]] =
     GraftPartitionReader.deletedKeysFor(part, renames)
+  private val ctr = GraftTaskDecodeCounters.forCurrentTask()
 
   private val files = part.dataFiles.iterator
   private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = _
@@ -237,7 +238,9 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
           deleted.contains(part.keyCols.map(c =>
             resolvedKey.get(c).flatMap(fieldIdx.get)
               .map(rawValue(g, _)).orNull))
+        if (isDeleted) ctr.dv += 1
         if (!isDeleted) {
+          ctr.grpRow += 1
           val row = new GenericInternalRow(required.length)
           var j = 0
           while (j < required.length) {
@@ -269,6 +272,10 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
 
   override def get(): InternalRow = current
   override def close(): Unit = if (reader != null) reader.close()
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ctr.values
 }
 
 /** Row-emitting reader over the VECTORIZED decode: batches come from a
@@ -292,8 +299,10 @@ private[sources] class GraftVectorizedRowReader(part: GraftInputPartition,
     else part.keyCols.filterNot(required.fieldNames.contains)
       .map(c => StructField(c, colTypes(c)))
   private val extended = StructType(required.fields ++ extraKeys)
-  private val inner = new GraftColumnarPartitionReader(part, extended, renames)
+  private val inner =
+    new GraftColumnarPartitionReader(part, extended, renames, countRows = false)
   private val deleted = GraftPartitionReader.deletedKeysFor(part, renames)
+  private val ctr = GraftTaskDecodeCounters.forCurrentTask()
   private val keyOrds: Array[Int] =
     if (part.vectorFiles.isEmpty) Array.empty
     else part.keyCols.map(extended.fieldNames.indexOf(_)).toArray
@@ -338,8 +347,12 @@ private[sources] class GraftVectorizedRowReader(part: GraftInputPartition,
   override def next(): Boolean = {
     while (true) {
       while (rowId < nRows) {
-        if (!isDeleted(rowId)) { current = rowId; rowId += 1; return true }
+        if (!isDeleted(rowId)) {
+          current = rowId; rowId += 1; ctr.vecRow += 1
+          return true
+        }
         rowId += 1
+        ctr.dv += 1
       }
       if (!inner.next()) return false
       val w = inner.get()
@@ -358,6 +371,10 @@ private[sources] class GraftVectorizedRowReader(part: GraftInputPartition,
 
   override def get(): InternalRow = reqBatch.getRow(current)
   override def close(): Unit = inner.close()
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    ctr.values
 }
 
 private[sources] object GraftVectorizedRowReader {

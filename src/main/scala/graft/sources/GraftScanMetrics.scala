@@ -31,6 +31,12 @@ private[sources] object GraftScanMetrics {
   val FilesSkippedRuntime = "filesSkippedRuntime"
   val FilesSkippedLimit = "filesSkippedLimit"
   val BytesPlanned = "bytesPlanned"
+  // task-side (executor) metrics: which decode path the surviving
+  // bytes actually took, and what the delete vectors subtracted
+  val RowsColumnar = "rowsDecodedColumnar"
+  val RowsVectorizedRow = "rowsDecodedVectorizedRow"
+  val RowsGroupRow = "rowsDecodedGroupRow"
+  val DvRowsSubtracted = "dvRowsSubtracted"
 
   /** The scan's advertised metric set (order is display order). */
   def all: Array[CustomMetric] = Array(
@@ -38,12 +44,46 @@ private[sources] object GraftScanMetrics {
     new PartitionsSkippedRuntimeMetric, new FilesPlannedMetric,
     new FilesSkippedPartitionMetric, new FilesSkippedZoneMapMetric,
     new FilesSkippedBloomMetric, new FilesSkippedRuntimeMetric,
-    new FilesSkippedLimitMetric, new BytesPlannedMetric)
+    new FilesSkippedLimitMetric, new BytesPlannedMetric,
+    new RowsColumnarMetric, new RowsVectorizedRowMetric,
+    new RowsGroupRowMetric, new DvRowsSubtractedMetric)
 
   final case class Value(metricName: String, metricValue: Long)
       extends CustomTaskMetric {
     override def name(): String = metricName
     override def value(): Long = metricValue
+  }
+}
+
+/** Per-TASK decode counters. Spark polls `currentMetricsValues` and
+  * SETS the task accumulator to the reported value (CustomMetrics
+  * .updateMetrics), and a key-grouped scan packs several input
+  * partitions — several readers, sequentially — into ONE task: a
+  * per-reader counter would be overwritten by each successive reader.
+  * All readers of a task share this holder, so the last poll always
+  * carries the task's full tally; entries clean up on task completion. */
+private[sources] object GraftTaskDecodeCounters {
+  final class Holder {
+    var columnar = 0L
+    var vecRow = 0L
+    var grpRow = 0L
+    var dv = 0L
+    def values: Array[CustomTaskMetric] = Array(
+      GraftScanMetrics.Value(GraftScanMetrics.RowsColumnar, columnar),
+      GraftScanMetrics.Value(GraftScanMetrics.RowsVectorizedRow, vecRow),
+      GraftScanMetrics.Value(GraftScanMetrics.RowsGroupRow, grpRow),
+      GraftScanMetrics.Value(GraftScanMetrics.DvRowsSubtracted, dv))
+  }
+  private val perTask =
+    new java.util.concurrent.ConcurrentHashMap[Long, Holder]()
+  def forCurrentTask(): Holder = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc == null) new Holder // driver-side/local scratch: uncounted
+    else perTask.computeIfAbsent(tc.taskAttemptId(), _ => {
+      tc.addTaskCompletionListener[Unit](_ =>
+        perTask.remove(tc.taskAttemptId()))
+      new Holder
+    })
   }
 }
 
@@ -86,4 +126,20 @@ private[sources] class FilesSkippedLimitMetric extends CustomSumMetric {
 private[sources] class BytesPlannedMetric extends CustomSumMetric {
   override def name(): String = GraftScanMetrics.BytesPlanned
   override def description(): String = "bytes planned (manifest estimate)"
+}
+private[sources] class RowsColumnarMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.RowsColumnar
+  override def description(): String = "rows decoded (columnar batches)"
+}
+private[sources] class RowsVectorizedRowMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.RowsVectorizedRow
+  override def description(): String = "rows decoded (vectorized row path)"
+}
+private[sources] class RowsGroupRowMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.RowsGroupRow
+  override def description(): String = "rows decoded (Group-reader fallback)"
+}
+private[sources] class DvRowsSubtractedMetric extends CustomSumMetric {
+  override def name(): String = GraftScanMetrics.DvRowsSubtracted
+  override def description(): String = "rows subtracted by delete vectors"
 }

@@ -46,19 +46,55 @@ class GraftScanMetricsSpec extends SparkSuite {
     }
   }
 
-  test("advertised metric names cover exactly what the scan reports") {
+  test("advertised metric names cover exactly what driver and tasks report") {
     val supported = GraftScanMetrics.all.map(_.name).toSet
     assert(supported.size === GraftScanMetrics.all.length, "no dup names")
-    // a GraftScan for an empty dir reports a value for every name
     warehouse
     spark.sql("CREATE TABLE gm.db.names (id BIGINT, p STRING) " +
       "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
     val q = spark.sql("SELECT id FROM gm.db.names")
     q.collect()
     val scan = scansOf(q.queryExecution.executedPlan).head.scan
-    val reported = scan.asInstanceOf[GraftScan]
+    val driverReported = scan.asInstanceOf[GraftScan]
       .reportDriverMetrics().map(_.name).toSet
-    assert(reported === supported)
+    val taskReported = new GraftTaskDecodeCounters.Holder()
+      .values.map(_.name).toSet
+    assert(driverReported.intersect(taskReported).isEmpty,
+      "a name must be driver-side or task-side, never both")
+    assert(driverReported ++ taskReported === supported)
+  }
+
+  test("task metrics attribute rows to their decode path and DV subtraction") {
+    import org.apache.spark.sql.functions.col
+    warehouse
+    spark.sql("CREATE TABLE gm.db.paths (k BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
+    (0L until 100L).map(i => (i, i * 1.0, "a")).toDF("k", "v", "p")
+      .createOrReplaceTempView("src_paths")
+    spark.sql("INSERT INTO gm.db.paths SELECT * FROM src_paths")
+    // vector-free: all rows decode columnar
+    val plain = metricsOf(spark.sql("SELECT k, v FROM gm.db.paths"))
+    assert(plain("rowsDecodedColumnar") === 100L)
+    assert(plain("rowsDecodedVectorizedRow") === 0L)
+    assert(plain("dvRowsSubtracted") === 0L)
+    // after a keyed MOR delete: rows decode on the vectorized ROW path,
+    // subtraction is visible, the Group fallback stays untouched
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("p",
+        org.apache.spark.sql.types.StringType)))
+    graft.etl.MergeInto.deleteKeysMor(spark,
+      java.nio.file.Paths.get(warehouse, "db", "paths").toString, schema,
+      Seq((7L, "a"), (13L, "a")).toDF("k", "p").select(col("k"), col("p")),
+      Seq("k"), "p", retain = 5)
+    val dv = metricsOf(spark.sql("SELECT k FROM gm.db.paths"))
+    assert(dv("rowsDecodedVectorizedRow") === 98L)
+    assert(dv("dvRowsSubtracted") === 2L)
+    assert(dv("rowsDecodedColumnar") === 0L)
+    assert(dv("rowsDecodedGroupRow") === 0L)
   }
 
   test("partition pruning reports skipped partitions and their files") {
