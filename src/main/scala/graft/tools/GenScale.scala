@@ -124,8 +124,16 @@ object GenScale {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
+    // customer: the DIM side of the bucket-join family. Dims grow
+    // slower than facts, and the scaled orders keep their o_custkey
+    // space (copies offset only the order keys) — so the realistic
+    // decade shape is fact x factor against the dim VERBATIM, and the
+    // bucket join's per-key fan-in grows by `factor` exactly.
+    spark.read.parquet(s"$srcDir/customer.parquet")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
     println(s"wrote $outDir: documents=${nDocs * factor} embeddings=${nVecs * factor} " +
-      s"orders/events x$factor")
+      s"orders/events x$factor, customer verbatim")
     spark.stop()
   }
 }
