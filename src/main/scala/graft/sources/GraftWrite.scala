@@ -176,6 +176,9 @@ private[sources] class GraftWriteBuilder(root: String,
         new GraftStreamingWrite(root, info.schema(), pc,
           info.queryId(), resolveRetain(), resolveStats(pc))
       }
+      override def supportedCustomMetrics()
+          : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+        GraftWriteMetrics.all
     }
 }
 
@@ -644,6 +647,15 @@ private[sources] class GraftDataWriter(root: String, txn: String,
     }.toSeq)
   private val writers = mutable.Map.empty[String,
     org.apache.parquet.hadoop.ParquetWriter[InternalRow]]
+  private var rowsOut = 0L
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = Array(
+    GraftScanMetrics.Value(GraftWriteMetrics.RowsWritten, rowsOut),
+    GraftScanMetrics.Value(GraftWriteMetrics.FilesWritten,
+      writers.size.toLong),
+    GraftScanMetrics.Value(GraftWriteMetrics.BloomBuilders,
+      bloomAcc.valuesIterator.map(_.length.toLong).sum))
 
   private[sources] def fileNameFor(): String =
     s"part-$partitionId-$taskId.parquet"
@@ -698,6 +710,7 @@ private[sources] class GraftDataWriter(root: String, txn: String,
     // row counts are tracked UNCONDITIONALLY (they cost one increment
     // and unlock count(*)/LIMIT pushdown on untracked tables); column
     // bounds only when stats_columns declares them
+    rowsOut += 1L
     val acc = statsAcc.getOrElseUpdate(partValue, new StatsAcc)
     acc.rows += 1L
     if (bloomFields.nonEmpty) {

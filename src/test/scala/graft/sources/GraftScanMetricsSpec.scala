@@ -160,6 +160,34 @@ class GraftScanMetricsSpec extends SparkSuite {
     assert(b("filesPlanned") === 0L)
   }
 
+  test("write metrics report rows, files, and bloom sidecars per task") {
+    warehouse
+    spark.sql("CREATE TABLE gm.db.wm (id BIGINT, v DOUBLE, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5', " +
+      "'bloom_columns'='id')")
+    (0L until 90L).map(i => (i, i * 1.0, s"p${i % 3}")).toDF("id", "v", "p")
+      .createOrReplaceTempView("src_wm")
+    val df = spark.sql("INSERT INTO gm.db.wm SELECT * FROM src_wm")
+    def writeExecs(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case c: org.apache.spark.sql.execution.CommandResultExec =>
+        writeExecs(c.commandPhysicalPlan)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        writeExecs(a.executedPlan)
+      case w: org.apache.spark.sql.execution.datasources.v2.V2TableWriteExec =>
+        Seq(w)
+      case o => o.children.flatMap(writeExecs)
+    }
+    val writes = writeExecs(df.queryExecution.executedPlan)
+    assert(writes.nonEmpty, "expected a V2 write exec in the plan")
+    val m = writes.head.metrics
+    assert(m(GraftWriteMetrics.RowsWritten).value === 90L)
+    // clustered write: one file per partition value
+    assert(m(GraftWriteMetrics.FilesWritten).value === 3L)
+    // one bloom builder per (partition value, bloom column)
+    assert(m(GraftWriteMetrics.BloomBuilders).value === 3L)
+  }
+
   test("LIMIT truncation reports the files it did not plan") {
     warehouse
     spark.sql("CREATE TABLE gm.db.lim (id BIGINT, p STRING) " +
