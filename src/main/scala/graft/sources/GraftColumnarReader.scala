@@ -57,12 +57,12 @@ import org.apache.spark.unsafe.types.UTF8String
 private[sources] class GraftColumnarPartitionReader(
     part: GraftInputPartition, required: StructType,
     renames: Map[String, Seq[String]],
-    countRows: Boolean = true) // false when nested in the row path,
+    countRows: Boolean = true, // false when nested in the row path,
     // which tallies its own (post-subtraction) rows
+    ctr: GraftTaskDecodeCounters.Holder = new GraftTaskDecodeCounters.Holder)
     extends PartitionReader[ColumnarBatch] {
 
   private val conf = GraftColumnar.readerConf()
-  private val ctr = GraftTaskDecodeCounters.forCurrentTask()
 
   // required index -> typed partition-level constant (same name-based
   // resolution and typed-constant contract as GraftPartitionReader)

@@ -29,6 +29,12 @@ private[sources] class GraftReaderFactory(required: StructType,
     columnar: Boolean = false,
     colTypes: Map[String, DataType] = Map.empty)
     extends PartitionReaderFactory {
+  // one holder per deserialized factory = per (task, scan): every
+  // reader this factory creates in a task tallies into it, so polls
+  // are cumulative across a key group's sequential readers without
+  // bleeding into the OTHER scan of a zero-exchange join task
+  @transient private lazy val taskCtr = new GraftTaskDecodeCounters.Holder
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
     // the ROW path still decodes VECTORIZED whenever it can: a scan
@@ -43,8 +49,9 @@ private[sources] class GraftReaderFactory(required: StructType,
       (gp.vectorFiles.isEmpty ||
         gp.keyCols.forall(c =>
           colTypes.get(c).exists(GraftColumnar.simpleKeyType)))
-    if (vectorized) new GraftVectorizedRowReader(gp, required, renames, colTypes)
-    else new GraftPartitionReader(gp, required, renames)
+    if (vectorized)
+      new GraftVectorizedRowReader(gp, required, renames, colTypes, taskCtr)
+    else new GraftPartitionReader(gp, required, renames, taskCtr)
   }
   override def supportColumnarReads(p: InputPartition): Boolean = columnar
   override def createColumnarReader(p: InputPartition)
@@ -52,7 +59,7 @@ private[sources] class GraftReaderFactory(required: StructType,
     val gp = p.asInstanceOf[GraftInputPartition]
     require(gp.vectorFiles.isEmpty,
       "columnar scan planned over a vector-carrying partition")
-    new GraftColumnarPartitionReader(gp, required, renames)
+    new GraftColumnarPartitionReader(gp, required, renames, ctr = taskCtr)
   }
 }
 
@@ -66,7 +73,8 @@ private[sources] class GraftReaderFactory(required: StructType,
   * metadata-only evolution, zero files rewritten. */
 private[sources] class GraftPartitionReader(part: GraftInputPartition,
     required: StructType,
-    renames: Map[String, Seq[String]] = Map.empty)
+    renames: Map[String, Seq[String]] = Map.empty,
+    ctr: GraftTaskDecodeCounters.Holder = new GraftTaskDecodeCounters.Holder)
     extends PartitionReader[InternalRow] {
 
   private val conf = new Configuration()
@@ -110,7 +118,6 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   // immutable once committed, so the cache can never go stale.
   private val deleted: java.util.HashSet[Seq[Any]] =
     GraftPartitionReader.deletedKeysFor(part, renames)
-  private val ctr = GraftTaskDecodeCounters.forCurrentTask()
 
   private val files = part.dataFiles.iterator
   private var reader: org.apache.parquet.hadoop.ParquetReader[Group] = _
@@ -289,7 +296,8 @@ private[sources] class GraftPartitionReader(part: GraftInputPartition,
   * one scan, and a ColumnarBatch cannot subtract keys. */
 private[sources] class GraftVectorizedRowReader(part: GraftInputPartition,
     required: StructType, renames: Map[String, Seq[String]],
-    colTypes: Map[String, DataType])
+    colTypes: Map[String, DataType],
+    ctr: GraftTaskDecodeCounters.Holder = new GraftTaskDecodeCounters.Holder)
     extends PartitionReader[InternalRow] {
   GraftVectorizedRowReader.opened.incrementAndGet()
 
@@ -302,7 +310,6 @@ private[sources] class GraftVectorizedRowReader(part: GraftInputPartition,
   private val inner =
     new GraftColumnarPartitionReader(part, extended, renames, countRows = false)
   private val deleted = GraftPartitionReader.deletedKeysFor(part, renames)
-  private val ctr = GraftTaskDecodeCounters.forCurrentTask()
   private val keyOrds: Array[Int] =
     if (part.vectorFiles.isEmpty) Array.empty
     else part.keyCols.map(extended.fieldNames.indexOf(_)).toArray

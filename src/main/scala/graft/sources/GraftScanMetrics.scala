@@ -55,13 +55,18 @@ private[sources] object GraftScanMetrics {
   }
 }
 
-/** Per-TASK decode counters. Spark polls `currentMetricsValues` and
-  * SETS the task accumulator to the reported value (CustomMetrics
-  * .updateMetrics), and a key-grouped scan packs several input
-  * partitions — several readers, sequentially — into ONE task: a
-  * per-reader counter would be overwritten by each successive reader.
-  * All readers of a task share this holder, so the last poll always
-  * carries the task's full tally; entries clean up on task completion. */
+/** Per-(task × scan) decode counters. Spark polls
+  * `currentMetricsValues` and SETS the task accumulator to the
+  * reported value (CustomMetrics.updateMetrics), and a key-grouped
+  * scan packs several input partitions — several readers, sequentially
+  * — into ONE task: a per-reader counter would be overwritten by each
+  * successive reader's poll. All readers a task creates FROM ONE
+  * FACTORY share a holder (the factory deserializes fresh per task, so
+  * its instance IS the task×scan scope), so the last poll always
+  * carries that scan's full task tally. The scope must NOT be the
+  * whole task: a storage-partitioned zero-exchange join runs BOTH
+  * sides' readers in one task, and a task-wide holder would report
+  * each side's metric as the combined total. */
 private[sources] object GraftTaskDecodeCounters {
   final class Holder {
     var columnar = 0L
@@ -73,17 +78,6 @@ private[sources] object GraftTaskDecodeCounters {
       GraftScanMetrics.Value(GraftScanMetrics.RowsVectorizedRow, vecRow),
       GraftScanMetrics.Value(GraftScanMetrics.RowsGroupRow, grpRow),
       GraftScanMetrics.Value(GraftScanMetrics.DvRowsSubtracted, dv))
-  }
-  private val perTask =
-    new java.util.concurrent.ConcurrentHashMap[Long, Holder]()
-  def forCurrentTask(): Holder = {
-    val tc = org.apache.spark.TaskContext.get()
-    if (tc == null) new Holder // driver-side/local scratch: uncounted
-    else perTask.computeIfAbsent(tc.taskAttemptId(), _ => {
-      tc.addTaskCompletionListener[Unit](_ =>
-        perTask.remove(tc.taskAttemptId()))
-      new Holder
-    })
   }
 }
 

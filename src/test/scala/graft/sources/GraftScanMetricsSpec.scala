@@ -188,6 +188,64 @@ class GraftScanMetricsSpec extends SparkSuite {
     assert(m(GraftWriteMetrics.BloomBuilders).value === 3L)
   }
 
+  test("the kill switch routes to the Group reader and its metric proves it") {
+    warehouse
+    spark.sql("CREATE TABLE gm.db.ks (id BIGINT, p STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('retain'='5')")
+    (0L until 40L).map(i => (i, "a")).toDF("id", "p")
+      .createOrReplaceTempView("src_ks")
+    spark.sql("INSERT INTO gm.db.ks SELECT * FROM src_ks")
+    System.setProperty("graft.scan.columnar", "false")
+    try {
+      val m = metricsOf(spark.sql("SELECT id FROM gm.db.ks"))
+      assert(m("rowsDecodedGroupRow") === 40L,
+        "kill switch must route every row through the Group reader")
+      assert(m("rowsDecodedColumnar") === 0L)
+      assert(m("rowsDecodedVectorizedRow") === 0L)
+    } finally System.setProperty("graft.scan.columnar", "true")
+    val back = metricsOf(spark.sql("SELECT id FROM gm.db.ks"))
+    assert(back("rowsDecodedColumnar") === 40L)
+  }
+
+  test("a zero-exchange join task keeps each scan's decode tally separate") {
+    warehouse
+    spark.sql("CREATE TABLE gm.db.j1 (k BIGINT, a DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('retain'='5')")
+    spark.sql("CREATE TABLE gm.db.j2 (k BIGINT, b DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k)) TBLPROPERTIES ('retain'='5')")
+    (0L until 50L).map(i => (i, i * 1.0)).toDF("k", "a")
+      .createOrReplaceTempView("src_j1")
+    (0L until 30L).map(i => (i, i * 2.0)).toDF("k", "b")
+      .createOrReplaceTempView("src_j2")
+    spark.sql("INSERT INTO gm.db.j1 SELECT * FROM src_j1")
+    spark.sql("INSERT INTO gm.db.j2 SELECT * FROM src_j2")
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = spark.sql("SELECT t1.k, t1.a, t2.b FROM gm.db.j1 t1 " +
+        "JOIN gm.db.j2 t2 ON t1.k = t2.k")
+      j.collect()
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "precondition: the join must be zero-exchange so both scans " +
+          "share tasks")
+      val scans = scansOf(j.queryExecution.executedPlan)
+      assert(scans.length === 2)
+      // each scan's metric must carry ITS rows only — a task-wide
+      // counter would report 80 on both sides
+      val tallies = scans.map(_.metrics("rowsDecodedColumnar").value).sorted
+      assert(tallies === Seq(30L, 50L),
+        s"per-scan decode tallies must not bleed across the join: $tallies")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("LIMIT truncation reports the files it did not plan") {
     warehouse
     spark.sql("CREATE TABLE gm.db.lim (id BIGINT, p STRING) " +
