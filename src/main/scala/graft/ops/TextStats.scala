@@ -257,13 +257,31 @@ object TextStats {
     * cannot drift in tokenization or counting. */
   private def termStats(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     registerExprs(docs)
+    // The explicit isNotNull below never drops a row (doc_id is a key) but
+    // makes every consumer's tokenize subtree canonically IDENTICAL: the
+    // downstream joins push isnotnull(doc_id) into only SOME branches, and
+    // that one-filter difference defeated AQE exchange reuse — the corpus
+    // was tokenized 3x per query (measured in the final plan; see
+    // OPTIMIZATION_r14.md). With the filter stated once at the source, the
+    // (doc_id, term) exchange plans once and df/docTokens/avgdl all read
+    // the ReusedExchange.
     val words = docs
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"),
         graft.functions.TextExprs.alphaTokens(docs.sparkSession, "text").as("_toks"))
       .select(col("doc_id"), explode(col("_toks")).as("term"))
     val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("cnt"))
     val docTokens = tf.groupBy("doc_id").agg(sum("cnt").as("doc_tokens"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // The cnt >= 1 filter is a no-op (cnt is count(1), always ≥ 1) but it
+    // REFERENCES cnt, so the optimizer cannot prune tf's count out of this
+    // branch's copy of the subtree — pruning it turned the branch into a
+    // distinct-(doc_id,term) aggregate that no longer canonically matched
+    // tf's exchange, forcing a second corpus tokenize. (count(col("cnt"))
+    // does not work: non-nullable count normalizes back to count(1) and
+    // prunes again.) With the reference in place the (doc_id, term)
+    // exchange plans once and df reads the ReusedExchange.
+    val df = tf.filter(col("cnt") >= 1L)
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = broadcast(docs.select(
       countDistinct("doc_id").cast("double").as("n_docs")))
     (tf, docTokens, df, nDocs)
