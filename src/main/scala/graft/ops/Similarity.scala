@@ -243,14 +243,22 @@ object Similarity {
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val c = banded(corpus, "neighbor_id", "c_emb", "c_norm")
     val q = banded(queries, "query_id", "q_emb", "q_norm")
-    val cands = c.join(broadcast(q), Seq("band", "bucket"))
+    // Score BEFORE the cross-band pair dedup: every duplicate of a
+    // (query, neighbor) pair carries the same embeddings, so the cosine is
+    // identical whichever copy survives — computing it map-side and
+    // deduplicating on (ids, score) means the dedup exchange carries three
+    // scalars instead of two 64-dim arrays (+norms), and the aggregate is
+    // a codegen'd HashAggregate instead of the SortAggregate that array
+    // first()-buffers force. Cost: the cosine runs per band collision
+    // (≤ nBands per pair) instead of per unique pair — cheap map-side
+    // arithmetic traded for ~128x fewer shuffle bytes per candidate
+    // (guide §2.3: shuffle keys and metadata, not payloads).
+    val scored = c.join(broadcast(q), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("q_emb"), col("q_norm"),
-        col("neighbor_id"), col("c_emb"), col("c_norm"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosinePre(col("q_emb"), col("q_norm"), col("c_emb"), col("c_norm")), 6)
+          .as("score"))
       .dropDuplicates("query_id", "neighbor_id")
-    val scored = cands.select(col("query_id"), col("neighbor_id"),
-      round(cosinePre(col("q_emb"), col("q_norm"), col("c_emb"), col("c_norm")), 6)
-        .as("score"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
