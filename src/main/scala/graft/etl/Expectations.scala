@@ -33,7 +33,13 @@ object Expectations {
       .map { case (n, c) => s"$n ($c rows)" }.mkString(", ")} " +
       s"of ${report.rows} rows")
 
-  private def violates(e: Column): Column = not(coalesce(e, lit(true)))
+  // Same CHECK tri-state truth table as not(coalesce(e, true)) — violates
+  // only when e is definitely FALSE — but stated null-intolerantly so the
+  // optimizer can rewrite dropInvalid's not(violates(e)) into
+  // (e OR isnull(col)) and PUSH it to the parquet scan. The coalesce form
+  // is opaque to ParquetFilters and left wh_expect_drop's scan with
+  // PushedFilters: [] (measured; see OPTIMIZATION_r14.md).
+  private def violates(e: Column): Column = e.isNotNull && not(e)
 
   /** Count violations of every expectation in one aggregate pass over
     * `rows`; throws [[ViolationException]] when any count is nonzero. */
