@@ -412,13 +412,25 @@ object DedupSampleQueries {
       Export.tokenBinShards(Tables.documents(s, d), bpeFrozenMerges, tmp, 8)
       tmp
     })
+    // persist: the mmap read-back + per-doc decode + sha feeds TWO
+    // differently-keyed consumers (the doc_id-keyed roundtrip compare and
+    // the shard-keyed stats), so without a materialization the whole
+    // decode pipeline executed twice (final plan had two Scan[obj]
+    // subtrees, no reuse — exchanges keyed doc_id vs shard never match).
+    // Four narrow scalars per row; released by the bench's clearCache —
+    // the same candidate-table convention as Dedup.minhashPairs.
     val back = Export.readBackTokens(s, out)
       .select(col("shard"), col("doc_id"),
         size(col("subs")).cast("bigint").as("n_tokens"),
         sha2(array_join(col("subs"), " "), 256).as("back_sha"))
+      .persist()
     val ref = graft.ops.Bpe.encode(Tables.documents(s, dir), bpeFrozenMerges)
       .select(col("doc_id"), col("subword_sha"))
-    val mismatch = back.join(ref, Seq("doc_id"), "full_outer")
+    // SHUFFLE_HASH: FullOuter cannot broadcast, and the default sort-merge
+    // pays a sort on each side; both sides are narrow (id + 64-char sha),
+    // so the per-partition hash build is the cheaper full-outer strategy
+    // (guide §3.1).
+    val mismatch = back.join(ref.hint("SHUFFLE_HASH"), Seq("doc_id"), "full_outer")
       .filter(col("back_sha").isNull || col("subword_sha").isNull ||
         col("back_sha") =!= col("subword_sha"))
     val ok = broadcast(mismatch.agg((count(lit(1)) === 0).as("roundtrip_ok")))
