@@ -208,6 +208,10 @@ object DedupSampleQueries {
       Export.jsonlShards(Tables.documents(s, d), tmp, 8)
       tmp
     })
+    // NOT persisted (measured r14): the JSONL parse is cheap enough that
+    // re-running it for the three consumers beats materializing the wide
+    // text column (10x corpus: 0.99 s unpersisted vs 1.22 s persisted) —
+    // unlike the gzip/BPE decodes (warc, tokenbin), which are persisted.
     val back = Export.readBack(s, out, orig.schema)
     val mismatch = back.drop("shard").exceptAll(orig)
       .unionByName(orig.exceptAll(back.drop("shard")))
@@ -246,6 +250,9 @@ object DedupSampleQueries {
         element_at(col("headers"), "WARC-Identified-Content-Language").as("lang"),
         element_at(split(col("target_uri"), "/"), 3).as("source"))
       .withColumn("n_chars", length(col("text")).cast("bigint"))
+      // persist: the WARC gzip-member decode feeds three consumers (both
+      // exceptAll sides and the shard stats) — see export_tokenbin_roundtrip
+      .persist()
     val restored = back.select(origCols.map(col): _*)
     val mismatch = restored.exceptAll(orig).unionByName(orig.exceptAll(restored))
     val ok = broadcast(mismatch.agg((count(lit(1)) === 0).as("roundtrip_ok")))
@@ -273,6 +280,9 @@ object DedupSampleQueries {
       TfRecord.tfrecordShards(Tables.documents(s, dir), tmp, 5)
       tmp
     })
+    // NOT persisted (measured r14): the framed-record decode is cheap
+    // enough that re-running it for the three consumers beats
+    // materializing the wide text column (10x: 0.92 s vs 1.04 s persisted).
     val back = TfRecord.readShards(s, out)
     val restored = back.select(origCols.map(col): _*)
     val mismatch = restored.exceptAll(orig).unionByName(orig.exceptAll(restored))
