@@ -177,7 +177,7 @@ object ChangeFeed {
     }
     if (rw.nonEmpty)
       out += rewriteDiff(merged(prev, rw), merged(cur, rw),
-        keyCols, partitionCols, schema, tag)
+        keyCols, partitionCols, schema, v, tag)
     out.result().foldLeft(empty)(_.unionByName(_))
   }
 
@@ -209,10 +209,21 @@ object ChangeFeed {
     * rows across partitions) classifies delete / insert / update
     * pre+post; without: set semantics via exceptAll both ways. Both
     * shapes are bounded by the REWRITTEN partitions' rows — the change
-    * volume — never the table. */
+    * volume — never the table.
+    *
+    * Shape note (r14): the keyed branch emits ALL FOUR change classes
+    * from ONE pass over the join — each joined row classifies locally
+    * into 0-2 change rows (`explode` of a per-row array). The previous
+    * form filtered the same join once per class and unioned the four;
+    * the optimizer pushed each class filter into its own join (LeftOuter
+    * delete + RightOuter insert + Inner x2 updates), so the rewritten
+    * partitions' old AND new contents were scanned and joined once PER
+    * CLASS — 8 scans + 4 joins per version where one suffices (measured
+    * final plans, plans/r14/graft_cdf_merge_before.txt). At 100 TB the
+    * change volume of a big rewrite rides the cluster 4x over. */
   private def rewriteDiff(old: DataFrame, nw: DataFrame,
       keyCols0: Seq[String], partitionCols: Seq[String], schema: StructType,
-      tag: (DataFrame, String) => DataFrame): DataFrame = {
+      v: Long, tag: (DataFrame, String) => DataFrame): DataFrame = {
     if (keyCols0.isEmpty) {
       tag(old.exceptAll(nw), "delete")
         .unionByName(tag(nw.exceptAll(old), "insert"))
@@ -224,19 +235,26 @@ object ChangeFeed {
       val on: Column = keyCols.map(k => col(s"_o_$k") <=> col(s"_n_$k"))
         .reduce(_ && _)
       val j = o.join(n, on, "full_outer")
-      val oldSide = schema.fieldNames.map(c => col(s"_o_$c").as(c))
-      val newSide = schema.fieldNames.map(c => col(s"_n_$c").as(c))
       val hasOld = keyCols.map(k => col(s"_o_$k").isNotNull).reduce(_ || _)
       val hasNew = keyCols.map(k => col(s"_n_$k").isNotNull).reduce(_ || _)
       val changed =
         if (payload.isEmpty) lit(false)
         else payload.map(c => !(col(s"_o_$c") <=> col(s"_n_$c"))).reduce(_ || _)
-      tag(j.filter(hasOld && !hasNew).select(oldSide: _*), "delete")
-        .unionByName(tag(j.filter(hasNew && !hasOld).select(newSide: _*), "insert"))
-        .unionByName(tag(j.filter(hasOld && hasNew && changed)
-          .select(oldSide: _*), "update_preimage"))
-        .unionByName(tag(j.filter(hasOld && hasNew && changed)
-          .select(newSide: _*), "update_postimage"))
+      def changeRow(prefix: String, tpe: String): Column = struct(
+        schema.fieldNames.map(c => col(s"_${prefix}_$c").as(c))
+          :+ lit(tpe).as(ChangeTypeCol): _*)
+      // hasOld && hasNew is NOT implied by falling through the first two
+      // branches: an all-null-key row pairs via <=> with hasOld = hasNew
+      // = false, and must emit nothing (the pre-r14 form's behavior)
+      val rows = when(hasOld && !hasNew, array(changeRow("o", "delete")))
+        .when(hasNew && !hasOld, array(changeRow("n", "insert")))
+        .when(hasOld && hasNew && changed,
+          array(changeRow("o", "update_preimage"),
+            changeRow("n", "update_postimage")))
+      // unchanged matches fall to the null ELSE: explode emits nothing
+      j.select(explode(rows).as("_r"))
+        .select(col("_r.*"))
+        .withColumn(CommitVersionCol, lit(v))
     }
   }
 }

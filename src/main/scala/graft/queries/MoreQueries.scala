@@ -427,11 +427,23 @@ object MoreQueries {
   private def sketchBounds(s: SparkSession, dir: String): DataFrame = {
     val orders = Tables.orders(s, dir)
     val approx = graft.ops.Sketches.orderSketches(orders)
-    val exact = orders.groupBy("o_orderstatus").agg(
-      countDistinct(col("o_custkey")).as("exact_customers"),
+    // The exact side runs as TWO aggregates, not one: a single
+    // countDistinct + percentile aggregate triggers Spark's
+    // distinct-agg rewrite, which regroups the FIRST phase by
+    // (status, custkey) — every customer group then carries its own
+    // serialized exact-percentile buffer pair across the exchange
+    // (plans/r14/sketch_bounds_before.txt: 3 ObjectHashAggregate
+    // levels, buffers keyed per customer). Split, the percentile
+    // buffers shuffle once per STATUS (3 groups) and the distinct
+    // count shuffles bare (status, custkey) pairs; the extra scan is
+    // columnar and cheap at any scale. Same trap family as the
+    // approx/exact split above (Sketches.orderSketches doc).
+    val exactPct = orders.groupBy("o_orderstatus").agg(
       expr("percentile(o_totalprice, 0.4)").as("exact_p40"),
       expr("percentile(o_totalprice, 0.6)").as("exact_p60"))
-    approx.join(exact, "o_orderstatus")
+    val exactCard = orders.groupBy("o_orderstatus").agg(
+      countDistinct(col("o_custkey")).as("exact_customers"))
+    approx.join(exactCard, "o_orderstatus").join(exactPct, "o_orderstatus")
       .select(col("o_orderstatus"),
         (abs(col("approx_customers") - col("exact_customers"))
           <= col("exact_customers") * 0.05).as("card_ok"),
